@@ -1,0 +1,146 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+All operators are single-pass ``groupBy().agg(...)`` where possible
+(map-side partial aggregation, one shuffle on the group key); the only
+two-pass operator is 3σ outlier counting, which needs global stats
+before re-scanning — expressed as a tiny aggregate broadcast-joined
+back onto the fact table, so at 100 TB the second pass is a scan +
+broadcast, never a shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def mode_deterministic(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    alias: str,
+) -> DataFrame:
+    """Most frequent value per key, NULLs ignored, ties broken by the
+    smallest value — deterministic across engines (reference ``MODE()
+    WITHIN GROUP``, `sql/user_features.sql:11`; Spark ``F.mode`` has
+    unspecified tie-breaking, so we pin it with a window).
+
+    Two shuffles on (key, value) then (key): both partial-aggregated,
+    and the second operates on already-reduced data (≤ distinct value
+    count per key), so it stays cheap at scale.
+    """
+    counted = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("__cnt").desc(), F.col(value_col).asc()
+    )
+    return (
+        counted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*key_cols, F.col(value_col).alias(alias))
+    )
+
+
+def stats_with_outliers(
+    df: DataFrame, value_col: str, sigma: float = 3.0, scale: int = 100
+) -> DataFrame:
+    """Statistical profile + 3σ outlier count for one numeric column
+    (reference `src/pipelines/data_quality.py:273-307`).
+
+    Returns a 1-row DataFrame: mean_value, stddev_value (sample),
+    min_value, max_value, count_value, outlier_count.
+
+    Mean/stddev are derived from EXACT integer moments (values scaled
+    to integers at ``scale``, first moment as bigint, second as
+    decimal(38,0)) so the result is independent of partitioned
+    summation order — bit-identical across engines and cluster sizes.
+    The stats row is crossJoin-broadcast back for the outlier pass —
+    scan-twice, shuffle-never, so it holds at 100 TB.
+    """
+    v = F.col(value_col)
+    s = float(scale)
+    iv = F.round(v * s).cast("bigint")
+    iv_dec = F.round(v * s).cast("decimal(18,0)")
+    base = df.agg(
+        F.count(v).alias("count_value"),
+        F.sum(iv).cast("double").alias("__s1"),
+        F.sum(iv_dec * iv_dec).cast("double").alias("__s2"),
+        F.min(v).alias("min_value"),
+        F.max(v).alias("max_value"),
+    )
+    n = F.col("count_value")
+    s1 = F.col("__s1")
+    s2 = F.col("__s2")
+    stats = base.select(
+        (s1 / s / n).alias("mean_value"),
+        F.sqrt(
+            (s2 / (s * s) - (s1 / s) * (s1 / s) / n) / (n - F.lit(1))
+        ).alias("stddev_value"),
+        "min_value",
+        "max_value",
+        "count_value",
+    )
+    joined = df.select(v.alias("__v")).crossJoin(F.broadcast(stats))
+    lo = F.col("mean_value") - sigma * F.col("stddev_value")
+    hi = F.col("mean_value") + sigma * F.col("stddev_value")
+    outliers = joined.agg(
+        F.count(F.when((F.col("__v") < lo) | (F.col("__v") > hi), 1)).alias(
+            "outlier_count"
+        )
+    )
+    return stats.crossJoin(outliers)
+
+
+def completeness_report(
+    df: DataFrame, columns: Sequence[str], table_name: str
+) -> DataFrame:
+    """Per-column non-null ratio, one labeled row per column
+    (reference `src/pipelines/data_quality.py:208-244` and the
+    ``feature_completeness`` view, `sql/bigquery_schema.sql:97-133`).
+
+    Single aggregate pass computing every per-column count at once,
+    then an unpivot of the 1-row result — no per-column scans.
+    """
+    aggs = [F.count(F.lit(1)).alias("__total")] + [
+        F.count(F.col(c)).alias(f"__nn_{c}") for c in columns
+    ]
+    row = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', __nn_{c}" for c in columns)
+    return row.selectExpr(
+        "__total",
+        f"stack({len(columns)}, {stack_expr}) as (column_name, non_null_count)",
+    ).select(
+        F.lit(table_name).alias("table_name"),
+        "column_name",
+        F.col("__total").cast("bigint").alias("total_rows"),
+        F.col("non_null_count").cast("bigint").alias("non_null_count"),
+        (F.col("non_null_count") / F.col("__total")).alias("completeness_ratio"),
+    )
+
+
+def freshness_report(
+    df: DataFrame, ts_col: str, now: str, fresh_hours: int = 2
+) -> DataFrame:
+    """max(ts), total count, fresh count within ``fresh_hours`` of the
+    injected ``now``, fresh ratio (reference
+    `src/pipelines/data_quality.py:140-170`; deterministic ``now`` per
+    SURVEY.md §7.1)."""
+    ts = F.col(ts_col)
+    threshold = F.to_timestamp(F.lit(now)) - F.expr(
+        f"INTERVAL {fresh_hours} HOURS"
+    )
+    return df.agg(
+        F.max(ts).alias("max_ts"),
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count(F.when(ts >= threshold, 1)).alias("fresh_rows"),
+    ).select(
+        "max_ts",
+        "total_rows",
+        "fresh_rows",
+        (F.col("fresh_rows") / F.col("total_rows")).alias("fresh_ratio"),
+    )

@@ -1,0 +1,56 @@
+"""Window / ranking operators (SURVEY.md §2.5)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Newest record per key (reference ``SELECT DISTINCT ON (user_id)
+    ... ORDER BY user_id, report_date DESC``, `sql/risk_features.sql:57-72`).
+
+    row_number over a per-key window — one shuffle on the key. The
+    optional tiebreak column pins determinism when order_col ties
+    (DISTINCT ON in PG is otherwise nondeterministic). At scale this is
+    the standard dedup-to-latest pattern; AQE handles key skew.
+    """
+    order = [F.col(order_col).desc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """Global top-K (reference ``ORDER BY ... DESC LIMIT 100``,
+    `tests/benchmarks/database_comparison.py:177`). Spark physical plan
+    is TakeOrderedAndProject: per-partition top-K then a single merge —
+    no full sort, no full shuffle."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+) -> DataFrame:
+    """Top-K within each group via row_number — one shuffle on the key."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,306 @@
+"""The three feature-derivation pipelines (SURVEY.md §2 / §3.2), mapped
+onto the driver fixtures per FIXTURES.md §1:
+
+- ``customer``  ↔ users        (c_custkey ↔ user_id)
+- ``orders``    ↔ transactions (o_totalprice amount, o_orderstatus
+                                status, o_orderpriority payment method)
+- ``lineitem``  ↔ payment/merchant detail (l_suppkey ↔ merchant,
+                                l_shipdate ↔ payment date)
+- ``events``    ↔ login / velocity-alert / risk-score feeds
+
+Reference SQL being re-expressed: ``sql/user_features.sql``,
+``sql/transaction_features.sql``, ``sql/risk_features.sql`` and their
+inline twins at ``src/pipelines/batch_pipeline.py:127-203``.
+
+Determinism: every window is anchored on an injected ``ref_date`` /
+``now`` (never wall clock) — SURVEY.md §7.1.
+
+Scale notes: each pipeline is one scan per fact table with all
+conditional aggregates fused into a single ``groupBy(user)`` (the
+reference's scan-once-aggregate-many, SURVEY.md §4), followed by left
+joins on the same key. On a cluster the fact-side shuffles all hash on
+``user_id`` so the final multi-join co-partitions; the dimension
+(customer) side is small relative to facts and broadcast when under
+the AQE threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feature_store_spark.functions.scalars import is_night, is_weekend, safe_ratio
+from feature_store_spark.operators.aggregates import mode_deterministic
+from feature_store_spark.operators.windows import latest_per_key
+from feature_store_spark.tables import EVENTS_NOW, REF_DATE
+
+# Order-status analogues (documented mapping, not TPC-H semantics):
+# 'F'/'O' = completed/fulfilled (reference `sql/user_features.sql:13`
+# status IN ('completed','fulfilled')); 'P' = declined/failed.
+COMPLETED_STATUSES = ("F", "O")
+DECLINED_STATUS = "P"
+
+
+def derive_user_features(
+    customer: DataFrame,
+    orders: DataFrame,
+    ref_date: str = REF_DATE,
+) -> DataFrame:
+    """users ⟕ per-user order stats (reference `sql/user_features.sql`).
+
+    Exercises: left join for aggregation-over-join (J3), plain aggs
+    (A1), mode (A4), COALESCE zero-fill (F1), CASE null-guard (F2),
+    datediff (F4). Customers with no completed orders keep a row with
+    zero-filled features (`sql/user_features.sql:33-39`).
+    """
+    completed = orders.filter(F.col("o_orderstatus").isin(*COMPLETED_STATUSES))
+    # Money aggregates use exact integer cents (bigint) so the result
+    # is independent of float summation order — the derived avg is a
+    # single double division of identical operands in any engine,
+    # making differential hashes bit-stable (SURVEY.md §7.4 precision).
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    stats = completed.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("__n_orders"),
+        F.sum(cents).alias("__sum_cents"),
+        F.min("o_orderdate").alias("__first_order"),
+        F.max("o_orderdate").alias("__last_order"),
+    )
+    preferred = mode_deterministic(
+        completed, ["o_custkey"], "o_orderpriority", "__preferred"
+    )
+    ref = F.to_date(F.lit(ref_date))
+    return (
+        customer.join(stats, customer.c_custkey == stats.o_custkey, "left")
+        .drop("o_custkey")
+        .join(preferred, customer.c_custkey == preferred.o_custkey, "left")
+        .drop("o_custkey")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("account_balance"),
+            F.coalesce(F.col("__n_orders"), F.lit(0))
+            .cast("bigint")
+            .alias("total_orders"),
+            F.coalesce(
+                F.col("__sum_cents") / 100.0 / F.col("__n_orders"), F.lit(0.0)
+            ).alias("avg_order_value"),
+            F.when(F.col("__first_order").isNull(), F.lit(None))
+            .otherwise(F.datediff(ref, F.to_date("__first_order")))
+            .cast("int")
+            .alias("days_since_first_order"),
+            F.col("__preferred").alias("preferred_payment_method"),
+        )
+    )
+
+
+def derive_transaction_features(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    ref_date: str = REF_DATE,
+) -> DataFrame:
+    """Trailing-30d conditional aggregates over a 31d scan (reference
+    `sql/transaction_features.sql`).
+
+    Exercises: time-predicate scan (S1/P3), conditional aggs (A2),
+    conditional distinct (A3), ratio-of-conditional-counts (A5),
+    HAVING activity gate (A6), NULLIF guard (F3), weekend/night
+    scalar semantics (F5/F6/P6).
+
+    The 31d scan feeding all 30d aggregates preserves the reference's
+    scan-once shape; the filter reaches the parquet scan so at 100 TB
+    with date-partitioned data only ~1 month of partitions is read.
+    """
+    ref = F.to_date(F.lit(ref_date))
+    scan = orders.filter(F.to_date("o_orderdate") >= F.date_sub(ref, 31))
+    in_30d = F.to_date("o_orderdate") >= F.date_sub(ref, 30)
+    n_30d = F.count(F.when(in_30d, 1))
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    feats = scan.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        n_30d.cast("bigint").alias("total_transactions_30d"),
+        F.sum(F.when(in_30d, cents)).alias("__sum_cents_30d"),
+        F.max(F.when(in_30d, F.col("o_totalprice"))).alias(
+            "max_transaction_amount"
+        ),
+        F.count(
+            F.when(in_30d & (F.col("o_orderstatus") == DECLINED_STATUS), 1)
+        )
+        .cast("bigint")
+        .alias("transactions_declined_30d"),
+        safe_ratio(
+            F.count(F.when(in_30d & is_weekend(F.col("o_orderdate")), 1)),
+            n_30d,
+        ).alias("weekend_transaction_ratio"),
+        safe_ratio(
+            F.count(F.when(in_30d & is_night(F.col("o_orderdate")), 1)),
+            n_30d,
+        ).alias("night_transaction_ratio"),
+    ).withColumns(
+        {
+            "total_amount_30d": F.coalesce(F.col("__sum_cents_30d"), F.lit(0))
+            / 100.0,
+            "avg_transaction_amount": F.col("__sum_cents_30d")
+            / 100.0
+            / F.col("total_transactions_30d"),
+        }
+    ).drop("__sum_cents_30d").select(
+        "user_id",
+        "total_transactions_30d",
+        "total_amount_30d",
+        "avg_transaction_amount",
+        "max_transaction_amount",
+        "transactions_declined_30d",
+        "weekend_transaction_ratio",
+        "night_transaction_ratio",
+    )
+    # Activity gate: HAVING COUNT(*) FILTER (30d) > 0
+    # (`src/pipelines/batch_pipeline.py:171`).
+    feats = feats.filter(F.col("total_transactions_30d") > 0)
+
+    # unique_merchants_30d: distinct suppliers shipped to the user in
+    # the window (l_suppkey ↔ merchant_id, FIXTURES.md §1). Shuffles
+    # hash on o_custkey → co-partitioned with the agg above.
+    merch = (
+        lineitem.filter(F.to_date("l_shipdate") >= F.date_sub(ref, 30))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.countDistinct("l_suppkey").alias("unique_merchants_30d"))
+    )
+    return feats.join(merch, "user_id", "left").withColumn(
+        "unique_merchants_30d",
+        F.coalesce(F.col("unique_merchants_30d"), F.lit(0)).cast("bigint"),
+    )
+
+
+def derive_risk_features(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    events: DataFrame,
+    ref_date: str = REF_DATE,
+    now: str = EVENTS_NOW,
+) -> DataFrame:
+    """Union-of-active-keys + multi-way left join of per-feed
+    aggregates (reference `sql/risk_features.sql:1-109`).
+
+    Feed analogues (FIXTURES.md §1): payment delays = lineitems shipped
+    >60 days after order date; failed payments = 'P'-status orders;
+    device/location diversity = distinct event types / distinct props
+    per user; velocity alerts = 'error' events; latest risk score =
+    newest 'purchase' event value per user (latest-per-key, W1).
+
+    Exercises: U1 3-way union-distinct of key sets, J2 5-way left
+    join, A2/A3 conditional counts, W1 latest-per-key, F1 COALESCE.
+    """
+    ref = F.to_date(F.lit(ref_date))
+    now_ts = F.to_timestamp(F.lit(now))
+
+    # Payment-delay feed: one scan of lineitem⋈orders, both windows as
+    # conditional aggs (delays_30d ⊆ delays_90d by construction).
+    pay = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.to_date("l_shipdate") >= F.date_sub(ref, 90))
+        .withColumn(
+            "__delayed", F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60)
+        )
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            F.count(
+                F.when(
+                    F.col("__delayed")
+                    & (F.to_date("l_shipdate") >= F.date_sub(ref, 30)),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("payment_delays_30d"),
+            F.count(F.when(F.col("__delayed"), 1))
+            .cast("bigint")
+            .alias("payment_delays_90d"),
+        )
+    )
+
+    # Failed payments over a 2y lookback (`sql/risk_features.sql:25`).
+    failed = (
+        orders.filter(
+            (F.col("o_orderstatus") == DECLINED_STATUS)
+            & (F.to_date("o_orderdate") >= F.add_months(ref, -24))
+        )
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("failed_payments_count"))
+    )
+
+    # Behavior feed over events: device/location diversity + velocity
+    # alerts in the trailing 30d of the injected `now`.
+    ev30 = events.filter(
+        F.col("ts") >= now_ts - F.expr("INTERVAL 30 DAYS")
+    )
+    behavior = ev30.groupBy(F.col("user_id")).agg(
+        F.countDistinct("event_type").cast("bigint").alias("device_changes_30d"),
+        F.countDistinct("props").cast("bigint").alias("login_locations_30d"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("bigint")
+        .alias("velocity_alerts_30d"),
+    )
+
+    # Latest risk score per user: newest 'purchase' event value (W1),
+    # tie-broken by event_id.
+    latest_score = latest_per_key(
+        events.filter(F.col("event_type") == "purchase"),
+        ["user_id"],
+        "ts",
+        tiebreak_col="event_id",
+    ).select("user_id", F.col("value").alias("risk_score"))
+
+    # Active keys: users with recent orders ∪ recent payment activity ∪
+    # recent events (`sql/risk_features.sql:73-90`).
+    active = (
+        orders.filter(F.to_date("o_orderdate") >= F.date_sub(ref, 90))
+        .select(F.col("o_custkey").alias("user_id"))
+        .union(pay.select("user_id"))
+        .union(ev30.select("user_id"))
+        .distinct()
+    )
+
+    return (
+        active.join(pay, "user_id", "left")
+        .join(failed, "user_id", "left")
+        .join(behavior, "user_id", "left")
+        .join(latest_score, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("payment_delays_30d", F.lit(0)).alias("payment_delays_30d"),
+            F.coalesce("payment_delays_90d", F.lit(0)).alias("payment_delays_90d"),
+            F.coalesce("failed_payments_count", F.lit(0)).alias(
+                "failed_payments_count"
+            ),
+            F.coalesce("device_changes_30d", F.lit(0)).alias("device_changes_30d"),
+            F.coalesce("login_locations_30d", F.lit(0)).alias(
+                "login_locations_30d"
+            ),
+            F.coalesce("velocity_alerts_30d", F.lit(0)).alias(
+                "velocity_alerts_30d"
+            ),
+            F.col("risk_score"),
+        )
+    )
+
+
+def serving_join(
+    user_features: DataFrame,
+    transaction_features: DataFrame,
+    risk_features: DataFrame,
+) -> DataFrame:
+    """uf ⟕ tf ⟕ rf on user_id — the reference's serving/analytics join
+    (`sql/migration_queries.sql:143-166`, J6). All three inputs are
+    keyed aggregates on user_id, so on a cluster the joins co-partition
+    on the already-shuffled key."""
+    return user_features.join(transaction_features, "user_id", "left").join(
+        risk_features, "user_id", "left"
+    )

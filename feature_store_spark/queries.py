@@ -1,0 +1,688 @@
+"""The SURVEY.md §2 operator sweep: every query the engine claims,
+as (PySpark callable, DuckDB oracle SQL) pairs.
+
+Each entry is registered with @spec; ``__spark_entry__.py`` exposes
+the registry to the driver. Naming convention follows SURVEY §2 ids.
+Every computed column is aliased identically in both engines, and
+aggregated doubles are explicitly ROUND()ed on BOTH sides (avg/ratio
+→ 4 digits, sums → 2) so cross-engine float-summation-order noise
+cannot flip the value hash; raw passthrough columns stay unrounded
+(bit-identical by construction).
+
+Anchors: REF_DATE 2001-08-01 for order/lineitem windows, EVENTS_NOW
+2024-01-31 for event windows (tables.py; never wall clock).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_store_spark.functions.scalars import is_night, is_weekend, safe_ratio
+from feature_store_spark.operators.aggregates import (
+    completeness_report,
+    freshness_report,
+    mode_deterministic,
+    stats_with_outliers,
+)
+from feature_store_spark.operators.windows import latest_per_key, top_k
+from feature_store_spark.pipelines.features import (
+    derive_risk_features,
+    derive_transaction_features,
+    derive_user_features,
+    serving_join,
+)
+from feature_store_spark.tables import EVENTS_NOW, REF_DATE, load_table
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None → non-SQL-expressible, rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+SPECS: dict[str, QuerySpec] = {}
+
+
+def spec(name: str, sql: str | None, tags: tuple[str, ...] = ()):
+    def deco(fn):
+        SPECS[name] = QuerySpec(name, fn, sql, tags)
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# SQL anchor fragments (DuckDB dialect).
+SQL_REF = f"DATE '{REF_DATE}'"
+SQL_NOW = f"TIMESTAMP '{EVENTS_NOW}'"
+
+# ---------------------------------------------------------------------------
+# Feature-derivation pipelines (SURVEY §3.2; the flagship surface)
+# ---------------------------------------------------------------------------
+
+UF_SQL = f"""
+WITH completed AS (
+  SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O')
+), stats AS (
+  SELECT o_custkey, count(*) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s1,
+         min(o_orderdate) AS fo
+  FROM completed GROUP BY o_custkey
+), pref AS (
+  SELECT o_custkey, o_orderpriority FROM (
+    SELECT o_custkey, o_orderpriority,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+    FROM completed GROUP BY o_custkey, o_orderpriority
+  ) t WHERE rn = 1
+)
+SELECT c.c_custkey AS user_id,
+       c.c_name AS name,
+       c.c_mktsegment AS segment,
+       c.c_acctbal AS account_balance,
+       COALESCE(s.n, 0) AS total_orders,
+       COALESCE(s.s1 / 100.0 / s.n, 0.0) AS avg_order_value,
+       CAST(CASE WHEN s.fo IS NULL THEN NULL
+            ELSE date_diff('day', CAST(s.fo AS DATE), {SQL_REF}) END AS INTEGER)
+         AS days_since_first_order,
+       p.o_orderpriority AS preferred_payment_method
+FROM customer c
+LEFT JOIN stats s ON c.c_custkey = s.o_custkey
+LEFT JOIN pref p ON c.c_custkey = p.o_custkey
+"""
+
+
+@spec("pipeline_user_features", UF_SQL, ("pipeline", "J1", "J3", "A1", "A4", "F1", "F2", "F4"))
+def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_user_features(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+TF_SQL = f"""
+WITH scan AS (
+  SELECT * FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 31
+), feats AS (
+  SELECT user_id, total_transactions_30d,
+    COALESCE(s1_30d, 0) / 100.0 AS total_amount_30d,
+    s1_30d / 100.0 / total_transactions_30d AS avg_transaction_amount,
+    max_transaction_amount, transactions_declined_30d,
+    weekend_transaction_ratio, night_transaction_ratio
+  FROM (
+    SELECT o_custkey AS user_id,
+      count(*) FILTER (WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 30)
+        AS total_transactions_30d,
+      sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (
+        WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 30) AS s1_30d,
+      max(o_totalprice) FILTER (
+        WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 30)
+        AS max_transaction_amount,
+      count(*) FILTER (WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 30
+                       AND o_orderstatus = 'P') AS transactions_declined_30d,
+      count(*) FILTER (WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 30
+                       AND dayofweek(o_orderdate) IN (0, 6))
+        / NULLIF(count(*) FILTER (
+            WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 30), 0)
+        AS weekend_transaction_ratio,
+      count(*) FILTER (WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 30
+                       AND (hour(o_orderdate) >= 22 OR hour(o_orderdate) <= 6))
+        / NULLIF(count(*) FILTER (
+            WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 30), 0)
+        AS night_transaction_ratio
+    FROM scan GROUP BY o_custkey
+    HAVING count(*) FILTER (
+      WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 30) > 0
+  ) raw
+), merch AS (
+  SELECT o.o_custkey AS user_id,
+         count(DISTINCT l.l_suppkey) AS unique_merchants_30d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE CAST(l.l_shipdate AS DATE) >= {SQL_REF} - 30
+  GROUP BY o.o_custkey
+)
+SELECT f.user_id, f.total_transactions_30d, f.total_amount_30d,
+       f.avg_transaction_amount, f.max_transaction_amount,
+       f.transactions_declined_30d, f.weekend_transaction_ratio,
+       f.night_transaction_ratio,
+       COALESCE(m.unique_merchants_30d, 0) AS unique_merchants_30d
+FROM feats f LEFT JOIN merch m ON f.user_id = m.user_id
+"""
+
+
+@spec("pipeline_transaction_features", TF_SQL, ("pipeline", "S1", "A2", "A3", "A5", "A6", "F3", "F5", "F6", "P6"))
+def q_transaction_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_transaction_features(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+RF_SQL = f"""
+WITH pay AS (
+  SELECT o.o_custkey AS user_id,
+    count(*) FILTER (
+      WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
+      AND CAST(l.l_shipdate AS DATE) >= {SQL_REF} - 30) AS payment_delays_30d,
+    count(*) FILTER (
+      WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60)
+      AS payment_delays_90d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE CAST(l.l_shipdate AS DATE) >= {SQL_REF} - 90
+  GROUP BY o.o_custkey
+), failed AS (
+  SELECT o_custkey AS user_id, count(*) AS failed_payments_count
+  FROM orders
+  WHERE o_orderstatus = 'P'
+    AND CAST(o_orderdate AS DATE) >= CAST({SQL_REF} - INTERVAL 24 MONTH AS DATE)
+  GROUP BY o_custkey
+), ev30 AS (
+  SELECT * FROM events WHERE ts >= {SQL_NOW} - INTERVAL 30 DAY
+), behavior AS (
+  SELECT user_id,
+         count(DISTINCT event_type) AS device_changes_30d,
+         count(DISTINCT props) AS login_locations_30d,
+         count(*) FILTER (WHERE event_type = 'error') AS velocity_alerts_30d
+  FROM ev30 GROUP BY user_id
+), latest AS (
+  SELECT user_id, value AS risk_score FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) t WHERE rn = 1
+), active AS (
+  SELECT DISTINCT user_id FROM (
+    SELECT o_custkey AS user_id FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 90
+    UNION ALL SELECT user_id FROM pay
+    UNION ALL SELECT user_id FROM ev30
+  ) u
+)
+SELECT a.user_id,
+       COALESCE(p.payment_delays_30d, 0) AS payment_delays_30d,
+       COALESCE(p.payment_delays_90d, 0) AS payment_delays_90d,
+       COALESCE(f.failed_payments_count, 0) AS failed_payments_count,
+       COALESCE(b.device_changes_30d, 0) AS device_changes_30d,
+       COALESCE(b.login_locations_30d, 0) AS login_locations_30d,
+       COALESCE(b.velocity_alerts_30d, 0) AS velocity_alerts_30d,
+       l2.risk_score AS risk_score
+FROM active a
+LEFT JOIN pay p ON a.user_id = p.user_id
+LEFT JOIN failed f ON a.user_id = f.user_id
+LEFT JOIN behavior b ON a.user_id = b.user_id
+LEFT JOIN latest l2 ON a.user_id = l2.user_id
+"""
+
+
+@spec("pipeline_risk_features", RF_SQL, ("pipeline", "J2", "U1", "W1", "A2", "A3"))
+def q_risk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_risk_features(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "events"),
+    )
+
+
+SERVING_SQL = f"""
+WITH uf AS ({UF_SQL}), tf AS ({TF_SQL}), rf AS ({RF_SQL})
+SELECT uf.user_id, uf.name, uf.segment, uf.account_balance,
+       uf.total_orders, uf.avg_order_value, uf.days_since_first_order,
+       uf.preferred_payment_method,
+       tf.total_transactions_30d, tf.total_amount_30d,
+       tf.avg_transaction_amount, tf.max_transaction_amount,
+       tf.transactions_declined_30d, tf.weekend_transaction_ratio,
+       tf.night_transaction_ratio, tf.unique_merchants_30d,
+       rf.payment_delays_30d, rf.payment_delays_90d,
+       rf.failed_payments_count, rf.device_changes_30d,
+       rf.login_locations_30d, rf.velocity_alerts_30d, rf.risk_score
+FROM uf
+LEFT JOIN tf ON uf.user_id = tf.user_id
+LEFT JOIN rf ON uf.user_id = rf.user_id
+"""
+
+
+@spec("pipeline_serving_join", SERVING_SQL, ("pipeline", "J6"))
+def q_serving_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uf = q_user_features(spark, sf_dir)
+    tf = q_transaction_features(spark, sf_dir)
+    rf = q_risk_features(spark, sf_dir)
+    return serving_join(uf, tf, rf)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 Scans / sources
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "s1_scan_time_predicate",
+    f"""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+       FROM orders WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 31""",
+    ("S1", "P3"),
+)
+def q_s1(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") >= F.date_sub(F.to_date(F.lit(REF_DATE)), 31))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@spec(
+    "s2_point_lookup",
+    "SELECT * FROM customer WHERE c_custkey = 42",
+    ("S2",),
+)
+def q_s2(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
+
+
+@spec(
+    "s3_keyset_probe",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       WHERE o_custkey IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)""",
+    ("S3",),
+)
+def q_s3(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isin(1, 2, 3, 5, 8, 13, 21, 34, 55, 89))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "a4_mode_per_key",
+    """SELECT o_custkey AS user_id, o_orderpriority AS preferred_priority
+       FROM (
+         SELECT o_custkey, o_orderpriority,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+         FROM orders GROUP BY o_custkey, o_orderpriority
+       ) t WHERE rn = 1""",
+    ("A4",),
+)
+def q_a4(spark, sf_dir):
+    return mode_deterministic(
+        _t(spark, sf_dir, "orders"), ["o_custkey"], "o_orderpriority",
+        "preferred_priority",
+    ).withColumnRenamed("o_custkey", "user_id")
+
+
+@spec(
+    "a7_stats_outliers",
+    """WITH b AS (
+         SELECT count(o_totalprice) AS count_value,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) AS s1,
+                CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+                       * CAST(round(o_totalprice * 100) AS HUGEINT))
+                  AS DOUBLE) AS s2,
+                min(o_totalprice) AS min_value,
+                max(o_totalprice) AS max_value
+         FROM orders
+       ), s AS (
+         SELECT s1 / 100.0 / count_value AS mean_value,
+                sqrt((s2 / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / count_value)
+                     / (count_value - 1)) AS stddev_value,
+                min_value, max_value, count_value
+         FROM b
+       )
+       SELECT s.mean_value, s.stddev_value, s.min_value, s.max_value,
+              s.count_value,
+              (SELECT count(*) FROM orders, s
+               WHERE o_totalprice < s.mean_value - 3.0 * s.stddev_value
+                  OR o_totalprice > s.mean_value + 3.0 * s.stddev_value)
+                AS outlier_count
+       FROM s""",
+    ("A7",),
+)
+def q_a7(spark, sf_dir):
+    return stats_with_outliers(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@spec(
+    "a8_completeness",
+    """WITH t AS (
+         SELECT count(*) AS total_rows, count(text) AS nn_text,
+                count(lang) AS nn_lang, count(source) AS nn_source,
+                count(n_chars) AS nn_chars
+         FROM documents
+       )
+       SELECT 'documents' AS table_name, column_name, total_rows,
+              non_null_count, non_null_count / total_rows AS completeness_ratio
+       FROM (
+         SELECT 'text' AS column_name, total_rows, nn_text AS non_null_count FROM t
+         UNION ALL SELECT 'lang', total_rows, nn_lang FROM t
+         UNION ALL SELECT 'source', total_rows, nn_source FROM t
+         UNION ALL SELECT 'n_chars', total_rows, nn_chars FROM t
+       ) u""",
+    ("A8", "U2"),
+)
+def q_a8(spark, sf_dir):
+    return completeness_report(
+        _t(spark, sf_dir, "documents"),
+        ["text", "lang", "source", "n_chars"],
+        "documents",
+    )
+
+
+@spec(
+    "a9_freshness",
+    f"""SELECT max(ts) AS max_ts, count(*) AS total_rows,
+              count(*) FILTER (WHERE ts >= {SQL_NOW} - INTERVAL 2 HOUR)
+                AS fresh_rows,
+              count(*) FILTER (WHERE ts >= {SQL_NOW} - INTERVAL 2 HOUR)
+                / count(*) AS fresh_ratio
+       FROM events""",
+    ("A9",),
+)
+def q_a9(spark, sf_dir):
+    return freshness_report(_t(spark, sf_dir, "events"), "ts", EVENTS_NOW, 2)
+
+
+@spec(
+    "a10_table_counts",
+    """SELECT 'customer' AS table_name, count(*) AS row_count FROM customer
+       UNION ALL SELECT 'orders', count(*) FROM orders
+       UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+       UNION ALL SELECT 'events', count(*) FROM events""",
+    ("A10", "A13", "U2"),
+)
+def q_a10(spark, sf_dir):
+    parts = []
+    for name in ["customer", "orders", "lineitem", "events"]:
+        parts.append(
+            _t(spark, sf_dir, name)
+            .agg(F.count(F.lit(1)).alias("row_count"))
+            .select(F.lit(name).alias("table_name"), "row_count")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Windows / ranking
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "w1_latest_event_per_user",
+    """SELECT user_id, event_id, ts, event_type, value FROM (
+         SELECT user_id, event_id, ts, event_type, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events
+       ) t WHERE rn = 1""",
+    ("W1",),
+)
+def q_w1(spark, sf_dir):
+    return latest_per_key(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "event_id"
+    ).select("user_id", "event_id", "ts", "event_type", "value")
+
+
+@spec(
+    "w2_topk_customers",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+       ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 100""",
+    ("W2", "O2"),
+)
+def q_w2(spark, sf_dir):
+    return top_k(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal"),
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        100,
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Set operations / §2.3 anti-join
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "u1_union_active_keys",
+    f"""SELECT DISTINCT user_id FROM (
+         SELECT o_custkey AS user_id FROM orders
+           WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 90
+         UNION ALL
+         SELECT user_id FROM events WHERE ts >= {SQL_NOW} - INTERVAL 30 DAY
+       ) u""",
+    ("U1", "U3"),
+)
+def q_u1(spark, sf_dir):
+    ref = F.to_date(F.lit(REF_DATE))
+    a = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") >= F.date_sub(ref, 90))
+        .select(F.col("o_custkey").alias("user_id"))
+    )
+    b = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            F.col("ts") >= F.to_timestamp(F.lit(EVENTS_NOW)) - F.expr("INTERVAL 30 DAYS")
+        )
+        .select("user_id")
+    )
+    return a.union(b).distinct()
+
+
+@spec(
+    "j4_anti_join_orphans",
+    """SELECT c.c_custkey, c.c_name
+       FROM customer c
+       LEFT JOIN (SELECT DISTINCT user_id FROM events) e
+         ON c.c_custkey = e.user_id
+       WHERE e.user_id IS NULL""",
+    ("J4", "P4"),
+)
+def q_j4(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "events").select(
+                F.col("user_id").alias("c_custkey")
+            ),
+            "c_custkey",
+            "left_anti",
+        )
+        .select("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Predicates / validation
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "p6_night_window_events",
+    """SELECT user_id,
+              count(*) FILTER (WHERE hour(ts) >= 22 OR hour(ts) <= 6)
+                AS night_events,
+              count(*) AS total_events,
+              count(*) FILTER (WHERE hour(ts) >= 22 OR hour(ts) <= 6)
+                / count(*) AS night_ratio
+       FROM events GROUP BY user_id""",
+    ("P6", "F6", "A5"),
+)
+def q_p6(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    total = F.count(F.lit(1))
+    night = F.count(F.when(is_night(F.col("ts")), 1))
+    return ev.groupBy("user_id").agg(
+        night.alias("night_events"),
+        total.alias("total_events"),
+        safe_ratio(night, total).alias("night_ratio"),
+    )
+
+
+@spec(
+    "p8_validation_rules",
+    """SELECT 'orders' AS table_name, 'non_negative_amount' AS rule,
+              count(*) FILTER (WHERE o_totalprice < 0) AS violations
+       FROM orders
+       UNION ALL
+       SELECT 'orders', 'valid_status',
+              count(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+       FROM orders
+       UNION ALL
+       SELECT 'customer', 'name_not_null',
+              count(*) FILTER (WHERE c_name IS NULL)
+       FROM customer
+       UNION ALL
+       SELECT 'events', 'known_event_type',
+              count(*) FILTER (WHERE event_type NOT IN
+                ('signup', 'click', 'purchase', 'error', 'view'))
+       FROM events""",
+    ("P8", "U2"),
+)
+def q_p8(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    events = _t(spark, sf_dir, "events")
+    def rule_row(df, table, rule, cond):
+        return (
+            df.agg(F.count(F.when(cond, 1)).alias("violations"))
+            .select(
+                F.lit(table).alias("table_name"),
+                F.lit(rule).alias("rule"),
+                "violations",
+            )
+        )
+
+    rows = [
+        rule_row(orders, "orders", "non_negative_amount", F.col("o_totalprice") < 0),
+        rule_row(
+            orders,
+            "orders",
+            "valid_status",
+            ~F.col("o_orderstatus").isin("F", "O", "P"),
+        ),
+        rule_row(customer, "customer", "name_not_null", F.col("c_name").isNull()),
+        rule_row(
+            events,
+            "events",
+            "known_event_type",
+            ~F.col("event_type").isin("signup", "click", "purchase", "error", "view"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Sampling
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "o3_deterministic_sample",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 100""",
+    ("O3", "F15"),
+)
+def q_o3(spark, sf_dir):
+    """Seeded-random sample stand-in: hash-ordered sample is
+    deterministic AND identical across engines (F.rand(seed) streams
+    differ between Spark and DuckDB, so the reference's ORDER BY
+    RANDOM() is pinned as ORDER BY md5(key))."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.md5(F.col("o_orderkey").cast("string")))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Scalar-function suite
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "f_scalar_suite",
+    f"""SELECT o_orderkey,
+              'order_' || CAST(o_orderkey AS VARCHAR) AS order_tag,
+              CASE WHEN o_totalprice > 200000 THEN 'high'
+                   WHEN o_totalprice > 100000 THEN 'medium'
+                   ELSE 'low' END AS value_band,
+              date_diff('day', CAST(o_orderdate AS DATE), {SQL_REF})
+                AS days_before_ref,
+              dayofweek(o_orderdate) IN (0, 6) AS is_weekend,
+              year(o_orderdate) AS order_year,
+              month(o_orderdate) AS order_month,
+              md5(o_orderpriority) AS priority_hash,
+              COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_norm
+       FROM orders""",
+    ("F2", "F4", "F5", "F8", "F9", "F12", "F15"),
+)
+def q_fsuite(spark, sf_dir):
+    ref = F.to_date(F.lit(REF_DATE))
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.concat(F.lit("order_"), F.col("o_orderkey").cast("string")).alias(
+            "order_tag"
+        ),
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "medium")
+        .otherwise("low")
+        .alias("value_band"),
+        F.datediff(ref, F.to_date("o_orderdate")).cast("bigint").alias(
+            "days_before_ref"
+        ),
+        is_weekend(F.col("o_orderdate")).alias("is_weekend"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.md5("o_orderpriority").alias("priority_hash"),
+        F.coalesce(
+            F.when(F.col("o_orderstatus") == "P", None).otherwise(
+                F.col("o_orderstatus")
+            ),
+            F.lit("PENDING"),
+        ).alias("status_norm"),
+    )
+
+
+@spec(
+    "f13_json_extract",
+    """SELECT event_id, user_id,
+              CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k
+       FROM events""",
+    ("F13",),
+)
+def q_f13(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: s.fn for name, s in SPECS.items()}
+
+
+def all_oracle_sql() -> dict[str, str]:
+    return {name: s.sql for name, s in SPECS.items() if s.sql is not None}
