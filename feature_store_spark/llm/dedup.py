@@ -1,0 +1,491 @@
+"""Deduplication operators (SURVEY.md §2.12): exact, n-gram Jaccard,
+MinHash + LSH banding, SimHash, and embedding-cosine near-dup.
+
+Scale posture (the point of each design):
+
+- **Exact**: one hash + one groupBy on the hash — a single shuffle of
+  (hash, id), never the text. Canonical pick is min(id) — deterministic.
+- **n-gram Jaccard**: inverted-index self-join on shingles (the
+  classic candidate generation). ``max_df`` prunes hub shingles before
+  the join — without it one ubiquitous shingle creates an O(n²)
+  skew partition at corpus scale.
+- **MinHash+LSH**: signatures are one aggregate pass over the shingle
+  set (k min-aggs); banding turns all-pairs into an equi-join on
+  (band_idx, band_hash). Only candidate pairs are verified exactly.
+  This is the standard way near-dedup survives 100 TB: work is
+  proportional to colliding pairs, not n².
+- **SimHash**: 60-bit signature via one groupBy(doc) with 60 partial
+  sums (no row blowup); near-dup pairs join on a 16-bit prefix bucket
+  before computing Hamming distance.
+- **Embedding cosine**: exact all-pairs is the correctness baseline;
+  the scale path is the LSH bucketing in ``similarity.py``.
+
+Everything is md5-based and fold-order-pinned so Spark and the DuckDB
+oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from feature_store_spark.llm.text import (
+    TOKEN_RE,
+    normalized_text,
+    shingles,
+    shingles_oracle_sql,
+    tokens,
+)
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact duplicate mapping on normalized text: every row mapped to
+    the smallest id sharing its content hash. ``is_duplicate`` marks
+    non-canonical rows (the reference's duplicate-key detection,
+    `sql/migration_queries.sql:8-25`, lifted to content hashing)."""
+    hashed = df.select(
+        F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("content_hash")
+    )
+    canon = hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        hashed.join(canon, "content_hash")
+        .select(
+            id_col,
+            "content_hash",
+            "canonical_id",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+            "group_size",
+        )
+    )
+
+
+def exact_dedup_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    return f"""
+    WITH hashed AS (
+      SELECT {id_col},
+             md5(array_to_string(regexp_extract_all(lower({text_col}),
+                 '{TOKEN_RE}'), ' ')) AS content_hash
+      FROM {table}
+    ), canon AS (
+      SELECT content_hash, min({id_col}) AS canonical_id,
+             count(*) AS group_size
+      FROM hashed GROUP BY content_hash
+    )
+    SELECT h.{id_col}, h.content_hash, c.canonical_id,
+           h.{id_col} <> c.canonical_id AS is_duplicate, c.group_size
+    FROM hashed h JOIN canon c USING (content_hash)
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted index)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs with word-n-gram Jaccard ≥ threshold, computed
+    exactly via the inverted index: join shingle→doc postings with
+    itself, count shared shingles per pair, then
+    ``J = shared / (|A| + |B| - shared)``.
+
+    ``max_df`` drops shingles appearing in more than that many docs
+    before the self-join (df-pruning). Shingles that frequent cannot be
+    discriminative, and at corpus scale a single hub shingle would
+    otherwise dominate the join output.
+    """
+    sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
+    if max_df is not None:
+        keep = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")).filter(
+            F.col("__df") <= max_df
+        )
+        sh = sh.join(keep.select("shingle"), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("n_b"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared").alias("shared_shingles"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_oracle_sql(table: str = "documents", n: int = 3,
+                             threshold: float = 0.5,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> str:
+    sh = shingles_oracle_sql(table, n, id_col, text_col)
+    return f"""
+    WITH sh AS ({sh}),
+    sizes AS (SELECT {id_col}, count(*) AS n FROM sh GROUP BY {id_col}),
+    shared AS (
+      SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+        AND a.{id_col} < b.{id_col}
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared AS shared_shingles,
+           round(shared * 1.0 / (x.n + y.n - shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes x ON id_a = x.{id_col}
+    JOIN sizes y ON id_b = y.{id_col}
+    WHERE round(shared * 1.0 / (x.n + y.n - shared), 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 12  # total hash functions
+MINHASH_BANDS = 4  # bands of r = K/BANDS rows each
+
+
+def minhash_signatures(df: DataFrame, n: int = 3, k: int = MINHASH_K,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """k-permutation MinHash signature per document. Permutation i is
+    realized as md5(i || '|' || shingle) — min over the hex string is a
+    valid min-wise hash, identical in every engine. One aggregate pass
+    (k min-aggs) over the shingle set: one shuffle on doc id."""
+    sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH banding, verified exactly.
+
+    Candidate generation: documents agreeing on any band (md5 of r
+    concatenated signature slots) — an equi-join on (band_idx, hash),
+    never an all-pairs product. Verification: exact n-gram Jaccard on
+    the candidates only. Output schema matches
+    :func:`ngram_jaccard_pairs` (LSH may miss pairs below ~threshold;
+    with r=3, b=4 the S-curve midpoint sits near J≈0.6).
+    """
+    r = k // bands
+    sig = minhash_signatures(df, n=n, k=k, id_col=id_col, text_col=text_col)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * r, (b + 1) * r)]
+        band_rows.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    bands_df = band_rows[0]
+    for extra in band_rows[1:]:
+        bands_df = bands_df.unionByName(extra)
+    a = bands_df.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b2 = bands_df.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    cand = (
+        a.join(b2, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # Exact verification restricted to candidates.
+    sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("n_b"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared").alias("shared_shingles"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_oracle_sql(table: str = "documents", n: int = 3,
+                           threshold: float = 0.5, k: int = MINHASH_K,
+                           bands: int = MINHASH_BANDS,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    r = k // bands
+    sh = shingles_oracle_sql(table, n, id_col, text_col)
+    sig_aggs = ",\n             ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(k)
+    )
+    band_selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"h{i}" for i in range(b * r, (b + 1) * r))
+        band_selects.append(
+            f"SELECT {id_col}, {b} AS band_idx, md5({cols}) AS band_hash FROM sig"
+        )
+    bands_sql = "\n      UNION ALL ".join(band_selects)
+    return f"""
+    WITH sh AS ({sh}),
+    sig AS (
+      SELECT {id_col},
+             {sig_aggs}
+      FROM sh GROUP BY {id_col}
+    ),
+    bands AS (
+      {bands_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        AND a.{id_col} < b.{id_col}
+    ),
+    sizes AS (SELECT {id_col}, count(*) AS n FROM sh GROUP BY {id_col}),
+    shared AS (
+      SELECT c.id_a, c.id_b, count(*) AS shared
+      FROM cand c
+      JOIN sh sa ON sa.{id_col} = c.id_a
+      JOIN sh sb ON sb.{id_col} = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared AS shared_shingles,
+           round(shared * 1.0 / (x.n + y.n - shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes x ON id_a = x.{id_col}
+    JOIN sizes y ON id_b = y.{id_col}
+    WHERE round(shared * 1.0 / (x.n + y.n - shared), 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 md5 nibbles → fits a signed 64-bit integer
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per document over token frequencies.
+
+    Token hash = first 15 nibbles of md5(token); bit b of the signature
+    is 1 when the count-weighted vote over tokens is strictly positive.
+    Implemented as one groupBy(doc) with 60 partial-aggregated sums —
+    no row explosion, single shuffle."""
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("hex", F.md5(F.col("tok")))
+    )
+    vote_aggs = []
+    for b in range(SIMHASH_BITS):
+        nib_idx = b // 4  # 0..14
+        bit_in_nib = 3 - (b % 4)
+        nib = F.conv(F.substring(F.col("hex"), nib_idx + 1, 1), 16, 10).cast(
+            "int"
+        )
+        bit = F.floor(nib / (2 ** bit_in_nib)) % 2
+        vote_aggs.append(
+            F.sum(F.col("cnt") * (bit * 2 - 1)).alias(f"v{b}")
+        )
+    votes = tok.groupBy(id_col).agg(*vote_aggs)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    vote_exprs = []
+    for b in range(SIMHASH_BITS):
+        nib_idx = b // 4
+        bit_in_nib = 3 - (b % 4)
+        nib = (
+            f"(strpos('0123456789abcdef', substr(hex, {nib_idx + 1}, 1)) - 1)"
+        )
+        bit = f"(CAST(floor({nib} / {2 ** bit_in_nib}) AS BIGINT) % 2)"
+        vote_exprs.append(f"sum(cnt * ({bit} * 2 - 1)) AS v{b}")
+    votes_sql = ",\n             ".join(vote_exprs)
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, tok, count(*) AS cnt, md5(tok) AS hex
+      FROM (
+        SELECT {id_col}, unnest(regexp_extract_all(lower({text_col}),
+               '{TOKEN_RE}')) AS tok
+        FROM {table}
+      ) GROUP BY {id_col}, tok
+    ),
+    votes AS (
+      SELECT {id_col},
+             {votes_sql}
+      FROM tok GROUP BY {id_col}
+    )
+    SELECT {id_col}, {sig} AS simhash FROM votes
+    """
+
+
+def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 8,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Pairs within ``max_hamming`` SimHash bits, bucketed by the top
+    16 signature bits before the pairwise check (the block-permutation
+    trick: near-identical docs almost always agree on a 16-bit prefix,
+    so the join is an equi-join on the bucket, not all-pairs)."""
+    sig = simhash_signatures(df, id_col=id_col, text_col=text_col)
+    bucketed = sig.withColumn(
+        "bucket", F.floor(F.col("simhash") / F.lit(2 ** (SIMHASH_BITS - 16)))
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "bucket"
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_dup_oracle_sql(table: str = "documents",
+                                max_hamming: int = 8,
+                                id_col: str = "doc_id",
+                                text_col: str = "text") -> str:
+    sig = simhash_oracle_sql(table, id_col, text_col)
+    return f"""
+    WITH sig AS ({sig}),
+    bucketed AS (
+      SELECT {id_col}, simhash,
+             CAST(floor(simhash / {2 ** (SIMHASH_BITS - 16)}) AS BIGINT)
+               AS bucket
+      FROM sig
+    )
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.{id_col} < b.{id_col}
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.4,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Vector pairs with cosine ≥ threshold — exact all-pairs
+    (correctness baseline; the LSH-bucketed path in similarity.py is
+    the scale variant). Cosine is a sequential double fold on both
+    engines, rounded to 6 digits before the threshold cut so the cut
+    itself is reproducible."""
+    norm = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+    )
+    a = norm.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = norm.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_oracle_sql(table: str = "embeddings",
+                                  threshold: float = 0.4,
+                                  id_col: str = "vec_id",
+                                  vec_col: str = "embedding") -> str:
+    dot_ab = (
+        "list_sum(list_transform(range(1, len(a.v) + 1), "
+        "i -> a.v[i] * b.v[i]))"
+    )
+    return f"""
+    WITH norm AS (
+      SELECT {id_col},
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(
+               list_transform({vec_col}, x -> CAST(x AS DOUBLE)),
+               x -> x * x))) AS nrm
+      FROM {table}
+    )
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           round({dot_ab} / (a.nrm * b.nrm), 6) AS cosine
+    FROM norm a JOIN norm b ON a.{id_col} < b.{id_col}
+    WHERE round({dot_ab} / (a.nrm * b.nrm), 6) >= {threshold}
+    """

@@ -1,0 +1,167 @@
+"""Multimodal column plumbing (SURVEY.md §2.12): image/audio/video as
+opaque ``binary`` payloads with typed metadata, processed by
+Arrow-batched ``mapInPandas`` stages.
+
+The container has no image/audio codecs, so the decode kernel is a
+clearly-marked STUB (``real_decode=True`` raises NotImplementedError;
+the default produces deterministic fake metadata derived from the
+payload bytes). Everything around the kernel — the binary schema, the
+Arrow batch shape, the partition-parallel execution, the output
+StructType — is real and tested; swapping in PIL/ffmpeg later touches
+only ``_decode_batch``.
+
+Scale posture: payloads never pass through the driver; ``mapInPandas``
+streams Arrow batches executor-side, and metadata-only downstream
+queries prune the binary column at the parquet scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+
+def attach_payload(documents: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Deterministic fake media table from the documents fixture: the
+    UTF-8 bytes of the text stand in for an opaque media payload, with
+    a media_type derived from the id. Real pipelines read
+    (id, media_type, payload) parquet directly — this adapter only
+    exists because the fixtures carry no binary column."""
+    return documents.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.when(F.col(id_col) % 3 == 0, "image")
+        .when(F.col(id_col) % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def _fake_metadata(n_bytes: int, media_type: str) -> tuple[int, int, str]:
+    """Deterministic stand-in for a real decoder: dimensions derived
+    from payload length. Replace with PIL/ffmpeg probing in production."""
+    width = 16 + n_bytes % 624
+    height = 16 + (n_bytes * 7) % 464
+    fmt = {"image": "RGB", "audio": "PCM16", "video": "H264"}[media_type]
+    return width, height, fmt
+
+
+def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Decode/probe stage over the media table via ``mapInPandas``:
+    Arrow batches in, metadata rows out. The binary column is consumed
+    executor-side and does not appear in the output schema, so
+    downstream plans never carry payload bytes."""
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if real_decode:
+            raise NotImplementedError(
+                "real media decoding requires PIL/ffmpeg, not present in "
+                "this environment; run with real_decode=False for the "
+                "deterministic stub"
+            )
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            meta = [
+                _fake_metadata(n, t)
+                for n, t in zip(n_bytes, pdf["media_type"])
+            ]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "format": [m[2] for m in meta],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(_decode_batch, DECODED_SCHEMA)
+
+
+def decode_media_oracle_sql(table: str = "documents") -> str:
+    """The stub decoder is deterministic, so even the mapInPandas path
+    is oracle-checkable: DuckDB recomputes the same metadata from
+    octet_length of the UTF-8 text."""
+    return f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(16 + octet_length(encode(text)) % 624 AS INTEGER) AS width,
+           CAST(16 + (octet_length(encode(text)) * 7) % 464 AS INTEGER)
+             AS height,
+           CASE WHEN doc_id % 3 = 0 THEN 'RGB'
+                WHEN doc_id % 3 = 1 THEN 'PCM16'
+                ELSE 'H264' END AS format
+    FROM {table}
+    """
+
+
+def frame_sample(decoded: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plan for video rows: emit one row per sampled
+    frame index (0, every_n, 2·every_n, …) with fake frame count
+    n_bytes // 100 — the Spark-side explode/partitioning is the real
+    part, the frame count stands in for container probing."""
+    n_frames = (F.col("n_bytes") / 100).cast("int")
+    idx = F.sequence(
+        F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n)
+    )
+    return (
+        decoded.filter(F.col("media_type") == "video")
+        .select(
+            "doc_id",
+            n_frames.alias("n_frames"),
+            F.explode(idx).alias("frame_idx"),
+        )
+    )
+
+
+def frame_sample_oracle_sql(table: str = "documents", every_n: int = 10) -> str:
+    return f"""
+    WITH decoded AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM {table} WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id,
+           CAST(n_bytes // 100 AS INTEGER) AS n_frames,
+           CAST(u.f AS INTEGER) AS frame_idx
+    FROM decoded,
+         unnest(range(0, greatest(CAST(n_bytes // 100 AS INTEGER) - 1, 0) + 1,
+                {every_n})) AS u(f)
+    """

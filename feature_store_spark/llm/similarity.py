@@ -1,0 +1,243 @@
+"""Similarity search over an embedding column (SURVEY.md §2.12).
+
+Two paths, same output schema:
+
+- :func:`cosine_topk` — exact brute-force top-k: broadcast the (small)
+  query set against the corpus, rank by rounded cosine. At 100 TB the
+  corpus side stays partitioned and the query side is broadcast — the
+  scan is embarrassingly parallel, and the final top-k per query is a
+  per-partition top-k + single merge (TakeOrderedAndProject shape via
+  row_number over a per-query window on pre-reduced candidates).
+- :func:`lsh_ann_topk` — approximate: random-hyperplane LSH (16-bit
+  signature from md5-derived ±1 hyperplanes), candidates = same
+  bucket, exact rerank inside the bucket. Recall trades off with
+  bucket width; the hyperplanes are deterministic (seeded by md5), so
+  the result is reproducible and oracle-checkable.
+
+Ranking determinism: scores are rounded to 6 digits BEFORE ranking and
+ties break on corpus id ascending — both engines pick the same top-k
+set even under float noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 8 hyperplanes → 256 buckets: sized so a ~500-vector fixture still
+# produces bucket collisions (recall demo); at corpus scale raise it
+# (more planes = finer buckets = higher precision, lower recall) or
+# use multi-probe / multiple tables.
+N_PLANES = 8
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(v):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k nearest corpus vectors per query vector by cosine.
+
+    ``queries`` must have (query_id_col, vec_col). The query side is
+    broadcast (small by contract); self-matches (same id) are excluded.
+    Output: (query_id, vec_id, cosine, rank), rank 1..k.
+    """
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
+    )
+    cos = F.round(
+        _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, cos.alias("cosine"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_oracle_sql(
+    table: str = "embeddings",
+    n_queries: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle for the fixture wiring: queries = first ``n_queries``
+    vectors of the corpus (vec_id < n_queries)."""
+    return f"""
+    WITH norm AS (
+      SELECT {id_col},
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(
+               list_transform({vec_col}, x -> CAST(x AS DOUBLE)),
+               x -> x * x))) AS nrm
+      FROM {table}
+    ),
+    q AS (SELECT {id_col} AS query_id, v AS qv, nrm AS qn
+          FROM norm WHERE {id_col} < {n_queries}),
+    scored AS (
+      SELECT q.query_id, c.{id_col},
+             round(list_sum(list_transform(range(1, len(c.v) + 1),
+                   i -> q.qv[i] * c.v[i])) / (q.qn * c.nrm), 6) AS cosine
+      FROM norm c CROSS JOIN q
+      WHERE c.{id_col} <> q.query_id
+    )
+    SELECT query_id, {id_col}, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, {id_col} ASC) AS rank
+      FROM scored
+    ) t WHERE rank <= {k}
+    """
+
+
+def hyperplane_sign(vec, plane: int):
+    """Deterministic pseudo-random hyperplane side: weight of dim d in
+    plane p is +1 when the first hex digit of md5('p|d') is 0-7, else
+    -1; the bit is 1 when the weighted sum is >= 0. Cross-engine
+    because md5 is."""
+    weighted = F.transform(
+        vec,
+        lambda x, i: F.when(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{plane}|"), i.cast("string"))), 1, 1
+            ).isin(*"01234567"),
+            x.cast("double"),
+        ).otherwise(-x.cast("double")),
+    )
+    s = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    return F.when(s >= 0, 1).otherwise(0)
+
+
+def lsh_bucket(vec):
+    """16-bit random-hyperplane signature packed into an int."""
+    out = None
+    for p in range(N_PLANES):
+        term = hyperplane_sign(vec, p) * (2**p)
+        out = term if out is None else out + term
+    return out
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket
+    are scored (equi-join on bucket → no cross product), then exact
+    cosine rerank within the bucket. May return < k rows per query —
+    the standard ANN recall trade."""
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+        lsh_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
+        lsh_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    cos = F.round(
+        _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, cos.alias("cosine"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    terms = []
+    for p in range(N_PLANES):
+        w = (
+            f"list_sum(list_transform(range(1, len({vec_expr}) + 1), "
+            f"i -> CASE WHEN substr(md5('{p}|' || CAST(i - 1 AS VARCHAR)), 1, 1) "
+            f"IN ('0','1','2','3','4','5','6','7') "
+            f"THEN {vec_expr}[i] ELSE -{vec_expr}[i] END))"
+        )
+        terms.append(f"(CASE WHEN {w} >= 0 THEN 1 ELSE 0 END) * {2**p}")
+    return " + ".join(terms)
+
+
+def lsh_ann_oracle_sql(
+    table: str = "embeddings",
+    n_queries: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    bucket = _bucket_sql("v")
+    return f"""
+    WITH norm AS (
+      SELECT {id_col},
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(
+               list_transform({vec_col}, x -> CAST(x AS DOUBLE)),
+               x -> x * x))) AS nrm
+      FROM {table}
+    ),
+    sig AS (
+      SELECT {id_col}, v, nrm, {bucket} AS bucket FROM norm
+    ),
+    q AS (SELECT {id_col} AS query_id, v AS qv, nrm AS qn, bucket
+          FROM sig WHERE {id_col} < {n_queries}),
+    scored AS (
+      SELECT q.query_id, c.{id_col},
+             round(list_sum(list_transform(range(1, len(c.v) + 1),
+                   i -> q.qv[i] * c.v[i])) / (q.qn * c.nrm), 6) AS cosine
+      FROM sig c JOIN q ON c.bucket = q.bucket
+      WHERE c.{id_col} <> q.query_id
+    )
+    SELECT query_id, {id_col}, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, {id_col} ASC) AS rank
+      FROM scored
+    ) t WHERE rank <= {k}
+    """

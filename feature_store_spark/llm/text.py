@@ -1,0 +1,285 @@
+"""Text-analysis operators over a document table (SURVEY.md §2.12).
+
+The reference has no text surface; these are the training-data-pipeline
+additions (language-ID, quality scoring, token counting, document
+fingerprinting) built entirely from native column expressions — zero
+Python UDFs, so everything stays inside whole-stage codegen and scales
+linearly with the corpus (narrow transforms, no shuffle except where a
+groupBy is inherent).
+
+Cross-engine determinism: tokenization is one shared regex
+(``TOKEN_RE``), hashing is md5 (identical bytes→hex in Spark and
+DuckDB), ratios are rounded by the oracle harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# One token regex shared by the Spark expressions and the generated
+# DuckDB oracle SQL (both engines: lowercase alnum runs).
+TOKEN_RE = "[a-z0-9]+"
+
+# Function-word lists for the n-gram/stopword language heuristic.
+# Deliberately tiny and declared here so the oracle SQL is generated
+# from the same constants.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "pour"),
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased alnum tokens as an array column."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token/char statistics: the quality-scoring feature
+    base (length, punctuation ratio, stopword ratio, lexical
+    diversity). Narrow projection — no shuffle, pushdown-friendly."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_char = F.length(text_col)
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.,;:!?]"), 0))
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
+    n_uniq = F.size(F.array_distinct(t))
+    tok_chars = F.aggregate(
+        F.transform(t, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return df.select(
+        F.col(id_col),
+        n_char.cast("bigint").alias("n_chars"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_uniq.cast("bigint").alias("n_unique_tokens"),
+        (n_uniq / F.when(n_tok == 0, None).otherwise(n_tok)).alias(
+            "lexical_diversity"
+        ),
+        (tok_chars / F.when(n_tok == 0, None).otherwise(n_tok)).alias(
+            "avg_token_len"
+        ),
+        (n_punct / F.when(n_char == 0, None).otherwise(n_char)).alias(
+            "punct_ratio"
+        ),
+        (n_stop / F.when(n_tok == 0, None).otherwise(n_tok)).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+def text_stats_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+    WITH tok AS (
+      SELECT {id_col},
+             length({text_col}) AS n_char,
+             regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS t,
+             regexp_extract_all({text_col}, '[.,;:!?]') AS p
+      FROM {table}
+    )
+    SELECT {id_col},
+           CAST(n_char AS BIGINT) AS n_chars,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_unique_tokens,
+           len(list_distinct(t)) / NULLIF(len(t), 0) AS lexical_diversity,
+           list_sum(list_transform(t, x -> length(x))) / NULLIF(len(t), 0)
+             AS avg_token_len,
+           len(p) / NULLIF(n_char, 0) AS punct_ratio,
+           len(list_filter(t, x -> x IN ({stop_list}))) / NULLIF(len(t), 0)
+             AS stopword_ratio
+    FROM tok
+    """
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count function-word hits per language,
+    pick the max (ties broken by language code ascending; 'und' when no
+    list hits at all). Pure column expressions — the per-language score
+    is one array-filter each, argmax is a greatest/when chain."""
+    t = tokens(F.col(text_col))
+    langs = sorted(LANG_STOPWORDS)
+
+    def _hits(sw: tuple[str, ...]):
+        # single-arg lambda: F.filter treats 2-arg lambdas as (elem, idx)
+        return F.size(F.filter(t, lambda x: x.isin(*sw)))
+
+    scores = {lang: _hits(LANG_STOPWORDS[lang]) for lang in langs}
+    best = F.greatest(*scores.values())
+    pred: Column = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    out = [F.col(id_col)]
+    out += [scores[lang].cast("bigint").alias(f"score_{lang}") for lang in langs]
+    out.append(pred.alias("predicted_lang"))
+    return df.select(*out)
+
+
+def language_id_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    langs = sorted(LANG_STOPWORDS)
+    score_exprs = []
+    for lang in langs:
+        stop_list = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        score_exprs.append(
+            f"len(list_filter(t, x -> x IN ({stop_list}))) AS score_{lang}"
+        )
+    score_sql = ",\n             ".join(score_exprs)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN score_{lang} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    cast_scores = ", ".join(
+        f"CAST(score_{lang} AS BIGINT) AS score_{lang}" for lang in langs
+    )
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS t
+      FROM {table}
+    ), scored AS (
+      SELECT {id_col},
+             {score_sql}
+      FROM tok
+    )
+    SELECT {id_col}, {cast_scores}, {case} AS predicted_lang
+    FROM scored
+    """
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite document quality score in [0,1]: banded length,
+    punctuation sanity, stopword presence, lexical diversity — the
+    standard cheap pre-filter before expensive dedup/training steps.
+    Weights are fixed and documented; the score is deterministic."""
+    stats = text_stats(df, id_col, text_col)
+    len_ok = F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), 1.0).otherwise(0.0)
+    punct_ok = F.when(F.coalesce(F.col("punct_ratio"), F.lit(0.0)) <= 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.when(F.coalesce(F.col("stopword_ratio"), F.lit(0.0)) >= 0.01, 1.0).otherwise(0.0)
+    div_ok = F.when(F.coalesce(F.col("lexical_diversity"), F.lit(0.0)) >= 0.1, 1.0).otherwise(0.0)
+    score = 0.4 * len_ok + 0.2 * punct_ok + 0.2 * stop_ok + 0.2 * div_ok
+    return stats.select(
+        F.col(id_col),
+        len_ok.alias("len_ok"),
+        punct_ok.alias("punct_ok"),
+        stop_ok.alias("stop_ok"),
+        div_ok.alias("div_ok"),
+        score.alias("quality_score"),
+    )
+
+
+def quality_score_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                             text_col: str = "text") -> str:
+    inner = text_stats_oracle_sql(table, id_col, text_col)
+    return f"""
+    WITH stats AS ({inner})
+    SELECT {id_col},
+           CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END AS len_ok,
+           CASE WHEN COALESCE(punct_ratio, 0.0) <= 0.2 THEN 1.0 ELSE 0.0 END AS punct_ok,
+           CASE WHEN COALESCE(stopword_ratio, 0.0) >= 0.01 THEN 1.0 ELSE 0.0 END AS stop_ok,
+           CASE WHEN COALESCE(lexical_diversity, 0.0) >= 0.1 THEN 1.0 ELSE 0.0 END AS div_ok,
+           0.4 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+           + 0.2 * (CASE WHEN COALESCE(punct_ratio, 0.0) <= 0.2 THEN 1.0 ELSE 0.0 END)
+           + 0.2 * (CASE WHEN COALESCE(stopword_ratio, 0.0) >= 0.01 THEN 1.0 ELSE 0.0 END)
+           + 0.2 * (CASE WHEN COALESCE(lexical_diversity, 0.0) >= 0.1 THEN 1.0 ELSE 0.0 END)
+             AS quality_score
+    FROM stats
+    """
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for exact-dup hashing: lowercase, alnum tokens
+    joined by single spaces."""
+    return F.array_join(tokens(text), " ")
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprints: (a) md5 of the normalized text (exact-dup
+    key) and (b) a winnowing-style min-hash over word 5-gram shingles
+    (robust to local edits — the rolling-hash fingerprint of the
+    reference survey's text-analysis row). Both md5-based and therefore
+    identical across engines."""
+    norm = normalized_text(F.col(text_col))
+    sh = shingles(df, n=5, id_col=id_col, text_col=text_col)
+    minsh = sh.groupBy(id_col).agg(
+        F.min(F.md5(F.col("shingle"))).alias("min_shingle_hash")
+    )
+    base = df.select(F.col(id_col), F.md5(norm).alias("content_hash"))
+    return base.join(minsh, id_col, "left")
+
+
+def fingerprint_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    sh = shingles_oracle_sql(table, 5, id_col, text_col)
+    return f"""
+    WITH sh AS ({sh}),
+    minsh AS (
+      SELECT {id_col}, min(md5(shingle)) AS min_shingle_hash
+      FROM sh GROUP BY {id_col}
+    )
+    SELECT d.{id_col},
+           md5(array_to_string(regexp_extract_all(lower(d.{text_col}),
+               '{TOKEN_RE}'), ' ')) AS content_hash,
+           m.min_shingle_hash
+    FROM {table} d LEFT JOIN minsh m ON d.{id_col} = m.{id_col}
+    """
+
+
+def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    posexplode the tokens then ``lead`` over a per-doc window — the same
+    construction the oracle uses, so shingle sets match exactly. One
+    shuffle on the doc id (window), then distinct. At corpus scale the
+    window partitions by document — bounded state, no skew beyond the
+    longest document.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    gram = F.concat_ws(" ", *parts)
+    last = F.lead("tok", n - 1).over(w)
+    return (
+        toks.withColumn("__last", last)
+        .withColumn("shingle", gram)
+        .filter(F.col("__last").isNotNull())
+        .select(id_col, "shingle")
+        .distinct()
+    )
+
+
+def shingles_oracle_sql(table: str = "documents", n: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text") -> str:
+    leads = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, n)]
+    )
+    return f"""
+    SELECT DISTINCT {id_col}, shingle FROM (
+      SELECT {id_col},
+             {leads} AS shingle,
+             lead(tok, {n - 1}) OVER w AS last_tok
+      FROM (
+        SELECT {id_col}, t[pos] AS tok, pos
+        FROM (
+          SELECT {id_col},
+                 regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS t
+          FROM {table}
+        ), unnest(range(1, len(t) + 1)) AS u(pos)
+      )
+      WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)
+    ) s WHERE last_tok IS NOT NULL
+    """

@@ -680,9 +680,17 @@ def q_f13(spark, sf_dir):
     )
 
 
+def _load_extensions() -> None:
+    """Register the extension query modules (they import ``spec`` from
+    this module, so the import happens after the registry exists)."""
+    import feature_store_spark.queries_llm  # noqa: F401
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return {name: s.fn for name, s in SPECS.items()}
 
 
 def all_oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return {name: s.sql for name, s in SPECS.items() if s.sql is not None}

@@ -1,0 +1,161 @@
+"""LLM-data-pipeline query specs (SURVEY.md §2.12): text analysis,
+dedup family, similarity search, multimodal plumbing — each a
+(PySpark callable, DuckDB oracle SQL) pair over the ``documents`` /
+``embeddings`` fixtures.
+
+Registered via the same @spec registry as the core sweep; imported at
+the bottom of ``queries.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feature_store_spark.llm import dedup as D
+from feature_store_spark.llm import multimodal as M
+from feature_store_spark.llm import similarity as S
+from feature_store_spark.llm import text as T
+from feature_store_spark.queries import spec
+from feature_store_spark.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@spec("t_text_stats", T.text_stats_oracle_sql(), ("ext", "text"))
+def q_text_stats(spark, sf_dir):
+    return T.text_stats(_t(spark, sf_dir, "documents"))
+
+
+@spec("t_language_id", T.language_id_oracle_sql(), ("ext", "text"))
+def q_language_id(spark, sf_dir):
+    return T.language_id(_t(spark, sf_dir, "documents"))
+
+
+@spec("t_quality_score", T.quality_score_oracle_sql(), ("ext", "text"))
+def q_quality_score(spark, sf_dir):
+    return T.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@spec("t_fingerprint", T.fingerprint_oracle_sql(), ("ext", "text", "F15"))
+def q_fingerprint(spark, sf_dir):
+    return T.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@spec("d_exact_dedup", D.exact_dedup_oracle_sql(), ("ext", "dedup"))
+def q_exact_dedup(spark, sf_dir):
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "d_ngram_jaccard_pairs",
+    D.ngram_jaccard_oracle_sql(n=3, threshold=0.5),
+    ("ext", "dedup"),
+)
+def q_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+@spec(
+    "d_minhash_lsh_pairs",
+    D.minhash_lsh_oracle_sql(n=3, threshold=0.5),
+    ("ext", "dedup"),
+)
+def q_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+@spec("d_simhash_signatures", D.simhash_oracle_sql(), ("ext", "dedup"))
+def q_simhash(spark, sf_dir):
+    return D.simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "d_simhash_near_dup",
+    D.simhash_near_dup_oracle_sql(max_hamming=8),
+    ("ext", "dedup"),
+)
+def q_simhash_near_dup(spark, sf_dir):
+    return D.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@spec(
+    "d_embedding_near_dup",
+    D.embedding_near_dup_oracle_sql(threshold=0.4),
+    ("ext", "dedup"),
+)
+def q_embedding_near_dup(spark, sf_dir):
+    return D.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+N_QUERY_VECS = 5
+
+
+def _query_vecs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+@spec(
+    "sim_cosine_topk",
+    S.cosine_topk_oracle_sql(n_queries=N_QUERY_VECS, k=10),
+    ("ext", "similarity"),
+)
+def q_cosine_topk(spark, sf_dir):
+    return S.cosine_topk(
+        _t(spark, sf_dir, "embeddings"), _query_vecs(spark, sf_dir), k=10
+    )
+
+
+@spec(
+    "sim_lsh_ann_topk",
+    S.lsh_ann_oracle_sql(n_queries=N_QUERY_VECS, k=10),
+    ("ext", "similarity"),
+)
+def q_lsh_ann_topk(spark, sf_dir):
+    return S.lsh_ann_topk(
+        _t(spark, sf_dir, "embeddings"), _query_vecs(spark, sf_dir), k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas path; deterministic stub decoder)
+# ---------------------------------------------------------------------------
+
+
+@spec("mm_decode_media", M.decode_media_oracle_sql(), ("ext", "multimodal"))
+def q_decode_media(spark, sf_dir):
+    return M.decode_media(M.attach_payload(_t(spark, sf_dir, "documents")))
+
+
+@spec(
+    "mm_frame_sample",
+    M.frame_sample_oracle_sql(every_n=10),
+    ("ext", "multimodal"),
+)
+def q_frame_sample(spark, sf_dir):
+    decoded = M.decode_media(M.attach_payload(_t(spark, sf_dir, "documents")))
+    return M.frame_sample(decoded, every_n=10)

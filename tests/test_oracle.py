@@ -6,7 +6,9 @@ from __future__ import annotations
 import pytest
 
 from feature_store_spark.oracle import compare, first_diff
-from feature_store_spark.queries import SPECS
+from feature_store_spark.queries import SPECS, all_queries
+
+all_queries()  # register extension specs before parametrization
 
 ORACLE_NAMES = sorted(n for n, s in SPECS.items() if s.sql is not None)
 ROWS_ONLY_NAMES = sorted(n for n, s in SPECS.items() if s.sql is None)
