@@ -1,0 +1,144 @@
+"""Sinks & sources: upsert merge (S6), warehouse export with
+partitioning/clustering (S7/S8), synthetic data generator (S11).
+
+Upsert strategy without Delta (SURVEY §7.4): read-modify-overwrite
+with last-writer-wins on the ordering column. Written via a tmp path
+then re-written, so a failed job never leaves a half-deleted store.
+On a Delta/Iceberg lake this function body becomes ``MERGE INTO`` —
+the call sites don't change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_store_spark.operators.windows import latest_per_key
+
+
+def upsert_parquet(
+    updates: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    order_col: str,
+) -> int:
+    """Merge ``updates`` into the parquet table at ``path``:
+    last-writer-wins per key on ``order_col`` (reference
+    ``INSERT ... ON CONFLICT (user_id) DO UPDATE``,
+    `src/pipelines/batch_pipeline.py:221-310`). Returns the merged row
+    count. Idempotent: re-running the same updates is a no-op.
+
+    Scale note: the merge is a unionByName + latest-per-key window —
+    one shuffle on the key. At 100 TB the store is partitioned and
+    only touched partitions are rewritten (dynamic partition
+    overwrite); with Delta this is a keyed MERGE and the window
+    disappears.
+    """
+    spark = updates.sparkSession
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — first write, table doesn't exist
+        existing = None
+    if existing is not None:
+        merged = latest_per_key(
+            existing.unionByName(updates), list(key_cols), order_col
+        )
+    else:
+        merged = latest_per_key(updates, list(key_cols), order_col)
+    tmp = path.rstrip("/") + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    out = spark.read.parquet(tmp)
+    n = out.count()
+    out.write.mode("overwrite").parquet(path)
+    return n
+
+
+def export_warehouse(
+    df: DataFrame,
+    path: str,
+    date_col: str = "updated_at",
+    cluster_col: str = "user_id",
+    retention_days: int | None = 730,
+    ref_date: str | None = None,
+) -> None:
+    """Warehouse export mirroring the reference's BigQuery layout
+    (`sql/bigquery_schema.sql:18-26`): partitioned by the date of
+    ``date_col``, clustered by ``cluster_col`` (repartition +
+    sortWithinPartitions — co-locates keys for point lookups and merge
+    joins),
+    with a retention filter standing in for partition expiration.
+
+    Partition pruning on read is free: any query filtering
+    ``partition_date`` skips files entirely.
+    """
+    out = df.withColumn("partition_date", F.to_date(F.col(date_col)))
+    if retention_days is not None and ref_date is not None:
+        out = out.filter(
+            F.col("partition_date")
+            >= F.date_sub(F.to_date(F.lit(ref_date)), retention_days)
+        )
+    (
+        out.repartition(F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode("overwrite")
+        .partitionBy("partition_date")
+        .parquet(path)
+    )
+
+
+def generate_synthetic_users(
+    spark: SparkSession, n: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic synthetic user base (reference Faker seeder,
+    `scripts/seed_data.py:28-155`): segment-conditioned age/balance
+    distributions from seeded ``F.rand`` over ``spark.range`` — fully
+    distributed, no driver-side generation, reproducible at any n."""
+    segs = F.array(
+        F.lit("AUTOMOBILE"),
+        F.lit("BUILDING"),
+        F.lit("FURNITURE"),
+        F.lit("HOUSEHOLD"),
+        F.lit("MACHINERY"),
+    )
+    df = spark.range(n).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("user_"), F.substring(F.md5(F.col("id").cast("string")), 1, 8)).alias(
+            "user_tag"
+        ),
+        segs.getItem(
+            (F.rand(seed) * 5).cast("int")
+        ).alias("segment"),
+        (F.rand(seed + 1) * 82 + 18).cast("int").alias("age"),
+        F.round(F.rand(seed + 2) * 10000 - 1000, 2).alias("account_balance"),
+    )
+    # Segment-conditioned skew: machinery users carry higher balances
+    # (mirrors the reference's segment-conditioned distributions).
+    return df.withColumn(
+        "account_balance",
+        F.when(
+            F.col("segment") == "MACHINERY", F.col("account_balance") * 1.5
+        ).otherwise(F.col("account_balance")),
+    )
+
+
+def generate_synthetic_orders(
+    spark: SparkSession, n_users: int, orders_per_user: int = 5, seed: int = 42
+) -> DataFrame:
+    """Synthetic order feed: ~orders_per_user per user with seeded
+    amounts/status/dates (reference `scripts/seed_data.py:157-230`)."""
+    n = n_users * orders_per_user
+    return spark.range(n).select(
+        F.col("id").alias("order_id"),
+        (F.col("id") % n_users).alias("user_id"),
+        F.round(F.rand(seed + 10) * 500 + 5, 2).alias("amount"),
+        F.when(F.rand(seed + 11) < 0.85, "completed")
+        .when(F.rand(seed + 11) < 0.95, "pending")
+        .otherwise("declined")
+        .alias("status"),
+        F.date_sub(
+            F.to_date(F.lit("2001-08-01")),
+            (F.rand(seed + 12) * 365).cast("int"),
+        ).alias("created_at"),
+    )

@@ -684,6 +684,7 @@ def _load_extensions() -> None:
     """Register the extension query modules (they import ``spec`` from
     this module, so the import happens after the registry exists)."""
     import feature_store_spark.queries_llm  # noqa: F401
+    import feature_store_spark.queries_quality  # noqa: F401
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,514 @@
+"""Data-quality, migration/validation, streaming-replay, and
+remaining SURVEY §2 operator specs (A6/A11/A12, J5/J7, S9, O5, F14,
+ST5, rollup, lag/lead, EXCEPT).
+
+Registered via the @spec registry from ``queries.py``; loaded by
+``_load_extensions``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from feature_store_spark.queries import (
+    RF_SQL,
+    SQL_NOW,
+    SQL_REF,
+    TF_SQL,
+    UF_SQL,
+    q_risk_features,
+    q_transaction_features,
+    q_user_features,
+    spec,
+)
+from feature_store_spark.tables import EVENTS_NOW, REF_DATE, load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A6 — HAVING post-filters (duplicate-key detection / activity gate)
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "a6_having_duplicate_keys",
+    """SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+              count(*) AS n_orders
+       FROM orders
+       GROUP BY o_custkey, CAST(o_orderdate AS DATE)
+       HAVING count(*) > 1""",
+    ("A6",),
+)
+def q_a6(spark, sf_dir):
+    """Duplicate-key detection via groupBy + post-aggregation filter
+    (reference `sql/migration_queries.sql:8-25`). The filter lands on
+    already-reduced data — map-side combine keeps the shuffle small."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey", F.to_date("o_orderdate").alias("order_date")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11 — approximate aggregates (tolerance-band checked)
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "a11_approx_aggregates",
+    """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+              abs(approx_count_distinct(o_custkey)
+                  - count(DISTINCT o_custkey)) * 1.0
+                / count(DISTINCT o_custkey) < 0.1 AS acd_within_10pct,
+              abs(approx_quantile(o_totalprice, 0.5)
+                  - quantile_cont(o_totalprice, 0.5))
+                / quantile_cont(o_totalprice, 0.5) < 0.1 AS p50_within_10pct,
+              abs(approx_quantile(o_totalprice, 0.95)
+                  - quantile_cont(o_totalprice, 0.95))
+                / quantile_cont(o_totalprice, 0.95) < 0.1 AS p95_within_10pct
+       FROM orders""",
+    ("A11",),
+)
+def q_a11(spark, sf_dir):
+    """Approximate aggregates (reference `docs/PERFORMANCE.md:552-559`:
+    APPROX_COUNT_DISTINCT / APPROX_QUANTILES). Sketches differ across
+    engines, so the oracle contract is a tolerance band: each engine
+    asserts its own approximation lands within 10% of its own exact
+    value — the deterministic booleans (and the exact distinct count)
+    are what get hash-compared."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey")
+                - F.countDistinct("o_custkey")
+            )
+            / F.countDistinct("o_custkey")
+            < 0.1
+        ).alias("acd_within_10pct"),
+        (
+            F.abs(
+                F.percentile_approx("o_totalprice", 0.5)
+                - F.expr("percentile(o_totalprice, 0.5)")
+            )
+            / F.expr("percentile(o_totalprice, 0.5)")
+            < 0.1
+        ).alias("p50_within_10pct"),
+        (
+            F.abs(
+                F.percentile_approx("o_totalprice", 0.95)
+                - F.expr("percentile(o_totalprice, 0.95)")
+            )
+            / F.expr("percentile(o_totalprice, 0.95)")
+            < 0.1
+        ).alias("p95_within_10pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12 — JSON-object aggregation
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "a12_json_feature_blob",
+    f"""SELECT c.c_mktsegment AS segment,
+              CAST(json_object(
+                'total_users', count(*),
+                'active_users', count(*) FILTER (WHERE o.n IS NOT NULL),
+                'total_orders', CAST(COALESCE(sum(o.n), 0) AS BIGINT)
+              ) AS VARCHAR) AS feature_blob
+       FROM customer c
+       LEFT JOIN (
+         SELECT o_custkey, count(*) AS n FROM orders
+         WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 90
+         GROUP BY o_custkey
+       ) o ON c.c_custkey = o.o_custkey
+       GROUP BY c.c_mktsegment""",
+    ("A12", "F13"),
+)
+def q_a12(spark, sf_dir):
+    """Per-group JSON feature blob (reference ``jsonb_build_object``
+    per group, `docs/PERFORMANCE.md:66-114`). Keys are emitted in
+    declaration order by both engines; values are integers so the JSON
+    text is byte-identical."""
+    ref = F.to_date(F.lit(REF_DATE))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") >= F.date_sub(ref, 90))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.to_json(
+                F.struct(
+                    F.count(F.lit(1)).alias("total_users"),
+                    F.count(F.col("n")).alias("active_users"),
+                    F.coalesce(F.sum("n"), F.lit(0)).alias("total_orders"),
+                )
+            ).alias("feature_blob")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — sample-validation join; J7 — view join with partition filter
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "j5_sample_validation",
+    f"""WITH sample AS (
+         SELECT c_custkey FROM customer
+         ORDER BY md5(CAST(c_custkey AS VARCHAR)) LIMIT 50
+       ), uf AS ({UF_SQL})
+       SELECT s.c_custkey AS user_id, c.c_name, c.c_mktsegment,
+              uf.total_orders, uf.avg_order_value
+       FROM sample s
+       JOIN customer c ON s.c_custkey = c.c_custkey
+       LEFT JOIN uf ON s.c_custkey = uf.user_id""",
+    ("J5", "O3"),
+)
+def q_j5(spark, sf_dir):
+    """Deterministic-sample validation join (reference
+    `sql/migration_queries.sql:117-137`: random_users ⋈ users ⟕
+    feature tables). The sample is md5-ordered (seeded-random stand-in,
+    O3) and broadcast into the joins — validation cost is proportional
+    to the sample, not the table."""
+    c = _t(spark, sf_dir, "customer")
+    sample = (
+        c.select("c_custkey")
+        .orderBy(F.md5(F.col("c_custkey").cast("string")))
+        .limit(50)
+    )
+    uf = q_user_features(spark, sf_dir)
+    return (
+        F.broadcast(sample)
+        .join(c, "c_custkey")
+        .join(
+            uf.withColumnRenamed("user_id", "c_custkey"),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            "c_name",
+            "c_mktsegment",
+            "total_orders",
+            "avg_order_value",
+        )
+    )
+
+
+@spec(
+    "j7_risk_summary_view",
+    f"""WITH uf AS ({UF_SQL}), tf AS ({TF_SQL}), rf AS ({RF_SQL})
+       SELECT uf.user_id, uf.segment,
+              tf.total_transactions_30d, rf.risk_score,
+              CASE WHEN rf.risk_score IS NULL THEN 'Unknown'
+                   WHEN rf.risk_score <= 30 THEN 'Low'
+                   WHEN rf.risk_score <= 70 THEN 'Medium'
+                   ELSE 'High' END AS risk_category
+       FROM uf
+       JOIN tf ON uf.user_id = tf.user_id
+       LEFT JOIN rf ON uf.user_id = rf.user_id
+       WHERE uf.total_orders > 0""",
+    ("J7", "F2"),
+)
+def q_j7(spark, sf_dir):
+    """Analytical view over the feature tables with a pruning filter
+    and risk bucketing (reference ``user_risk_summary`` view,
+    `sql/bigquery_schema.sql:75-94`). The ``total_orders > 0`` filter
+    plays the partition-filter role: on a date-partitioned offline
+    store the same predicate prunes partitions at scan time."""
+    uf = q_user_features(spark, sf_dir)
+    tf = q_transaction_features(spark, sf_dir)
+    rf = q_risk_features(spark, sf_dir)
+    return (
+        uf.filter(F.col("total_orders") > 0)
+        .join(tf, "user_id")
+        .join(rf, "user_id", "left")
+        .select(
+            "user_id",
+            "segment",
+            "total_transactions_30d",
+            "risk_score",
+            F.when(F.col("risk_score").isNull(), "Unknown")
+            .when(F.col("risk_score") <= 30, "Low")
+            .when(F.col("risk_score") <= 70, "Medium")
+            .otherwise("High")
+            .alias("risk_category"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S9 — ordered export; O5 — existence probe
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "s9_ordered_export",
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+              CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT)
+                AS export_rank
+       FROM customer""",
+    ("S9", "O1", "O4"),
+)
+def q_s9(spark, sf_dir):
+    """Deterministic ordered export (reference LIMIT/OFFSET pagination
+    loop, `src/pipelines/migration.py:413-478`, collapsed into one
+    ordered partitioned write). The explicit export_rank column proves
+    the global ordering in the hash comparison — Spark computes it
+    with a single-partition window, which is exactly what a global
+    ORDER BY costs; real exports write ``orderBy(...).write`` and let
+    the range partitioner handle scale."""
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number()
+        .over(Window.orderBy("c_custkey"))
+        .cast("bigint")
+        .alias("export_rank"),
+    )
+
+
+@spec(
+    "o5_existence_probe",
+    """SELECT 'customer' AS table_name,
+              EXISTS(SELECT 1 FROM customer) AS has_rows
+       UNION ALL SELECT 'orders', EXISTS(SELECT 1 FROM orders)
+       UNION ALL SELECT 'events', EXISTS(SELECT 1 FROM events)""",
+    ("O5", "U2"),
+)
+def q_o5(spark, sf_dir):
+    """Existence probes (reference ``SELECT 1 FROM t LIMIT 1``,
+    `src/pipelines/migration.py:270`): limit(1) scan per table — Spark
+    stops at the first non-empty partition."""
+    rows = []
+    for name in ["customer", "orders", "events"]:
+        has = (
+            _t(spark, sf_dir, name)
+            .limit(1)
+            .agg((F.count(F.lit(1)) > 0).alias("has_rows"))
+            .select(F.lit(name).alias("table_name"), "has_rows")
+        )
+        rows.append(has)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# F14 — freshness arithmetic
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "f14_freshness_minutes",
+    f"""SELECT user_id, max(ts) AS latest_ts,
+              CAST(floor((epoch({SQL_NOW})
+                          - epoch(date_trunc('second', max(ts)))) / 60)
+                   AS BIGINT) AS freshness_minutes
+       FROM events GROUP BY user_id""",
+    ("F14", "F7"),
+)
+def q_f14(spark, sf_dir):
+    """Per-user data-freshness minutes relative to the injected now
+    (reference `src/feature_store/store.py:189-201`)."""
+    now_s = F.unix_timestamp(F.to_timestamp(F.lit(EVENTS_NOW)))
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("latest_ts"))
+        .select(
+            "user_id",
+            "latest_ts",
+            F.floor((now_s - F.unix_timestamp("latest_ts")) / 60)
+            .cast("bigint")
+            .alias("freshness_minutes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST5 — sliding-window velocity features (batch replay)
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "st5_velocity_features",
+    """WITH anchor AS (SELECT max(ts) AS now FROM events)
+       SELECT user_id,
+              count(*) FILTER (WHERE ts > now - INTERVAL 5 MINUTE)
+                AS transaction_velocity_5m,
+              COALESCE(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (WHERE ts > now - INTERVAL 5 MINUTE
+                        AND event_type = 'purchase') AS BIGINT), 0)
+                AS spending_cents_5m,
+              count(*) FILTER (WHERE ts > now - INTERVAL 1 HOUR)
+                AS transactions_last_hour,
+              count(DISTINCT event_type)
+                FILTER (WHERE ts > now - INTERVAL 1 HOUR)
+                AS unique_event_types_last_hour,
+              count(*) FILTER (WHERE ts > now - INTERVAL 24 HOUR
+                               AND event_type = 'purchase') * 1.0
+                / NULLIF(count(*) FILTER (WHERE ts > now - INTERVAL 24 HOUR
+                         AND event_type IN ('purchase', 'error')), 0)
+                AS payment_success_rate_24h
+       FROM events, anchor
+       GROUP BY user_id
+       HAVING count(*) FILTER (WHERE ts > now - INTERVAL 24 HOUR) > 0""",
+    ("ST5", "W3", "A2", "A3", "A5"),
+)
+def q_st5(spark, sf_dir):
+    """Sliding-window velocity features, batch-replay form (reference
+    `docs/ADVANCED.md:831-940`: 5m/1h/24h per-user windows). The
+    anchor is max(event ts) — a 1-row aggregate broadcast onto the
+    scan, standing in for the streaming job's processing-time now; the
+    streaming module computes the same features incrementally. Single
+    groupBy(user) pass for every window (scan-once-aggregate-many)."""
+    ev = _t(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("now"))
+    e = ev.crossJoin(F.broadcast(anchor))
+    now = F.col("now")
+    in_5m = F.col("ts") > now - F.expr("INTERVAL 5 MINUTES")
+    in_1h = F.col("ts") > now - F.expr("INTERVAL 1 HOURS")
+    in_24h = F.col("ts") > now - F.expr("INTERVAL 24 HOURS")
+    purch = F.col("event_type") == "purchase"
+    n24 = F.count(F.when(in_24h, 1))
+    succ = F.count(F.when(in_24h & purch, 1))
+    attempts = F.count(
+        F.when(in_24h & F.col("event_type").isin("purchase", "error"), 1)
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.when(in_5m, 1)).alias("transaction_velocity_5m"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        in_5m & purch,
+                        F.round(F.col("value") * 100).cast("bigint"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("spending_cents_5m"),
+            F.count(F.when(in_1h, 1)).alias("transactions_last_hour"),
+            F.countDistinct(F.when(in_1h, F.col("event_type"))).alias(
+                "unique_event_types_last_hour"
+            ),
+            F.when(attempts == 0, None)
+            .otherwise(succ / attempts)
+            .alias("payment_success_rate_24h"),
+            n24.alias("__n24"),
+        )
+        .filter(F.col("__n24") > 0)
+        .drop("__n24")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / lag-lead / EXCEPT (available-in-Spark extras noted in §2)
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "a14_rollup_counts",
+    """SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+              count(*) AS n_customers,
+              CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                AS balance_cents
+       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY ROLLUP(n.n_name, c.c_mktsegment)""",
+    ("A14",),
+)
+def q_a14(spark, sf_dir):
+    """Hierarchical totals via ROLLUP (SURVEY §2.4 'free if needed':
+    nation → segment → grand total in one pass; Spark expands to
+    grouping sets with partial aggregation)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("__cents"),
+        )
+        .rollup("nation", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("__cents").cast("bigint").alias("balance_cents"),
+        )
+    )
+
+
+@spec(
+    "w3_lag_lead_gaps",
+    """SELECT user_id, event_id, ts,
+              lag(event_id) OVER w AS prev_event_id,
+              lead(event_id) OVER w AS next_event_id,
+              CAST(epoch(date_trunc('second', ts))
+                   - epoch(date_trunc('second', lag(ts) OVER w)) AS BIGINT)
+                AS seconds_since_prev
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    ("W3",),
+)
+def q_w3(spark, sf_dir):
+    """Per-user event sequencing with lag/lead (SURVEY §2.5 extras:
+    session-gap analysis base). One shuffle on user_id."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        )
+        .cast("bigint")
+        .alias("seconds_since_prev"),
+    )
+
+
+@spec(
+    "u4_except_keys",
+    f"""SELECT o_custkey AS user_id FROM orders
+         WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 90
+       EXCEPT
+       SELECT user_id FROM events""",
+    ("U4",),
+)
+def q_u4(spark, sf_dir):
+    """Key-set difference (SURVEY §2.7: INTERSECT/EXCEPT available):
+    customers ordering recently but absent from the event stream."""
+    ref = F.to_date(F.lit(REF_DATE))
+    a = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") >= F.date_sub(ref, 90))
+        .select(F.col("o_custkey").alias("user_id"))
+    )
+    b = _t(spark, sf_dir, "events").select("user_id")
+    return a.subtract(b)  # EXCEPT (distinct) semantics, matching the SQL

@@ -1,0 +1,222 @@
+"""Read-through serving layer (SURVEY.md §3.1; reference
+`src/feature_store/store.py:43-207`, `src/feature_store/cache.py`).
+
+The reference serves features from Redis (hot) falling back to
+PostgreSQL (cold). In the Spark engine the cold store is the computed
+feature DataFrames (or their parquet materialization); the hot path is
+a driver-side TTL dict — the documented stand-in (SURVEY §7.4:
+sub-40 ms point lookups are not a Spark strength; serving here is
+correct-and-batched).
+
+Batch lookups use a broadcast semi-join fetch (S3): one Spark job per
+miss-set, never one per key — the reference's chunked
+``WHERE user_id = ANY($1)`` collapses into a single keys-DataFrame
+join.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_TYPES = ("user", "transaction", "risk")
+
+MAX_BATCH_SIZE = 100  # reference: batch requests capped at 100 keys
+
+
+@dataclass
+class FeatureResponse:
+    user_id: int
+    features: dict[str, dict[str, Any]]
+    cache_hit: bool
+    response_time_ms: float
+    data_freshness_minutes: float | None = None
+
+
+@dataclass
+class _CacheEntry:
+    value: dict[str, Any]
+    cached_at: float
+
+
+@dataclass
+class FeatureStore:
+    """Point/batch feature serving over computed feature DataFrames.
+
+    ``feature_dfs`` maps feature type → DataFrame keyed by ``user_id``.
+    TTL semantics follow the reference (3600 s default, checked at
+    read; `src/config/settings.py:64`, `src/feature_store/cache.py`).
+    """
+
+    feature_dfs: dict[str, DataFrame]
+    ttl_seconds: float = 3600.0
+    clock: Any = time.monotonic  # injectable for deterministic tests
+    _cache: dict[tuple[str, int], _CacheEntry] = field(default_factory=dict)
+    hits: int = 0
+    misses: int = 0
+
+    def __post_init__(self) -> None:
+        unknown = set(self.feature_dfs) - set(FEATURE_TYPES)
+        if unknown:
+            raise ValueError(f"unknown feature types: {sorted(unknown)}")
+
+    # -- cache ops (SV3) --------------------------------------------------
+
+    def _cache_get(self, ftype: str, user_id: int) -> dict[str, Any] | None:
+        entry = self._cache.get((ftype, user_id))
+        if entry is None:
+            return None
+        if self.clock() - entry.cached_at > self.ttl_seconds:
+            del self._cache[(ftype, user_id)]
+            return None
+        return entry.value
+
+    def _cache_put(self, ftype: str, user_id: int, value: dict[str, Any]) -> None:
+        self._cache[(ftype, user_id)] = _CacheEntry(value, self.clock())
+
+    def invalidate(self, user_id: int) -> int:
+        """ST2: drop every cached feature group for a user; returns the
+        number of evicted entries."""
+        keys = [k for k in self._cache if k[1] == user_id]
+        for k in keys:
+            del self._cache[k]
+        return len(keys)
+
+    # -- lookups (SV1/SV2) ------------------------------------------------
+
+    def get_features(
+        self, user_id: int, feature_types: Sequence[str] | None = None
+    ) -> FeatureResponse:
+        """Read-through point lookup: cache probe per requested type;
+        a hit requires ALL requested types cached (reference
+        `store.py:49`); misses fetch via a keyed filter and fill the
+        cache."""
+        t0 = time.perf_counter()
+        ftypes = self._validate_types(feature_types)
+        cached = {t: self._cache_get(t, user_id) for t in ftypes}
+        if all(v is not None for v in cached.values()):
+            self.hits += 1
+            return self._respond(user_id, cached, True, t0)
+        self.misses += 1
+        features: dict[str, dict[str, Any] | None] = {}
+        for t in ftypes:
+            if cached[t] is not None:
+                features[t] = cached[t]
+                continue
+            df = self.feature_dfs[t]
+            rows = df.filter(F.col("user_id") == user_id).limit(1).collect()
+            value = rows[0].asDict() if rows else None
+            if value is not None:
+                self._cache_put(t, user_id, value)
+            features[t] = value
+        return self._respond(user_id, features, False, t0)
+
+    def get_batch_features(
+        self, user_ids: Sequence[int], feature_types: Sequence[str] | None = None
+    ) -> list[FeatureResponse]:
+        """Batch lookup ≤100 keys (validated like the reference,
+        `models.py:80-89`): split cache hits from misses, fetch ALL
+        misses per feature type with ONE broadcast semi-join, assemble
+        per-user responses."""
+        if not user_ids:
+            return []
+        if len(user_ids) > MAX_BATCH_SIZE:
+            raise ValueError(
+                f"batch size {len(user_ids)} exceeds {MAX_BATCH_SIZE}"
+            )
+        t0 = time.perf_counter()
+        ftypes = self._validate_types(feature_types)
+        fetched: dict[str, dict[int, dict[str, Any]]] = {}
+        cache_state: dict[str, dict[int, dict[str, Any] | None]] = {}
+        for t in ftypes:
+            cache_state[t] = {u: self._cache_get(t, u) for u in user_ids}
+            missing = [u for u, v in cache_state[t].items() if v is None]
+            if missing:
+                df = self.feature_dfs[t]
+                spark = df.sparkSession
+                keys = spark.createDataFrame(
+                    [(int(u),) for u in missing], "user_id long"
+                )
+                rows = df.join(F.broadcast(keys), "user_id").collect()
+                fetched[t] = {r["user_id"]: r.asDict() for r in rows}
+                for u, v in fetched[t].items():
+                    self._cache_put(t, u, v)
+            else:
+                fetched[t] = {}
+        out = []
+        for u in user_ids:
+            feats: dict[str, dict[str, Any] | None] = {}
+            fully_cached = True
+            for t in ftypes:
+                v = cache_state[t][u]
+                if v is None:
+                    fully_cached = False
+                    v = fetched[t].get(u)
+                feats[t] = v
+            out.append(self._respond(u, feats, fully_cached, t0))
+        return out
+
+    # -- health / stats (SV5) ---------------------------------------------
+
+    def stats(self) -> dict[str, Any]:
+        total = self.hits + self.misses
+        return {
+            "cache_entries": len(self._cache),
+            "hits": self.hits,
+            "misses": self.misses,
+            "hit_ratio": (self.hits / total) if total else None,
+            "feature_types": sorted(self.feature_dfs),
+        }
+
+    def health(self) -> dict[str, bool]:
+        """DB 'SELECT 1' analog: each feature DataFrame answers a
+        limit-1 probe."""
+        return {
+            t: len(df.limit(1).collect()) >= 0
+            for t, df in self.feature_dfs.items()
+        }
+
+    # -- internals --------------------------------------------------------
+
+    def _validate_types(self, feature_types: Sequence[str] | None) -> list[str]:
+        ftypes = list(feature_types or sorted(self.feature_dfs))
+        if not ftypes:
+            raise ValueError("at least one feature type required")
+        unknown = set(ftypes) - set(self.feature_dfs)
+        if unknown:
+            raise ValueError(f"unknown feature types: {sorted(unknown)}")
+        return list(dict.fromkeys(ftypes))  # dedup, keep order
+
+    def _respond(
+        self,
+        user_id: int,
+        features: dict[str, dict[str, Any] | None],
+        cache_hit: bool,
+        t0: float,
+    ) -> FeatureResponse:
+        present = {t: v for t, v in features.items() if v is not None}
+        freshness = None
+        stamps = [
+            v["updated_at"]
+            for v in present.values()
+            if isinstance(v, dict) and v.get("updated_at") is not None
+        ]
+        if stamps:
+            import datetime as _dt
+
+            now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+            freshness = min(
+                (now - s).total_seconds() / 60.0 for s in stamps
+            )
+        return FeatureResponse(
+            user_id=user_id,
+            features=present,
+            cache_hit=cache_hit,
+            response_time_ms=(time.perf_counter() - t0) * 1000.0,
+            data_freshness_minutes=freshness,
+        )

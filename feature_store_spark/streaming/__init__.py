@@ -1,0 +1,10 @@
+"""Structured Streaming surface (SURVEY.md §2.9 / §3.3)."""
+
+from feature_store_spark.streaming.pipeline import (  # noqa: F401
+    EVENT_SCHEMA,
+    dispatch_events,
+    read_event_stream,
+    recompute_triggers,
+    run_streaming_upsert,
+    velocity_windows_stream,
+)

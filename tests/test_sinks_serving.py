@@ -1,0 +1,189 @@
+"""Tests for sinks (S6 upsert idempotency, S7 partitioned export,
+S11 generator determinism) and the serving layer (SV1-SV5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from feature_store_spark.pipelines.sinks import (
+    export_warehouse,
+    generate_synthetic_orders,
+    generate_synthetic_users,
+    upsert_parquet,
+)
+from feature_store_spark.serving import FeatureStore
+from feature_store_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# S6 upsert
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_creates_then_merges(spark, tmp_path):
+    path = str(tmp_path / "feat")
+    v1 = spark.createDataFrame(
+        [(1, 10.0, "2024-01-01"), (2, 20.0, "2024-01-01")],
+        "user_id long, score double, updated_at string",
+    )
+    assert upsert_parquet(v1, path, ["user_id"], "updated_at") == 2
+    # update user 2, insert user 3
+    v2 = spark.createDataFrame(
+        [(2, 99.0, "2024-01-02"), (3, 30.0, "2024-01-02")],
+        "user_id long, score double, updated_at string",
+    )
+    assert upsert_parquet(v2, path, ["user_id"], "updated_at") == 3
+    rows = {
+        r["user_id"]: r["score"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert rows == {1: 10.0, 2: 99.0, 3: 30.0}
+
+
+def test_upsert_idempotent_and_last_writer_wins(spark, tmp_path):
+    path = str(tmp_path / "feat2")
+    v2 = spark.createDataFrame(
+        [(1, 1.0, "2024-01-02")], "user_id long, score double, updated_at string"
+    )
+    upsert_parquet(v2, path, ["user_id"], "updated_at")
+    # replay the same batch → no change
+    assert upsert_parquet(v2, path, ["user_id"], "updated_at") == 1
+    # older update must NOT overwrite newer state
+    v1 = spark.createDataFrame(
+        [(1, 777.0, "2024-01-01")],
+        "user_id long, score double, updated_at string",
+    )
+    upsert_parquet(v1, path, ["user_id"], "updated_at")
+    assert spark.read.parquet(path).collect()[0]["score"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# S7/S8 export
+# ---------------------------------------------------------------------------
+
+
+def test_export_partitioned_and_pruned(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "wh")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").alias("updated_at")
+    )
+    export_warehouse(ev, path, date_col="updated_at", cluster_col="user_id")
+    out = spark.read.parquet(path)
+    assert out.count() == ev.count()
+    assert "partition_date" in out.columns
+    # partition pruning: a date filter reads only matching partitions
+    one_day = out.select("partition_date").distinct().limit(1).collect()[0][0]
+    pruned = out.filter(F.col("partition_date") == F.lit(one_day))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or pruned.count() > 0
+
+
+def test_export_retention_filter(spark, tmp_path):
+    path = str(tmp_path / "wh2")
+    df = spark.createDataFrame(
+        [(1, "2001-08-01 00:00:00"), (2, "1990-01-01 00:00:00")],
+        "user_id long, updated_at string",
+    ).withColumn("updated_at", F.to_timestamp("updated_at"))
+    export_warehouse(
+        df, path, retention_days=730, ref_date="2001-08-01"
+    )
+    assert spark.read.parquet(path).count() == 1  # 1990 row expired
+
+
+# ---------------------------------------------------------------------------
+# S11 generator
+# ---------------------------------------------------------------------------
+
+
+def test_generator_deterministic_and_valid(spark):
+    a = generate_synthetic_users(spark, 500, seed=7).collect()
+    b = generate_synthetic_users(spark, 500, seed=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    ages = [r["age"] for r in a]
+    assert min(ages) >= 18 and max(ages) <= 100
+    segs = {r["segment"] for r in a}
+    assert len(segs) == 5
+    orders = generate_synthetic_orders(spark, 100, 5, seed=7)
+    assert orders.count() == 500
+    assert orders.filter(
+        ~F.col("status").isin("completed", "pending", "declined")
+    ).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Serving layer
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def store(spark, sf_dir):
+    from feature_store_spark.queries import all_queries
+
+    qs = all_queries()
+    uf = qs["pipeline_user_features"](spark, sf_dir).cache()
+    tf = qs["pipeline_transaction_features"](spark, sf_dir).cache()
+    rf = qs["pipeline_risk_features"](spark, sf_dir).cache()
+    return FeatureStore({"user": uf, "transaction": tf, "risk": rf})
+
+
+def test_point_lookup_and_cache(store):
+    r1 = store.get_features(1, ["user"])
+    assert not r1.cache_hit
+    assert "user" in r1.features
+    assert r1.features["user"]["user_id"] == 1
+    r2 = store.get_features(1, ["user"])
+    assert r2.cache_hit
+    assert store.stats()["hits"] == 1
+
+
+def test_all_types_hit_requires_every_type(store):
+    # pick a user present in every feature group (missing groups are
+    # not negative-cached, matching the reference's all-types-hit rule)
+    uid = (
+        store.feature_dfs["transaction"]
+        .join(store.feature_dfs["risk"], "user_id", "inner")
+        .select("user_id")
+        .limit(1)
+        .collect()[0][0]
+    )
+    store.invalidate(uid)
+    r = store.get_features(uid)  # all three types
+    assert not r.cache_hit
+    assert set(r.features) == {"user", "transaction", "risk"}
+    r2 = store.get_features(uid)
+    assert r2.cache_hit  # now every type is cached
+
+
+def test_batch_lookup_and_validation(store):
+    ids = list(range(1, 31))
+    rs = store.get_batch_features(ids, ["user"])
+    assert len(rs) == 30
+    assert all(r.features.get("user") is not None for r in rs)
+    with pytest.raises(ValueError):
+        store.get_batch_features(list(range(200)), ["user"])
+    with pytest.raises(ValueError):
+        store.get_features(1, ["nope"])
+
+
+def test_ttl_expiry():
+    import itertools
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame([(1, 5.0)], "user_id long, score double")
+    clock = itertools.count(0, 4000).__next__  # +4000s per call (> TTL)
+    fs = FeatureStore({"user": df}, ttl_seconds=3600, clock=clock)
+    fs.get_features(1, ["user"])
+    r = fs.get_features(1, ["user"])  # clock advanced beyond TTL
+    assert not r.cache_hit
+
+
+def test_invalidate_and_health(store):
+    store.get_features(3, ["user"])
+    assert store.invalidate(3) >= 1
+    health = store.health()
+    assert set(health) == {"user", "transaction", "risk"}
+    assert all(health.values())

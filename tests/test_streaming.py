@@ -1,0 +1,114 @@
+"""Structured Streaming tests (SURVEY §2.9): deterministic
+availableNow replay of the events fixture, checked against batch-mode
+computation of the same transforms."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from feature_store_spark.streaming import (
+    dispatch_events,
+    read_event_stream,
+    recompute_triggers,
+    run_streaming_upsert,
+    velocity_windows_stream,
+)
+from feature_store_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    """Streaming file source needs a directory of parquet files."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _run_to_memory(stream_df, name, output_mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def test_dispatch_routes_and_validates(spark, sf_dir, events_dir):
+    out = _run_to_memory(
+        dispatch_events(read_event_stream(spark, events_dir)), "dispatch_t"
+    )
+    batch = load_table(spark, sf_dir, "events")
+    assert out.count() == batch.count()
+    routes = {r["route"] for r in out.select("route").distinct().collect()}
+    assert routes <= {"user", "transaction", "risk", "invalid"}
+    # fixture has only known event types → nothing lands in 'invalid'
+    assert out.filter(~F.col("valid")).count() == 0
+    purchases = batch.filter(F.col("event_type") == "purchase").count()
+    assert out.filter(F.col("route") == "transaction").count() == purchases
+
+
+def test_recompute_triggers_match_error_events(spark, sf_dir, events_dir):
+    out = _run_to_memory(
+        recompute_triggers(read_event_stream(spark, events_dir)), "trig_t"
+    )
+    batch = load_table(spark, sf_dir, "events")
+    errors = batch.filter(F.col("event_type") == "error").count()
+    assert out.count() == errors
+    assert out.filter(F.col("priority") != "high").count() == 0
+
+
+def test_velocity_windows_match_batch(spark, sf_dir, events_dir):
+    """Streaming windowed aggregation == the same window computed in
+    batch mode (same plan, no watermark drops since data is replayed
+    in one availableNow pass)."""
+    stream_out = _run_to_memory(
+        velocity_windows_stream(
+            read_event_stream(spark, events_dir),
+            window="6 hours",
+            slide="6 hours",
+            watermark="0 seconds",
+        ),
+        "velocity_t",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    # Append mode only emits windows finalized by the watermark: with a
+    # 0s watermark that is every window that closed before max(ts).
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    batch_out = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("transaction_velocity"))
+        .filter(F.col("w.end") <= F.lit(max_ts))
+        .select("user_id", F.col("w.start").alias("window_start"),
+                "transaction_velocity")
+    )
+    s = {
+        (r["user_id"], r["window_start"], r["transaction_velocity"])
+        for r in stream_out.select(
+            "user_id", "window_start", "transaction_velocity"
+        ).collect()
+    }
+    b = {
+        (r["user_id"], r["window_start"], r["transaction_velocity"])
+        for r in batch_out.collect()
+    }
+    assert s == b
+    assert len(s) > 0
+
+
+def test_streaming_upsert_state(spark, events_dir, tmp_path):
+    state = str(tmp_path / "risk_state")
+    ckpt = str(tmp_path / "ckpt")
+    counters = run_streaming_upsert(spark, events_dir, state, ckpt)
+    assert counters["batches"] >= 1
+    final = spark.read.parquet(state)
+    # one row per user with >=1 purchase event
+    assert final.groupBy("user_id").count().filter("count > 1").count() == 0
+    assert final.count() == counters["upserted_users"]
+    assert final.count() > 0
