@@ -168,21 +168,39 @@ def ngram_jaccard_oracle_sql(table: str = "documents", n: int = 3,
 
 MINHASH_K = 12  # total hash functions
 MINHASH_BANDS = 4  # bands of r = K/BANDS rows each
+MINHASH_P = 2147483647  # Mersenne prime 2^31-1 for the LCG family
+
+
+def _minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per permutation: odd multipliers, spread
+    offsets — shared by the Spark expressions and the oracle SQL."""
+    return [(2 * i + 1, 1000003 * (i + 1) % MINHASH_P) for i in range(k)]
 
 
 def minhash_signatures(df: DataFrame, n: int = 3, k: int = MINHASH_K,
                        id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """k-permutation MinHash signature per document. Permutation i is
-    realized as md5(i || '|' || shingle) — min over the hex string is a
-    valid min-wise hash, identical in every engine. One aggregate pass
-    (k min-aggs) over the shingle set: one shuffle on doc id."""
+    """k-permutation MinHash signature per document.
+
+    The base hash is ONE md5 per shingle (its first 15 hex chars as a
+    60-bit int); the k permutations are linear-congruential reshuffles
+    ``(a_i·x + b_i) mod 2^31-1`` — integer arithmetic instead of k
+    string hashes. md5 goes through JCA MessageDigest (per-call
+    provider lookup), so cutting md5 volume k-fold matters at corpus
+    scale. One aggregate pass (k min-aggs) over the shingle set: one
+    shuffle on doc id."""
     sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
+    x = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+        .cast("bigint")
+        % MINHASH_P
+    )
+    hashed = sh.select(F.col(id_col), x.alias("__x"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(k)
+        F.min((F.lit(a) * F.col("__x") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(_minhash_params(k))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -205,19 +223,16 @@ def minhash_lsh_pairs(
     """
     r = k // bands
     sig = minhash_signatures(df, n=n, k=k, id_col=id_col, text_col=text_col)
-    band_rows = []
+    # One stack() pass instead of a bands-way union: a union would
+    # re-evaluate the whole shingle→signature subtree per branch.
+    stack_args = []
     for b in range(bands):
         cols = [F.col(f"h{i}") for i in range(b * r, (b + 1) * r)]
-        band_rows.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-            )
-        )
-    bands_df = band_rows[0]
-    for extra in band_rows[1:]:
-        bands_df = bands_df.unionByName(extra)
+        stack_args += [F.lit(b), F.md5(F.concat_ws("|", *cols))]
+    bands_df = sig.select(
+        F.col(id_col),
+        F.stack(F.lit(bands), *stack_args).alias("band_idx", "band_hash"),
+    )
     a = bands_df.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b2 = bands_df.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     cand = (
@@ -260,22 +275,35 @@ def minhash_lsh_oracle_sql(table: str = "documents", n: int = 3,
                            text_col: str = "text") -> str:
     r = k // bands
     sh = shingles_oracle_sql(table, n, id_col, text_col)
+    # hex→int: DuckDB has no conv(); sum the first 15 nibbles of the
+    # md5 (same 60-bit value Spark gets via conv(substr(md5,1,15))).
+    nib = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(shingle), {j + 1}, 1)) - 1)"
+        f" * {16 ** (14 - j)}"
+        for j in range(15)
+    )
     sig_aggs = ",\n             ".join(
-        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(k)
+        f"min(({a} * __x + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_params(k))
     )
     band_selects = []
     for b in range(bands):
-        cols = " || '|' || ".join(f"h{i}" for i in range(b * r, (b + 1) * r))
+        cols = " || '|' || ".join(
+            f"CAST(h{i} AS VARCHAR)" for i in range(b * r, (b + 1) * r)
+        )
         band_selects.append(
             f"SELECT {id_col}, {b} AS band_idx, md5({cols}) AS band_hash FROM sig"
         )
     bands_sql = "\n      UNION ALL ".join(band_selects)
     return f"""
     WITH sh AS ({sh}),
+    hashed AS (
+      SELECT {id_col}, CAST(({nib}) % {MINHASH_P} AS BIGINT) AS __x FROM sh
+    ),
     sig AS (
       SELECT {id_col},
              {sig_aggs}
-      FROM sh GROUP BY {id_col}
+      FROM hashed GROUP BY {id_col}
     ),
     bands AS (
       {bands_sql}

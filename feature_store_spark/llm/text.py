@@ -239,11 +239,17 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
-    posexplode the tokens then ``lead`` over a per-doc window — the same
-    construction the oracle uses, so shingle sets match exactly. One
-    shuffle on the doc id (window), then distinct. At corpus scale the
-    window partitions by document — bounded state, no skew beyond the
-    longest document.
+    Tokenize ONCE per document (explode), then ``lead`` over a per-doc
+    window. The window costs one shuffle on doc_id, but that shuffle
+    is also what distributes shingling across the cluster when the
+    input arrives in few partitions.
+
+    Deliberately NOT an array-lambda formulation
+    (``transform(sequence(...), i -> slice(tokens(text), i, n))``):
+    project-collapse inlines the tokenizer into the lambda, so the
+    regex re-runs per shingle — O(tokens²) regex work per document,
+    interpreted (higher-order functions don't codegen). Measured >100×
+    slower on long documents.
     """
     toks = df.select(
         F.col(id_col),
