@@ -1,0 +1,190 @@
+"""Pipeline drivers (SURVEY.md §2.10): the daily batch run (SV6), the
+data-quality report, and the migration validation suite — thin
+orchestration over the operator library, replacing the reference's
+Airflow DAGs (`dags/*.py`) with plain functions a scheduler calls.
+
+Every driver takes explicit anchors (ref_date / now) — no wall clock
+in any computation path (SURVEY §7.1 determinism rule).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_store_spark.operators.aggregates import (
+    completeness_report,
+    freshness_report,
+    stats_with_outliers,
+)
+from feature_store_spark.pipelines.features import (
+    derive_risk_features,
+    derive_transaction_features,
+    derive_user_features,
+)
+from feature_store_spark.pipelines.sinks import export_warehouse, upsert_parquet
+from feature_store_spark.tables import EVENTS_NOW, REF_DATE, load_table
+
+
+@dataclass
+class PipelineResult:
+    status: str  # SUCCESS / PARTIAL / FAILED (reference
+    # `sql/migration_queries.sql:222-226` status bucketing)
+    counts: dict[str, int]
+    details: dict[str, Any]
+
+
+def run_daily_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    ref_date: str = REF_DATE,
+) -> PipelineResult:
+    """Daily batch feature derivation (reference
+    `src/pipelines/batch_pipeline.py:63-125`): derive user →
+    transaction → risk features, upsert each into the offline store,
+    export the serving join to the warehouse layout.
+
+    The three derivations share the orders/lineitem scans only through
+    the parquet cache — at 100 TB each stage is an independent job and
+    the offline store is the hand-off point (materialized view role,
+    SURVEY §4)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    stamp = F.to_timestamp(F.lit(f"{ref_date} 00:00:00"))
+    counts: dict[str, int] = {}
+    uf = derive_user_features(customer, orders).withColumn("updated_at", stamp)
+    counts["user_features"] = upsert_parquet(
+        uf, f"{out_dir}/user_features", ["user_id"], "updated_at"
+    )
+    tf = derive_transaction_features(orders, lineitem).withColumn(
+        "updated_at", stamp
+    )
+    counts["transaction_features"] = upsert_parquet(
+        tf, f"{out_dir}/transaction_features", ["user_id"], "updated_at"
+    )
+    rf = derive_risk_features(customer, orders, lineitem, events).withColumn(
+        "updated_at", stamp
+    )
+    counts["risk_features"] = upsert_parquet(
+        rf, f"{out_dir}/risk_features", ["user_id"], "updated_at"
+    )
+
+    store_uf = spark.read.parquet(f"{out_dir}/user_features")
+    store_tf = spark.read.parquet(f"{out_dir}/transaction_features")
+    store_rf = spark.read.parquet(f"{out_dir}/risk_features")
+    serving = (
+        store_uf.join(
+            store_tf.drop("updated_at"), "user_id", "left"
+        ).join(store_rf.drop("updated_at"), "user_id", "left")
+    )
+    export_warehouse(
+        serving,
+        f"{out_dir}/warehouse/serving_features",
+        date_col="updated_at",
+        cluster_col="user_id",
+        ref_date=ref_date,
+    )
+    counts["warehouse_rows"] = spark.read.parquet(
+        f"{out_dir}/warehouse/serving_features"
+    ).count()
+    status = (
+        "SUCCESS"
+        if all(v > 0 for v in counts.values())
+        else ("PARTIAL" if any(v > 0 for v in counts.values()) else "FAILED")
+    )
+    return PipelineResult(status, counts, {"ref_date": ref_date})
+
+
+# Data-quality thresholds (reference `src/pipelines/data_quality.py:44-48,306`)
+FRESHNESS_MAX_HOURS = 2
+COMPLETENESS_MIN = 0.95
+OUTLIER_FLAG_RATIO = 0.05
+
+
+def run_quality_report(
+    spark: SparkSession,
+    sf_dir: str,
+    now: str = EVENTS_NOW,
+) -> dict[str, Any]:
+    """Data-quality sweep (reference `src/pipelines/data_quality.py`):
+    freshness (events vs injected now), completeness per column,
+    3σ anomaly profile, and threshold alerts — each one aggregate job,
+    results assembled driver-side (scalar outputs only)."""
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+
+    fresh = freshness_report(events, "ts", now, FRESHNESS_MAX_HOURS).collect()[0]
+    comp_rows = completeness_report(
+        docs, ["text", "lang", "source", "n_chars"], "documents"
+    ).collect()
+    stats = stats_with_outliers(orders, "o_totalprice").collect()[0]
+
+    completeness = {
+        r["column_name"]: r["completeness_ratio"] for r in comp_rows
+    }
+    outlier_ratio = (
+        stats["outlier_count"] / stats["count_value"]
+        if stats["count_value"]
+        else 0.0
+    )
+    alerts = []
+    if fresh["fresh_ratio"] is None or fresh["fresh_ratio"] == 0:
+        alerts.append("freshness: no rows within window")
+    for col, ratio in completeness.items():
+        if ratio < COMPLETENESS_MIN:
+            alerts.append(f"completeness below {COMPLETENESS_MIN}: {col}")
+    if outlier_ratio > OUTLIER_FLAG_RATIO:
+        alerts.append("anomaly: outlier ratio above threshold")
+    return {
+        "freshness": fresh.asDict(),
+        "completeness": completeness,
+        "anomaly": {
+            "mean": stats["mean_value"],
+            "stddev": stats["stddev_value"],
+            "outlier_count": stats["outlier_count"],
+            "outlier_ratio": outlier_ratio,
+        },
+        "alerts": alerts,
+        "passed": not alerts,
+    }
+
+
+def run_migration_validation(
+    spark: SparkSession,
+    source: DataFrame,
+    target: DataFrame,
+    key_cols: list[str],
+) -> dict[str, Any]:
+    """Migration validation suite (reference
+    `src/pipelines/migration.py:480-525`, `sql/migration_queries.sql`):
+    count reconciliation, duplicate keys on the target, orphans
+    (anti-join both directions). All keyed aggregates/joins — no
+    collect of row data, only scalar verdicts."""
+    src_n = source.count()
+    tgt_n = target.count()
+    dup_keys = (
+        target.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    missing = source.join(target, key_cols, "left_anti").count()
+    extra = target.join(source, key_cols, "left_anti").count()
+    ok = src_n == tgt_n and dup_keys == 0 and missing == 0 and extra == 0
+    return {
+        "source_count": src_n,
+        "target_count": tgt_n,
+        "counts_match": src_n == tgt_n,
+        "duplicate_keys": dup_keys,
+        "missing_in_target": missing,
+        "orphaned_in_target": extra,
+        "status": "SUCCESS" if ok else "FAILED",
+    }

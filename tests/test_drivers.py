@@ -1,0 +1,57 @@
+"""Tests for the pipeline drivers (SV6 daily batch, quality report,
+migration validation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feature_store_spark.pipelines.drivers import (
+    run_daily_pipeline,
+    run_migration_validation,
+    run_quality_report,
+)
+from feature_store_spark.tables import load_table
+
+
+def test_daily_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "store")
+    res = run_daily_pipeline(spark, sf_dir, out)
+    assert res.status == "SUCCESS"
+    assert res.counts["user_features"] > 0
+    uf = spark.read.parquet(f"{out}/user_features")
+    assert uf.filter(F.col("updated_at").isNull()).count() == 0
+    # idempotent: re-run changes nothing
+    res2 = run_daily_pipeline(spark, sf_dir, out)
+    assert res2.counts["user_features"] == res.counts["user_features"]
+    wh = spark.read.parquet(f"{out}/warehouse/serving_features")
+    assert "partition_date" in wh.columns
+    assert wh.count() == res.counts["warehouse_rows"]
+
+
+def test_quality_report(spark, sf_dir):
+    rep = run_quality_report(spark, sf_dir)
+    assert set(rep) == {
+        "freshness",
+        "completeness",
+        "anomaly",
+        "alerts",
+        "passed",
+    }
+    # fixture documents are fully populated → completeness 1.0
+    assert all(v == 1.0 for v in rep["completeness"].values())
+    assert rep["anomaly"]["outlier_count"] >= 0
+    # events end 1 day before EVENTS_NOW → freshness alert expected
+    assert isinstance(rep["alerts"], list)
+
+
+def test_migration_validation_pass_and_fail(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    ok = run_migration_validation(spark, cust, cust, ["c_custkey"])
+    assert ok["status"] == "SUCCESS"
+    assert ok["counts_match"] and ok["duplicate_keys"] == 0
+
+    broken = cust.limit(50).unionByName(cust.limit(10))  # dups + missing
+    bad = run_migration_validation(spark, cust, broken, ["c_custkey"])
+    assert bad["status"] == "FAILED"
+    assert bad["duplicate_keys"] == 10
+    assert bad["missing_in_target"] > 0

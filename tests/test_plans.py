@@ -1,0 +1,74 @@
+"""Physical-plan regression tests: the scale properties SURVEY §7.4
+requires are asserted on the actual executed plans, so a refactor that
+silently loses pushdown, broadcasts, or adds a cartesian product fails
+CI — not the 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from feature_store_spark.queries import SPECS, all_queries
+
+all_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = SPECS[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_filter_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "s1_scan_time_predicate")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_scan_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "s1_scan_time_predicate")
+    # 4-column projection must reach the parquet reader, not post-scan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint" in plan
+
+
+def test_point_lookup_pushes_key_predicate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "s2_point_lookup")
+    assert "EqualTo(c_custkey,42)" in plan
+
+
+def test_user_features_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pipeline_user_features")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pipeline_user_features",
+        "pipeline_transaction_features",
+        "pipeline_risk_features",
+        "pipeline_serving_join",
+        "d_minhash_lsh_pairs",
+        "d_ngram_jaccard_pairs",
+        "st5_velocity_features",
+    ],
+)
+def test_no_unbounded_cross_products(spark, sf_dir, name):
+    """Cross joins are allowed only against broadcast 1-row/k-row
+    aggregates (stats, anchors, query vectors); a CartesianProduct
+    node means a non-broadcast cross product slipped in."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_stats_outlier_uses_broadcast_not_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "a7_stats_outliers")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_minhash_plan_stays_compact(spark, sf_dir):
+    """Band generation must be one stack() pass — a union formulation
+    re-evaluates the signature subtree per band (caught at sf0.1 as a
+    12-scan plan)."""
+    plan = _plan(spark, sf_dir, "d_minhash_lsh_pairs")
+    assert plan.count("FileScan") <= 8
