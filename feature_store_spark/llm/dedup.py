@@ -517,3 +517,54 @@ def embedding_near_dup_oracle_sql(table: str = "embeddings",
     FROM norm a JOIN norm b ON a.{id_col} < b.{id_col}
     WHERE round({dot_ab} / (a.nrm * b.nrm), 6) >= {threshold}
     """
+
+
+def mllib_minhash_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hash_tables: int = 5,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs via Spark MLlib's MinHashLSH — the library
+    counterpart of :func:`minhash_lsh_pairs` (shingle sets →
+    CountVectorizer binary vectors → ``approxSimilarityJoin`` with
+    Jaccard distance). Kept alongside the hand-rolled version because
+    (a) it validates our implementation (recall cross-check in
+    tests/test_ann_quality.py) and (b) ``approxSimilarityJoin``'s
+    candidate generation is the same banding idea executed by MLlib's
+    OR-amplified hash tables.
+
+    No SQL oracle (MLlib hashing isn't SQL-expressible); correctness
+    is asserted relative to the exact :func:`ngram_jaccard_pairs`.
+    Output schema matches the other pair operators.
+    """
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
+    docs = sh.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("sh_list")
+    )
+    cv = CountVectorizer(
+        inputCol="sh_list", outputCol="features", binary=True
+    ).fit(docs)
+    vecs = cv.transform(docs).select(id_col, "features")
+    lsh = MinHashLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(vecs)
+    joined = lsh.approxSimilarityJoin(
+        vecs, vecs, 1.0 - threshold, distCol="jaccard_dist"
+    )
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )

@@ -241,3 +241,90 @@ def lsh_ann_oracle_sql(
       FROM scored
     ) t WHERE rank <= {k}
     """
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into Voronoi
+    cells with MLlib KMeans, then search only the ``n_probe`` cells
+    nearest each query — the standard billion-vector scale path
+    (train on a sample, assign once at ingest, probe a few cells at
+    query time).
+
+    The cell assignment is a one-off batch job whose output would be
+    the partition key of the stored corpus at scale (cell-partitioned
+    parquet → a query touches n_probe/n_centroids of the data).
+    Rerank inside the probed cells is exact rounded cosine with the
+    same determinism contract as :func:`cosine_topk`. KMeans is
+    seeded, so results are reproducible; no SQL oracle exists for the
+    trainer, so this op is covered by recall tests against
+    :func:`cosine_topk` instead (tests/test_ann_quality.py).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__arr"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    assigned = model.transform(train).select(
+        F.col(id_col),
+        F.col("__arr"),
+        F.col("prediction").alias("cell"),
+    )
+
+    # n_probe nearest centroids per query, via a broadcast centroid table.
+    spark = corpus.sparkSession
+    cent_rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cents = spark.createDataFrame(cent_rows, f"cell int, centroid array<double>")
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__qv"),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.col("__d2").asc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__d2", d2)
+        .withColumn("__pr", F.row_number().over(w_probe))
+        .filter(F.col("__pr") <= n_probe)
+        .select(query_id_col, "__qv", "cell")
+    )
+
+    cos = F.round(
+        _dot(F.col("__qv"), F.col("__arr"))
+        / (_norm(F.col("__qv")) * _norm(F.col("__arr"))),
+        6,
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, cos.alias("cosine"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

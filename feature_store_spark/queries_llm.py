@@ -159,3 +159,28 @@ def q_decode_media(spark, sf_dir):
 def q_frame_sample(spark, sf_dir):
     decoded = M.decode_media(M.attach_payload(_t(spark, sf_dir, "documents")))
     return M.frame_sample(decoded, every_n=10)
+
+
+# ---------------------------------------------------------------------------
+# ANN scale-path variants (trainers/hashers aren't SQL-expressible →
+# rows-only driver check; recall vs the exact operators is asserted in
+# tests/test_ann_quality.py)
+# ---------------------------------------------------------------------------
+
+
+@spec("sim_ivf_ann_topk", None, ("ext", "similarity", "mllib"))
+def q_ivf_ann_topk(spark, sf_dir):
+    return S.ivf_ann_topk(
+        _t(spark, sf_dir, "embeddings"),
+        _query_vecs(spark, sf_dir),
+        k=10,
+        n_centroids=8,
+        n_probe=3,
+    )
+
+
+@spec("d_mllib_minhash_pairs", None, ("ext", "dedup", "mllib"))
+def q_mllib_minhash(spark, sf_dir):
+    return D.mllib_minhash_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )

@@ -512,3 +512,91 @@ def q_u4(spark, sf_dir):
     )
     b = _t(spark, sf_dir, "events").select("user_id")
     return a.subtract(b)  # EXCEPT (distinct) semantics, matching the SQL
+
+
+# ---------------------------------------------------------------------------
+# J8 — dynamic join assembly; F11 — ISO parse/format; P7 — parameterized
+# ---------------------------------------------------------------------------
+
+
+def assemble_features(spark, sf_dir, feature_types: list[str]):
+    """J8: build the serving join for exactly the requested feature
+    groups (reference's dynamic query builder,
+    `docs/ADVANCED.md:325-391`). The reference hand-picks MV-vs-dynamic
+    and join hints by key count; here AQE owns the physical strategy
+    and the builder only assembles the logical plan."""
+    base = q_user_features(spark, sf_dir).select("user_id", "segment")
+    out = base
+    if "transaction" in feature_types:
+        out = out.join(
+            q_transaction_features(spark, sf_dir).select(
+                "user_id", "total_transactions_30d", "total_amount_30d"
+            ),
+            "user_id",
+            "left",
+        )
+    if "risk" in feature_types:
+        out = out.join(
+            q_risk_features(spark, sf_dir).select(
+                "user_id", "payment_delays_90d", "risk_score"
+            ),
+            "user_id",
+            "left",
+        )
+    return out
+
+
+@spec(
+    "j8_dynamic_join",
+    f"""WITH uf AS ({UF_SQL}), rf AS ({RF_SQL})
+       SELECT uf.user_id, uf.segment,
+              rf.payment_delays_90d, rf.risk_score
+       FROM uf LEFT JOIN rf ON uf.user_id = rf.user_id""",
+    ("J8",),
+)
+def q_j8(spark, sf_dir):
+    return assemble_features(spark, sf_dir, ["risk"])
+
+
+@spec(
+    "f11_iso_roundtrip",
+    """SELECT event_id,
+              strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_ts,
+              CAST(hour(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'),
+                   '%Y-%m-%dT%H:%M:%S')) AS INTEGER) AS parsed_hour
+       FROM events""",
+    ("F11",),
+)
+def q_f11(spark, sf_dir):
+    """ISO-8601 serialize + reparse (reference
+    `src/feature_store/store.py:181-198` fromisoformat/isoformat)."""
+    ev = _t(spark, sf_dir, "events")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    return ev.select(
+        "event_id",
+        iso.alias("iso_ts"),
+        F.hour(F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss"))
+        .cast("int")
+        .alias("parsed_hour"),
+    )
+
+
+def customers_above_order_threshold(spark, sf_dir, min_orders: int):
+    """P7: parameterized predicate over derived features (reference
+    `tests/benchmarks/database_comparison.py:168-178`)."""
+    return (
+        q_user_features(spark, sf_dir)
+        .filter(F.col("total_orders") > min_orders)
+        .select("user_id", "total_orders", "avg_order_value")
+    )
+
+
+@spec(
+    "p7_parameterized_filter",
+    f"""WITH uf AS ({UF_SQL})
+       SELECT user_id, total_orders, avg_order_value
+       FROM uf WHERE total_orders > 5""",
+    ("P7",),
+)
+def q_p7(spark, sf_dir):
+    return customers_above_order_threshold(spark, sf_dir, 5)

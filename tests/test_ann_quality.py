@@ -1,0 +1,93 @@
+"""Quality (recall) tests for the approximate operators — ANN and
+LSH dedup are graded on recall vs their exact counterparts, since no
+SQL oracle can express the trainers/hashers."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from feature_store_spark.llm.dedup import (
+    minhash_lsh_pairs,
+    mllib_minhash_pairs,
+    ngram_jaccard_pairs,
+)
+from feature_store_spark.llm.similarity import cosine_topk, ivf_ann_topk
+from feature_store_spark.tables import load_table
+
+N_QUERIES = 10
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def exact_topk(emb, queries):
+    rows = cosine_topk(emb, queries, k=K).collect()
+    return {(r["query_id"], r["vec_id"]) for r in rows}
+
+
+def test_ivf_recall_and_determinism(spark, emb, queries, exact_topk):
+    approx1 = ivf_ann_topk(emb, queries, k=K, n_centroids=8, n_probe=3)
+    got1 = {(r["query_id"], r["vec_id"]) for r in approx1.collect()}
+    recall = len(got1 & exact_topk) / len(exact_topk)
+    # probing 3/8 cells must recover well over a third of true
+    # neighbors (neighbors concentrate in the query's own cell)
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+    approx2 = ivf_ann_topk(emb, queries, k=K, n_centroids=8, n_probe=3)
+    got2 = {(r["query_id"], r["vec_id"]) for r in approx2.collect()}
+    assert got1 == got2  # seeded KMeans → reproducible
+
+
+def test_ivf_full_probe_equals_exact(emb, queries, exact_topk):
+    """Probing every cell must reproduce the exact result — the
+    approximation comes only from skipped cells."""
+    full = ivf_ann_topk(emb, queries, k=K, n_centroids=4, n_probe=4)
+    got = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    assert got == exact_topk
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    return {(r["id_a"], r["id_b"]) for r in rows}
+
+
+def test_handrolled_lsh_recall(spark, sf_dir, exact_pairs):
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    # verification step makes precision exact (no false pairs) ...
+    assert got <= exact_pairs
+    # ... and banding with r=3,b=4 catches essentially all J>=0.5 pairs
+    if exact_pairs:
+        recall = len(got) / len(exact_pairs)
+        assert recall >= 0.8, f"LSH recall {recall:.2f}"
+
+
+def test_mllib_lsh_agrees_with_exact(spark, sf_dir, exact_pairs):
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in mllib_minhash_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    # approxSimilarityJoin verifies candidates with exact Jaccard →
+    # subset of the exact pairs; OR-amplification keeps recall high
+    assert got <= exact_pairs
+    if exact_pairs:
+        recall = len(got) / len(exact_pairs)
+        assert recall >= 0.8, f"MLlib LSH recall {recall:.2f}"
