@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the operators whose
+semantics carry documented edge cases (SURVEY §7.4): deterministic
+mode tie-breaking, latest-per-key/upsert last-writer-wins, and the
+night-window wrap-around. Each property is checked against a plain
+Python brute-force model on small random inputs."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from feature_store_spark.functions.scalars import is_night, is_weekend
+from feature_store_spark.operators.aggregates import mode_deterministic
+from feature_store_spark.operators.windows import latest_per_key
+
+_settings = settings(
+    max_examples=12,  # each example runs Spark jobs — keep it tight
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+keys = st.integers(min_value=0, max_value=3)
+vals = st.sampled_from(["a", "b", "c", "d"])
+
+
+@given(rows=st.lists(st.tuples(keys, vals), min_size=1, max_size=30))
+@_settings
+def test_mode_matches_bruteforce(spark_prop, rows):
+    df = spark_prop.createDataFrame(rows, "k int, v string")
+    got = {
+        r["k"]: r["m"]
+        for r in mode_deterministic(df, ["k"], "v", "m").collect()
+    }
+    for k in {k for k, _ in rows}:
+        counts = Counter(v for kk, v in rows if kk == k)
+        best = max(counts.values())
+        expect = min(v for v, c in counts.items() if c == best)
+        assert got[k] == expect, (k, counts, got[k])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(keys, st.integers(0, 20), st.integers(0, 99)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_settings
+def test_latest_per_key_matches_bruteforce(spark_prop, rows):
+    df = spark_prop.createDataFrame(rows, "k int, ord int, payload int")
+    got = {
+        r["k"]: (r["ord"], r["payload"])
+        for r in latest_per_key(df, ["k"], "ord", "payload").collect()
+    }
+    for k in {k for k, _, _ in rows}:
+        expect = max(
+            (o, p) for kk, o, p in rows if kk == k
+        )  # (ord desc, payload desc) — same tiebreak as the operator
+        assert got[k] == expect
+
+
+@given(hours=st.lists(st.integers(0, 23), min_size=1, max_size=24))
+@_settings
+def test_night_window_wraparound(spark_prop, hours):
+    rows = [(h, f"2024-01-01 {h:02d}:30:00") for h in hours]
+    df = spark_prop.createDataFrame(rows, "h int, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        r["h"]: r["night"]
+        for r in df.select("h", is_night(F.col("ts")).alias("night")).collect()
+    }
+    for h in hours:
+        assert got[h] == (h >= 22 or h <= 6)
+
+
+def test_weekend_mapping_known_dates(spark_prop):
+    # 2024-01-06 Saturday, 2024-01-07 Sunday, 2024-01-08 Monday
+    df = spark_prop.createDataFrame(
+        [("2024-01-06",), ("2024-01-07",), ("2024-01-08",)], "d string"
+    ).withColumn("d", F.to_date("d"))
+    got = [r[0] for r in df.select(is_weekend(F.col("d"))).collect()]
+    assert got == [True, True, False]
+
+
+@given(
+    updates=st.lists(
+        st.tuples(keys, st.integers(0, 9), st.integers(0, 999)),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),  # ties on (key, ver) are
+        # last-writer-arbitrary by design; keep the model deterministic
+    )
+)
+@_settings
+def test_upsert_last_writer_wins(spark_prop, tmp_path_factory, updates):
+    from feature_store_spark.pipelines.sinks import upsert_parquet
+
+    path = str(tmp_path_factory.mktemp("prop") / "t")
+    state: dict[int, tuple[int, int]] = {}
+    for i in range(0, len(updates), 5):  # apply in batches of ≤5
+        batch = updates[i : i + 5]
+        df = spark_prop.createDataFrame(batch, "k int, ver int, payload int")
+        upsert_parquet(df, path, ["k"], "ver")
+        for k, ver, payload in batch:
+            if k not in state or ver >= state[k][0]:
+                state[k] = (ver, payload)
+    got = {
+        r["k"]: (r["ver"], r["payload"])
+        for r in spark_prop.read.parquet(path).collect()
+    }
+    assert got == state
+
+
+@pytest.fixture(scope="module")
+def spark_prop(spark):
+    """Alias fixture so hypothesis sees a non-function-scoped fixture
+    (session-scoped spark is safe to share across examples)."""
+    return spark
