@@ -347,7 +347,8 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     Implemented as one groupBy(doc) with 60 partial-aggregated sums —
     no row explosion, single shuffle."""
     tok = (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        df.repartition(F.col(id_col))  # parallelize tokenize/explode
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("hex", F.md5(F.col("tok")))

@@ -251,7 +251,11 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
     interpreted (higher-order functions don't codegen). Measured >100×
     slower on long documents.
     """
-    toks = df.select(
+    # Shuffle FIRST (the window needs doc_id partitioning anyway), so
+    # tokenize/explode runs cluster-wide instead of inside however few
+    # partitions the input file had — same shuffle count, parallel
+    # regex work.
+    toks = df.repartition(F.col(id_col)).select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -29,20 +29,20 @@ def mode_deterministic(
 
     Two shuffles on (key, value) then (key): both partial-aggregated,
     and the second operates on already-reduced data (≤ distinct value
-    count per key), so it stays cheap at scale.
+    count per key). The argmax is ``min_by`` over ``struct(-count,
+    value)`` — struct ordering gives (highest count, then smallest
+    value) in one aggregate, avoiding the per-key sort a row_number
+    window would add.
     """
     counted = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(*key_cols, value_col)
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.col("__cnt").desc(), F.col(value_col).asc()
-    )
-    return (
-        counted.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*key_cols, F.col(value_col).alias(alias))
+    return counted.groupBy(*key_cols).agg(
+        F.min_by(
+            value_col, F.struct((-F.col("__cnt")).alias("n"), value_col)
+        ).alias(alias)
     )
 
 
