@@ -24,7 +24,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -128,6 +130,134 @@ def decode_media_oracle_sql(table: str = "documents") -> str:
            CASE WHEN doc_id % 3 = 0 THEN 'RGB'
                 WHEN doc_id % 3 = 1 THEN 'PCM16'
                 ELSE 'H264' END AS format
+    FROM {table}
+    """
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("scale", DoubleType()),
+        StructField("payload_md5", StringType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, target_w: int = 256, target_h: int = 256
+) -> DataFrame:
+    """Resize stage over the media table via ``mapInPandas``: fit each
+    item inside (target_w, target_h) preserving aspect ratio, never
+    upscaling. The pixel kernel is the STUB (dimensions come from the
+    deterministic fake decoder; ``payload_md5`` stands in for the
+    resized bytes) — the Arrow batch shape, executor-side binary
+    consumption, and output schema are the real plumbing a PIL-backed
+    kernel would drop into."""
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                n = len(payload)
+                w, h, _ = _fake_metadata(n, mt)
+                scale = min(target_w / w, target_h / h, 1.0)
+                rows.append(
+                    (
+                        doc_id,
+                        mt,
+                        max(1, int(w * scale)),
+                        max(1, int(h * scale)),
+                        round(scale, 6),
+                        hashlib.md5(bytes(payload)).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(_resize_batch, RESIZED_SCHEMA)
+
+
+def resize_media_oracle_sql(
+    table: str = "documents", target_w: int = 256, target_h: int = 256
+) -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             16 + octet_length(encode(text)) % 624 AS w,
+             16 + (octet_length(encode(text)) * 7) % 464 AS h,
+             text
+      FROM {table}
+    ), s AS (
+      SELECT *, least({target_w}.0 / w, {target_h}.0 / h, 1.0) AS sc FROM d
+    )
+    SELECT doc_id, media_type,
+           CAST(greatest(1, CAST(floor(w * sc) AS INTEGER)) AS INTEGER)
+             AS out_width,
+           CAST(greatest(1, CAST(floor(h * sc) AS INTEGER)) AS INTEGER)
+             AS out_height,
+           round(sc, 6) AS scale,
+           md5(text) AS payload_md5
+    FROM s
+    """
+
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature-extraction stage (the "embed every image" step of a
+    training-data pipeline) via ``mapInPandas``. The model inference is
+    the STUB — an ``FEATURE_DIM``-dim vector derived arithmetically
+    from the payload length — while the pipeline around it (Arrow
+    batches, numpy vectorization inside the kernel, array<double>
+    output column feeding the similarity/dedup operators) is real."""
+
+    def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            n = pdf["payload"].map(len).to_numpy(dtype="int64")
+            # (len * d) % 1000 / 1000 for d in 1..DIM — stand-in logits
+            mat = (n[:, None] * np.arange(1, FEATURE_DIM + 1)) % 1000 / 1000.0
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "features": [np.round(r, 6).tolist() for r in mat],
+                }
+            )
+
+    return media.mapInPandas(_extract_batch, FEATURES_SCHEMA)
+
+
+def extract_features_oracle_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           list_transform(range(1, {FEATURE_DIM} + 1),
+                          d -> round(((octet_length(encode(text)) * d) % 1000)
+                                     / 1000.0, 6)) AS features
     FROM {table}
     """
 

@@ -161,6 +161,30 @@ def q_frame_sample(spark, sf_dir):
     return M.frame_sample(decoded, every_n=10)
 
 
+@spec(
+    "mm_resize_media",
+    M.resize_media_oracle_sql(target_w=256, target_h=256),
+    ("ext", "multimodal"),
+)
+def q_resize_media(spark, sf_dir):
+    return M.resize_media(
+        M.attach_payload(_t(spark, sf_dir, "documents")),
+        target_w=256,
+        target_h=256,
+    )
+
+
+@spec(
+    "mm_extract_features",
+    M.extract_features_oracle_sql(),
+    ("ext", "multimodal"),
+)
+def q_extract_features(spark, sf_dir):
+    return M.extract_features(
+        M.attach_payload(_t(spark, sf_dir, "documents"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # ANN scale-path variants (trainers/hashers aren't SQL-expressible →
 # rows-only driver check; recall vs the exact operators is asserted in
