@@ -6,5 +6,6 @@ from feature_store_spark.streaming.pipeline import (  # noqa: F401
     read_event_stream,
     recompute_triggers,
     run_streaming_upsert,
+    running_user_profile,
     velocity_windows_stream,
 )

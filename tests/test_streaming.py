@@ -112,3 +112,65 @@ def test_streaming_upsert_state(spark, events_dir, tmp_path):
     assert final.groupBy("user_id").count().filter("count > 1").count() == 0
     assert final.count() == counters["upserted_users"]
     assert final.count() > 0
+
+
+def test_running_profile_state_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState profile replayed over 3 forced
+    micro-batches == one batch groupBy over the same events: proves
+    GroupState actually carries per-user totals across batches."""
+    from feature_store_spark.streaming import running_user_profile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = tmp_path / "profile_src"
+    # 3 time-ordered files → with maxFilesPerTrigger=1, 3 micro-batches;
+    # active users recur across files, so state must carry.
+    rows = ev.orderBy("ts", "event_id")
+    n = rows.count()
+    pdf = rows.toPandas()
+    # pandas would write TIMESTAMP(NANOS), which the session's
+    # nanosAsLong conf surfaces as INT64 — write µs like the engine.
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src.mkdir()
+    third = (n + 2) // 3
+    for i in range(3):
+        chunk = pdf.iloc[i * third:(i + 1) * third]
+        if len(chunk):
+            chunk.to_parquet(src / f"part-{i}.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = _run_to_memory(
+        running_user_profile(stream), "profile_t", output_mode="update"
+    )
+    # final profile per user = the emission with the largest n_events
+    from feature_store_spark.operators.windows import latest_per_key
+
+    final = latest_per_key(out, ["user_id"], "n_events")
+
+    expected = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "n_purchases"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                )
+            ),
+            F.lit(0),
+        ).alias("spend_cents"),
+        F.max("ts").alias("last_ts"),
+    )
+    cols = ["user_id", "n_events", "n_purchases", "spend_cents", "last_ts"]
+    got = {tuple(r) for r in final.select(*cols).collect()}
+    want = {tuple(r) for r in expected.select(*cols).collect()}
+    assert got == want
+    # re-emissions prove state spanned micro-batches
+    assert out.count() > expected.count()
