@@ -215,11 +215,17 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash LSH banding, verified exactly.
 
     Candidate generation: documents agreeing on any band (md5 of r
-    concatenated signature slots) — an equi-join on (band_idx, hash),
-    never an all-pairs product. Verification: exact n-gram Jaccard on
-    the candidates only. Output schema matches
-    :func:`ngram_jaccard_pairs` (LSH may miss pairs below ~threshold;
-    with r=3, b=4 the S-curve midpoint sits near J≈0.6).
+    concatenated signature slots) — grouped per (band_idx, band_hash)
+    with in-bucket pairing via collect_list + double explode, never an
+    all-pairs product. A bucket self-join would evaluate the whole
+    shingle→signature subtree twice (no automatic subtree reuse); this
+    shape computes signatures once. Verification: exact n-gram Jaccard
+    on the candidates only, against per-doc shingle-set arrays
+    (``array_intersect`` on the pruned pairs — shingle sets cross the
+    shuffle once per join side instead of the full exploded shingle
+    table). Output schema matches :func:`ngram_jaccard_pairs` (LSH may
+    miss pairs below ~threshold; with r=3, b=4 the S-curve midpoint
+    sits near J≈0.6).
     """
     r = k // bands
     sig = minhash_signatures(df, n=n, k=k, id_col=id_col, text_col=text_col)
@@ -233,35 +239,32 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.stack(F.lit(bands), *stack_args).alias("band_idx", "band_hash"),
     )
-    a = bands_df.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
-    b2 = bands_df.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     cand = (
-        a.join(b2, ["band_idx", "band_hash"])
+        bands_df.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(F.col(id_col)).alias("mem"))
+        .select(F.explode("mem").alias("id_a"), "mem")
+        .select("id_a", F.explode("mem").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
-    # Exact verification restricted to candidates.
-    sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    shared = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    # Exact verification restricted to candidates. shingles() emits
+    # distinct (id, shingle) rows, so the collected array is a set.
+    sets = (
+        shingles(df, n=n, id_col=id_col, text_col=text_col)
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("sh"))
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("n_b"))
-    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    shared = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = shared / (F.size("sh_a") + F.size("sh_b") - shared)
     return (
-        shared.join(na, "id_a")
-        .join(nb, "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.col("shared").alias("shared_shingles"),
+            shared.alias("shared_shingles"),
             F.round(jac, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
