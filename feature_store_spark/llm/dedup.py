@@ -26,7 +26,7 @@ oracle agree bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from feature_store_spark.llm.text import (
     TOKEN_RE,
@@ -107,6 +107,13 @@ def ngram_jaccard_pairs(
     before the self-join (df-pruning). Shingles that frequent cannot be
     discriminative, and at corpus scale a single hub shingle would
     otherwise dominate the join output.
+
+    The per-doc set size rides along as a window count over the same
+    shingle pass instead of a separate sizes aggregate — one fewer
+    evaluation of the tokenize→shingle subtree (no automatic subtree
+    reuse in Spark) and two fewer joins; within a (id_a, id_b) group
+    the sizes are constant, so ``first()`` recovers them after the
+    shared-count aggregation.
     """
     sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
     if max_df is not None:
@@ -114,29 +121,28 @@ def ngram_jaccard_pairs(
             F.col("__df") <= max_df
         )
         sh = sh.join(keep.select("shingle"), "shingle")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    sh = sh.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle", F.col("__n").alias("n_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle", F.col("__n").alias("n_b"))
     shared = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("n_b"))
-    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
-    return (
-        shared.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.col("shared").alias("shared_shingles"),
-            F.round(jac, 6).alias("jaccard"),
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return shared.select(
+        "id_a",
+        "id_b",
+        F.col("shared").alias("shared_shingles"),
+        F.round(jac, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_oracle_sql(table: str = "documents", n: int = 3,
