@@ -67,8 +67,26 @@ def test_stats_outlier_uses_broadcast_not_shuffle(spark, sf_dir):
 
 
 def test_minhash_plan_stays_compact(spark, sf_dir):
-    """Band generation must be one stack() pass — a union formulation
-    re-evaluates the signature subtree per band (caught at sf0.1 as a
-    12-scan plan)."""
+    """Band generation must be one stack() pass (a union formulation
+    re-evaluates the signature subtree per band — caught at sf0.1 as a
+    12-scan plan), candidate pairing must be collect_list + explode
+    (a bucket self-join doubles the signature subtree), and
+    verification reads the shingle sets once per join side: 3 scans
+    total (1 signature + 2 set sides)."""
     plan = _plan(spark, sf_dir, "d_minhash_lsh_pairs")
-    assert plan.count("FileScan") <= 8
+    assert plan.count("FileScan") <= 3
+
+
+def test_simhash_near_dup_single_scan(spark, sf_dir):
+    """In-bucket pairing via collect_list + double explode keeps the
+    whole near-dup plan at ONE scan of documents — a bucket self-join
+    would evaluate the signature subtree (and its scan) twice."""
+    plan = _plan(spark, sf_dir, "d_simhash_near_dup")
+    assert plan.count("FileScan") == 1
+
+
+def test_ngram_jaccard_two_scans(spark, sf_dir):
+    """Set sizes ride a window over the same shingle pass: two scans
+    (one per join side), not three (a separate sizes aggregate)."""
+    plan = _plan(spark, sf_dir, "d_ngram_jaccard_pairs")
+    assert plan.count("FileScan") <= 2
