@@ -484,6 +484,94 @@ def simhash_near_dup_oracle_sql(table: str = "documents",
     """
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Dedup cluster assignment: connected components over the SimHash
+    near-dup pair graph via iterative min-label propagation — every
+    document maps to ``cluster_id`` = the smallest doc id reachable
+    through near-dup edges (singletons map to themselves). Downstream,
+    keeping ``doc_id == cluster_id`` rows is the canonical-document cut
+    of a dedup pipeline.
+
+    Iterative Spark done right: each round joins current labels to the
+    edge list, takes the min neighbor label, and ``localCheckpoint``s
+    the result — without materialization the lazy lineage doubles per
+    round (labels feed two operators), going exponential. Convergence
+    is bounded by the component diameter (near-dup clusters are
+    shallow); the loop stops early when a round changes no label. At
+    cluster scale this is the standard label-propagation CC; swap in
+    large-star/small-star if diameters ever grow.
+    """
+    pairs = simhash_near_dup_pairs(
+        df, max_hamming=max_hamming, id_col=id_col, text_col=text_col
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b"), F.col("id_a")))
+    # Materialize the (small) edge list once; every iteration reuses it
+    # instead of re-running the signature computation.
+    edges = edges.localCheckpoint(eager=True)
+    labels = df.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(prop, labels["node"] == prop["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+def near_dup_clusters_oracle_sql(table: str = "documents",
+                                 max_hamming: int = 8,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text") -> str:
+    """Recursive-CTE reachability fixpoint (UNION-distinct terminates
+    on cycles): cluster id = min reachable node."""
+    pairs = simhash_near_dup_oracle_sql(table, max_hamming, id_col, text_col)
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT {id_col}, {id_col} FROM {table}
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS {id_col}, min(b) AS cluster_id FROM reach GROUP BY a
+    """
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------

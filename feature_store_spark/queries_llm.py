@@ -95,6 +95,15 @@ def q_simhash_near_dup(spark, sf_dir):
 
 
 @spec(
+    "d_near_dup_clusters",
+    D.near_dup_clusters_oracle_sql(max_hamming=8),
+    ("ext", "dedup", "iterative"),
+)
+def q_near_dup_clusters(spark, sf_dir):
+    return D.near_dup_clusters(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@spec(
     "d_embedding_near_dup",
     D.embedding_near_dup_oracle_sql(threshold=0.4),
     ("ext", "dedup"),
