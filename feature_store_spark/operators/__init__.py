@@ -4,6 +4,7 @@ from feature_store_spark.operators.aggregates import (
     mode_deterministic,
     stats_with_outliers,
 )
+from feature_store_spark.operators.skew import salted_join
 from feature_store_spark.operators.windows import latest_per_key, top_k
 
 __all__ = [
@@ -13,4 +14,5 @@ __all__ = [
     "stats_with_outliers",
     "latest_per_key",
     "top_k",
+    "salted_join",
 ]

@@ -122,3 +122,37 @@ def spark_prop(spark):
     """Alias fixture so hypothesis sees a non-function-scoped fixture
     (session-scoped spark is safe to share across examples)."""
     return spark
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """salted_join result == plain join for inner and left, including
+    a synthetic heavy-hitter key; salt column never leaks."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.operators import salted_join
+    from feature_store_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # skew: fold 90% of keys onto one customer
+    skewed = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 10 != 0, F.lit(1)).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    for how in ("inner", "left"):
+        got = salted_join(skewed, cust, ["o_custkey"], how=how, salt=8)
+        want = skewed.join(cust, ["o_custkey"], how)
+        assert got.columns == want.columns
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(skewed, cust, ["o_custkey"], how="full")
