@@ -54,3 +54,39 @@ def top_k_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Assign a per-key ``session_id`` (1, 2, …) by gap-based
+    sessionization: a session extends while the next event arrives
+    strictly within ``gap_minutes`` of the previous one (half-open
+    boundary — an event exactly at the gap starts a NEW session,
+    matching ``F.session_window``'s [start, start+gap) semantics so
+    the batch and streaming forms agree).
+
+    The lag + cumulative-flag shape costs one shuffle on the key and
+    two window passes over already-sorted partitions — the standard
+    distributed sessionization; state per partition is one row.
+    Timestamps are compared at second granularity (``unix_timestamp``
+    truncates), the documented cross-engine parity choice."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(ts_col).over(w)
+    gap_s = gap_minutes * 60
+    new_s = F.when(
+        prev.isNull()
+        | (
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)
+            >= gap_s
+        ),
+        1,
+    ).otherwise(0)
+    sess_id = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("session_id", sess_id)

@@ -600,3 +600,60 @@ def customers_above_order_threshold(spark, sf_dir, min_orders: int):
 )
 def q_p7(spark, sf_dir):
     return customers_above_order_threshold(spark, sf_dir, 5)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (beyond reference: gap-based sessions, the batch twin
+# of the streaming F.session_window operator)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+@spec(
+    "st7_session_features",
+    f"""WITH flagged AS (
+         SELECT user_id, event_id, ts, event_type, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(date_trunc('second', ts))
+                        - epoch(date_trunc('second', lag(ts) OVER w))
+                        >= {SESSION_GAP_MIN * 60}
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ),
+       sess AS (
+         SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM flagged
+       )
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              count(*) AS n_events,
+              min(ts) AS session_start, max(ts) AS session_end,
+              COALESCE(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (WHERE event_type = 'purchase') AS BIGINT), 0)
+                AS spend_cents
+       FROM sess GROUP BY user_id, session_id""",
+    ("ext", "ST7", "W3"),
+)
+def q_st7_sessions(spark, sf_dir):
+    """Per-user gap-based sessions with count / span / spend — the
+    deterministic batch replay of streaming sessionization
+    (`streaming/pipeline.py::session_windows_stream`); half-open gap
+    boundary keeps both forms and the oracle in exact agreement."""
+    from feature_store_spark.operators.windows import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(ev, gap_minutes=SESSION_GAP_MIN)
+    purch = F.col("event_type") == "purchase"
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.coalesce(
+            F.sum(F.when(purch, F.round(F.col("value") * 100).cast("bigint"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("spend_cents"),
+    )

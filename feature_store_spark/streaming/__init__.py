@@ -7,5 +7,6 @@ from feature_store_spark.streaming.pipeline import (  # noqa: F401
     recompute_triggers,
     run_streaming_upsert,
     running_user_profile,
+    session_windows_stream,
     velocity_windows_stream,
 )

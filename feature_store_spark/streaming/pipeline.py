@@ -146,6 +146,43 @@ def velocity_windows_stream(
     )
 
 
+def session_windows_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows per user via ``F.session_window`` —
+    the streaming twin of ``operators.windows.sessionize`` (same
+    half-open gap boundary, so a drained replay agrees with the batch
+    form exactly on (user, session_start, n_events, spend)). The
+    watermark bounds open-session state; ``session_end`` here is
+    last-event + gap (Spark's window close), where the batch form
+    reports last-event."""
+    purch = F.col("event_type") == "purchase"
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(
+                F.sum(
+                    F.when(purch, F.round(F.col("value") * 100).cast("bigint"))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("spend_cents"),
+        )
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_close"),
+            "user_id",
+            "n_events",
+            "spend_cents",
+        )
+    )
+
+
 RUNNING_PROFILE_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -174,3 +174,31 @@ def test_running_profile_state_across_batches(spark, sf_dir, tmp_path):
     assert got == want
     # re-emissions prove state spanned micro-batches
     assert out.count() > expected.count()
+
+
+def test_session_windows_match_batch(spark, sf_dir, events_dir):
+    """Streaming session_window replay ⊆ batch sessionize exactly on
+    (user, session_start, n_events, spend_cents); append mode only
+    finalizes sessions closed by the final watermark."""
+    from feature_store_spark.queries import SPECS, all_queries
+    from feature_store_spark.streaming import session_windows_stream
+
+    all_queries()
+    stream_out = _run_to_memory(
+        session_windows_stream(
+            read_event_stream(spark, events_dir),
+            gap="30 minutes",
+            watermark="0 seconds",
+        ),
+        "sessions_t",
+    )
+    batch = SPECS["st7_session_features"].fn(spark, sf_dir)
+    key = ("user_id", "session_start", "n_events", "spend_cents")
+    s = {tuple(r) for r in stream_out.select(*key).collect()}
+    b = {tuple(r) for r in batch.select(*key).collect()}
+    assert len(s) > 0
+    assert s <= b
+    # nearly everything should finalize: only sessions still open at
+    # the final watermark are withheld (at most one per user)
+    n_users = batch.select("user_id").distinct().count()
+    assert len(b) - len(s) <= n_users
