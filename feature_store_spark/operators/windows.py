@@ -46,14 +46,18 @@ def top_k_per_group(
     key_cols: Sequence[str],
     order_by: Sequence[Column],
     k: int,
+    rank_col: str | None = None,
 ) -> DataFrame:
-    """Top-K within each group via row_number — one shuffle on the key."""
+    """Top-K within each group via row_number — one shuffle on the
+    key. ``rank_col`` keeps the 1..k rank in the output (callers must
+    make ``order_by`` total for a deterministic rank)."""
     w = Window.partitionBy(*key_cols).orderBy(*order_by)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
     )
+    if rank_col is None:
+        return out.drop("__rn")
+    return out.withColumnRenamed("__rn", rank_col)
 
 
 def sessionize(

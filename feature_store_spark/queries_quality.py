@@ -657,3 +657,33 @@ def q_st7_sessions(spark, sf_dir):
         .cast("bigint")
         .alias("spend_cents"),
     )
+
+
+@spec(
+    "w4_topk_orders_per_customer",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                CAST(row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER)
+                  AS rank
+         FROM orders
+       ) WHERE rank <= 3""",
+    ("W2", "O2", "ext"),
+)
+def q_w4_topk_per_group(spark, sf_dir):
+    """Per-group top-k (top 3 orders per customer by price, ties by
+    orderkey): one shuffle on the grouping key; Catalyst plans the
+    rank filter as a WindowGroupLimit pushdown, so partitions only
+    keep k rows per key rather than sorting everything."""
+    from feature_store_spark.operators.windows import top_k_per_group
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return top_k_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+        rank_col="rank",
+    )
