@@ -36,6 +36,7 @@ HEADLINE = [
     "u1_union_active_keys",
     "o3_deterministic_sample",
     "st5_velocity_features",
+    "st7_session_features",
     "t_text_stats",
     "d_minhash_lsh_pairs",
     "d_simhash_near_dup",
