@@ -196,14 +196,19 @@ def minhash_signatures(df: DataFrame, n: int = 3, k: int = MINHASH_K,
     scale. One aggregate pass (k min-aggs) over the shingle set: one
     shuffle on doc id."""
     sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
-    x = (
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
-        .cast("bigint")
-        % MINHASH_P
+    # Expressions are built as SQL strings (one py4j call each) rather
+    # than nested Column operators (~5 py4j round-trips per node): the
+    # per-query driver-side construction cost is a fixed tax paid at
+    # any cluster scale, and for k-wide aggregate lists it dominates.
+    hashed = sh.select(
+        F.col(id_col),
+        F.expr(
+            "cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)"
+            f" % {MINHASH_P} AS __x"
+        ),
     )
-    hashed = sh.select(F.col(id_col), x.alias("__x"))
     aggs = [
-        F.min((F.lit(a) * F.col("__x") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        F.expr(f"min(({a} * __x + {b}) % {MINHASH_P}) AS h{i}")
         for i, (a, b) in enumerate(_minhash_params(k))
     ]
     return hashed.groupBy(id_col).agg(*aggs)
@@ -217,26 +222,73 @@ def minhash_lsh_pairs(
     bands: int = MINHASH_BANDS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize_sets: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH banding, verified exactly.
 
     Candidate generation: documents agreeing on any band (md5 of r
     concatenated signature slots) — grouped per (band_idx, band_hash)
     with in-bucket pairing via collect_list + double explode, never an
-    all-pairs product. A bucket self-join would evaluate the whole
-    shingle→signature subtree twice (no automatic subtree reuse); this
-    shape computes signatures once. Verification: exact n-gram Jaccard
-    on the candidates only, against per-doc shingle-set arrays
+    all-pairs product. Verification: exact n-gram Jaccard on the
+    candidates only, against per-doc shingle-set arrays
     (``array_intersect`` on the pruned pairs — shingle sets cross the
     shuffle once per join side instead of the full exploded shingle
     table). Output schema matches :func:`ngram_jaccard_pairs` (LSH may
     miss pairs below ~threshold; with r=3, b=4 the S-curve midpoint
     sits near J≈0.6).
-    """
+
+    The plan references the tokenize→shingle subtree three times
+    (signature pass + both verification sides) and Spark reuses no
+    subtrees, so the shingle pass runs three times. That is the
+    measured-faster default anyway (narrow shuffles: the signature pass
+    moves 12 longs per doc, not arrays). ``materialize_sets=True``
+    flips to tokenize-ONCE: one aggregate collects the shingle set and
+    its md5-int values, lazily localCheckpoint-ed and shared by all
+    branches, with signatures derived per-row via ``array_min`` over
+    LCG transforms. Use it when tokenization dominates — very long
+    documents or corpus scale where the 3× regex+md5 CPU outweighs
+    caching the sets (at true 100 TB scale, write the shingle-set
+    table to storage once and feed both phases from it instead)."""
     r = k // bands
-    sig = minhash_signatures(df, n=n, k=k, id_col=id_col, text_col=text_col)
+    if materialize_sets:
+        # collect_list order is nondeterministic but irrelevant:
+        # array_min, size, and array_intersect are order-insensitive.
+        sets = (
+            shingles(df, n=n, id_col=id_col, text_col=text_col)
+            .groupBy(id_col)
+            .agg(
+                F.collect_list("shingle").alias("sh"),
+                F.collect_list(
+                    F.expr(
+                        "cast(conv(substring(md5(shingle), 1, 15), 16,"
+                        f" 10) as bigint) % {MINHASH_P}"
+                    )
+                ).alias("__xs"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        sig = sets.select(
+            F.col(id_col),
+            *[
+                F.expr(
+                    f"array_min(transform(__xs, x -> ({a} * x + {b})"
+                    f" % {MINHASH_P})) AS h{i}"
+                )
+                for i, (a, b) in enumerate(_minhash_params(k))
+            ],
+        )
+        sets = sets.select(id_col, "sh")
+    else:
+        sets = (
+            shingles(df, n=n, id_col=id_col, text_col=text_col)
+            .groupBy(id_col)
+            .agg(F.collect_list("shingle").alias("sh"))
+        )
+        sig = minhash_signatures(
+            df, n=n, k=k, id_col=id_col, text_col=text_col
+        )
     # One stack() pass instead of a bands-way union: a union would
-    # re-evaluate the whole shingle→signature subtree per branch.
+    # re-read the signature relation per branch.
     stack_args = []
     for b in range(bands):
         cols = [F.col(f"h{i}") for i in range(b * r, (b + 1) * r)]
@@ -255,11 +307,6 @@ def minhash_lsh_pairs(
     )
     # Exact verification restricted to candidates. shingles() emits
     # distinct (id, shingle) rows, so the collected array is a set.
-    sets = (
-        shingles(df, n=n, id_col=id_col, text_col=text_col)
-        .groupBy(id_col)
-        .agg(F.collect_list("shingle").alias("sh"))
-    )
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     shared = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -365,27 +412,32 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn(
             "h",
-            F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast(
-                "bigint"
+            F.expr(
+                "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
             ),
         )
     )
+    # SQL-string expressions (see minhash_signatures): the 60 vote aggs
+    # + 60-term signature would otherwise cost ~800 py4j round-trips of
+    # driver-side Column construction per query — measured ~1 s, twice
+    # the runtime of the query itself at sf0.1.
     vote_aggs = []
     for b in range(SIMHASH_BITS):
         # bit b lives at nibble b//4 (big-endian hex), bit 3-(b%4)
         shift = 4 * (14 - b // 4) + (3 - b % 4)
-        bit = F.shiftright(F.col("h"), shift).bitwiseAND(F.lit(1))
         vote_aggs.append(
-            F.sum(F.col("cnt") * (bit * 2 - 1)).alias(f"v{b}")
+            F.expr(
+                f"sum(cnt * (((shiftright(h, {shift}) & 1) * 2) - 1))"
+                f" AS v{b}"
+            )
         )
     votes = tok.groupBy(id_col).agg(*vote_aggs)
-    sig = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sig = term if sig is None else sig + term
-    return votes.select(F.col(id_col), sig.alias("simhash"))
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return votes.select(F.col(id_col), F.expr(sig).alias("simhash"))
 
 
 def simhash_oracle_sql(table: str = "documents", id_col: str = "doc_id",

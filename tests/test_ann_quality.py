@@ -79,6 +79,16 @@ def test_handrolled_lsh_recall(spark, sf_dir, exact_pairs):
         assert recall >= 0.8, f"LSH recall {recall:.2f}"
 
 
+def test_materialized_sets_mode_identical(spark, sf_dir):
+    # tokenize-once scale path (localCheckpoint-ed shingle sets) must
+    # produce exactly the default narrow-shuffle plan's result
+    docs = load_table(spark, sf_dir, "documents")
+    default = minhash_lsh_pairs(docs, n=3, threshold=0.5)
+    mat = minhash_lsh_pairs(docs, n=3, threshold=0.5, materialize_sets=True)
+    assert default.exceptAll(mat).count() == 0
+    assert mat.exceptAll(default).count() == 0
+
+
 def test_mllib_lsh_agrees_with_exact(spark, sf_dir, exact_pairs):
     docs = load_table(spark, sf_dir, "documents")
     got = {
