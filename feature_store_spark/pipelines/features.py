@@ -300,7 +300,221 @@ def serving_join(
     """uf ⟕ tf ⟕ rf on user_id — the reference's serving/analytics join
     (`sql/migration_queries.sql:143-166`, J6). All three inputs are
     keyed aggregates on user_id, so on a cluster the joins co-partition
-    on the already-shuffled key."""
+    on the already-shuffled key.
+
+    Use this composition when the three feature tables are already
+    materialized (the daily-pipeline case). To compute the full serving
+    table from raw inputs in one query, use :func:`serving_features`,
+    which fuses the three derivations into one scan per fact table."""
     return user_features.join(transaction_features, "user_id", "left").join(
         risk_features, "user_id", "left"
+    )
+
+
+def serving_features(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    events: DataFrame,
+    ref_date: str = REF_DATE,
+    now: str = EVENTS_NOW,
+) -> DataFrame:
+    """The serving join computed from raw tables with ONE aggregation
+    pass per fact table — result identical to
+    ``serving_join(derive_user_features(...),
+    derive_transaction_features(...), derive_risk_features(...))``.
+
+    Composing the three pipelines re-reads every fact table per
+    pipeline (Spark reuses no subtrees): orders 7×, lineitem 2×,
+    events 3× — 15 scans, 22 exchanges. This is the reference's
+    scan-once-aggregate-many (SURVEY.md §4) applied ACROSS pipelines:
+
+    - **orders**: one groupBy(custkey, priority) computing uf stats
+      (completed-conditional), every tf 30d conditional agg, rf failed
+      payments, and the 90d-activity flag as partial aggregates, then a
+      per-custkey re-aggregate whose ``min_by(prio, struct(-cnt,
+      prio))`` recovers the deterministic mode — the priority key adds
+      ~5× rows to a map-side-combined shuffle, far cheaper than a
+      second scan for the mode. One narrow second scan remains for the
+      lineitem join's (orderkey, custkey, orderdate) sides.
+    - **lineitem ⋈ orders** once over the 90d ship window, computing
+      tf's distinct-merchants (30d-conditional) and rf's delay counts
+      together.
+    - **events**: one groupBy(user) with 30d-conditional behavior aggs
+      plus ``max_by(value, struct(ts, event_id))`` over purchase events
+      — the latest-per-key W1 as a single aggregate instead of a
+      row_number window pass.
+
+    The uf⟕tf⟕rf left-join semantics (tf rows exist only where the
+    activity HAVING passed; rf rows only for active users) become CASE
+    gates on the joined row, so customers outside those sets get the
+    same NULLs the three-way join would produce. At 100 TB this shape
+    reads each fact table once instead of 2-3×, and every aggregate
+    shuffles map-combined partials on the same user key the final join
+    needs."""
+    ref = F.to_date(F.lit(ref_date))
+    now_ts = F.to_timestamp(F.lit(now))
+    od = F.to_date("o_orderdate")
+    completed = F.col("o_orderstatus").isin(*COMPLETED_STATUSES)
+    declined = F.col("o_orderstatus") == DECLINED_STATUS
+    in30 = od >= F.date_sub(ref, 30)
+    in90 = od >= F.date_sub(ref, 90)
+    in24m = od >= F.add_months(ref, -24)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    prio_ok = F.col("__prio").isNotNull() & (F.col("__c_cnt") > 0)
+
+    l1 = orders.groupBy(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderpriority").alias("__prio"),
+    ).agg(
+        F.count(F.when(completed, 1)).alias("__c_cnt"),
+        F.sum(F.when(completed, cents)).alias("__c_cents"),
+        F.min(F.when(completed, F.col("o_orderdate"))).alias("__c_first"),
+        F.count(F.when(in30, 1)).alias("__n30"),
+        F.sum(F.when(in30, cents)).alias("__s30"),
+        F.max(F.when(in30, F.col("o_totalprice"))).alias("__max30"),
+        F.count(F.when(in30 & declined, 1)).alias("__dec30"),
+        F.count(F.when(in30 & is_weekend(F.col("o_orderdate")), 1)).alias(
+            "__wk30"
+        ),
+        F.count(F.when(in30 & is_night(F.col("o_orderdate")), 1)).alias(
+            "__nt30"
+        ),
+        F.count(F.when(in90, 1)).alias("__n90"),
+        F.count(F.when(declined & in24m, 1)).alias("__fail24"),
+    )
+    ostats = l1.groupBy("user_id").agg(
+        F.sum("__c_cnt").alias("__n_orders"),
+        F.sum("__c_cents").alias("__sum_cents"),
+        F.min("__c_first").alias("__first_order"),
+        F.min_by(
+            F.when(prio_ok, F.col("__prio")),
+            F.when(
+                prio_ok,
+                F.struct((-F.col("__c_cnt")).alias("n"), F.col("__prio")),
+            ),
+        ).alias("__preferred"),
+        F.sum("__n30").alias("__t30"),
+        F.sum("__s30").alias("__sc30"),
+        F.max("__max30").alias("__tmax30"),
+        F.sum("__dec30").alias("__tdec30"),
+        F.sum("__wk30").alias("__twk30"),
+        F.sum("__nt30").alias("__tnt30"),
+        F.max(F.when(F.col("__n90") > 0, F.lit(1))).alias("__active90"),
+        F.sum("__fail24").alias("__tfail24"),
+    )
+
+    ship = F.to_date("l_shipdate")
+    delayed = ship > F.date_add(F.to_date("o_orderdate"), 60)
+    li = (
+        lineitem.filter(ship >= F.date_sub(ref, 90))
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            F.countDistinct(
+                F.when(ship >= F.date_sub(ref, 30), F.col("l_suppkey"))
+            ).alias("__merch30"),
+            F.count(
+                F.when(delayed & (ship >= F.date_sub(ref, 30)), 1)
+            ).alias("__delay30"),
+            F.count(F.when(delayed, 1)).alias("__delay90"),
+        )
+    )
+
+    ein30 = F.col("ts") >= now_ts - F.expr("INTERVAL 30 DAYS")
+    purchase = F.col("event_type") == "purchase"
+    ev = events.groupBy("user_id").agg(
+        F.countDistinct(F.when(ein30, F.col("event_type"))).alias("__dev30"),
+        F.countDistinct(F.when(ein30, F.col("props"))).alias("__loc30"),
+        F.count(F.when(ein30 & (F.col("event_type") == "error"), 1)).alias(
+            "__vel30"
+        ),
+        F.max_by(
+            F.col("value"),
+            F.when(purchase, F.struct(F.col("ts"), F.col("event_id"))),
+        ).alias("__risk"),
+        F.max(F.when(ein30, F.lit(1))).alias("__ev30"),
+    )
+
+    joined = (
+        customer.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("account_balance"),
+        )
+        .join(ostats, "user_id", "left")
+        .join(li, "user_id", "left")
+        .join(ev, "user_id", "left")
+    )
+    # tf rows exist only where the 30d activity HAVING passed; rf rows
+    # only for the active-key union (90d orders ∪ 90d payment activity
+    # ∪ 30d events). Outside those sets every column is NULL, exactly
+    # as the three-way left join produces.
+    has_tf = F.coalesce(F.col("__t30"), F.lit(0)) > 0
+    active = (
+        (F.coalesce(F.col("__active90"), F.lit(0)) == 1)
+        | F.col("__delay90").isNotNull()
+        | (F.coalesce(F.col("__ev30"), F.lit(0)) == 1)
+    )
+    return joined.select(
+        "user_id",
+        "name",
+        "segment",
+        "account_balance",
+        F.coalesce(F.col("__n_orders"), F.lit(0))
+        .cast("bigint")
+        .alias("total_orders"),
+        F.coalesce(
+            F.col("__sum_cents") / 100.0 / F.col("__n_orders"), F.lit(0.0)
+        ).alias("avg_order_value"),
+        F.when(F.col("__first_order").isNull(), F.lit(None))
+        .otherwise(F.datediff(ref, F.to_date("__first_order")))
+        .cast("int")
+        .alias("days_since_first_order"),
+        F.col("__preferred").alias("preferred_payment_method"),
+        F.when(has_tf, F.col("__t30"))
+        .cast("bigint")
+        .alias("total_transactions_30d"),
+        F.when(has_tf, F.coalesce(F.col("__sc30"), F.lit(0)) / 100.0).alias(
+            "total_amount_30d"
+        ),
+        F.when(has_tf, F.col("__sc30") / 100.0 / F.col("__t30")).alias(
+            "avg_transaction_amount"
+        ),
+        F.when(has_tf, F.col("__tmax30")).alias("max_transaction_amount"),
+        F.when(has_tf, F.col("__tdec30"))
+        .cast("bigint")
+        .alias("transactions_declined_30d"),
+        F.when(has_tf, safe_ratio(F.col("__twk30"), F.col("__t30"))).alias(
+            "weekend_transaction_ratio"
+        ),
+        F.when(has_tf, safe_ratio(F.col("__tnt30"), F.col("__t30"))).alias(
+            "night_transaction_ratio"
+        ),
+        F.when(has_tf, F.coalesce(F.col("__merch30"), F.lit(0)))
+        .cast("bigint")
+        .alias("unique_merchants_30d"),
+        F.when(active, F.coalesce(F.col("__delay30"), F.lit(0)))
+        .cast("bigint")
+        .alias("payment_delays_30d"),
+        F.when(active, F.coalesce(F.col("__delay90"), F.lit(0)))
+        .cast("bigint")
+        .alias("payment_delays_90d"),
+        F.when(active, F.coalesce(F.col("__tfail24"), F.lit(0)))
+        .cast("bigint")
+        .alias("failed_payments_count"),
+        F.when(active, F.coalesce(F.col("__dev30"), F.lit(0)))
+        .cast("bigint")
+        .alias("device_changes_30d"),
+        F.when(active, F.coalesce(F.col("__loc30"), F.lit(0)))
+        .cast("bigint")
+        .alias("login_locations_30d"),
+        F.when(active, F.coalesce(F.col("__vel30"), F.lit(0)))
+        .cast("bigint")
+        .alias("velocity_alerts_30d"),
+        F.when(active, F.col("__risk")).alias("risk_score"),
     )

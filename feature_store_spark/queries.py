@@ -33,6 +33,7 @@ from feature_store_spark.pipelines.features import (
     derive_risk_features,
     derive_transaction_features,
     derive_user_features,
+    serving_features,
     serving_join,
 )
 from feature_store_spark.tables import EVENTS_NOW, REF_DATE, load_table
@@ -253,10 +254,14 @@ LEFT JOIN rf ON uf.user_id = rf.user_id
 
 @spec("pipeline_serving_join", SERVING_SQL, ("pipeline", "J6"))
 def q_serving_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    uf = q_user_features(spark, sf_dir)
-    tf = q_transaction_features(spark, sf_dir)
-    rf = q_risk_features(spark, sf_dir)
-    return serving_join(uf, tf, rf)
+    # Fused one-scan-per-fact-table derivation; identical result to
+    # serving_join(uf, tf, rf) — asserted in tests/test_drivers.py.
+    return serving_features(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "events"),
+    )
 
 
 # ---------------------------------------------------------------------------

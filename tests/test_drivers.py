@@ -10,7 +10,32 @@ from feature_store_spark.pipelines.drivers import (
     run_migration_validation,
     run_quality_report,
 )
+from feature_store_spark.pipelines.features import (
+    derive_risk_features,
+    derive_transaction_features,
+    derive_user_features,
+    serving_features,
+    serving_join,
+)
 from feature_store_spark.tables import load_table
+
+
+def test_fused_serving_equals_composition(spark, sf_dir):
+    # serving_features (one scan per fact table) must be row-identical
+    # to composing the three pipeline derivations through serving_join
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    composed = serving_join(
+        derive_user_features(customer, orders),
+        derive_transaction_features(orders, lineitem),
+        derive_risk_features(customer, orders, lineitem, events),
+    )
+    fused = serving_features(customer, orders, lineitem, events)
+    assert fused.columns == composed.columns
+    assert fused.exceptAll(composed).count() == 0
+    assert composed.exceptAll(fused).count() == 0
 
 
 def test_daily_pipeline_end_to_end(spark, sf_dir, tmp_path):
