@@ -30,8 +30,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from feature_store_spark.functions.scalars import is_night, is_weekend, safe_ratio
-from feature_store_spark.operators.aggregates import mode_deterministic
-from feature_store_spark.operators.windows import latest_per_key
 from feature_store_spark.tables import EVENTS_NOW, REF_DATE
 
 # Order-status analogues (documented mapping, not TPC-H semantics):
@@ -52,6 +50,14 @@ def derive_user_features(
     (A1), mode (A4), COALESCE zero-fill (F1), CASE null-guard (F2),
     datediff (F4). Customers with no completed orders keep a row with
     zero-filled features (`sql/user_features.sql:33-39`).
+
+    One orders scan: the aggregate runs at (custkey, priority)
+    granularity first, then re-aggregates per custkey — the stats sums
+    recompose exactly (integer cents, min dates), and the mode falls
+    out as ``min_by(prio, struct(-cnt, prio))`` (same tie-break as
+    ``mode_deterministic``: highest count, then smallest value). A
+    separate mode pass would scan orders a second time; the priority
+    key only widens a map-side-combined shuffle ~5×.
     """
     completed = orders.filter(F.col("o_orderstatus").isin(*COMPLETED_STATUSES))
     # Money aggregates use exact integer cents (bigint) so the result
@@ -59,20 +65,29 @@ def derive_user_features(
     # single double division of identical operands in any engine,
     # making differential hashes bit-stable (SURVEY.md §7.4 precision).
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    stats = completed.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).alias("__n_orders"),
-        F.sum(cents).alias("__sum_cents"),
-        F.min("o_orderdate").alias("__first_order"),
-        F.max("o_orderdate").alias("__last_order"),
+    per_prio = completed.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(cents).alias("__cents"),
+        F.min("o_orderdate").alias("__first"),
     )
-    preferred = mode_deterministic(
-        completed, ["o_custkey"], "o_orderpriority", "__preferred"
+    prio_ok = F.col("o_orderpriority").isNotNull()
+    stats = per_prio.groupBy("o_custkey").agg(
+        F.sum("__cnt").alias("__n_orders"),
+        F.sum("__cents").alias("__sum_cents"),
+        F.min("__first").alias("__first_order"),
+        F.min_by(
+            F.when(prio_ok, F.col("o_orderpriority")),
+            F.when(
+                prio_ok,
+                F.struct(
+                    (-F.col("__cnt")).alias("n"), F.col("o_orderpriority")
+                ),
+            ),
+        ).alias("__preferred"),
     )
     ref = F.to_date(F.lit(ref_date))
     return (
         customer.join(stats, customer.c_custkey == stats.o_custkey, "left")
-        .drop("o_custkey")
-        .join(preferred, customer.c_custkey == preferred.o_custkey, "left")
         .drop("o_custkey")
         .select(
             F.col("c_custkey").alias("user_id"),
@@ -194,12 +209,25 @@ def derive_risk_features(
 
     Exercises: U1 3-way union-distinct of key sets, J2 5-way left
     join, A2/A3 conditional counts, W1 latest-per-key, F1 COALESCE.
+
+    Plan shape: ONE scan per feed — orders aggregates failed payments
+    and the 90d-activity flag together; events aggregates behavior,
+    30d-activity, and the latest purchase score (``max_by(value,
+    struct(ts, event_id))`` — the W1 latest-per-key as a single
+    aggregate, same (ts desc, event_id desc) tie-break as the window
+    form). The active-key union then falls out of a 3-way full outer
+    join of the already-aggregated feeds filtered on the activity
+    flags, instead of a separate union-distinct pass that would rescan
+    orders and events. A narrow second orders scan remains as the
+    lineitem join side.
     """
     ref = F.to_date(F.lit(ref_date))
     now_ts = F.to_timestamp(F.lit(now))
 
     # Payment-delay feed: one scan of lineitem⋈orders, both windows as
-    # conditional aggs (delays_30d ⊆ delays_90d by construction).
+    # conditional aggs (delays_30d ⊆ delays_90d by construction). Every
+    # user with 90d payment activity gets a row (possibly zero delays)
+    # — membership itself feeds the active-key set.
     pay = (
         lineitem.join(
             orders.select("o_orderkey", "o_custkey", "o_orderdate"),
@@ -226,68 +254,68 @@ def derive_risk_features(
         )
     )
 
-    # Failed payments over a 2y lookback (`sql/risk_features.sql:25`).
-    failed = (
-        orders.filter(
-            (F.col("o_orderstatus") == DECLINED_STATUS)
-            & (F.to_date("o_orderdate") >= F.add_months(ref, -24))
-        )
+    # Failed payments over a 2y lookback (`sql/risk_features.sql:25`)
+    # + the 90d-activity flag, one orders scan for both.
+    declined = F.col("o_orderstatus") == DECLINED_STATUS
+    od = F.to_date("o_orderdate")
+    ostats = (
+        orders.filter(declined & (od >= F.add_months(ref, -24)) | (od >= F.date_sub(ref, 90)))
         .groupBy(F.col("o_custkey").alias("user_id"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("failed_payments_count"))
+        .agg(
+            F.count(F.when(declined & (od >= F.add_months(ref, -24)), 1))
+            .cast("bigint")
+            .alias("__failed"),
+            F.max(F.when(od >= F.date_sub(ref, 90), F.lit(1))).alias(
+                "__active90"
+            ),
+        )
     )
 
     # Behavior feed over events: device/location diversity + velocity
-    # alerts in the trailing 30d of the injected `now`.
-    ev30 = events.filter(
-        F.col("ts") >= now_ts - F.expr("INTERVAL 30 DAYS")
-    )
-    behavior = ev30.groupBy(F.col("user_id")).agg(
-        F.countDistinct("event_type").cast("bigint").alias("device_changes_30d"),
-        F.countDistinct("props").cast("bigint").alias("login_locations_30d"),
-        F.count(F.when(F.col("event_type") == "error", 1))
+    # alerts in the trailing 30d of the injected `now`, the 30d
+    # activity flag, and the latest purchase score.
+    ein30 = F.col("ts") >= now_ts - F.expr("INTERVAL 30 DAYS")
+    ev = events.groupBy(F.col("user_id")).agg(
+        F.countDistinct(F.when(ein30, F.col("event_type")))
         .cast("bigint")
-        .alias("velocity_alerts_30d"),
+        .alias("__dev30"),
+        F.countDistinct(F.when(ein30, F.col("props")))
+        .cast("bigint")
+        .alias("__loc30"),
+        F.count(F.when(ein30 & (F.col("event_type") == "error"), 1))
+        .cast("bigint")
+        .alias("__vel30"),
+        F.max_by(
+            F.col("value"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.struct(F.col("ts"), F.col("event_id")),
+            ),
+        ).alias("__risk"),
+        F.max(F.when(ein30, F.lit(1))).alias("__ev30"),
     )
 
-    # Latest risk score per user: newest 'purchase' event value (W1),
-    # tie-broken by event_id.
-    latest_score = latest_per_key(
-        events.filter(F.col("event_type") == "purchase"),
-        ["user_id"],
-        "ts",
-        tiebreak_col="event_id",
-    ).select("user_id", F.col("value").alias("risk_score"))
-
-    # Active keys: users with recent orders ∪ recent payment activity ∪
-    # recent events (`sql/risk_features.sql:73-90`).
+    # Active keys (`sql/risk_features.sql:73-90`): 90d orders ∪ 90d
+    # payment activity ∪ 30d events — a filter over the full outer
+    # join of the three per-user feeds.
     active = (
-        orders.filter(F.to_date("o_orderdate") >= F.date_sub(ref, 90))
-        .select(F.col("o_custkey").alias("user_id"))
-        .union(pay.select("user_id"))
-        .union(ev30.select("user_id"))
-        .distinct()
+        (F.coalesce(F.col("__active90"), F.lit(0)) == 1)
+        | F.col("payment_delays_90d").isNotNull()
+        | (F.coalesce(F.col("__ev30"), F.lit(0)) == 1)
     )
-
     return (
-        active.join(pay, "user_id", "left")
-        .join(failed, "user_id", "left")
-        .join(behavior, "user_id", "left")
-        .join(latest_score, "user_id", "left")
+        ostats.join(pay, "user_id", "full_outer")
+        .join(ev, "user_id", "full_outer")
+        .filter(active)
         .select(
             "user_id",
             F.coalesce("payment_delays_30d", F.lit(0)).alias("payment_delays_30d"),
             F.coalesce("payment_delays_90d", F.lit(0)).alias("payment_delays_90d"),
-            F.coalesce("failed_payments_count", F.lit(0)).alias(
-                "failed_payments_count"
-            ),
-            F.coalesce("device_changes_30d", F.lit(0)).alias("device_changes_30d"),
-            F.coalesce("login_locations_30d", F.lit(0)).alias(
-                "login_locations_30d"
-            ),
-            F.coalesce("velocity_alerts_30d", F.lit(0)).alias(
-                "velocity_alerts_30d"
-            ),
-            F.col("risk_score"),
+            F.coalesce("__failed", F.lit(0)).alias("failed_payments_count"),
+            F.coalesce("__dev30", F.lit(0)).alias("device_changes_30d"),
+            F.coalesce("__loc30", F.lit(0)).alias("login_locations_30d"),
+            F.coalesce("__vel30", F.lit(0)).alias("velocity_alerts_30d"),
+            F.col("__risk").alias("risk_score"),
         )
     )
 
