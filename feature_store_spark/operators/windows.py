@@ -60,6 +60,86 @@ def top_k_per_group(
     return out.withColumnRenamed("__rn", rank_col)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+) -> DataFrame:
+    """Point-in-time (as-of) left join: each left row is paired with
+    the single right row sharing its keys whose timestamp is the
+    nearest at-or-before it (``backward``, the training-set /
+    feature-lookup direction — no future leakage) or at-or-after it
+    (``forward``). Left rows with no match keep NULL right columns.
+
+    The feature-store primitive the reference approximates with
+    latest-per-key snapshots (`sql/risk_features.sql:57-72` W1); an
+    as-of join is its generalization from "latest as of now" to
+    "latest as of each observation timestamp".
+
+    Implementation is NOT a range join (which explodes into
+    O(left × right-per-key) comparisons): both sides are unioned,
+    sorted per key by time, and right values are carried forward with
+    ``last(ignorenulls)`` over an unbounded-preceding frame — one
+    shuffle on the key, linear in rows, the standard distributed as-of
+    shape. At equal timestamps the right row sorts before the left row,
+    so an exactly-simultaneous right row IS visible (ASOF ``>=``
+    semantics). Right side must be unique per (keys, ts) — pre-dedup
+    with :func:`latest_per_key` otherwise; the carried value at a
+    duplicate timestamp would be whichever sorted last.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: {direction}")
+    keys = list(on)
+    payload = [c for c in right.columns if c not in keys and c != right_ts]
+    # Common-schema union: left rows carry NULL right-payload slots.
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("__asof_ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    rhs = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
+        *[F.col(c) for c in keys],
+        F.col(right_ts).alias("__asof_ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.col(right_ts).alias("__r_ts"),
+    )
+    merged = lhs.unionByName(rhs)
+    # backward: ascending time, right-before-left on ties, carry last
+    # seen right row forward; forward: descending time (same frame
+    # carries the nearest at-or-after row instead).
+    ts_order = (
+        F.col("__asof_ts").asc()
+        if direction == "backward"
+        else F.col("__asof_ts").desc()
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_order, F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c if c not in left.columns else f"{c}_right")
+        for c in payload
+    ]
+    carried.append(
+        F.last("__r_ts", ignorenulls=True)
+        .over(w)
+        .alias(right_ts if right_ts not in left.columns else f"{right_ts}_right")
+    )
+    return (
+        merged.select(*left.columns, "__is_left", *carried)
+        .filter(F.col("__is_left") == 1)
+        .drop("__is_left")
+    )
+
+
 def sessionize(
     df: DataFrame,
     gap_minutes: int = 30,

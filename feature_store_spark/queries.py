@@ -28,7 +28,7 @@ from feature_store_spark.operators.aggregates import (
     mode_deterministic,
     stats_with_outliers,
 )
-from feature_store_spark.operators.windows import latest_per_key, top_k
+from feature_store_spark.operators.windows import asof_join, latest_per_key, top_k
 from feature_store_spark.pipelines.features import (
     derive_risk_features,
     derive_transaction_features,
@@ -510,6 +510,39 @@ def q_j4(spark, sf_dir):
             "left_anti",
         )
         .select("c_custkey", "c_name")
+    )
+
+
+@spec(
+    "j9_asof_join",
+    """WITH l AS (
+         SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+       ), r AS (
+         SELECT user_id, ts, max_by(value, event_id) AS last_purchase_value
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+       )
+       SELECT l.event_id, l.user_id, l.ts,
+              r.last_purchase_value, r.ts AS last_purchase_ts
+       FROM l ASOF LEFT JOIN r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    ("ext", "join", "asof"),
+)
+def q_j9_asof(spark, sf_dir):
+    """Point-in-time join (beyond the reference surface): each 'view'
+    event annotated with the user's most recent 'purchase' value as of
+    that moment — the leakage-free feature-lookup primitive. Right side
+    deduped per (user, ts) so the as-of pick is deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("last_purchase_value"))
+    )
+    return asof_join(left, right, on=["user_id"]).withColumnRenamed(
+        "ts_right", "last_purchase_ts"
     )
 
 

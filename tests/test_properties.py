@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from feature_store_spark.functions.scalars import is_night, is_weekend
 from feature_store_spark.operators.aggregates import mode_deterministic
-from feature_store_spark.operators.windows import latest_per_key
+from feature_store_spark.operators.windows import asof_join, latest_per_key
 
 _settings = settings(
     max_examples=12,  # each example runs Spark jobs — keep it tight
@@ -122,6 +122,45 @@ def spark_prop(spark):
     """Alias fixture so hypothesis sees a non-function-scoped fixture
     (session-scoped spark is safe to share across examples)."""
     return spark
+
+
+@given(
+    lrows=st.lists(
+        st.tuples(keys, st.integers(0, 50)), min_size=1, max_size=20
+    ),
+    rrows=st.lists(
+        st.tuples(keys, st.integers(0, 50), st.integers(0, 99)),
+        min_size=0,
+        max_size=20,
+        unique_by=lambda r: (r[0], r[1]),  # asof needs unique (key, ts)
+    ),
+)
+@_settings
+def test_asof_join_matches_bruteforce(spark_prop, lrows, rrows):
+    left = spark_prop.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)], "lid int, k int, t int"
+    )
+    right = spark_prop.createDataFrame(
+        rrows or [(99, -1, 0)], "k int, t int, payload int"
+    )
+    for direction, pick in (
+        ("backward", lambda k, t: [(rt, p) for rk, rt, p in rrows if rk == k and rt <= t]),
+        ("forward", lambda k, t: [(-rt, p) for rk, rt, p in rrows if rk == k and rt >= t]),
+    ):
+        got = {
+            r["lid"]: (r["payload"], r["t_right"])
+            for r in asof_join(
+                left, right, on=["k"], left_ts="t", right_ts="t",
+                direction=direction,
+            ).collect()
+        }
+        for i, (k, t) in enumerate(lrows):
+            cands = pick(k, t)
+            if not cands:
+                assert got[i] == (None, None), (direction, i, got[i])
+            else:
+                best_t, best_p = max(cands)
+                assert got[i] == (best_p, abs(best_t)), (direction, i, got[i])
 
 
 def test_salted_join_matches_plain_join(spark, sf_dir):
