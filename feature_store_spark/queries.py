@@ -28,6 +28,7 @@ from feature_store_spark.operators.aggregates import (
     mode_deterministic,
     stats_with_outliers,
 )
+from feature_store_spark.operators.joins import band_join
 from feature_store_spark.operators.windows import asof_join, latest_per_key, top_k
 from feature_store_spark.pipelines.features import (
     derive_risk_features,
@@ -543,6 +544,43 @@ def q_j9_asof(spark, sf_dir):
     )
     return asof_join(left, right, on=["user_id"]).withColumnRenamed(
         "ts_right", "last_purchase_ts"
+    )
+
+
+@spec(
+    "j10_band_join",
+    """SELECT l.event_id AS error_event_id, l.user_id,
+              r.event_id AS click_event_id,
+              CAST(epoch(date_trunc('second', l.ts))
+                   - epoch(date_trunc('second', r.ts)) AS BIGINT)
+                AS delta_seconds
+       FROM (SELECT * FROM events WHERE event_type = 'error') l
+       JOIN (SELECT * FROM events WHERE event_type = 'click') r
+         ON l.user_id = r.user_id
+        AND abs(epoch(date_trunc('second', l.ts))
+                - epoch(date_trunc('second', r.ts))) <= 300""",
+    ("ext", "join", "range"),
+)
+def q_j10_band(spark, sf_dir):
+    """Banded interval join (beyond the reference surface): clicks
+    within ±5 minutes of each error event per user, via time-cell
+    bucketing — an equi shuffle join, never a per-key cross product."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"), "user_id", "ts"
+    )
+    return band_join(
+        errors, clicks, on=["user_id"], band_seconds=300
+    ).select(
+        "error_event_id",
+        "user_id",
+        "click_event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_r"))
+        .cast("bigint")
+        .alias("delta_seconds"),
     )
 
 

@@ -163,6 +163,30 @@ def test_asof_join_matches_bruteforce(spark_prop, lrows, rrows):
                 assert got[i] == (best_p, abs(best_t)), (direction, i, got[i])
 
 
+def test_band_join_matches_theta_join(spark, sf_dir):
+    # cell-bucketed equi join must equal the naive theta-join on the
+    # same band predicate (exactly-once pairing, no dedup pass)
+    from feature_store_spark.operators.joins import band_join
+    from feature_store_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("cts")
+    )
+    bucketed = band_join(
+        errors, clicks, on=["user_id"], left_ts="ts", right_ts="cts",
+        band_seconds=600,
+    ).select("eid", "cid")
+    naive = errors.join(clicks, "user_id").filter(
+        F.abs(F.unix_timestamp("ts") - F.unix_timestamp("cts")) <= 600
+    ).select("eid", "cid")
+    assert bucketed.exceptAll(naive).count() == 0
+    assert naive.exceptAll(bucketed).count() == 0
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     """salted_join result == plain join for inner and left, including
     a synthetic heavy-hitter key; salt column never leaks."""
