@@ -197,6 +197,79 @@ def quality_score_oracle_sql(table: str = "documents", id_col: str = "doc_id",
     """
 
 
+def tfidf_topk(df: DataFrame, k: int = 5, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: tf = in-doc token count,
+    idf = ln(N / df) with df = number of docs containing the token —
+    the classic keyword-extraction / relevance primitive for corpus
+    curation.
+
+    Plan: one tokenize pass → (doc, tok) counts [shuffle 1, map-side
+    combined]; document frequencies re-aggregate those counts per
+    token [shuffle 2, token-dictionary-sized]; a co-partitioned join
+    on token attaches idf; N rides in as a broadcast 1-row aggregate
+    (never a driver-side count); the per-doc top-k is a row_number
+    window [shuffle 3 on doc]. Scores are rounded to 6 digits BEFORE
+    the ranking cut with token-ascending tie-break, so the cut is
+    deterministic and engine-independent (float-parity rule).
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    n = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "tok",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("__df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "tok", "tf", "tfidf", "rank")
+    )
+
+
+def tfidf_topk_oracle_sql(table: str = "documents", k: int = 5,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, unnest(regexp_extract_all(lower({text_col}),
+             '{TOKEN_RE}')) AS tok
+      FROM {table}
+    ),
+    tf AS (
+      SELECT {id_col}, tok, count(*) AS tf FROM tok GROUP BY {id_col}, tok
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {table}),
+    scored AS (
+      SELECT {id_col}, tok, tf,
+             round(tf * ln(n.n / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY {id_col}
+                                   ORDER BY tfidf DESC, tok ASC) AS rank
+      FROM scored
+    )
+    SELECT {id_col}, tok, tf, tfidf, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def normalized_text(text: Column) -> Column:
     """Canonical form for exact-dup hashing: lowercase, alnum tokens
     joined by single spaces."""

@@ -29,6 +29,10 @@ from feature_store_spark.operators.aggregates import (
     stats_with_outliers,
 )
 from feature_store_spark.operators.joins import band_join
+from feature_store_spark.operators.sampling import (
+    stratified_sample,
+    stratified_sample_oracle_sql,
+)
 from feature_store_spark.operators.windows import asof_join, latest_per_key, top_k
 from feature_store_spark.pipelines.features import (
     derive_risk_features,
@@ -670,6 +674,30 @@ def q_p8(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # §2.6 Sampling
 # ---------------------------------------------------------------------------
+
+
+STRATA_FRACTIONS = {"BUILDING": 0.2, "AUTOMOBILE": 0.5}
+
+
+@spec(
+    "o6_stratified_sample",
+    stratified_sample_oracle_sql(
+        "customer", "c_mktsegment", STRATA_FRACTIONS, "c_custkey",
+        default_fraction=0.05,
+    ),
+    ("ext", "O3", "sampling"),
+)
+def q_o6(spark, sf_dir):
+    """Deterministic per-stratum sampling (beyond reference): keep 50%
+    of AUTOMOBILE, 20% of BUILDING, 5% of other segments, keyed on the
+    customer id hash — identical row set on any engine or cluster."""
+    return stratified_sample(
+        _t(spark, sf_dir, "customer"),
+        "c_mktsegment",
+        STRATA_FRACTIONS,
+        "c_custkey",
+        default_fraction=0.05,
+    )
 
 
 @spec(

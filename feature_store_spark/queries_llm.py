@@ -48,6 +48,11 @@ def q_fingerprint(spark, sf_dir):
     return T.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+@spec("t_tfidf_topk", T.tfidf_topk_oracle_sql(k=5), ("ext", "text"))
+def q_tfidf_topk(spark, sf_dir):
+    return T.tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
