@@ -13,6 +13,8 @@ pruning applies transparently.
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,14 +38,29 @@ REF_DATE = "2001-08-01"  # anchor for order/lineitem windows (max o_orderdate)
 EVENTS_NOW = "2024-01-31 00:00:00"  # anchor for event-stream windows
 
 
+# Per-session DataFrame cache: spark.read.parquet costs ~60 ms of
+# py4j + DataSource resolution per call, paid by every query that
+# loads a table. DataFrames are immutable logical plans, so handing
+# the same object to many queries is safe; the weak key lets a
+# stopped session's entries die with it.
+_TABLES: WeakKeyDictionary = WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — surfaced as long nanos
-        # under spark.sql.legacy.parquet.nanosAsLong; truncate to
-        # microseconds exactly like DuckDB's ns→us read-time cast.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    cache = _TABLES.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key not in cache:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            # events.ts is parquet TIMESTAMP(NANOS) — surfaced as long
+            # nanos under spark.sql.legacy.parquet.nanosAsLong;
+            # truncate to microseconds exactly like DuckDB's ns→us
+            # read-time cast.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        cache[key] = df
+    return cache[key]
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
