@@ -463,6 +463,58 @@ def q_a14(spark, sf_dir):
 
 
 @spec(
+    "a15_cube_counts",
+    """SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+              count(*) AS n_customers,
+              CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                AS balance_cents
+       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY CUBE(n.n_name, c.c_mktsegment)""",
+    ("A14", "cube"),
+)
+def q_a15(spark, sf_dir):
+    """All marginal totals via CUBE (adds the segment-only margins
+    ROLLUP lacks) — same single-pass grouping-sets expansion."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("__cents"),
+        )
+        .cube("nation", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("__cents").cast("bigint").alias("balance_cents"),
+        )
+    )
+
+
+@spec(
+    "w6_ntile_buckets",
+    """SELECT c_custkey, c_mktsegment AS segment, c_acctbal,
+              ntile(10) OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal, c_custkey) AS decile
+       FROM customer""",
+    ("W2", "ntile"),
+)
+def q_w6(spark, sf_dir):
+    """Per-segment decile bucketing (feature discretization / quantile
+    binning). Partitioned NTILE — one shuffle on the segment, never a
+    global single-partition sort; the (value, id) ordering makes bucket
+    boundaries deterministic across engines."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+@spec(
     "w3_lag_lead_gaps",
     """SELECT user_id, event_id, ts,
               lag(event_id) OVER w AS prev_event_id,
