@@ -328,3 +328,71 @@ def ivf_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids (class prototypes / IVF seeding)
+# ---------------------------------------------------------------------------
+
+CENTROID_SCALE = 1_000_000
+
+
+def label_centroids(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Element-wise mean embedding per label — class prototypes for
+    nearest-centroid classification, IVF cell seeding, or drift checks.
+
+    Components are quantized to 1e-6 units (bigint) before summing, so
+    the aggregate is an exact integer sum independent of partitioned
+    summation order — the array-valued analogue of the integer-cents
+    rule; the mean divides identical operands in any engine. Plan:
+    posexplode to (label, pos, component) rows [one map-side-combined
+    shuffle on (label, pos)], then one tiny re-aggregate per label
+    collecting the means back into position order (struct-sorted
+    collect_list — label cardinality × dim rows, trivially small).
+    """
+    iv = F.round(F.col("__c").cast("double") * CENTROID_SCALE).cast("bigint")
+    per_pos = (
+        df.select(
+            F.col(label_col),
+            F.posexplode(F.col(vec_col)).alias("__pos", "__c"),
+        )
+        .groupBy(label_col, "__pos")
+        .agg(
+            F.sum(iv).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    mean = (F.col("__s") / CENTROID_SCALE / F.col("__n")).alias("__m")
+    return (
+        per_pos.select(label_col, "__pos", mean, "__n")
+        .groupBy(label_col)
+        .agg(
+            F.max("__n").cast("bigint").alias("n_vectors"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(__pos, __m))),"
+                " x -> x.__m)"
+            ).alias("centroid"),
+        )
+    )
+
+
+def label_centroids_oracle_sql(table: str = "embeddings",
+                               label_col: str = "label",
+                               vec_col: str = "embedding") -> str:
+    return f"""
+    WITH comp AS (
+      SELECT {label_col}, pos,
+             CAST(round(CAST({vec_col}[pos] AS DOUBLE) * {CENTROID_SCALE})
+                  AS BIGINT) AS iv
+      FROM {table},
+           unnest(range(1, len({vec_col}) + 1)) AS u(pos)
+    ),
+    per_pos AS (
+      SELECT {label_col}, pos, sum(iv) AS s, count(*) AS n
+      FROM comp GROUP BY {label_col}, pos
+    )
+    SELECT {label_col}, CAST(max(n) AS BIGINT) AS n_vectors,
+           list(s / {CENTROID_SCALE} / n ORDER BY pos) AS centroid
+    FROM per_pos GROUP BY {label_col}
+    """

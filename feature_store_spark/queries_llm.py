@@ -155,6 +155,15 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+@spec(
+    "emb_label_centroids",
+    S.label_centroids_oracle_sql(),
+    ("ext", "embedding"),
+)
+def q_label_centroids(spark, sf_dir):
+    return S.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas path; deterministic stub decoder)
 # ---------------------------------------------------------------------------

@@ -546,6 +546,51 @@ def q_w3(spark, sf_dir):
 
 
 @spec(
+    "w7_rolling_spend",
+    f"""SELECT o_custkey AS user_id, o_orderkey,
+              CAST(o_orderdate AS DATE) AS order_date,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                PARTITION BY o_custkey
+                ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+              ) AS BIGINT) AS spend_7d_cents,
+              CAST(count(*) OVER (
+                PARTITION BY o_custkey
+                ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+              ) AS BIGINT) AS orders_7d
+       FROM orders
+       WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 365""",
+    ("W3", "frame"),
+)
+def q_w7(spark, sf_dir):
+    """Rolling 7-day spend per user via a RANGE frame over epoch-days
+    (value-based frame, not row-based: all orders of the same day are
+    peers). Integer-cents sums keep the running aggregate exact and
+    engine-independent. One shuffle on user_id; the trailing-365d scan
+    filter reaches parquet."""
+    ref = F.to_date(F.lit(REF_DATE))
+    day = F.unix_date(F.to_date("o_orderdate"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") >= F.date_sub(ref, 365))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            F.sum(cents).over(w).cast("bigint").alias("spend_7d_cents"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("orders_7d"),
+        )
+    )
+
+
+@spec(
     "u4_except_keys",
     f"""SELECT o_custkey AS user_id FROM orders
          WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 90
