@@ -90,3 +90,49 @@ def test_ngram_jaccard_two_scans(spark, sf_dir):
     (one per join side), not three (a separate sizes aggregate)."""
     plan = _plan(spark, sf_dir, "d_ngram_jaccard_pairs")
     assert plan.count("FileScan") <= 2
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """The SCALE.md co-location claim, executed: two tables written
+    bucketBy the join key produce a sort-merge join with NO Exchange
+    on either side — the 100 TB co-located-join layout."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force SMJ so the assertion tests bucket layout, not broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (
+            orders.write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .option("path", str(tmp_path / "o"))
+            .mode("overwrite")
+            .saveAsTable("b_orders")
+        )
+        (
+            customer.write.bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .option("path", str(tmp_path / "c"))
+            .mode("overwrite")
+            .saveAsTable("b_customer")
+        )
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
