@@ -231,3 +231,26 @@ def q_mllib_minhash(spark, sf_dir):
     return D.mllib_minhash_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.5
     )
+
+
+@spec("ml_risk_scores", None, ("ext", "mllib", "pipeline"))
+def q_ml_risk_scores(spark, sf_dir):
+    """Train the MLlib risk pipeline on the fused serving frame and
+    score every user (rows-only: an iterative optimizer has no SQL
+    oracle; behavior is pinned by tests/test_ml_pipeline.py)."""
+    from feature_store_spark.ml import (
+        risk_model_pipeline,
+        risk_training_frame,
+        score_risk,
+    )
+    from feature_store_spark.pipelines.features import serving_features
+
+    serving = serving_features(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "events"),
+    )
+    frame = risk_training_frame(serving).cache()
+    model = risk_model_pipeline().fit(frame)
+    return score_risk(model, frame)

@@ -1,0 +1,64 @@
+"""MLlib risk-model pipeline: determinism, sanity of the learned
+signal, and scoring-path shape (no Python UDFs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feature_store_spark.ml import (
+    risk_model_pipeline,
+    risk_training_frame,
+    score_risk,
+)
+from feature_store_spark.pipelines.features import serving_features
+from feature_store_spark.tables import load_table
+
+
+def _frame(spark, sf_dir):
+    serving = serving_features(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "events"),
+    )
+    return risk_training_frame(serving).cache()
+
+
+def test_risk_model_learns_the_label_signal(spark, sf_dir):
+    frame = _frame(spark, sf_dir)
+    model = risk_model_pipeline().fit(frame)
+    scored = score_risk(model, frame)
+    assert scored.columns == ["user_id", "risk_probability", "risk_flag"]
+    assert scored.count() == frame.count()
+    # the label is derivable from three of the input features, so the
+    # fitted model must separate the classes almost perfectly
+    acc_row = (
+        scored.join(frame.select("user_id", "label"), "user_id")
+        .agg(
+            F.avg(
+                (F.col("risk_flag") == F.col("label").cast("int")).cast(
+                    "double"
+                )
+            ).alias("acc")
+        )
+        .first()
+    )
+    assert acc_row["acc"] >= 0.95, acc_row["acc"]
+
+
+def test_risk_model_training_is_repeatable(spark, sf_dir):
+    frame = _frame(spark, sf_dir)
+    m1 = risk_model_pipeline().fit(frame)
+    m2 = risk_model_pipeline().fit(frame)
+    s1 = score_risk(m1, frame)
+    s2 = score_risk(m2, frame)
+    assert s1.exceptAll(s2).count() == 0
+    assert s2.exceptAll(s1).count() == 0
+
+
+def test_scoring_plan_has_no_python_udf(spark, sf_dir):
+    frame = _frame(spark, sf_dir)
+    model = risk_model_pipeline().fit(frame)
+    plan = score_risk(model, frame)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
