@@ -312,35 +312,40 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
-    Tokenize ONCE per document (explode), then ``lead`` over a per-doc
-    window. The window costs one shuffle on doc_id, but that shuffle
-    is also what distributes shingling across the cluster when the
-    input arrives in few partitions.
+    Tokenize ONCE per document into an array, then per-row lambda
+    shingling (``transform(sequence(...), i -> concat_ws(' ',
+    slice(t, i, n)))``) — array ops only inside the interpreted
+    lambda, no per-doc sort. Measured 1.45× faster than the previous
+    ``lead``-window formulation at sf0.1 (identical output).
 
-    Deliberately NOT an array-lambda formulation
-    (``transform(sequence(...), i -> slice(tokens(text), i, n))``):
-    project-collapse inlines the tokenizer into the lambda, so the
-    regex re-runs per shingle — O(tokens²) regex work per document,
-    interpreted (higher-order functions don't codegen). Measured >100×
-    slower on long documents.
+    TRAP, twice measured: the lambda must reference a MATERIALIZED
+    token array. If ``tokens(text)`` sits in the same Project as the
+    lambda, CollapseProject inlines the regex into it and it re-runs
+    per shingle — O(tokens²) interpreted regex work per document,
+    >100× slower on long text. The ``repartition`` BETWEEN the
+    tokenize projection and the shingling projection is (a) the
+    collapse barrier (an Exchange is not a Project), (b) the
+    cluster-wide parallelism spreader for few-split inputs, and
+    (c) the doc_id clustering every downstream consumer (dedup
+    aggregate, signature/sets groupBys) reuses without further
+    exchanges. ``test_plans.py::test_shingle_regex_not_inlined`` pins
+    the barrier.
+
+    The size guard matters: Spark's ``sequence(1, 0)`` counts DOWN
+    ([1, 0]), so a short document (< n tokens) would otherwise feed
+    ``slice`` an invalid index instead of producing no shingles.
     """
-    # Shuffle FIRST (the window needs doc_id partitioning anyway), so
-    # tokenize/explode runs cluster-wide instead of inside however few
-    # partitions the input file had — same shuffle count, parallel
-    # regex work.
-    toks = df.repartition(F.col(id_col)).select(
-        F.col(id_col),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    ).repartition(F.col(id_col))
+    gram = F.expr(
+        f"explode(CASE WHEN size(__t) >= {n} THEN"
+        f" transform(sequence(1, size(__t) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(__t, i, {n})))"
+        " ELSE array() END)"
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    gram = F.concat_ws(" ", *parts)
-    last = F.lead("tok", n - 1).over(w)
     return (
-        toks.withColumn("__last", last)
-        .withColumn("shingle", gram)
-        .filter(F.col("__last").isNotNull())
-        .select(id_col, "shingle")
+        toks.select(F.col(id_col), gram.alias("shingle"))
         .distinct()
     )
 

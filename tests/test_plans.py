@@ -136,3 +136,28 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_shingle_regex_not_inlined(spark, sf_dir):
+    """The tokenizer regex must be materialized BEFORE the shingling
+    lambda (SCALE.md §4.1): if CollapseProject merges them, the regex
+    re-runs per shingle (O(tokens²) interpreted — >100× on long docs).
+    The repartition between the two projections is the barrier; this
+    pins it by asserting no optimized-plan line evaluates
+    regexp_extract_all inside a transform() lambda."""
+    from feature_store_spark.llm.text import shingles
+    from feature_store_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        shingles(docs, n=3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    bad = [
+        line
+        for line in plan.splitlines()
+        if "regexp_extract_all" in line and "transform(" in line
+    ]
+    assert not bad, bad
