@@ -84,16 +84,13 @@ def run_daily_pipeline(
             store_tf.drop("updated_at"), "user_id", "left"
         ).join(store_rf.drop("updated_at"), "user_id", "left")
     )
-    export_warehouse(
+    counts["warehouse_rows"] = export_warehouse(
         serving,
         f"{out_dir}/warehouse/serving_features",
         date_col="updated_at",
         cluster_col="user_id",
         ref_date=ref_date,
     )
-    counts["warehouse_rows"] = spark.read.parquet(
-        f"{out_dir}/warehouse/serving_features"
-    ).count()
     status = (
         "SUCCESS"
         if all(v > 0 for v in counts.values())

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from feature_store_spark.operators.windows import latest_per_key
@@ -49,10 +49,14 @@ def upsert_parquet(
         merged = latest_per_key(updates, list(key_cols), order_col)
     tmp = path.rstrip("/") + "__tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    out = spark.read.parquet(tmp)
-    n = out.count()
+    # the merged count rides the final write as an observed metric —
+    # no separate counting pass over the store
+    obs = Observation()
+    out = spark.read.parquet(tmp).observe(
+        obs, F.count(F.lit(1)).alias("rows")
+    )
     out.write.mode("overwrite").parquet(path)
-    return n
+    return int(obs.get["rows"])
 
 
 def export_warehouse(
@@ -62,13 +66,15 @@ def export_warehouse(
     cluster_col: str = "user_id",
     retention_days: int | None = 730,
     ref_date: str | None = None,
-) -> None:
+) -> int:
     """Warehouse export mirroring the reference's BigQuery layout
     (`sql/bigquery_schema.sql:18-26`): partitioned by the date of
     ``date_col``, clustered by ``cluster_col`` (repartition +
     sortWithinPartitions — co-locates keys for point lookups and merge
     joins),
     with a retention filter standing in for partition expiration.
+    Returns the exported row count, observed during the write — never
+    a second pass over the warehouse.
 
     Partition pruning on read is free: any query filtering
     ``partition_date`` skips files entirely.
@@ -79,13 +85,16 @@ def export_warehouse(
             F.col("partition_date")
             >= F.date_sub(F.to_date(F.lit(ref_date)), retention_days)
         )
+    obs = Observation()
     (
-        out.repartition(F.col(cluster_col))
+        out.observe(obs, F.count(F.lit(1)).alias("rows"))
+        .repartition(F.col(cluster_col))
         .sortWithinPartitions(cluster_col)
         .write.mode("overwrite")
         .partitionBy("partition_date")
         .parquet(path)
     )
+    return int(obs.get["rows"])
 
 
 def generate_synthetic_users(
