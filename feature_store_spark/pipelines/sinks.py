@@ -90,7 +90,12 @@ def export_warehouse(
         out.observe(obs, F.count(F.lit(1)).alias("rows"))
         .repartition(F.col(cluster_col))
         .sortWithinPartitions(cluster_col)
+        # dynamic: only partitions present in this run are replaced —
+        # earlier snapshot partitions survive (the warehouse is the
+        # feature HISTORY the PIT training-set builder reads), and a
+        # daily run never rewrites 730 days of retained partitions
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("partition_date")
         .parquet(path)
     )

@@ -80,3 +80,57 @@ def test_migration_validation_pass_and_fail(spark, sf_dir):
     assert bad["status"] == "FAILED"
     assert bad["duplicate_keys"] == 10
     assert bad["missing_in_target"] > 0
+
+
+def test_point_in_time_training_set(spark, sf_dir, tmp_path):
+    """Two daily runs produce two warehouse snapshots; an observation
+    between them must be joined to the EARLIER snapshot only (no
+    target leakage), one after sees the later, one before sees none."""
+    from feature_store_spark.serving.training import (
+        build_training_set,
+        snapshot_coverage,
+    )
+
+    out = str(tmp_path / "store")
+    r1 = run_daily_pipeline(spark, sf_dir, out, ref_date="2001-08-01")
+    r2 = run_daily_pipeline(spark, sf_dir, out, ref_date="2001-08-15")
+    assert r1.status == r2.status == "SUCCESS"
+    warehouse = spark.read.parquet(f"{out}/warehouse/serving_features")
+    assert {
+        r["partition_date"].isoformat()
+        for r in warehouse.select("partition_date").distinct().collect()
+    } == {"2001-08-01", "2001-08-15"}
+
+    uid = warehouse.select(F.min("user_id").alias("u")).first()["u"]
+    obs = spark.createDataFrame(
+        [
+            (uid, "2001-07-20", 0.0),  # predates all snapshots
+            (uid, "2001-08-10", 1.0),  # between the two
+            (uid, "2001-08-20", 0.0),  # after both
+        ],
+        "user_id bigint, obs_date string, label double",
+    ).select("user_id", F.to_date("obs_date").alias("obs_date"), "label")
+
+    ts = build_training_set(obs, warehouse)
+    got = {
+        r["obs_date"].isoformat(): (
+            r["feature_snapshot_date"].isoformat()
+            if r["feature_snapshot_date"]
+            else None,
+            r["total_orders"],
+        )
+        for r in ts.collect()
+    }
+    assert got["2001-07-20"][0] is None
+    assert got["2001-07-20"][1] is None  # no future features leaked
+    assert got["2001-08-10"][0] == "2001-08-01"
+    assert got["2001-08-20"][0] == "2001-08-15"
+    assert got["2001-08-10"][1] is not None
+
+    cov = {
+        (r["feature_snapshot_date"].isoformat() if r["feature_snapshot_date"] else None): r[
+            "n_observations"
+        ]
+        for r in snapshot_coverage(ts).collect()
+    }
+    assert cov == {None: 1, "2001-08-01": 1, "2001-08-15": 1}
