@@ -81,15 +81,34 @@ def risk_model_pipeline() -> Pipeline:
 
 def score_risk(model: PipelineModel, frame: DataFrame) -> DataFrame:
     """Score a (possibly unlabeled) feature frame: (user_id,
-    risk_probability, risk_flag). The probability vector's class-1
-    slot is extracted JVM-side (vector_to_array) — no Python UDF."""
-    from pyspark.ml.functions import vector_to_array
+    risk_probability, risk_flag).
 
-    scored = model.transform(frame)
-    return scored.select(
+    Scoring folds the fitted model INTO the plan as literal
+    constants: effective weight ``coef_i / std_i`` per feature (the
+    StandardScaler is withMean=False, so scaling is a per-column
+    divide; std==0 columns scale to 0 exactly like
+    ``StandardScalerModel``), then a sigmoid over the linear term —
+    all whole-stage-codegen column math. Compared to
+    ``model.transform`` this avoids the assemble→scale→predict ScalaUDF
+    chain entirely: no per-row vector objects, and no model closure in
+    the task binary (``LogisticRegressionModel.trainingSummary`` pins a
+    SparkSession, whose ``observationManager`` is not serializable in
+    Spark 4.1 once any ``Observation`` has been used on the session).
+    """
+    scaler = model.stages[1]
+    lr = model.stages[2]
+    coef = lr.coefficients.toArray()
+    std = scaler.std.toArray()
+    weights = [
+        (c / s if s != 0.0 else 0.0) for c, s in zip(coef, std)
+    ]
+    z = F.lit(float(lr.intercept))
+    for col, w in zip(FEATURE_COLS, weights):
+        z = z + F.col(col).cast("double") * F.lit(float(w))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    threshold = lr.getThreshold()
+    return frame.select(
         "user_id",
-        F.round(
-            vector_to_array(F.col("probability")).getItem(1), 6
-        ).alias("risk_probability"),
-        F.col("prediction").cast("int").alias("risk_flag"),
+        F.round(prob, 6).alias("risk_probability"),
+        (prob > F.lit(float(threshold))).cast("int").alias("risk_flag"),
     )
