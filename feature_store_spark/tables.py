@@ -17,6 +17,7 @@ from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLE_NAMES = [
     "region",
@@ -51,11 +52,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (sf_dir, name)
     if key not in cache:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if name == "events":
-            # events.ts is parquet TIMESTAMP(NANOS) — surfaced as long
-            # nanos under spark.sql.legacy.parquet.nanosAsLong;
-            # truncate to microseconds exactly like DuckDB's ns→us
-            # read-time cast.
+        if name == "events" and isinstance(
+            df.schema["ts"].dataType, LongType
+        ):
+            # the fixture events.ts is parquet TIMESTAMP(NANOS) —
+            # surfaced as long nanos under
+            # spark.sql.legacy.parquet.nanosAsLong; truncate to
+            # microseconds exactly like DuckDB's ns→us read-time cast.
+            # (A µs-typed events file — e.g., rewritten by another
+            # engine — loads as a plain timestamp and is left alone.)
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
