@@ -39,16 +39,24 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-EVENT_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _event_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+# µs-typed fixtures read ts natively; nanos-typed fixtures surface ts
+# as long under spark.sql.legacy.parquet.nanosAsLong (see
+# tables.load_table for the batch-side twin of this guard).
+EVENT_SCHEMA = _event_schema(TimestampType())
+EVENT_SCHEMA_NANOS = _event_schema(LongType())
 
 KNOWN_EVENT_TYPES = ("signup", "click", "purchase", "error", "view")
 
@@ -64,11 +72,20 @@ ROUTES = {
 
 
 def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-based event stream with the fixture schema; ts arrives as
-    parquet TIMESTAMP(NANOS) (long under nanosAsLong) and is truncated
-    to microseconds exactly like tables.load_table."""
-    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """File-based event stream with the fixture schema. Streaming
+    sources need the schema up front, so sniff the physical ts type
+    with a zero-row batch read: plain TIMESTAMP fixtures stream
+    as-is; TIMESTAMP(NANOS) fixtures (long under nanosAsLong) are
+    truncated to microseconds exactly like tables.load_table."""
+    ts_is_long = isinstance(
+        spark.read.parquet(events_dir).schema["ts"].dataType, LongType
+    )
+    if ts_is_long:
+        raw = spark.readStream.schema(EVENT_SCHEMA_NANOS).parquet(events_dir)
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
 
 
 def dispatch_events(events: DataFrame) -> DataFrame:
