@@ -784,3 +784,62 @@ def q_w4_topk_per_group(spark, sf_dir):
         k=3,
         rank_col="rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# A16 — mergeable HLL sketch rollup (beyond reference)
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "a16_hll_sketch_rollup",
+    """SELECT date_trunc('week', CAST(ts AS DATE)) AS week,
+              CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                AS n_daily_partials,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+              abs(approx_count_distinct(user_id)
+                  - count(DISTINCT user_id)) * 1.0
+                / count(DISTINCT user_id) < 0.05 AS est_within_5pct
+       FROM events
+       GROUP BY 1""",
+    ("A11", "A16", "ext"),
+)
+def q_a16_hll_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup: daily HLL partials over the event
+    stream, union-merged into weekly distinct-user estimates without
+    rescanning raw events (extends reference
+    `docs/PERFORMANCE.md:552-559` APPROX_COUNT_DISTINCT to the
+    pre-aggregated form BigQuery gets from HLL_COUNT.INIT/MERGE).
+
+    This is the 100 TB pattern for distinct counts: store one
+    fixed-size sketch per (day, key) at ingest — reducing each raw
+    partition once — then answer any coarser rollup (week / month /
+    all-time) by merging sketches, a shuffle of kilobyte payloads
+    instead of a rescan of terabytes. countDistinct on raw data is
+    the verification control only; the hash-compared contract is the
+    tolerance band (each engine's estimate within 5% of its own
+    exact), as in a11, because sketch internals differ across
+    engines.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    week = F.to_date(F.date_trunc("week", F.col("day"))).alias("week")
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly = daily.groupBy(week).agg(
+        F.count(F.lit(1)).alias("n_daily_partials"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.groupBy(week).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return weekly.join(exact, "week").select(
+        "week",
+        "n_daily_partials",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            / F.col("exact_users")
+            < 0.05
+        ).alias("est_within_5pct"),
+    )

@@ -161,3 +161,73 @@ def test_shingle_regex_not_inlined(spark, sf_dir):
         if "regexp_extract_all" in line and "transform(" in line
     ]
     assert not bad, bad
+
+
+def test_hll_merge_is_lossless(spark, sf_dir):
+    """Mergeability property behind a16: union-merging per-day HLL
+    partials yields EXACTLY the estimate of one sketch built over the
+    raw rows — the guarantee that lets a 100 TB rollup store daily
+    sketches and never rescan raw data."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    merged = (
+        ev.groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
+        .collect()[0]["est"]
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).collect()[0]["est"]
+    assert merged == direct
+
+
+def test_warehouse_join_uses_dynamic_partition_pruning(
+    spark, sf_dir, tmp_path
+):
+    """Joining the date-partitioned warehouse against a filtered dim
+    must inject a DynamicPruningExpression into the scan's partition
+    filters — at 100 TB this is the difference between reading one
+    day's files and reading every partition.
+
+    The dim filter must be a comparison predicate: the
+    PartitionPruning rule only fires for build sides whose filter is
+    "likely selective" (EqualTo/In/etc.), and a bare boolean
+    attribute does not qualify."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.pipelines.sinks import export_warehouse
+    from feature_store_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-03-01")
+    )
+    export_warehouse(
+        orders,
+        str(tmp_path / "wh"),
+        date_col="o_orderdate",
+        cluster_col="o_custkey",
+        retention_days=None,
+    )
+    fact = spark.read.parquet(str(tmp_path / "wh"))
+    some_day = fact.select(F.min("partition_date")).collect()[0][0]
+    dim = spark.createDataFrame(
+        [
+            (some_day + datetime.timedelta(days=i), "hot" if i == 0 else "cold")
+            for i in range(10)
+        ],
+        "partition_date date, temp string",
+    )
+    j = fact.join(dim.filter(F.col("temp") == "hot"), "partition_date")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
+    assert j.count() > 0
