@@ -843,3 +843,66 @@ def q_a16_hll_rollup(spark, sf_dir):
             < 0.05
         ).alias("est_within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A17 — explicit GROUPING SETS; U5 — INTERSECT (complete the §2.4/§2.7
+# "available in Spark" families alongside rollup/cube and EXCEPT)
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "a17_grouping_sets",
+    """SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+              count(*) AS n_customers,
+              CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                AS balance_cents
+       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment))""",
+    ("A14", "grouping-sets"),
+)
+def q_a17_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS: just the two one-dimensional margins —
+    a set CUBE computes but ROLLUP can't express, and CUBE would pad
+    with the (nation, segment) cross that isn't wanted here. Same
+    single-pass expand+partial-aggregate physical shape as a14/a15:
+    one shuffle regardless of how many sets are declared."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("__cents"),
+        )
+        .groupingSets([["nation"], ["segment"]], "nation", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("__cents").cast("bigint").alias("balance_cents"),
+        )
+    )
+
+
+@spec(
+    "u5_intersect_keys",
+    """SELECT o_custkey AS user_id
+       FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+       INTERSECT
+       SELECT o_custkey AS user_id
+       FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1995-01-01'""",
+    ("U4", "U5"),
+)
+def q_u5_intersect(spark, sf_dir):
+    """Key-set intersection (SURVEY §2.7: INTERSECT available):
+    customers active both before and since 1995 — retention cohort.
+    Distinct semantics on both engines; planned as a left-semi join
+    over pre-deduplicated sides, one shuffle per side."""
+    o = _t(spark, sf_dir, "orders")
+    since = o.filter(F.to_date("o_orderdate") >= F.lit("1995-01-01")).select(
+        F.col("o_custkey").alias("user_id")
+    )
+    before = o.filter(F.to_date("o_orderdate") < F.lit("1995-01-01")).select(
+        F.col("o_custkey").alias("user_id")
+    )
+    return since.intersect(before)

@@ -231,3 +231,40 @@ def test_warehouse_join_uses_dynamic_partition_pruning(
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower()
     assert j.count() > 0
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
+    """Runtime row-level filtering for non-partition join keys: a
+    selective dim filter must inject a bloom-filter `might_contain`
+    probe into the fact scan before the shuffle. At 100 TB this fires
+    with stock thresholds (fact side >10 GB); fixtures are below the
+    application-side threshold, so the test lowers it to pin the
+    mechanism, and forces a shuffle join since broadcast joins don't
+    need the filter."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.tables import load_table
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
