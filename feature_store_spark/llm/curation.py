@@ -1,0 +1,150 @@
+"""End-to-end corpus curation: the composite training-data pipeline
+the individual `llm/` operators exist for, in the order a production
+corpus build runs them — cheap gates first, expensive dedup last, on
+the smallest surviving set.
+
+    language gate  →  quality gate  →  near-dup canonical cut
+                   →  per-language document/token budget
+
+Mirrors the curation recipes of public LLM-data pipelines (C4,
+Gopher/MassiveText, RefinedWeb): heuristic language ID, quality
+heuristics, then near-duplicate removal, reported as corpus-level
+budget numbers. Extends the reference's data-quality surface
+(`src/pipelines/data_quality.py:120-324` — per-table completeness /
+anomaly gates) to document corpora.
+
+Scale shape: the two gates are narrow projections (no shuffle, full
+pushdown); SimHash clustering — the only iterative/shuffling stage —
+sees only gated survivors. All stages are JVM column expressions;
+the final budget is one partial-aggregated shuffle on
+(language, canonical doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feature_store_spark.llm.dedup import (
+    near_dup_clusters,
+    simhash_near_dup_oracle_sql,
+)
+from feature_store_spark.llm.text import (
+    language_id,
+    language_id_oracle_sql,
+    quality_score,
+    quality_score_oracle_sql,
+    text_stats,
+    text_stats_oracle_sql,
+)
+
+
+def curate_corpus(
+    df: DataFrame,
+    quality_min: float = 0.8,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Run the full curation pipeline and report the per-language
+    training budget: canonical (near-dup-free) document count, count
+    of near-duplicates removed, and total token budget.
+
+    Canonical cut: within each SimHash near-dup cluster the smallest
+    ``doc_id`` survives (``doc_id == cluster_id``) — deterministic,
+    engine-independent.
+    """
+    lang = language_id(df, id_col, text_col).select(
+        id_col, "predicted_lang"
+    )
+    qual = quality_score(df, id_col, text_col).select(
+        id_col, "quality_score"
+    )
+    kept = (
+        df.select(id_col, text_col)
+        .join(qual.filter(F.col("quality_score") >= quality_min), id_col)
+        .join(lang.filter(F.col("predicted_lang") != "und"), id_col)
+        .select(id_col, text_col, "predicted_lang")
+    )
+    clusters = near_dup_clusters(
+        kept.select(id_col, text_col),
+        max_hamming=max_hamming,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    stats = text_stats(df, id_col, text_col).select(id_col, "n_tokens")
+    return (
+        kept.join(clusters, id_col)
+        .join(stats, id_col)
+        .groupBy(F.col("predicted_lang").alias("lang"))
+        .agg(
+            F.count(F.when(F.col(id_col) == F.col("cluster_id"), 1)).alias(
+                "kept_docs"
+            ),
+            F.count(F.when(F.col(id_col) != F.col("cluster_id"), 1)).alias(
+                "near_dups_removed"
+            ),
+            F.sum(
+                F.when(
+                    F.col(id_col) == F.col("cluster_id"), F.col("n_tokens")
+                )
+            )
+            .cast("bigint")
+            .alias("total_tokens"),
+        )
+    )
+
+
+def curate_corpus_oracle_sql(
+    table: str = "documents",
+    quality_min: float = 0.8,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Same pipeline as one recursive-CTE composition of the component
+    oracles, with the SimHash pair + reachability stages instantiated
+    over the gated ``kept`` set exactly like the Spark plan."""
+    quality = quality_score_oracle_sql(table, id_col, text_col)
+    lang = language_id_oracle_sql(table, id_col, text_col)
+    stats = text_stats_oracle_sql(table, id_col, text_col)
+    pairs = simhash_near_dup_oracle_sql(
+        "kept", max_hamming, id_col, text_col
+    )
+    return f"""
+    WITH RECURSIVE q AS ({quality}),
+    l AS ({lang}),
+    kept AS (
+      SELECT d.{id_col}, d.{text_col}, l.predicted_lang
+      FROM {table} d
+      JOIN q ON d.{id_col} = q.{id_col}
+      JOIN l ON d.{id_col} = l.{id_col}
+      WHERE q.quality_score >= {quality_min}
+        AND l.predicted_lang <> 'und'
+    ),
+    pairs AS ({pairs}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT {id_col}, {id_col} FROM kept
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    clusters AS (
+      SELECT a AS {id_col}, min(b) AS cluster_id FROM reach GROUP BY a
+    ),
+    st AS ({stats})
+    SELECT k.predicted_lang AS lang,
+           count(*) FILTER (WHERE k.{id_col} = c.cluster_id) AS kept_docs,
+           count(*) FILTER (WHERE k.{id_col} <> c.cluster_id)
+             AS near_dups_removed,
+           CAST(sum(s.n_tokens) FILTER (WHERE k.{id_col} = c.cluster_id)
+                AS BIGINT) AS total_tokens
+    FROM kept k
+    JOIN clusters c ON k.{id_col} = c.{id_col}
+    JOIN st s ON k.{id_col} = s.{id_col}
+    GROUP BY 1
+    """

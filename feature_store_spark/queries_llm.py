@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from feature_store_spark.llm import curation as C
 from feature_store_spark.llm import dedup as D
 from feature_store_spark.llm import multimodal as M
 from feature_store_spark.llm import similarity as S
@@ -117,6 +118,18 @@ def q_embedding_near_dup(spark, sf_dir):
     return D.embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.4
     )
+
+
+@spec(
+    "d_corpus_curation",
+    C.curate_corpus_oracle_sql(),
+    ("ext", "dedup", "text", "iterative"),
+)
+def q_corpus_curation(spark, sf_dir):
+    """Composite curation pipeline (see `llm/curation.py`): language
+    gate → quality gate → SimHash near-dup canonical cut → per-language
+    document/token budget."""
+    return C.curate_corpus(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
