@@ -577,6 +577,10 @@ def near_dup_clusters(
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # Carry a per-row `changed` flag out of the propagation join so
+        # convergence detection is a scan of the checkpointed result —
+        # a second labels⋈labels join per round measurably dominated
+        # the loop at fixture scale.
         new_labels = (
             labels.join(prop, labels["node"] == prop["dst"], "left")
             .select(
@@ -584,17 +588,15 @@ def near_dup_clusters(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                (
+                    F.coalesce("nbr_label", F.col("label"))
+                    < F.col("label")
+                ).alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("node", "label")
+        if new_labels.filter("changed").isEmpty():
             break
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
