@@ -37,6 +37,7 @@ HEADLINE = [
     "o3_deterministic_sample",
     "st5_velocity_features",
     "st7_session_features",
+    "a16_hll_sketch_rollup",
     "t_text_stats",
     "d_minhash_lsh_pairs",
     "d_simhash_near_dup",

@@ -23,23 +23,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
-def synthetic_docs(spark, n_docs: int):
+def synthetic_docs(
+    spark,
+    n_docs: int,
+    with_stopwords: bool = False,
+    dup_exact: bool = False,
+):
+    # with_stopwords: prefix each doc with English-only function words
+    # so the curation pipeline's language/quality gates pass (the words
+    # are unique to the `en` list — scores 5/0/0/0).
+    # dup_exact: plant verbatim copies (SimHash distance 0) instead of
+    # J≈0.95 one-word-appended neighbors — the curation collapse
+    # assertion must not depend on the hamming-threshold recall curve.
+    prefix = "'the of and to that ' || " if with_stopwords else ""
     words = (
-        "concat_ws(' ', transform(sequence(1, 55 + cast({d} % 10 as int)),"
+        f"{prefix}concat_ws(' ', transform(sequence(1, 55 + cast({{d}} % 10 as int)),"
         " i -> substring(md5(cast({d} as string) || '-' || i), 1, 6)))"
     )
     base = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.expr(words.format(d="id")).alias("text"),
     )
-    # every 10th doc: neighbor's text + one extra word → high-Jaccard pair
+    # every 10th doc: neighbor's text (+ one extra word unless exact)
+    dup_text = F.expr(words.format(d="(doc_id - 1)"))
+    if not dup_exact:
+        dup_text = F.concat(dup_text, F.lit(" zzextra"))
     return base.withColumn(
         "text",
         F.when(
-            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") > 0),
-            F.concat(
-                F.expr(words.format(d="(doc_id - 1)")), F.lit(" zzextra")
-            ),
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") > 0), dup_text
         ).otherwise(F.col("text")),
     )
 
@@ -78,6 +90,35 @@ def main() -> int:
     # planted pairs sit at J≈0.95; the r=3,b=4 S-curve misses ~(1-J³)⁴
     # of them, so demand ≥99% recall rather than exhaustiveness
     assert recall >= 0.99, (n_pairs, planted)
+
+    # Composite curation pipeline on the stopworded corpus variant:
+    # the gates must keep all docs and the canonical cut must collapse
+    # (almost) every planted near-dup.
+    from feature_store_spark.llm.curation import curate_corpus
+
+    en_docs = synthetic_docs(
+        spark, n_docs, with_stopwords=True, dup_exact=True
+    )
+    en_docs = en_docs.localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    rows = curate_corpus(en_docs).collect()
+    t_cur = time.perf_counter() - t0
+    budget = {r["lang"]: r for r in rows}
+    en = budget["en"]
+    print(
+        f"curation={t_cur:.1f}s kept={en['kept_docs']} "
+        f"near_dups_removed={en['near_dups_removed']} "
+        f"tokens={en['total_tokens']}"
+    )
+    assert en["kept_docs"] + en["near_dups_removed"] == n_docs
+    # exact-copy pairs (docs 10,20,… copy their neighbor) collapse
+    # deterministically: one survivor each. A few extra removals are
+    # 60-bit SimHash false positives — at 100k docs the ~5e9 implicit
+    # pairs make a handful of ≤8-hamming collisions between unrelated
+    # docs expected (measured: 2 at 100k).
+    assert planted <= en["near_dups_removed"] <= planted + max(
+        10, n_docs // 10_000
+    )
     spark.stop()
     return 0
 
