@@ -2,6 +2,7 @@
 
 from feature_store_spark.streaming.pipeline import (  # noqa: F401
     EVENT_SCHEMA,
+    band_join_stream,
     dispatch_events,
     read_event_stream,
     recompute_triggers,

@@ -200,6 +200,59 @@ def session_windows_stream(
     )
 
 
+def band_join_stream(
+    events: DataFrame,
+    band_seconds: int = 300,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """ST8 (beyond reference): stream-stream interval join — clicks
+    within ±``band_seconds`` of each error event per user, the
+    streaming twin of the batch ``operators.joins.band_join`` spec
+    (``j10_band_join``). Both sides carry watermarks and the join
+    condition bounds click time to a window around error time, so
+    Spark derives finite state-retention bounds: buffered rows older
+    than watermark + band are evicted, keeping state proportional to
+    the band, not the stream.
+
+    Timestamps are second-truncated BEFORE the watermark so the band
+    comparison matches the batch/oracle epoch-seconds semantics while
+    the join condition still references the raw watermarked event-time
+    columns (a derived expression there would defeat state-bound
+    inference)."""
+    trunc = F.date_trunc("second", F.col("ts"))
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_event_id"),
+            F.col("user_id").alias("e_user"),
+            trunc.alias("e_ts"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("user_id").alias("c_user"),
+            trunc.alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    cond = (
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {band_seconds} SECONDS"))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr(f"INTERVAL {band_seconds} SECONDS"))
+    )
+    return errors.join(clicks, cond).select(
+        "error_event_id",
+        F.col("e_user").alias("user_id"),
+        "click_event_id",
+        (F.unix_timestamp("e_ts") - F.unix_timestamp("c_ts"))
+        .cast("bigint")
+        .alias("delta_seconds"),
+    )
+
+
 RUNNING_PROFILE_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

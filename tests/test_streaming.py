@@ -202,3 +202,28 @@ def test_session_windows_match_batch(spark, sf_dir, events_dir):
     # the final watermark are withheld (at most one per user)
     n_users = batch.select("user_id").distinct().count()
     assert len(b) - len(s) <= n_users
+
+
+def test_band_join_stream_matches_batch(spark, sf_dir, events_dir):
+    """Stream-stream interval join replay == the batch band_join spec
+    (j10) exactly: inner joins emit every match regardless of
+    watermark (the watermark only bounds buffered state), and the
+    replay is one availableNow pass, so no row arrives late."""
+    from feature_store_spark.queries import SPECS, all_queries
+    from feature_store_spark.streaming import band_join_stream
+
+    all_queries()
+    stream_out = _run_to_memory(
+        band_join_stream(
+            read_event_stream(spark, events_dir),
+            band_seconds=300,
+            watermark="0 seconds",
+        ),
+        "band_join_t",
+    )
+    batch = SPECS["j10_band_join"].fn(spark, sf_dir)
+    cols = ("error_event_id", "user_id", "click_event_id", "delta_seconds")
+    s = {tuple(r) for r in stream_out.select(*cols).collect()}
+    b = {tuple(r) for r in batch.select(*cols).collect()}
+    assert len(s) > 0
+    assert s == b
