@@ -30,12 +30,12 @@ from feature_store_spark.llm.dedup import (
     simhash_near_dup_oracle_sql,
 )
 from feature_store_spark.llm.text import (
-    language_id,
     language_id_oracle_sql,
-    quality_score,
+    language_pred_expr,
+    quality_flag_exprs,
     quality_score_oracle_sql,
-    text_stats,
     text_stats_oracle_sql,
+    token_count,
 )
 
 
@@ -54,17 +54,20 @@ def curate_corpus(
     ``doc_id`` survives (``doc_id == cluster_id``) — deterministic,
     engine-independent.
     """
-    lang = language_id(df, id_col, text_col).select(
-        id_col, "predicted_lang"
-    )
-    qual = quality_score(df, id_col, text_col).select(
-        id_col, "quality_score"
-    )
-    kept = (
-        df.select(id_col, text_col)
-        .join(qual.filter(F.col("quality_score") >= quality_min), id_col)
-        .join(lang.filter(F.col("predicted_lang") != "und"), id_col)
-        .select(id_col, text_col, "predicted_lang")
+    # Both gates plus the token count are narrow column expressions, so
+    # they ride ONE projection over the raw corpus (whole-stage codegen
+    # de-duplicates the shared tokenize subexpression) — no gate joins,
+    # and discarded documents are never tokenized twice.
+    text = F.col(text_col)
+    kept = df.select(
+        id_col,
+        text_col,
+        language_pred_expr(text).alias("predicted_lang"),
+        quality_flag_exprs(text)["quality_score"].alias("quality_score"),
+        token_count(text).cast("bigint").alias("n_tokens"),
+    ).filter(
+        (F.col("quality_score") >= quality_min)
+        & (F.col("predicted_lang") != "und")
     )
     clusters = near_dup_clusters(
         kept.select(id_col, text_col),
@@ -72,10 +75,11 @@ def curate_corpus(
         id_col=id_col,
         text_col=text_col,
     )
-    stats = text_stats(df, id_col, text_col).select(id_col, "n_tokens")
+    # Drop the document text BEFORE the cluster join: only the narrow
+    # (id, lang, n_tokens) rows shuffle.
     return (
-        kept.join(clusters, id_col)
-        .join(stats, id_col)
+        kept.drop(text_col)
+        .join(clusters, id_col)
         .groupBy(F.col("predicted_lang").alias("lang"))
         .agg(
             F.count(F.when(F.col(id_col) == F.col("cluster_id"), 1)).alias(

@@ -101,27 +101,39 @@ def text_stats_oracle_sql(table: str = "documents", id_col: str = "doc_id",
     """
 
 
-def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: count function-word hits per language,
-    pick the max (ties broken by language code ascending; 'und' when no
-    list hits at all). Pure column expressions — the per-language score
-    is one array-filter each, argmax is a greatest/when chain."""
-    t = tokens(F.col(text_col))
-    langs = sorted(LANG_STOPWORDS)
+def language_scores(text_col: Column) -> dict[str, Column]:
+    """Per-language function-word hit counts as column expressions."""
+    t = tokens(text_col)
 
     def _hits(sw: tuple[str, ...]):
         # single-arg lambda: F.filter treats 2-arg lambdas as (elem, idx)
         return F.size(F.filter(t, lambda x: x.isin(*sw)))
 
-    scores = {lang: _hits(LANG_STOPWORDS[lang]) for lang in langs}
+    return {lang: _hits(LANG_STOPWORDS[lang]) for lang in sorted(LANG_STOPWORDS)}
+
+
+def language_pred_expr(text_col: Column) -> Column:
+    """Predicted-language column expression: argmax of the hit counts,
+    ties broken by language code ascending; 'und' when no list hits.
+    Expression form so composite pipelines (curation) can gate on it
+    inside a single projection instead of joining a separate pass."""
+    scores = language_scores(text_col)
     best = F.greatest(*scores.values())
     pred: Column = F.lit("und")
-    for lang in reversed(langs):  # earlier langs win ties → apply last
+    for lang in reversed(sorted(scores)):  # earlier langs win ties → apply last
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return F.when(best == 0, F.lit("und")).otherwise(pred)
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count function-word hits per language,
+    pick the max (ties broken by language code ascending; 'und' when no
+    list hits at all). Pure column expressions — the per-language score
+    is one array-filter each, argmax is a greatest/when chain."""
+    scores = language_scores(F.col(text_col))
     out = [F.col(id_col)]
-    out += [scores[lang].cast("bigint").alias(f"score_{lang}") for lang in langs]
-    out.append(pred.alias("predicted_lang"))
+    out += [scores[lang].cast("bigint").alias(f"score_{lang}") for lang in sorted(scores)]
+    out.append(language_pred_expr(F.col(text_col)).alias("predicted_lang"))
     return df.select(*out)
 
 
@@ -157,24 +169,43 @@ def language_id_oracle_sql(table: str = "documents", id_col: str = "doc_id",
     """
 
 
+def quality_flag_exprs(text_col: Column) -> dict[str, Column]:
+    """Quality flags + composite score as column expressions over the
+    raw text (same formulas as the text_stats intermediates), so a
+    composite pipeline can gate in one projection without a join."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_char = F.length(text_col)
+    n_punct = F.size(F.regexp_extract_all(text_col, F.lit(r"[.,;:!?]"), 0))
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
+    n_uniq = F.size(F.array_distinct(t))
+    punct_ratio = n_punct / F.when(n_char == 0, None).otherwise(n_char)
+    stopword_ratio = n_stop / F.when(n_tok == 0, None).otherwise(n_tok)
+    lexical_diversity = n_uniq / F.when(n_tok == 0, None).otherwise(n_tok)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    punct_ok = F.when(F.coalesce(punct_ratio, F.lit(0.0)) <= 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.when(F.coalesce(stopword_ratio, F.lit(0.0)) >= 0.01, 1.0).otherwise(0.0)
+    div_ok = F.when(F.coalesce(lexical_diversity, F.lit(0.0)) >= 0.1, 1.0).otherwise(0.0)
+    return {
+        "len_ok": len_ok,
+        "punct_ok": punct_ok,
+        "stop_ok": stop_ok,
+        "div_ok": div_ok,
+        "quality_score": 0.4 * len_ok
+        + 0.2 * punct_ok
+        + 0.2 * stop_ok
+        + 0.2 * div_ok,
+    }
+
+
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Composite document quality score in [0,1]: banded length,
     punctuation sanity, stopword presence, lexical diversity — the
     standard cheap pre-filter before expensive dedup/training steps.
     Weights are fixed and documented; the score is deterministic."""
-    stats = text_stats(df, id_col, text_col)
-    len_ok = F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), 1.0).otherwise(0.0)
-    punct_ok = F.when(F.coalesce(F.col("punct_ratio"), F.lit(0.0)) <= 0.2, 1.0).otherwise(0.0)
-    stop_ok = F.when(F.coalesce(F.col("stopword_ratio"), F.lit(0.0)) >= 0.01, 1.0).otherwise(0.0)
-    div_ok = F.when(F.coalesce(F.col("lexical_diversity"), F.lit(0.0)) >= 0.1, 1.0).otherwise(0.0)
-    score = 0.4 * len_ok + 0.2 * punct_ok + 0.2 * stop_ok + 0.2 * div_ok
-    return stats.select(
-        F.col(id_col),
-        len_ok.alias("len_ok"),
-        punct_ok.alias("punct_ok"),
-        stop_ok.alias("stop_ok"),
-        div_ok.alias("div_ok"),
-        score.alias("quality_score"),
+    flags = quality_flag_exprs(F.col(text_col))
+    return df.select(
+        F.col(id_col), *(expr.alias(name) for name, expr in flags.items())
     )
 
 

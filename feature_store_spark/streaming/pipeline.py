@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -71,16 +72,29 @@ ROUTES = {
 }
 
 
-def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession,
+    events_dir: str,
+    ts_is_nanos: bool | None = None,
+) -> DataFrame:
     """File-based event stream with the fixture schema. Streaming
-    sources need the schema up front, so sniff the physical ts type
-    with a zero-row batch read: plain TIMESTAMP fixtures stream
-    as-is; TIMESTAMP(NANOS) fixtures (long under nanosAsLong) are
-    truncated to microseconds exactly like tables.load_table."""
-    ts_is_long = isinstance(
-        spark.read.parquet(events_dir).schema["ts"].dataType, LongType
-    )
-    if ts_is_long:
+    sources need the schema up front; ``ts_is_nanos`` picks it:
+    ``False`` → plain TIMESTAMP fixtures stream as-is; ``True`` →
+    TIMESTAMP(NANOS) fixtures (long under nanosAsLong) are truncated
+    to microseconds exactly like tables.load_table. Default ``None``
+    sniffs the physical type with a zero-row batch read, falling back
+    to plain TIMESTAMP when the directory has no files yet (the
+    producer-not-started deployment order) — pass the flag explicitly
+    when starting ahead of a nanos-typed producer."""
+    if ts_is_nanos is None:
+        try:
+            ts_is_nanos = isinstance(
+                spark.read.parquet(events_dir).schema["ts"].dataType,
+                LongType,
+            )
+        except AnalysisException:  # empty/absent dir: schema unknowable
+            ts_is_nanos = False
+    if ts_is_nanos:
         raw = spark.readStream.schema(EVENT_SCHEMA_NANOS).parquet(events_dir)
         return raw.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))

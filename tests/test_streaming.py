@@ -206,9 +206,12 @@ def test_session_windows_match_batch(spark, sf_dir, events_dir):
 
 def test_band_join_stream_matches_batch(spark, sf_dir, events_dir):
     """Stream-stream interval join replay == the batch band_join spec
-    (j10) exactly: inner joins emit every match regardless of
-    watermark (the watermark only bounds buffered state), and the
-    replay is one availableNow pass, so no row arrives late."""
+    (j10) exactly. Exactness holds because the fixture is a single
+    parquet file, so the availableNow replay is ONE micro-batch and
+    nothing arrives after the watermark advances; with multi-file /
+    multi-batch replay, rows older than the moving watermark would be
+    dropped from the join input even for inner joins — don't split
+    the fixture without raising the watermark."""
     from feature_store_spark.queries import SPECS, all_queries
     from feature_store_spark.streaming import band_join_stream
 
@@ -227,3 +230,17 @@ def test_band_join_stream_matches_batch(spark, sf_dir, events_dir):
     b = {tuple(r) for r in batch.select(*cols).collect()}
     assert len(s) > 0
     assert s == b
+
+
+def test_read_event_stream_on_empty_dir(spark, tmp_path):
+    """Starting the stream before the producer has written any file
+    must not crash at construction (regression: the ts-type sniff used
+    an eager batch read, which raises UNABLE_TO_INFER_SCHEMA on an
+    empty directory)."""
+    d = tmp_path / "empty_events"
+    d.mkdir()
+    stream = read_event_stream(spark, str(d))
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
