@@ -59,6 +59,64 @@ def upsert_parquet(
     return int(obs.get["rows"])
 
 
+def upsert_parquet_partitioned(
+    updates: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    order_col: str,
+    partition_col: str,
+) -> int:
+    """Partition-scoped upsert: the 100 TB form of ``upsert_parquet``.
+    Merges ``updates`` into a ``partitionBy(partition_col)`` store and
+    rewrites ONLY the partitions the updates touch (dynamic partition
+    overwrite) — untouched partition files are never read or written,
+    so merge cost scales with the update footprint, not the store.
+
+    Keys are merged per partition (the window keys include
+    ``partition_col``): in the snapshot-history layout (one snapshot
+    per ``partition_date``, see `serving/training.py`) the same entity
+    key legitimately recurs across partitions. Returns the merged row
+    count across touched partitions.
+
+    Like ``upsert_parquet``, the merge lands in a tmp path first —
+    Spark refuses to overwrite a path it is reading, and the staging
+    write doubles as the failure barrier (a crashed merge never
+    half-deletes live partitions).
+    """
+    spark = updates.sparkSession
+    try:
+        existing: DataFrame | None = spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — first write, table doesn't exist
+        existing = None
+    keys = [*key_cols, partition_col]
+    if existing is None:
+        merged = latest_per_key(updates, keys, order_col)
+    else:
+        touched = [
+            r[0]
+            for r in updates.select(partition_col).distinct().collect()
+        ]
+        relevant = existing.filter(F.col(partition_col).isin(touched))
+        merged = latest_per_key(
+            relevant.unionByName(updates), keys, order_col
+        )
+    tmp = path.rstrip("/") + "__tmp"
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    obs = Observation()
+    out = spark.read.parquet(tmp).observe(
+        obs, F.count(F.lit(1)).alias("rows")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return int(obs.get["rows"])
+
+
 def export_warehouse(
     df: DataFrame,
     path: str,

@@ -187,3 +187,73 @@ def test_invalidate_and_health(store):
     health = store.health()
     assert set(health) == {"user", "transaction", "risk"}
     assert all(health.values())
+
+
+def test_partitioned_upsert_rewrites_only_touched_partitions(
+    spark, tmp_path
+):
+    """The 100 TB upsert: merging updates for one partition_date must
+    leave every other partition's files byte-identical on disk
+    (dynamic partition overwrite), while merging last-writer-wins
+    inside the touched partition."""
+    import os
+
+    from feature_store_spark.pipelines.sinks import (
+        upsert_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "snap")
+    v1 = spark.createDataFrame(
+        [
+            (1, 10.0, "t1", "2024-01-01"),
+            (2, 20.0, "t1", "2024-01-01"),
+            (1, 11.0, "t1", "2024-01-02"),
+            (3, 30.0, "t1", "2024-01-02"),
+        ],
+        "user_id long, score double, v string, snap_date string",
+    )
+    assert (
+        upsert_parquet_partitioned(
+            v1, path, ["user_id"], "v", "snap_date"
+        )
+        == 4
+    )
+
+    def files(day):
+        d = os.path.join(path, f"snap_date={day}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        }
+
+    before_day1 = files("2024-01-01")
+    # update user 3, insert user 4 — only the 01-02 snapshot touched
+    v2 = spark.createDataFrame(
+        [
+            (3, 99.0, "t2", "2024-01-02"),
+            (4, 40.0, "t2", "2024-01-02"),
+        ],
+        "user_id long, score double, v string, snap_date string",
+    )
+    # merged count covers touched partitions only: users 1,3,4 on 01-02
+    assert (
+        upsert_parquet_partitioned(
+            v2, path, ["user_id"], "v", "snap_date"
+        )
+        == 3
+    )
+    assert files("2024-01-01") == before_day1  # untouched on disk
+    out = spark.read.parquet(path)
+    assert out.count() == 5
+    day2 = {
+        r["user_id"]: r["score"]
+        for r in out.filter("snap_date = '2024-01-02'").collect()
+    }
+    assert day2 == {1: 11.0, 3: 99.0, 4: 40.0}
+    # same-key rows in other snapshots untouched (history preserved)
+    day1 = {
+        r["user_id"]: r["score"]
+        for r in out.filter("snap_date = '2024-01-01'").collect()
+    }
+    assert day1 == {1: 10.0, 2: 20.0}
