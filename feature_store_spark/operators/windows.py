@@ -93,6 +93,13 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward: {direction}")
     keys = list(on)
+    # SQL join semantics: a NULL key matches nothing. The window
+    # partition would otherwise group NULL-keyed left rows WITH
+    # NULL-keyed right rows and carry their values; dropping
+    # NULL-keyed right rows leaves those left rows unmatched (NULL
+    # right columns), exactly like an equi join.
+    for k in keys:
+        right = right.filter(F.col(k).isNotNull())
     payload = [c for c in right.columns if c not in keys and c != right_ts]
     # Common-schema union: left rows carry NULL right-payload slots.
     lhs = left.select(

@@ -59,19 +59,21 @@ def run_daily_pipeline(
 
     stamp = F.to_timestamp(F.lit(f"{ref_date} 00:00:00"))
     counts: dict[str, int] = {}
-    uf = derive_user_features(customer, orders).withColumn("updated_at", stamp)
+    uf = derive_user_features(
+        customer, orders, ref_date=ref_date
+    ).withColumn("updated_at", stamp)
     counts["user_features"] = upsert_parquet(
         uf, f"{out_dir}/user_features", ["user_id"], "updated_at"
     )
-    tf = derive_transaction_features(orders, lineitem).withColumn(
-        "updated_at", stamp
-    )
+    tf = derive_transaction_features(
+        orders, lineitem, ref_date=ref_date
+    ).withColumn("updated_at", stamp)
     counts["transaction_features"] = upsert_parquet(
         tf, f"{out_dir}/transaction_features", ["user_id"], "updated_at"
     )
-    rf = derive_risk_features(customer, orders, lineitem, events).withColumn(
-        "updated_at", stamp
-    )
+    rf = derive_risk_features(
+        customer, orders, lineitem, events, ref_date=ref_date
+    ).withColumn("updated_at", stamp)
     counts["risk_features"] = upsert_parquet(
         rf, f"{out_dir}/risk_features", ["user_id"], "updated_at"
     )
@@ -136,7 +138,9 @@ def run_quality_report(
     if fresh["fresh_ratio"] is None or fresh["fresh_ratio"] == 0:
         alerts.append("freshness: no rows within window")
     for col, ratio in completeness.items():
-        if ratio < COMPLETENESS_MIN:
+        # ratio is None on an empty table — that's an alert (nothing
+        # to measure), not a crash
+        if ratio is None or ratio < COMPLETENESS_MIN:
             alerts.append(f"completeness below {COMPLETENESS_MIN}: {col}")
     if outlier_ratio > OUTLIER_FLAG_RATIO:
         alerts.append("anomaly: outlier ratio above threshold")

@@ -15,7 +15,67 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.errors import AnalysisException
+
 from feature_store_spark.operators.windows import latest_per_key
+
+
+def _read_store(spark: SparkSession, path: str) -> DataFrame | None:
+    """Existing store, or None ONLY for first-write (path absent).
+    Any other read failure (permissions, corrupt footer) propagates —
+    treating it as 'no table' would make the subsequent overwrite
+    silently drop every previously upserted key."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
+
+
+def _staged_overwrite(
+    spark: SparkSession,
+    merged: DataFrame,
+    path: str,
+    partition_col: str | None = None,
+    dynamic: bool = False,
+) -> int:
+    """Write merged rows via a tmp path (Spark refuses to overwrite a
+    path it reads, and the staging write is the failure barrier: a
+    crashed merge never half-deletes the live store), then overwrite
+    the store and drop the tmp copy. The double write is the price of
+    transactionless parquet — on Delta/Iceberg both writes collapse
+    into one MERGE. Returns the merged row count, observed on the
+    final write (no extra counting pass)."""
+    tmp = path.rstrip("/") + "__tmp"
+    w = merged.write.mode("overwrite")
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.parquet(tmp)
+    obs = Observation()
+    out = spark.read.parquet(tmp).observe(
+        obs, F.count(F.lit(1)).alias("rows")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        if dynamic:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+        w2 = out.write.mode("overwrite")
+        if partition_col:
+            w2 = w2.partitionBy(partition_col)
+        w2.parquet(path)
+    finally:
+        if dynamic:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    n = int(obs.get["rows"])
+    # tmp served its purpose; leaving it doubles storage per table
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+    return n
 
 
 def upsert_parquet(
@@ -37,26 +97,22 @@ def upsert_parquet(
     disappears.
     """
     spark = updates.sparkSession
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:  # noqa: BLE001 — first write, table doesn't exist
-        existing = None
+    existing = _read_store(spark, path)
     if existing is not None:
+        # __src tiebreak: when order_col ties (e.g. a same-ref_date
+        # re-run after an upstream fix), the UPDATE wins, not an
+        # arbitrary row — the documented last-writer semantics.
         merged = latest_per_key(
-            existing.unionByName(updates), list(key_cols), order_col
-        )
+            existing.withColumn("__src", F.lit(0)).unionByName(
+                updates.withColumn("__src", F.lit(1))
+            ),
+            list(key_cols),
+            order_col,
+            tiebreak_col="__src",
+        ).drop("__src")
     else:
         merged = latest_per_key(updates, list(key_cols), order_col)
-    tmp = path.rstrip("/") + "__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    # the merged count rides the final write as an observed metric —
-    # no separate counting pass over the store
-    obs = Observation()
-    out = spark.read.parquet(tmp).observe(
-        obs, F.count(F.lit(1)).alias("rows")
-    )
-    out.write.mode("overwrite").parquet(path)
-    return int(obs.get["rows"])
+    return _staged_overwrite(spark, merged, path)
 
 
 def upsert_parquet_partitioned(
@@ -84,10 +140,7 @@ def upsert_parquet_partitioned(
     half-deletes live partitions).
     """
     spark = updates.sparkSession
-    try:
-        existing: DataFrame | None = spark.read.parquet(path)
-    except Exception:  # noqa: BLE001 — first write, table doesn't exist
-        existing = None
+    existing = _read_store(spark, path)
     keys = [*key_cols, partition_col]
     if existing is None:
         merged = latest_per_key(updates, keys, order_col)
@@ -98,23 +151,16 @@ def upsert_parquet_partitioned(
         ]
         relevant = existing.filter(F.col(partition_col).isin(touched))
         merged = latest_per_key(
-            relevant.unionByName(updates), keys, order_col
-        )
-    tmp = path.rstrip("/") + "__tmp"
-    merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
-    obs = Observation()
-    out = spark.read.parquet(tmp).observe(
-        obs, F.count(F.lit(1)).alias("rows")
+            relevant.withColumn("__src", F.lit(0)).unionByName(
+                updates.withColumn("__src", F.lit(1))
+            ),
+            keys,
+            order_col,
+            tiebreak_col="__src",
+        ).drop("__src")
+    return _staged_overwrite(
+        spark, merged, path, partition_col=partition_col, dynamic=True
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    try:
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return int(obs.get["rows"])
 
 
 def export_warehouse(
@@ -201,16 +247,26 @@ def generate_synthetic_orders(
     """Synthetic order feed: ~orders_per_user per user with seeded
     amounts/status/dates (reference `scripts/seed_data.py:157-230`)."""
     n = n_users * orders_per_user
-    return spark.range(n).select(
-        F.col("id").alias("order_id"),
-        (F.col("id") % n_users).alias("user_id"),
-        F.round(F.rand(seed + 10) * 500 + 5, 2).alias("amount"),
-        F.when(F.rand(seed + 11) < 0.85, "completed")
-        .when(F.rand(seed + 11) < 0.95, "pending")
-        .otherwise("declined")
-        .alias("status"),
-        F.date_sub(
-            F.to_date(F.lit("2001-08-01")),
-            (F.rand(seed + 12) * 365).cast("int"),
-        ).alias("created_at"),
+    # One materialized draw drives the status CASE: two textually
+    # identical rand(seed) expressions are SEPARATE RNG instances that
+    # desynchronize under lazy branch evaluation (the second only
+    # advances on rows reaching its branch), skewing the distribution.
+    # Catalyst never collapses the nondeterministic projection, so the
+    # draw is evaluated exactly once per row.
+    return (
+        spark.range(n)
+        .withColumn("__status_draw", F.rand(seed + 11))
+        .select(
+            F.col("id").alias("order_id"),
+            (F.col("id") % n_users).alias("user_id"),
+            F.round(F.rand(seed + 10) * 500 + 5, 2).alias("amount"),
+            F.when(F.col("__status_draw") < 0.85, "completed")
+            .when(F.col("__status_draw") < 0.95, "pending")
+            .otherwise("declined")
+            .alias("status"),
+            F.date_sub(
+                F.to_date(F.lit("2001-08-01")),
+                (F.rand(seed + 12) * 365).cast("int"),
+            ).alias("created_at"),
+        )
     )

@@ -158,6 +158,12 @@ class FeatureStore:
                     fully_cached = False
                     v = fetched[t].get(u)
                 feats[t] = v
+            # batch traffic counts toward the same hit/miss stats as
+            # point lookups (SV5) — one unit per user request
+            if fully_cached:
+                self.hits += 1
+            else:
+                self.misses += 1
             out.append(self._respond(u, feats, fully_cached, t0))
         return out
 
@@ -175,11 +181,17 @@ class FeatureStore:
 
     def health(self) -> dict[str, bool]:
         """DB 'SELECT 1' analog: each feature DataFrame answers a
-        limit-1 probe."""
-        return {
-            t: len(df.limit(1).collect()) >= 0
-            for t, df in self.feature_dfs.items()
-        }
+        limit-1 probe. A probe that throws (backing files deleted,
+        store unreadable) reports False rather than propagating — the
+        method exists to REPORT unhealthy stores, not crash on them."""
+        out: dict[str, bool] = {}
+        for t, df in self.feature_dfs.items():
+            try:
+                df.limit(1).collect()
+                out[t] = True
+            except Exception:  # noqa: BLE001 — any failure = unhealthy
+                out[t] = False
+        return out
 
     # -- internals --------------------------------------------------------
 
@@ -209,7 +221,12 @@ class FeatureStore:
         if stamps:
             import datetime as _dt
 
-            now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+            # PySpark materializes TimestampType as naive datetimes in
+            # the driver's LOCAL timezone (datetime.fromtimestamp), so
+            # the comparison anchor must be local-naive too — a naive
+            # utcnow() would skew freshness by the UTC offset on any
+            # non-UTC driver.
+            now = _dt.datetime.now()
             freshness = min(
                 (now - s).total_seconds() / 60.0 for s in stamps
             )

@@ -53,6 +53,33 @@ def test_daily_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert wh.count() == res.counts["warehouse_rows"]
 
 
+def test_daily_pipeline_forwards_ref_date(spark, sf_dir, tmp_path):
+    """Regression: run_daily_pipeline accepted ref_date but anchored
+    the derivations at the module default, so backfills produced
+    identical features for every date. The stored features must match
+    a direct derivation at the SAME ref_date."""
+    from feature_store_spark.pipelines.features import derive_user_features
+    from feature_store_spark.tables import load_table
+
+    other = "2001-05-01"
+    out = str(tmp_path / "backfill")
+    run_daily_pipeline(spark, sf_dir, out, ref_date=other)
+    stored = spark.read.parquet(f"{out}/user_features").drop("updated_at")
+    direct = derive_user_features(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        ref_date=other,
+    )
+    assert stored.exceptAll(direct).isEmpty()
+    assert direct.exceptAll(stored).isEmpty()
+    # and the anchor actually matters at this fixture scale
+    default = derive_user_features(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+    assert not default.exceptAll(direct).isEmpty()
+
+
 def test_quality_report(spark, sf_dir):
     rep = run_quality_report(spark, sf_dir)
     assert set(rep) == {

@@ -219,3 +219,20 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         salted_join(skewed, cust, ["o_custkey"], how="full")
+
+
+def test_asof_join_null_keys_never_match(spark_prop):
+    """SQL semantics: NULL keys match nothing — a NULL-keyed left row
+    keeps NULL right columns instead of inheriting values from
+    NULL-keyed right rows sharing the window partition."""
+    left = spark_prop.createDataFrame(
+        [(None, 10), (1, 10)], "user_id int, ts int"
+    )
+    right = spark_prop.createDataFrame(
+        [(None, 5, 99.0), (1, 5, 42.0)], "user_id int, ts int, score double"
+    )
+    out = {
+        (r["user_id"], r["score"])
+        for r in asof_join(left, right, on=["user_id"]).collect()
+    }
+    assert out == {(None, None), (1, 42.0)}

@@ -257,3 +257,72 @@ def test_partitioned_upsert_rewrites_only_touched_partitions(
         for r in out.filter("snap_date = '2024-01-01'").collect()
     }
     assert day1 == {1: 10.0, 2: 20.0}
+
+
+def test_generator_status_distribution(spark):
+    """Regression: two textually identical rand(seed) instances in one
+    CASE desynchronized under lazy branch evaluation, collapsing the
+    declined rate ~7x below the designed 5%."""
+    orders = generate_synthetic_orders(spark, 4000, 5, seed=7)
+    n = orders.count()
+    frac = {
+        r["status"]: r["cnt"] / n
+        for r in orders.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert abs(frac["completed"] - 0.85) < 0.02
+    assert abs(frac["pending"] - 0.10) < 0.02
+    assert abs(frac["declined"] - 0.05) < 0.02
+
+
+def test_upsert_same_timestamp_update_wins(spark, tmp_path):
+    """Regression: with equal order_col values the merge kept an
+    arbitrary row; the update side must win (same-ref_date re-run
+    after an upstream fix)."""
+    path = str(tmp_path / "tie")
+    v1 = spark.createDataFrame(
+        [(u, 1.0, "2024-01-01") for u in range(50)],
+        "user_id long, score double, updated_at string",
+    )
+    upsert_parquet(v1, path, ["user_id"], "updated_at")
+    fixed = spark.createDataFrame(
+        [(u, 2.0, "2024-01-01") for u in range(50)],
+        "user_id long, score double, updated_at string",
+    )
+    upsert_parquet(fixed, path, ["user_id"], "updated_at")
+    scores = {r["score"] for r in spark.read.parquet(path).collect()}
+    assert scores == {2.0}
+    # and no tmp copy is left behind
+    import os
+
+    assert not os.path.exists(path + "__tmp")
+
+
+def test_batch_lookups_counted_in_stats(spark, sf_dir):
+    from feature_store_spark.queries import all_queries
+
+    qs = all_queries()
+    uf = qs["pipeline_user_features"](spark, sf_dir)
+    s = FeatureStore({"user": uf})
+    ids = [r["user_id"] for r in uf.limit(3).collect()]
+    s.get_batch_features(ids)          # all misses
+    s.get_batch_features(ids)          # all hits
+    st = s.stats()
+    assert st["hits"] == len(ids)
+    assert st["misses"] == len(ids)
+    assert st["hit_ratio"] == 0.5
+
+
+def test_health_reports_broken_store(spark, tmp_path):
+    """Regression: health() was vacuously True and raised on a broken
+    store instead of reporting it."""
+    import shutil
+
+    p = str(tmp_path / "h")
+    spark.range(5).selectExpr("id as user_id").write.parquet(p)
+    df = spark.read.parquet(p)
+    s = FeatureStore({"user": df})
+    assert s.health() == {"user": True}
+    shutil.rmtree(p)
+    assert s.health() == {"user": False}
