@@ -46,22 +46,39 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     """Exact duplicate mapping on normalized text: every row mapped to
     the smallest id sharing its content hash. ``is_duplicate`` marks
     non-canonical rows (the reference's duplicate-key detection,
-    `sql/migration_queries.sql:8-25`, lifted to content hashing)."""
+    `sql/migration_queries.sql:8-25`, lifted to content hashing).
+
+    Documents with no normalized content (NULL text, or no tokens at
+    all) hash to NULL, and a NULL key matches nothing (SQL semantics):
+    the LEFT join keeps those rows, each its own canonical singleton,
+    instead of dropping or cross-matching them. The empty-token guard
+    is also the cross-engine parity rule — DuckDB's
+    ``array_to_string([], ' ')`` is NULL where Spark's ``array_join``
+    is ``''``, so an unguarded md5 would group token-free docs on one
+    engine and not the other."""
+    normalized = normalized_text(F.col(text_col))
     hashed = df.select(
-        F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("content_hash")
+        F.col(id_col),
+        F.when(F.length(normalized) > 0, F.md5(normalized)).alias(
+            "content_hash"
+        ),
     )
-    canon = hashed.groupBy("content_hash").agg(
+    canon = hashed.filter(F.col("content_hash").isNotNull()).groupBy(
+        "content_hash"
+    ).agg(
         F.min(id_col).alias("canonical_id"),
         F.count(F.lit(1)).alias("group_size"),
     )
     return (
-        hashed.join(canon, "content_hash")
+        hashed.join(canon, "content_hash", "left")
         .select(
             id_col,
             "content_hash",
-            "canonical_id",
-            (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
-            "group_size",
+            F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),
+            (F.col(id_col) != F.coalesce("canonical_id", F.col(id_col))).alias(
+                "is_duplicate"
+            ),
+            F.coalesce("group_size", F.lit(1)).cast("long").alias("group_size"),
         )
     )
 
@@ -77,11 +94,14 @@ def exact_dedup_oracle_sql(table: str = "documents", id_col: str = "doc_id",
     ), canon AS (
       SELECT content_hash, min({id_col}) AS canonical_id,
              count(*) AS group_size
-      FROM hashed GROUP BY content_hash
+      FROM hashed WHERE content_hash IS NOT NULL GROUP BY content_hash
     )
-    SELECT h.{id_col}, h.content_hash, c.canonical_id,
-           h.{id_col} <> c.canonical_id AS is_duplicate, c.group_size
-    FROM hashed h JOIN canon c USING (content_hash)
+    SELECT h.{id_col}, h.content_hash,
+           COALESCE(c.canonical_id, h.{id_col}) AS canonical_id,
+           h.{id_col} <> COALESCE(c.canonical_id, h.{id_col})
+             AS is_duplicate,
+           CAST(COALESCE(c.group_size, 1) AS BIGINT) AS group_size
+    FROM hashed h LEFT JOIN canon c USING (content_hash)
     """
 
 
@@ -571,6 +591,7 @@ def near_dup_clusters(
     labels = df.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         prop = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -597,7 +618,15 @@ def near_dup_clusters(
         )
         labels = new_labels.select("node", "label")
         if new_labels.filter("changed").isEmpty():
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter) — raise max_iter or "
+            "switch to large-star/small-star; returning partial labels "
+            "would silently keep several 'canonical' docs per cluster"
+        )
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
@@ -630,13 +659,9 @@ def near_dup_clusters_oracle_sql(table: str = "documents",
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+# one cosine implementation repo-wide: the determinism contract
+# (double fold, round-6 before thresholds) lives in similarity.py
+from feature_store_spark.llm.similarity import _dot, _norm  # noqa: E402
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.4,
@@ -650,7 +675,7 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.4,
     norm = df.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+        _norm(F.col(vec_col)).alias("nrm"),
     )
     a = norm.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
@@ -719,8 +744,17 @@ def mllib_minhash_pairs(
     docs = sh.groupBy(id_col).agg(
         F.collect_list("shingle").alias("sh_list")
     )
+    # CountVectorizer defaults to a 262144-term vocabulary: above that
+    # the tail shingles are silently dropped (wrong Jaccard on
+    # truncated vectors) and an all-out-of-vocab doc becomes a zero
+    # vector, which MinHashLSH rejects. Size the vocabulary to the
+    # actual distinct-shingle count (one extra count job).
+    n_vocab = sh.select("shingle").distinct().count()
     cv = CountVectorizer(
-        inputCol="sh_list", outputCol="features", binary=True
+        inputCol="sh_list",
+        outputCol="features",
+        binary=True,
+        vocabSize=max(n_vocab, 1),
     ).fit(docs)
     vecs = cv.transform(docs).select(id_col, "features")
     lsh = MinHashLSH(

@@ -94,18 +94,29 @@ def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
                 "deterministic stub"
             )
         for pdf in batches:
-            n_bytes = pdf["payload"].map(len)
+            # NULL payload (NULL source text) -> NULL metadata, like
+            # the oracle's octet_length(NULL); format still derives
+            # from media_type
+            n_bytes = pdf["payload"].map(
+                lambda v: None if v is None else len(v)
+            )
             meta = [
-                _fake_metadata(n, t)
+                (None, None, _fake_metadata(0, t)[2])
+                if n is None
+                else _fake_metadata(n, t)
                 for n, t in zip(n_bytes, pdf["media_type"])
             ]
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": n_bytes.astype("int64"),
-                    "width": [m[0] for m in meta],
-                    "height": [m[1] for m in meta],
+                    "n_bytes": n_bytes.astype("Int64"),
+                    "width": pd.array(
+                        [m[0] for m in meta], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [m[1] for m in meta], dtype="Int32"
+                    ),
                     "format": [m[2] for m in meta],
                 }
             )
@@ -165,6 +176,9 @@ def resize_media(
             for doc_id, mt, payload in zip(
                 pdf["doc_id"], pdf["media_type"], pdf["payload"]
             ):
+                if payload is None:
+                    rows.append((doc_id, mt, None, None, None, None))
+                    continue
                 n = len(payload)
                 w, h, _ = _fake_metadata(n, mt)
                 scale = min(target_w / w, target_h / h, 1.0)
@@ -199,13 +213,20 @@ def resize_media_oracle_sql(
              text
       FROM {table}
     ), s AS (
-      SELECT *, least({target_w}.0 / w, {target_h}.0 / h, 1.0) AS sc FROM d
+      -- explicit NULL text guard: DuckDB least/greatest IGNORE NULL
+      -- args, which would turn a NULL dimension into sc = 1.0
+      SELECT *, CASE WHEN text IS NULL THEN NULL
+                     ELSE least({target_w}.0 / w, {target_h}.0 / h, 1.0)
+                END AS sc
+      FROM d
     )
     SELECT doc_id, media_type,
-           CAST(greatest(1, CAST(floor(w * sc) AS INTEGER)) AS INTEGER)
-             AS out_width,
-           CAST(greatest(1, CAST(floor(h * sc) AS INTEGER)) AS INTEGER)
-             AS out_height,
+           CAST(CASE WHEN sc IS NULL THEN NULL
+                     ELSE greatest(1, CAST(floor(w * sc) AS INTEGER))
+                END AS INTEGER) AS out_width,
+           CAST(CASE WHEN sc IS NULL THEN NULL
+                     ELSE greatest(1, CAST(floor(h * sc) AS INTEGER))
+                END AS INTEGER) AS out_height,
            round(sc, 6) AS scale,
            md5(text) AS payload_md5
     FROM s
@@ -235,14 +256,20 @@ def extract_features(media: DataFrame) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            n = pdf["payload"].map(len).to_numpy(dtype="int64")
+            # NULL payload -> NULL feature vector (oracle: CASE guard)
+            n = pdf["payload"].map(
+                lambda v: -1 if v is None else len(v)
+            ).to_numpy(dtype="int64")
             # (len * d) % 1000 / 1000 for d in 1..DIM — stand-in logits
             mat = (n[:, None] * np.arange(1, FEATURE_DIM + 1)) % 1000 / 1000.0
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "features": [np.round(r, 6).tolist() for r in mat],
+                    "features": [
+                        None if ni < 0 else np.round(r, 6).tolist()
+                        for ni, r in zip(n, mat)
+                    ],
                 }
             )
 
@@ -255,9 +282,11 @@ def extract_features_oracle_sql(table: str = "documents") -> str:
            CASE WHEN doc_id % 3 = 0 THEN 'image'
                 WHEN doc_id % 3 = 1 THEN 'audio'
                 ELSE 'video' END AS media_type,
-           list_transform(range(1, {FEATURE_DIM} + 1),
+           CASE WHEN text IS NULL THEN NULL
+                ELSE list_transform(range(1, {FEATURE_DIM} + 1),
                           d -> round(((octet_length(encode(text)) * d) % 1000)
-                                     / 1000.0, 6)) AS features
+                                     / 1000.0, 6))
+           END AS features
     FROM {table}
     """
 
@@ -268,8 +297,12 @@ def frame_sample(decoded: DataFrame, every_n: int = 10) -> DataFrame:
     n_bytes // 100 — the Spark-side explode/partitioning is the real
     part, the frame count stands in for container probing."""
     n_frames = (F.col("n_bytes") / 100).cast("int")
-    idx = F.sequence(
-        F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n)
+    # a zero-frame video samples NOTHING: the when() leaves the array
+    # NULL and explode drops the row (greatest(n-1, 0) would emit a
+    # phantom frame 0 of a frameless video)
+    idx = F.when(
+        n_frames > 0,
+        F.sequence(F.lit(0), n_frames - 1, F.lit(every_n)),
     )
     return (
         decoded.filter(F.col("media_type") == "video")
@@ -292,6 +325,6 @@ def frame_sample_oracle_sql(table: str = "documents", every_n: int = 10) -> str:
            CAST(n_bytes // 100 AS INTEGER) AS n_frames,
            CAST(u.f AS INTEGER) AS frame_idx
     FROM decoded,
-         unnest(range(0, greatest(CAST(n_bytes // 100 AS INTEGER) - 1, 0) + 1,
+         unnest(range(0, CAST(n_bytes // 100 AS INTEGER),
                 {every_n})) AS u(f)
     """

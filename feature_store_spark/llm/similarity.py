@@ -8,8 +8,8 @@ Two paths, same output schema:
   scan is embarrassingly parallel, and the final top-k per query is a
   per-partition top-k + single merge (TakeOrderedAndProject shape via
   row_number over a per-query window on pre-reduced candidates).
-- :func:`lsh_ann_topk` — approximate: random-hyperplane LSH (16-bit
-  signature from md5-derived ±1 hyperplanes), candidates = same
+- :func:`lsh_ann_topk` — approximate: random-hyperplane LSH (8-bit /
+  256-bucket signature from md5-derived ±1 hyperplanes), candidates = same
   bucket, exact rerank inside the bucket. Recall trades off with
   bucket width; the hyperplanes are deterministic (seeded by md5), so
   the result is reproducible and oracle-checkable.
@@ -144,7 +144,8 @@ def hyperplane_sign(vec, plane: int):
 
 
 def lsh_bucket(vec):
-    """16-bit random-hyperplane signature packed into an int."""
+    """N_PLANES-bit random-hyperplane signature packed into an int
+    (8 planes -> 256 buckets)."""
     out = None
     for p in range(N_PLANES):
         term = hyperplane_sign(vec, p) * (2**p)

@@ -312,13 +312,21 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     key) and (b) a winnowing-style min-hash over word 5-gram shingles
     (robust to local edits — the rolling-hash fingerprint of the
     reference survey's text-analysis row). Both md5-based and therefore
-    identical across engines."""
+    identical across engines.
+
+    Token-free documents (NULL or no alnum tokens) get a NULL
+    content_hash on BOTH engines: DuckDB's ``array_to_string([], ' ')``
+    is NULL where Spark's ``array_join`` is ``''``, so the empty guard
+    here is the parity rule (same convention as ``dedup.exact_dedup``)."""
     norm = normalized_text(F.col(text_col))
     sh = shingles(df, n=5, id_col=id_col, text_col=text_col)
     minsh = sh.groupBy(id_col).agg(
         F.min(F.md5(F.col("shingle"))).alias("min_shingle_hash")
     )
-    base = df.select(F.col(id_col), F.md5(norm).alias("content_hash"))
+    base = df.select(
+        F.col(id_col),
+        F.when(F.length(norm) > 0, F.md5(norm)).alias("content_hash"),
+    )
     return base.join(minsh, id_col, "left")
 
 

@@ -726,7 +726,8 @@ SESSION_GAP_MIN = 30
        )
        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
               count(*) AS n_events,
-              min(ts) AS session_start, max(ts) AS session_end,
+              date_trunc('second', min(ts)) AS session_start,
+              date_trunc('second', max(ts)) AS session_end,
               COALESCE(CAST(sum(CAST(round(value * 100) AS BIGINT))
                 FILTER (WHERE event_type = 'purchase') AS BIGINT), 0)
                 AS spend_cents
@@ -745,8 +746,11 @@ def q_st7_sessions(spark, sf_dir):
     purch = F.col("event_type") == "purchase"
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        # second-truncated boundaries: the documented parity grain for
+        # session comparisons, and what the streaming twin reports
+        # (it truncates ts before grouping)
+        F.date_trunc("second", F.min("ts")).alias("session_start"),
+        F.date_trunc("second", F.max("ts")).alias("session_end"),
         F.coalesce(
             F.sum(F.when(purch, F.round(F.col("value") * 100).cast("bigint"))),
             F.lit(0),

@@ -28,6 +28,8 @@ against the DuckDB oracle).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
@@ -188,8 +190,15 @@ def session_windows_stream(
     form exactly on (user, session_start, n_events, spend)). The
     watermark bounds open-session state; ``session_end`` here is
     last-event + gap (Spark's window close), where the batch form
-    reports last-event."""
+    reports last-event.
+
+    Timestamps are second-truncated BEFORE the watermark (like
+    ``band_join_stream``): the batch twin compares
+    ``unix_timestamp``-truncated times, so a raw-µs gap fractionally
+    under the threshold (prev .9s, next .1s) would otherwise merge
+    here and split there."""
     purch = F.col("event_type") == "purchase"
+    events = events.withColumn("ts", F.date_trunc("second", F.col("ts")))
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
@@ -321,9 +330,13 @@ def running_user_profile(events: DataFrame) -> DataFrame:
             n_events += len(pdf)
             is_p = pdf["event_type"] == "purchase"
             n_purch += int(is_p.sum())
+            # floor(+0.5) = HALF_UP for non-negative amounts, matching
+            # F.round in every batch/streaming twin and round() in the
+            # DuckDB oracles; Python round() is banker's (half-to-even)
+            # and diverges on exact .5 cent fractions
             cents += int(
                 pdf.loc[is_p, "value"].fillna(0.0).map(
-                    lambda v: int(round(v * 100))
+                    lambda v: int(math.floor(v * 100 + 0.5))
                 ).sum()
             )
             batch_max_us = int(pd.Timestamp(pdf["ts"].max()).value // 1000)
@@ -369,8 +382,12 @@ def run_streaming_upsert(
     Returns counters {batches, upserted_users}. The foreachBatch body
     reduces each micro-batch to one row per user BEFORE touching the
     state table — merge cost scales with the batch's key set, the
-    Delta-MERGE shape."""
+    Delta-MERGE shape. The merge itself IS ``sinks.upsert_parquet``:
+    its update-wins tie-break makes a checkpoint-replayed batch (same
+    ts as the stored row) deterministic, and its staged write cleans
+    up after itself."""
     from feature_store_spark.operators.windows import latest_per_key
+    from feature_store_spark.pipelines.sinks import upsert_parquet
 
     counters = {"batches": 0, "upserted_users": 0}
 
@@ -381,23 +398,9 @@ def run_streaming_upsert(
             .select("user_id", "ts", F.col("value").alias("risk_score"))
         )
         latest = latest_per_key(scores, ["user_id"], "ts")
-        spark_l = latest.sparkSession
-        try:
-            existing = spark_l.read.parquet(state_dir)
-        except Exception:  # noqa: BLE001 — first batch, no state yet
-            existing = None
-        if existing is not None:
-            merged = latest_per_key(
-                existing.unionByName(latest), ["user_id"], "ts"
-            )
-        else:
-            merged = latest
-        n = merged.count()
-        counters["upserted_users"] = n
-        merged.write.mode("overwrite").parquet(state_dir + ".tmp")
-        spark_l.read.parquet(state_dir + ".tmp").write.mode(
-            "overwrite"
-        ).parquet(state_dir)
+        counters["upserted_users"] = upsert_parquet(
+            latest, state_dir, ["user_id"], "ts"
+        )
 
     stream = dispatch_events(read_event_stream(spark, events_dir))
     q = (

@@ -29,3 +29,70 @@ def test_json_fixture_literal(spark, tmp_path):
     df = spark.read.json(str(fixture))
     assert df.count() == 2
     assert df.filter(F.col("total_orders") == 0).count() == 1
+
+
+def test_null_text_rows_survive_dedup_and_multimodal(spark):
+    """Regression sweep for NULL-text documents: exact_dedup keeps
+    them as their own canonical singletons (NULL hash matches
+    nothing), the multimodal kernels emit NULL metadata instead of
+    raising, and both match their DuckDB oracles on a NULL-bearing
+    table."""
+    import duckdb
+
+    from feature_store_spark.llm.dedup import (
+        exact_dedup,
+        exact_dedup_oracle_sql,
+    )
+    from feature_store_spark.llm.multimodal import (
+        attach_payload,
+        decode_media,
+        decode_media_oracle_sql,
+        extract_features,
+        extract_features_oracle_sql,
+        frame_sample,
+        frame_sample_oracle_sql,
+        resize_media,
+        resize_media_oracle_sql,
+    )
+    from feature_store_spark.oracle import compare
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha beta gamma"),
+            (2, None),
+            (3, None),
+            (4, ""),
+            (5, "x"),  # video row (5 % 3 == 2) with 1-byte payload
+        ],
+        "doc_id long, text string",
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(0, 'alpha beta gamma'), (1, 'alpha beta gamma'), "
+        "(2, NULL), (3, NULL), (4, ''), (5, 'x')"
+        ") t(doc_id, text)"
+    )
+
+    dd = exact_dedup(docs)
+    assert dd.count() == 6  # NULL-text rows are NOT dropped
+    by_id = {r["doc_id"]: r for r in dd.collect()}
+    assert by_id[2]["canonical_id"] == 2 and by_id[3]["canonical_id"] == 3
+    assert by_id[1]["canonical_id"] == 0 and by_id[1]["is_duplicate"]
+    assert compare(dd, con, exact_dedup_oracle_sql())["ok"]
+
+    media = attach_payload(docs)
+    dec = decode_media(media)
+    assert dec.filter("doc_id = 2").collect()[0]["n_bytes"] is None
+    assert compare(dec, con, decode_media_oracle_sql())["ok"]
+    assert compare(
+        resize_media(media), con, resize_media_oracle_sql()
+    )["ok"]
+    assert compare(
+        extract_features(media), con, extract_features_oracle_sql()
+    )["ok"]
+    # 1-byte video payload => n_frames == 0 => NO sampled frames
+    fs = frame_sample(dec)
+    assert fs.filter("doc_id = 5").count() == 0
+    assert compare(fs, con, frame_sample_oracle_sql())["ok"]
