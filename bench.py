@@ -50,8 +50,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else None
+    # parse sf from the LAST directory segment only (a parent dir like
+    # /srv/sf1/... must not win) and require a digit-led number
+    m = re.search(
+        r"sf([0-9]+(?:\.[0-9]+)?)", os.path.basename(sf_dir.rstrip("/"))
+    )
+    sf = float(m.group(1)) if m else None
 
     from feature_store_spark.queries import SPECS, all_queries
     from feature_store_spark.session import get_spark
@@ -68,6 +72,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in SPECS:
+            # a silently dropped query would read as a speedup in
+            # cross-run comparisons — make the drift loud
+            print(
+                f"WARNING: headline query {name!r} not registered; "
+                "skipping",
+                file=sys.stderr,
+            )
             continue
         if warmup:
             run(name)

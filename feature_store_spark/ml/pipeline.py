@@ -104,7 +104,12 @@ def score_risk(model: PipelineModel, frame: DataFrame) -> DataFrame:
     ]
     z = F.lit(float(lr.intercept))
     for col, w in zip(FEATURE_COLS, weights):
-        z = z + F.col(col).cast("double") * F.lit(float(w))
+        # same zero-fill as risk_training_frame: a raw serving frame
+        # carries NULL slots for inactive users, and NULL would
+        # propagate into a NULL probability (silent train/serve skew)
+        z = z + F.coalesce(F.col(col).cast("double"), F.lit(0.0)) * F.lit(
+            float(w)
+        )
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     threshold = lr.getThreshold()
     return frame.select(

@@ -33,11 +33,20 @@ def _norm_value(v: Any) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):  # before int(v): int(inf) raises
+            return "inf" if v > 0 else "-inf"
+        if v == 0:
+            v = 0.0  # -0.0 and +1e-9 must both normalize to "0"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{round(v, ROUND_DIGITS):.{ROUND_DIGITS}f}".rstrip("0").rstrip(".")
+        r = round(v, ROUND_DIGITS)
+        if r == 0:
+            return "0"  # round(-1e-9, 6) is -0.0 → would print "-0"
+        return f"{r:.{ROUND_DIGITS}f}".rstrip("0").rstrip(".")
     if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ")
+        # fixed-width micros to match the JVM-side date_format used for
+        # Spark timestamps (see _stringify_timestamps)
+        return v.replace(tzinfo=None).strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -72,10 +81,36 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _stringify_timestamps(df):
+    """Format timestamp columns JVM-side (session timezone = UTC)
+    before collect(): PySpark's TimestampType.fromInternal converts
+    through the driver's OS-LOCAL timezone (datetime.fromtimestamp),
+    which spark.sql.session.timeZone does not control — on a non-UTC
+    box every collected timestamp would shift relative to DuckDB's
+    naive stored values."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    if not any(
+        isinstance(f.dataType, TimestampType) for f in df.schema.fields
+    ):
+        return df
+    return df.select(
+        *[
+            F.date_format(F.col(f.name), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                f.name
+            )
+            if isinstance(f.dataType, TimestampType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict[str, Any]:
     """Run both sides, return a comparison report dict."""
     s_cols = list(spark_df.columns)
-    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_rows = [tuple(r) for r in _stringify_timestamps(spark_df).collect()]
     rel = con.execute(sql)
     d_cols = [d[0] for d in rel.description]
     d_rows = rel.fetchall()
@@ -95,13 +130,19 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict[str, Any
 
 
 def first_diff(spark_df, con: duckdb.DuckDBPyConnection, sql: str, n: int = 5):
-    """Debug helper: first n differing normalized rows from each side."""
+    """Debug helper: first n differing normalized rows from each side,
+    multiplicity-aware (a duplicated row counts as a diff)."""
+    from collections import Counter
+
     s_cols = list(spark_df.columns)
-    s_rows = normalize_rows(s_cols, [tuple(r) for r in spark_df.collect()])
+    s_rows = normalize_rows(
+        s_cols, [tuple(r) for r in _stringify_timestamps(spark_df).collect()]
+    )
     rel = con.execute(sql)
     d_cols = [d[0] for d in rel.description]
     d_rows = normalize_rows(d_cols, rel.fetchall())
-    only_s = [r for r in s_rows if r not in set(d_rows)][:n]
-    only_d = [r for r in d_rows if r not in set(s_rows)][:n]
+    s_count, d_count = Counter(s_rows), Counter(d_rows)
+    only_s = sorted((s_count - d_count).elements())[:n]
+    only_d = sorted((d_count - s_count).elements())[:n]
     return {"spark_only": only_s, "duck_only": only_d,
             "spark_cols": sorted(s_cols), "duck_cols": sorted(d_cols)}

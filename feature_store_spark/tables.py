@@ -13,7 +13,6 @@ pruning applies transparently.
 
 from __future__ import annotations
 
-from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,13 +41,19 @@ EVENTS_NOW = "2024-01-31 00:00:00"  # anchor for event-stream windows
 # Per-session DataFrame cache: spark.read.parquet costs ~60 ms of
 # py4j + DataSource resolution per call, paid by every query that
 # loads a table. DataFrames are immutable logical plans, so handing
-# the same object to many queries is safe; the weak key lets a
-# stopped session's entries die with it.
-_TABLES: WeakKeyDictionary = WeakKeyDictionary()
+# the same object to many queries is safe. The cache dict hangs off
+# the session object itself so it dies WITH the session — a
+# WeakKeyDictionary would never evict here, because each cached
+# DataFrame holds a strong reference back to its session
+# (DataFrame._session), keeping the weak key alive forever.
+_CACHE_ATTR = "_feature_store_table_cache"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    cache = _TABLES.setdefault(spark, {})
+    cache = getattr(spark, _CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _CACHE_ATTR, cache)
     key = (sf_dir, name)
     if key not in cache:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
