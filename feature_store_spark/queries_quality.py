@@ -910,3 +910,50 @@ def q_u5_intersect(spark, sf_dir):
         F.col("o_custkey").alias("user_id")
     )
     return since.intersect(before)
+
+
+@spec(
+    "a18_algebraic_rollup",
+    """SELECT date_trunc('week', CAST(ts AS DATE)) AS week,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(COALESCE(sum(CAST(round(value * 100) AS BIGINT))
+                   FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT)
+                AS spend_cents,
+              date_trunc('second', min(ts)) AS first_ts,
+              date_trunc('second', max(ts)) AS last_ts
+       FROM events
+       GROUP BY 1""",
+    ("A16", "A18", "ext"),
+)
+def q_a18_algebraic_rollup(spark, sf_dir):
+    """EXACT mergeable rollup — the algebraic complement of a16's
+    sketches: store per-day (count, sum, min, max) partials once, then
+    answer any coarser window by re-aggregating partials (sum of sums,
+    min of mins …), never rescanning raw rows. count/sum/min/max are
+    algebraic, so the merge is lossless; the oracle aggregates the
+    raw table directly and must hash-match exactly (integer cents).
+    At 100 TB this is the materialized-rollup layer every BI stack
+    builds on partitioned stores: the weekly query reads ~daily-row
+    partials instead of raw events."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.date_trunc("second", F.col("ts")).alias("ts_s"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("bigint"),
+        ).alias("cents"),
+    )
+    daily = ev.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("cents"),
+        F.min("ts_s").alias("min_ts"),
+        F.max("ts_s").alias("max_ts"),
+    )
+    return daily.groupBy(
+        F.to_date(F.date_trunc("week", F.col("day"))).alias("week")
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("spend_cents"),
+        F.min("min_ts").alias("first_ts"),
+        F.max("max_ts").alias("last_ts"),
+    )
