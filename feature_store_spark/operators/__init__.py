@@ -4,15 +4,28 @@ from feature_store_spark.operators.aggregates import (
     mode_deterministic,
     stats_with_outliers,
 )
+from feature_store_spark.operators.joins import band_join
+from feature_store_spark.operators.sampling import stratified_sample
 from feature_store_spark.operators.skew import salted_join
-from feature_store_spark.operators.windows import latest_per_key, top_k
+from feature_store_spark.operators.windows import (
+    asof_join,
+    latest_per_key,
+    sessionize,
+    top_k,
+    top_k_per_group,
+)
 
 __all__ = [
+    "asof_join",
+    "band_join",
     "completeness_report",
     "freshness_report",
-    "mode_deterministic",
-    "stats_with_outliers",
     "latest_per_key",
-    "top_k",
+    "mode_deterministic",
     "salted_join",
+    "sessionize",
+    "stats_with_outliers",
+    "stratified_sample",
+    "top_k",
+    "top_k_per_group",
 ]

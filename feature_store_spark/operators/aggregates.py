@@ -65,7 +65,7 @@ def stats_with_outliers(
     v = F.col(value_col)
     s = float(scale)
     iv = F.round(v * s).cast("bigint")
-    iv_dec = F.round(v * s).cast("decimal(18,0)")
+    iv_dec = F.round(v * s).cast("decimal(38,0)")
     base = df.agg(
         F.count(v).alias("count_value"),
         F.sum(iv).cast("double").alias("__s1"),
@@ -88,12 +88,20 @@ def stats_with_outliers(
     joined = df.select(v.alias("__v")).crossJoin(F.broadcast(stats))
     lo = F.col("mean_value") - sigma * F.col("stddev_value")
     hi = F.col("mean_value") + sigma * F.col("stddev_value")
-    outliers = joined.agg(
+    # the stats columns ride the same aggregate as the outlier count
+    # (first() of broadcast-constant values) — referencing `stats`
+    # again in a final crossJoin would re-evaluate its aggregate
+    # subtree, i.e. a third full scan of df
+    return joined.agg(
+        F.first("mean_value").alias("mean_value"),
+        F.first("stddev_value").alias("stddev_value"),
+        F.first("min_value").alias("min_value"),
+        F.first("max_value").alias("max_value"),
+        F.first("count_value").alias("count_value"),
         F.count(F.when((F.col("__v") < lo) | (F.col("__v") > hi), 1)).alias(
             "outlier_count"
-        )
+        ),
     )
-    return stats.crossJoin(outliers)
 
 
 def completeness_report(
@@ -106,11 +114,20 @@ def completeness_report(
     Single aggregate pass computing every per-column count at once,
     then an unpivot of the 1-row result — no per-column scans.
     """
+    if not columns:
+        raise ValueError("completeness_report needs at least one column")
     aggs = [F.count(F.lit(1)).alias("__total")] + [
         F.count(F.col(c)).alias(f"__nn_{c}") for c in columns
     ]
     row = df.agg(*aggs)
-    stack_expr = ", ".join(f"'{c}', __nn_{c}" for c in columns)
+    # backtick-quote generated identifiers and escape label quotes so
+    # column names with spaces/quotes survive the SQL round-trip
+    stack_expr = ", ".join(
+        "'{}', `__nn_{}`".format(
+            c.replace("'", "''"), c.replace("`", "``")
+        )
+        for c in columns
+    )
     return row.selectExpr(
         "__total",
         f"stack({len(columns)}, {stack_expr}) as (column_name, non_null_count)",

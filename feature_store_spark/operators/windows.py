@@ -51,6 +51,11 @@ def top_k_per_group(
     """Top-K within each group via row_number — one shuffle on the
     key. ``rank_col`` keeps the 1..k rank in the output (callers must
     make ``order_by`` total for a deterministic rank)."""
+    if rank_col is not None and rank_col in df.columns:
+        raise ValueError(
+            f"rank_col {rank_col!r} already exists in the input — "
+            "renaming would produce two identically named columns"
+        )
     w = Window.partitionBy(*key_cols).orderBy(*order_by)
     out = df.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= k
@@ -100,22 +105,34 @@ def asof_join(
     # right columns), exactly like an equi join.
     for k in keys:
         right = right.filter(F.col(k).isNotNull())
+    # A NULL right timestamp can never satisfy the asof comparison
+    # (l.ts >= NULL is never true) — and under asc/NULLS FIRST it
+    # would otherwise sort before everything and leak into every row.
+    right = right.filter(F.col(right_ts).isNotNull())
     payload = [c for c in right.columns if c not in keys and c != right_ts]
-    # Common-schema union: left rows carry NULL right-payload slots.
+    # The matched right row is carried as ONE struct: per-column
+    # last(ignorenulls) would backfill a NULL field of the matched row
+    # from an OLDER row, fabricating a mixed row that matches no real
+    # right row (in training sets: point-in-time leakage of a stale
+    # feature into a snapshot where it is legitimately NULL).
+    r_struct = F.struct(
+        *[F.col(c).alias(c) for c in payload],
+        F.col(right_ts).alias("__ts"),
+    )
     lhs = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("__asof_ts"),
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+        F.lit(None)
+        .cast(right.select(r_struct.alias("r")).schema["r"].dataType)
+        .alias("__r"),
     )
     rhs = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
         *[F.col(c) for c in keys],
         F.col(right_ts).alias("__asof_ts"),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__r_{c}") for c in payload],
-        F.col(right_ts).alias("__r_ts"),
+        r_struct.alias("__r"),
     )
     merged = lhs.unionByName(rhs)
     # backward: ascending time, right-before-left on ties, carry last
@@ -131,14 +148,20 @@ def asof_join(
         .orderBy(ts_order, F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # a NULL left timestamp matches nothing in either direction
+    # (comparison semantics) — mask the carried struct for those rows
+    carried_struct = F.when(
+        F.col("__asof_ts").isNotNull(),
+        F.last("__r", ignorenulls=True).over(w),
+    )
     carried = [
-        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c if c not in left.columns else f"{c}_right")
+        carried_struct[c].alias(c if c not in left.columns else f"{c}_right")
         for c in payload
     ]
     carried.append(
-        F.last("__r_ts", ignorenulls=True)
-        .over(w)
-        .alias(right_ts if right_ts not in left.columns else f"{right_ts}_right")
+        carried_struct["__ts"].alias(
+            right_ts if right_ts not in left.columns else f"{right_ts}_right"
+        )
     )
     return (
         merged.select(*left.columns, "__is_left", *carried)

@@ -323,7 +323,8 @@ def q_s3(spark, sf_dir):
          SELECT o_custkey, o_orderpriority,
                 row_number() OVER (PARTITION BY o_custkey
                                    ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
-         FROM orders GROUP BY o_custkey, o_orderpriority
+         FROM orders WHERE o_orderpriority IS NOT NULL
+         GROUP BY o_custkey, o_orderpriority
        ) t WHERE rn = 1""",
     ("A4",),
 )

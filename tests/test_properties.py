@@ -290,3 +290,40 @@ def test_partitioned_upsert_matches_model(spark_prop, batches, tmp_path_factory)
     assert set(got) == set(model)
     for k in model:
         assert got[k][0] == model[k][0]  # version always agrees
+
+
+def test_asof_join_carries_matched_row_verbatim(spark_prop):
+    """Regression: per-column last(ignorenulls) backfilled a NULL
+    field of the matched right row from an OLDER row. The matched row
+    must be carried verbatim — a NULL field stays NULL."""
+    left = spark_prop.createDataFrame([(1, 3)], "user_id int, ts int")
+    right = spark_prop.createDataFrame(
+        [(1, 1, 5.0, None), (1, 2, None, 7.0)],
+        "user_id int, ts int, a double, b double",
+    )
+    row = asof_join(left, right, on=["user_id"]).collect()[0]
+    assert row["ts_right"] == 2
+    assert row["a"] is None  # NOT backfilled with 5.0 from ts=1
+    assert row["b"] == 7.0
+
+
+def test_asof_join_null_timestamps_never_match(spark_prop):
+    """NULL timestamps obey comparison semantics: a NULL-ts right row
+    matches nothing; a NULL-ts left row stays unmatched in BOTH
+    directions."""
+    left = spark_prop.createDataFrame(
+        [(1, None), (1, 10)], "user_id int, ts int"
+    )
+    right = spark_prop.createDataFrame(
+        [(1, None, 99.0), (1, 5, 42.0)], "user_id int, ts int, score double"
+    )
+    for direction in ("backward", "forward"):
+        out = {
+            (r["ts"], r["score"])
+            for r in asof_join(
+                left, right, on=["user_id"], direction=direction
+            ).collect()
+        }
+        assert (None, None) in out  # NULL-ts left row unmatched
+        matched = {s for t, s in out if t == 10}
+        assert matched == ({42.0} if direction == "backward" else {None})
