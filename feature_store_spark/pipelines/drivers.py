@@ -101,6 +101,27 @@ def run_daily_pipeline(
     return PipelineResult(status, counts, {"ref_date": ref_date})
 
 
+def run_backfill(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    ref_dates: list[str],
+) -> list[PipelineResult]:
+    """Historical backfill: run the daily pipeline once per date, in
+    order (the reference's Airflow catchup over `batch_pipeline_dag`).
+    Each run anchors every time window at ITS ref_date (forwarded into
+    the derivations) and lands one dated snapshot in the warehouse —
+    dynamic partition overwrite means re-running a date replaces only
+    that date's partition, so backfills are idempotent per date and
+    never clobber neighboring snapshots. The resulting snapshot
+    history is exactly what `serving/training.py::build_training_set`
+    as-of joins against."""
+    return [
+        run_daily_pipeline(spark, sf_dir, out_dir, ref_date=d)
+        for d in ref_dates
+    ]
+
+
 # Data-quality thresholds (reference `src/pipelines/data_quality.py:44-48,306`)
 FRESHNESS_MAX_HOURS = 2
 COMPLETENESS_MIN = 0.95

@@ -161,3 +161,26 @@ def test_point_in_time_training_set(spark, sf_dir, tmp_path):
         for r in snapshot_coverage(ts).collect()
     }
     assert cov == {None: 1, "2001-08-01": 1, "2001-08-15": 1}
+
+
+def test_backfill_accumulates_dated_snapshots(spark, sf_dir, tmp_path):
+    """Backfill over two dates leaves TWO warehouse snapshots (dynamic
+    partition overwrite — later runs don't clobber earlier dates), and
+    re-running one date is idempotent."""
+    from feature_store_spark.pipelines.drivers import run_backfill
+
+    out = str(tmp_path / "bf")
+    dates = ["2001-06-01", "2001-07-01"]
+    results = run_backfill(spark, sf_dir, out, dates)
+    assert [r.status for r in results] == ["SUCCESS", "SUCCESS"]
+    wh = spark.read.parquet(f"{out}/warehouse/serving_features")
+    snaps = {
+        r["partition_date"].isoformat()
+        for r in wh.select("partition_date").distinct().collect()
+    }
+    assert snaps == set(dates)
+    n_before = wh.count()
+    # idempotent per date: re-run the first date, snapshot set unchanged
+    run_backfill(spark, sf_dir, out, [dates[0]])
+    wh2 = spark.read.parquet(f"{out}/warehouse/serving_features")
+    assert wh2.count() == n_before
