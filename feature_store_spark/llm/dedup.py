@@ -592,7 +592,10 @@ def near_dup_clusters(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
     converged = False
-    for _ in range(max_iter):
+    # max_iter + 1 rounds: convergence is only observable via a
+    # change-free round, so a component of diameter exactly max_iter
+    # needs one extra detection pass before we can call it converged
+    for _ in range(max_iter + 1):
         prop = (
             edges.join(labels, edges["src"] == labels["node"])
             .groupBy("dst")

@@ -97,7 +97,11 @@ def stats_with_outliers(
         F.first("stddev_value").alias("stddev_value"),
         F.first("min_value").alias("min_value"),
         F.first("max_value").alias("max_value"),
-        F.first("count_value").alias("count_value"),
+        # empty input: `joined` has zero rows, so first() yields NULL —
+        # but COUNT of nothing is 0, both here and in the a7 oracle
+        F.coalesce(F.first("count_value"), F.lit(0).cast("bigint")).alias(
+            "count_value"
+        ),
         F.count(F.when((F.col("__v") < lo) | (F.col("__v") > hi), 1)).alias(
             "outlier_count"
         ),

@@ -272,8 +272,15 @@ def derive_risk_features(
     )
 
     # Behavior feed over events: device/location diversity + velocity
-    # alerts in the trailing 30d of the injected `now`, the 30d
-    # activity flag, and the latest purchase score.
+    # alerts in the trailing 30d of the injected `now`, and the 30d
+    # activity flag. The latest purchase score is aggregated SEPARATELY
+    # over a purchase-filtered scan: max_by's struct ordering buffer
+    # forces the whole aggregate to SortAggregate, and fused with the
+    # two countDistincts it would sort the Expand-tripled event rows
+    # (measured 2× the events-agg time at sf0.1). Split, the distinct
+    # aggs stay in spill-safe hash form and the sort touches only
+    # purchase rows (with event_type pushed to the parquet scan); the
+    # re-join is at already-aggregated per-user granularity.
     ein30 = F.col("ts") >= now_ts - F.expr("INTERVAL 30 DAYS")
     ev = events.groupBy(F.col("user_id")).agg(
         F.countDistinct(F.when(ein30, F.col("event_type")))
@@ -285,15 +292,20 @@ def derive_risk_features(
         F.count(F.when(ein30 & (F.col("event_type") == "error"), 1))
         .cast("bigint")
         .alias("__vel30"),
-        F.max_by(
-            F.col("value"),
-            F.when(
-                F.col("event_type") == "purchase",
-                F.struct(F.col("ts"), F.col("event_id")),
-            ),
-        ).alias("__risk"),
         F.max(F.when(ein30, F.lit(1))).alias("__ev30"),
     )
+    # Purchase users are a subset of event users, so a left join onto
+    # the behavior feed preserves the active-key spine exactly.
+    pur = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.col("value"), F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("__risk")
+        )
+    )
+    ev = ev.join(pur, "user_id", "left")
 
     # Active keys (`sql/risk_features.sql:73-90`): 90d orders ∪ 90d
     # payment activity ∪ 30d events — a filter over the full outer
@@ -452,6 +464,8 @@ def serving_features(
         )
     )
 
+    # Same max_by split as derive_risk_features: keep the distinct aggs
+    # hash-based, sort only the purchase-filtered rows.
     ein30 = F.col("ts") >= now_ts - F.expr("INTERVAL 30 DAYS")
     purchase = F.col("event_type") == "purchase"
     ev = events.groupBy("user_id").agg(
@@ -460,12 +474,18 @@ def serving_features(
         F.count(F.when(ein30 & (F.col("event_type") == "error"), 1)).alias(
             "__vel30"
         ),
-        F.max_by(
-            F.col("value"),
-            F.when(purchase, F.struct(F.col("ts"), F.col("event_id"))),
-        ).alias("__risk"),
         F.max(F.when(ein30, F.lit(1))).alias("__ev30"),
     )
+    pur = (
+        events.filter(purchase)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.col("value"), F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("__risk")
+        )
+    )
+    ev = ev.join(pur, "user_id", "left")
 
     joined = (
         customer.select(

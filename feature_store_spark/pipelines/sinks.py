@@ -28,7 +28,17 @@ def _read_store(spark: SparkSession, path: str) -> DataFrame | None:
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e):
+        # match the structured error class, not the message text —
+        # message formats drift across Spark versions, and a missed
+        # match here re-enables the silent-store-wipe failure mode
+        condition = (
+            e.getCondition() if hasattr(e, "getCondition")
+            else e.getErrorClass() if hasattr(e, "getErrorClass")
+            else None
+        )
+        if condition == "PATH_NOT_FOUND" or (
+            condition is None and "PATH_NOT_FOUND" in str(e)
+        ):
             return None
         raise
 
@@ -70,11 +80,31 @@ def _staged_overwrite(
         if dynamic:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     n = int(obs.get["rows"])
-    # tmp served its purpose; leaving it doubles storage per table
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(jpath, True)
+    # tmp served its purpose; leaving it doubles storage per table.
+    # The JVM handles (spark._jvm/_jsc) are absent under Spark
+    # Connect — fall back to a driver-side delete for local paths and
+    # warn (rather than fail the completed upsert) otherwise.
+    if hasattr(spark, "_jvm") and spark._jvm is not None:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    else:
+        import shutil
+        from urllib.parse import urlparse
+
+        parsed = urlparse(tmp)
+        if parsed.scheme in ("", "file"):
+            shutil.rmtree(parsed.path or tmp, ignore_errors=True)
+        else:
+            import warnings
+
+            warnings.warn(
+                f"staging path {tmp} left behind (no filesystem "
+                "handle on this session type); remove it to reclaim "
+                "storage",
+                stacklevel=2,
+            )
     return n
 
 
@@ -149,6 +179,15 @@ def upsert_parquet_partitioned(
             r[0]
             for r in updates.select(partition_col).distinct().collect()
         ]
+        if any(t is None for t in touched):
+            # isin(touched) never matches the NULL partition, so a
+            # dynamic overwrite of __HIVE_DEFAULT_PARTITION__ would
+            # silently drop its previously stored keys — refuse.
+            raise ValueError(
+                f"updates contain NULL {partition_col!r} values; "
+                "NULL partitions cannot be merged safely — fill or "
+                "drop them before upserting"
+            )
         relevant = existing.filter(F.col(partition_col).isin(touched))
         merged = latest_per_key(
             relevant.withColumn("__src", F.lit(0)).unionByName(

@@ -269,6 +269,17 @@ def q_serving_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec("serving_from_store", SERVING_SQL, ("pipeline", "J6", "S8"))
+def q_serving_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same serving join read from MATERIALIZED feature tables bucketed
+    # by user_id (the reference's stored-feature-table request path,
+    # `sql/migration_queries.sql:143-166`) — co-located join, no
+    # Exchange (tests/test_plans.py::test_store_serving_join_no_exchange).
+    from feature_store_spark.pipelines.store import serving_from_store
+
+    return serving_from_store(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # §2.1 Scans / sources
 # ---------------------------------------------------------------------------

@@ -168,13 +168,43 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def _stringify_vec(col):
+    """Project an ``array<double>`` column to one deterministic string:
+    each component scaled to 1e-6 units, rounded to a bigint, joined
+    with ','. The driver's pandas-based canonicalizer cannot sort/hash
+    list cells (unhashable type — the r1 `err` rows), so array outputs
+    are flattened identically on the Spark and oracle sides. Bigint
+    rendering is engine-independent, unlike double→string formatting."""
+    return F.array_join(
+        F.transform(
+            col, lambda c: F.round(c * 1_000_000).cast("bigint").cast("string")
+        ),
+        ",",
+    )
+
+
+# DuckDB twin of _stringify_vec (same 1e-6 quantization, ',' join).
+_STRINGIFY_SQL = (
+    "array_to_string(list_transform({col}, "
+    "c -> CAST(CAST(round(c * 1000000) AS BIGINT) AS VARCHAR)), ',')"
+)
+
+
 @spec(
     "emb_label_centroids",
-    S.label_centroids_oracle_sql(),
+    f"""
+    SELECT label, n_vectors,
+           {_STRINGIFY_SQL.format(col='centroid')} AS centroid_q
+    FROM ({S.label_centroids_oracle_sql()})
+    """,
     ("ext", "embedding"),
 )
 def q_label_centroids(spark, sf_dir):
-    return S.label_centroids(_t(spark, sf_dir, "embeddings"))
+    return S.label_centroids(_t(spark, sf_dir, "embeddings")).select(
+        "label",
+        "n_vectors",
+        _stringify_vec(F.col("centroid")).alias("centroid_q"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -212,12 +242,21 @@ def q_resize_media(spark, sf_dir):
 
 @spec(
     "mm_extract_features",
-    M.extract_features_oracle_sql(),
+    f"""
+    SELECT doc_id, media_type,
+           {_STRINGIFY_SQL.format(col='features')} AS features_q
+    FROM ({M.extract_features_oracle_sql()})
+    """,
     ("ext", "multimodal"),
 )
 def q_extract_features(spark, sf_dir):
-    return M.extract_features(
+    feats = M.extract_features(
         M.attach_payload(_t(spark, sf_dir, "documents"))
+    )
+    return feats.select(
+        "doc_id",
+        "media_type",
+        _stringify_vec(F.col("features")).alias("features_q"),
     )
 
 

@@ -138,6 +138,43 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
+def test_store_serving_join_no_exchange(spark, sf_dir):
+    """The materialized feature-store serving path: all three feature
+    tables are bucketed+sorted by user_id, so the uf ⟕ tf ⟕ rf serving
+    join runs with ZERO Exchange and ZERO Sort — the request-path shape
+    that at 100 TB replaces re-shuffling three feature tables per
+    serving batch with a map-side merge."""
+    from feature_store_spark.pipelines.store import serving_from_store
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.legacy.bucketedTableScan.outputOrdering",
+        )
+    }
+    try:
+        # force non-broadcast so the assertion tests the bucket layout;
+        # the sorted-bucket scan (1 file/bucket) is honored only with
+        # the outputOrdering flag on and AQE off
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        df = serving_from_store(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # bucketed sortBy makes even the SMJ sort-free
+        assert "+- Sort" not in plan
+        assert df.count() > 0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_shingle_regex_not_inlined(spark, sf_dir):
     """The tokenizer regex must be materialized BEFORE the shingling
     lambda (SCALE.md §4.1): if CollapseProject merges them, the regex

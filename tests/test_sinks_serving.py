@@ -326,3 +326,41 @@ def test_health_reports_broken_store(spark, tmp_path):
     assert s.health() == {"user": True}
     shutil.rmtree(p)
     assert s.health() == {"user": False}
+
+
+def test_partitioned_upsert_rejects_null_partition(spark, tmp_path):
+    """NULL partition values would dynamic-overwrite
+    __HIVE_DEFAULT_PARTITION__ with only the update rows, silently
+    discarding previously stored NULL-partition keys — refused."""
+    import pytest
+
+    from feature_store_spark.pipelines.sinks import (
+        upsert_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "snap")
+    v1 = spark.createDataFrame(
+        [(1, 10.0, "t1", "2024-01-01")],
+        "user_id long, score double, v string, snap_date string",
+    )
+    upsert_parquet_partitioned(v1, path, ["user_id"], "v", "snap_date")
+    v2 = spark.createDataFrame(
+        [(2, 20.0, "t2", None)],
+        "user_id long, score double, v string, snap_date string",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        upsert_parquet_partitioned(v2, path, ["user_id"], "v", "snap_date")
+
+
+def test_stats_with_outliers_empty_input_counts_zero(spark):
+    """Empty-table parity with the a7 oracle: COUNT of nothing is 0
+    (not NULL), outlier_count likewise; the moment stats stay NULL."""
+    from feature_store_spark.operators.aggregates import (
+        stats_with_outliers,
+    )
+
+    empty = spark.createDataFrame([], "o_totalprice double")
+    row = stats_with_outliers(empty, "o_totalprice").collect()[0]
+    assert row["count_value"] == 0
+    assert row["outlier_count"] == 0
+    assert row["mean_value"] is None
