@@ -32,6 +32,27 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     assert len(df.columns) > 0
 
 
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_query_output_is_atomic(spark, sf_dir, name):
+    """Driver-canonicalizer contract: the round driver sorts/hashes
+    results with pandas, which cannot handle list/dict cells (the r1
+    `err` rows on array<double> outputs). Every oracle-checked query
+    must therefore project complex types to deterministic scalars
+    (see queries_llm._stringify_vec). Plan-only — nothing executes."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = SPECS[name].fn(spark, sf_dir)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name} emits non-atomic output columns {bad}; stringify them "
+        "on both Spark and oracle sides"
+    )
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 
