@@ -272,40 +272,40 @@ def derive_risk_features(
     )
 
     # Behavior feed over events: device/location diversity + velocity
-    # alerts in the trailing 30d of the injected `now`, and the 30d
-    # activity flag. The latest purchase score is aggregated SEPARATELY
-    # over a purchase-filtered scan: max_by's struct ordering buffer
-    # forces the whole aggregate to SortAggregate, and fused with the
-    # two countDistincts it would sort the Expand-tripled event rows
-    # (measured 2× the events-agg time at sf0.1). Split, the distinct
-    # aggs stay in spill-safe hash form and the sort touches only
-    # purchase rows (with event_type pushed to the parquet scan); the
-    # re-join is at already-aggregated per-user granularity.
+    # alerts in the trailing 30d of the injected `now`, the 30d activity
+    # flag, AND the latest purchase score — ONE events scan, one
+    # groupBy. Distinct counts run as ``size(collect_set(...))`` rather
+    # than two ``countDistinct``s: multiple distinct aggregates plan an
+    # Expand (3× the event rows through the shuffle) and demote the
+    # whole aggregate — including the ``max_by`` ordering buffer — to
+    # SortAggregate; collect_set keeps everything in one
+    # ObjectHashAggregate with map-side partials (measured 0.56 s →
+    # 0.23 s at sf0.1, identical results). Per-user 30d device/location
+    # cardinality is bounded (dozens), so the set buffers stay small at
+    # any corpus scale; for an UNBOUNDED-cardinality distinct this
+    # trade reverses and Expand+countDistinct (or
+    # approx_count_distinct) is the spill-safe choice.
     ein30 = F.col("ts") >= now_ts - F.expr("INTERVAL 30 DAYS")
+    purchase = F.col("event_type") == "purchase"
     ev = events.groupBy(F.col("user_id")).agg(
-        F.countDistinct(F.when(ein30, F.col("event_type")))
+        F.size(F.collect_set(F.when(ein30, F.col("event_type"))))
         .cast("bigint")
         .alias("__dev30"),
-        F.countDistinct(F.when(ein30, F.col("props")))
+        F.size(F.collect_set(F.when(ein30, F.col("props"))))
         .cast("bigint")
         .alias("__loc30"),
         F.count(F.when(ein30 & (F.col("event_type") == "error"), 1))
         .cast("bigint")
         .alias("__vel30"),
         F.max(F.when(ein30, F.lit(1))).alias("__ev30"),
+        # latest-per-key (W1) as a single aggregate; the when() guards
+        # make non-purchase rows invisible to the ordering struct, so
+        # the result matches a purchase-filtered max_by exactly.
+        F.max_by(
+            F.when(purchase, F.col("value")),
+            F.when(purchase, F.struct(F.col("ts"), F.col("event_id"))),
+        ).alias("__risk"),
     )
-    # Purchase users are a subset of event users, so a left join onto
-    # the behavior feed preserves the active-key spine exactly.
-    pur = (
-        events.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(
-            F.max_by(
-                F.col("value"), F.struct(F.col("ts"), F.col("event_id"))
-            ).alias("__risk")
-        )
-    )
-    ev = ev.join(pur, "user_id", "left")
 
     # Active keys (`sql/risk_features.sql:73-90`): 90d orders ∪ 90d
     # payment activity ∪ 30d events — a filter over the full outer
@@ -464,28 +464,25 @@ def serving_features(
         )
     )
 
-    # Same max_by split as derive_risk_features: keep the distinct aggs
-    # hash-based, sort only the purchase-filtered rows.
+    # Same single-scan events aggregate as derive_risk_features:
+    # collect_set distincts + fused max_by in one ObjectHashAggregate
+    # (see the scale/cardinality note there).
     ein30 = F.col("ts") >= now_ts - F.expr("INTERVAL 30 DAYS")
     purchase = F.col("event_type") == "purchase"
     ev = events.groupBy("user_id").agg(
-        F.countDistinct(F.when(ein30, F.col("event_type"))).alias("__dev30"),
-        F.countDistinct(F.when(ein30, F.col("props"))).alias("__loc30"),
+        F.size(F.collect_set(F.when(ein30, F.col("event_type")))).alias(
+            "__dev30"
+        ),
+        F.size(F.collect_set(F.when(ein30, F.col("props")))).alias("__loc30"),
         F.count(F.when(ein30 & (F.col("event_type") == "error"), 1)).alias(
             "__vel30"
         ),
         F.max(F.when(ein30, F.lit(1))).alias("__ev30"),
+        F.max_by(
+            F.when(purchase, F.col("value")),
+            F.when(purchase, F.struct(F.col("ts"), F.col("event_id"))),
+        ).alias("__risk"),
     )
-    pur = (
-        events.filter(purchase)
-        .groupBy("user_id")
-        .agg(
-            F.max_by(
-                F.col("value"), F.struct(F.col("ts"), F.col("event_id"))
-            ).alias("__risk")
-        )
-    )
-    ev = ev.join(pur, "user_id", "left")
 
     joined = (
         customer.select(
