@@ -1,7 +1,10 @@
 """LLM-training-data pipeline operators (SURVEY.md §2.12 extension
 surface): text analysis, deduplication (exact / MinHash-LSH / SimHash /
 n-gram Jaccard / embedding cosine), similarity search (brute-force +
-LSH-bucketed ANN), and multimodal column plumbing.
+LSH-bucketed ANN), multimodal column plumbing, and pretraining-corpus
+preparation (train/eval decontamination, repetition quality rules,
+PII scrubbing, temperature-weighted domain mixing, token-budget
+sequence packing).
 
 All deterministic and cross-engine reproducible: hashing is md5-based
 (identical in Spark and DuckDB), folds are explicit sequential

@@ -1,0 +1,548 @@
+"""Pretraining-corpus preparation operators (beyond-reference §2
+extensions, SURVEY.md §2.12 family): the steps a large-scale
+training-data pipeline runs AFTER per-document cleaning (llm/text.py)
+and dedup (llm/dedup.py) and BEFORE tokenizer hand-off.
+
+- **contamination_report**: train/eval n-gram-collision decontamination
+  (the GPT-3/PaLM appendix recipe): any eval document sharing a long
+  token n-gram with a training document is flagged, with the overlap
+  evidence. Inverted-index join — never all-pairs.
+- **repetition_stats**: Gopher/MassiveText repetition quality rules —
+  top-unigram / top-bigram mass fraction, duplicate-trigram fraction —
+  one tagged explode, one doc-keyed shuffle.
+- **pii_scrub**: regex masking of emails / IPv4 / phone numbers with
+  per-kind redaction counts. RE2-safe patterns (no lookaround) so the
+  exact same regex runs in Spark (Java) and the DuckDB (RE2) oracle.
+- **temperature_mixture**: per-source sampling quotas ∝ n_s^alpha
+  (the multilingual/multi-domain temperature-sampling mix), realized
+  deterministically by md5 rank within each source.
+- **pack_token_budget**: fixed-order packing of documents into
+  context-window chunks by cumulative token count (the streaming
+  sequence-packing shape; documents are not split).
+
+Everything is native column expressions + joins/windows — zero Python
+UDFs; each operator ships a DuckDB oracle twin generated from the same
+constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from feature_store_spark.llm.text import TOKEN_RE, shingles, token_count
+
+# ---------------------------------------------------------------------------
+# Train/eval contamination (n-gram collision decontamination)
+# ---------------------------------------------------------------------------
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_: DataFrame,
+    n: int = 8,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per eval document: how many train documents share at least one
+    token ``n``-gram with it, and the largest shared-n-gram count over
+    any single train doc. Eval docs with no collision are reported with
+    zeros (the all-clear certificate matters as much as the hits).
+
+    Scale shape: both corpora shingle into (id, n-gram) postings; the
+    join is an equi-join on the shingle — candidate-proportional, like
+    the dedup inverted index (`ngram_jaccard_pairs`), never eval×train.
+    ``max_df`` optionally drops n-grams appearing in more than that
+    many TRAIN docs before the join; at 13-gram decontamination scale
+    hub n-grams are boilerplate (licenses, headers) and a single one
+    would otherwise fan out to millions of pairs. Dropping them trades
+    recall on boilerplate-only overlap for a bounded join — the same
+    trade public decontamination pipelines make; leave ``None`` to
+    keep the check exact.
+    """
+    tr = shingles(train, n=n, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias("__train_id"), "shingle"
+    )
+    if max_df is not None:
+        keep = (
+            tr.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+        )
+        tr = tr.join(keep.select("shingle"), "shingle")
+    ev = shingles(eval_, n=n, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias("__eval_id"), "shingle"
+    )
+    hits = (
+        ev.join(tr, "shingle")
+        .groupBy("__eval_id", "__train_id")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .groupBy("__eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminating_docs"),
+            F.max("__shared").alias("max_shared_ngrams"),
+        )
+    )
+    return (
+        eval_.select(F.col(id_col).alias("eval_doc_id"))
+        .join(hits, F.col("eval_doc_id") == F.col("__eval_id"), "left")
+        .select(
+            "eval_doc_id",
+            F.coalesce("n_contaminating_docs", F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminating_docs"),
+            F.coalesce("max_shared_ngrams", F.lit(0))
+            .cast("bigint")
+            .alias("max_shared_ngrams"),
+            (F.coalesce("n_contaminating_docs", F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def contamination_oracle_sql(
+    table: str = "documents",
+    eval_max_id: int = 100,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for the fixture wiring: eval = doc_id < eval_max_id,
+    train = the rest of the same table."""
+    leads = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, n)]
+    )
+    sh = f"""
+      SELECT DISTINCT {id_col}, shingle FROM (
+        SELECT {id_col}, {leads} AS shingle,
+               lead(tok, {n - 1}) OVER w AS last_tok
+        FROM (
+          SELECT {id_col}, t[pos] AS tok, pos FROM (
+            SELECT {id_col},
+                   regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS t
+            FROM {table}
+          ), unnest(range(1, len(t) + 1)) AS u(pos)
+        )
+        WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)
+      ) s WHERE last_tok IS NOT NULL
+    """
+    return f"""
+    WITH sh AS ({sh}),
+    hits AS (
+      SELECT e.{id_col} AS eval_id,
+             count(*) AS n_contaminating_docs,
+             max(shared) AS max_shared_ngrams
+      FROM (
+        SELECT e.{id_col}, t.{id_col} AS train_id, count(*) AS shared
+        FROM (SELECT * FROM sh WHERE {id_col} < {eval_max_id}) e
+        JOIN (SELECT * FROM sh WHERE {id_col} >= {eval_max_id}) t
+          ON e.shingle = t.shingle
+        GROUP BY 1, 2
+      ) e({id_col}, train_id, shared)
+      GROUP BY 1
+    )
+    SELECT d.{id_col} AS eval_doc_id,
+           CAST(coalesce(h.n_contaminating_docs, 0) AS BIGINT)
+             AS n_contaminating_docs,
+           CAST(coalesce(h.max_shared_ngrams, 0) AS BIGINT)
+             AS max_shared_ngrams,
+           coalesce(h.n_contaminating_docs, 0) > 0 AS contaminated
+    FROM {table} d LEFT JOIN hits h ON d.{id_col} = h.eval_id
+    WHERE d.{id_col} < {eval_max_id}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality rules
+# ---------------------------------------------------------------------------
+
+TOP_BIGRAM_MAX = 0.18  # Gopher: reject if top 2-gram > 18% of bigrams
+DUP_TRIGRAM_MAX = 0.30  # and if duplicate 3-grams > 30% of trigrams
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition metrics (Gopher/MassiveText rules C4
+    dropped): fraction of token mass in the single most frequent
+    unigram / bigram, and the fraction of trigram occurrences that are
+    repeats of an earlier trigram in the same document. ``repetitive``
+    applies the published-style thresholds to the 2-/3-gram metrics.
+
+    One scan: uni/bi/tri grams are emitted from a single tagged
+    explode (gram size rides along as a literal), counted per (doc,
+    size, gram), then folded to per-(doc, size) {max count, total,
+    distinct} in a second map-combined aggregate and pivoted by the
+    three known sizes. Both shuffles hash on {id_col} (+gram) — no
+    skew beyond document length itself, no joins except the final
+    thin per-doc assembly against the doc spine (docs with < 3 tokens
+    keep a row with NULL ratios).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+        ).alias("__t"),
+    ).repartition(F.col(id_col))
+
+    def gram_expr(k: int):
+        return (
+            f"CASE WHEN size(__t) >= {k} THEN"
+            f" transform(sequence(1, size(__t) - {k - 1}),"
+            f" i -> concat_ws(' ', slice(__t, i, {k})))"
+            " ELSE array() END"
+        )
+
+    tagged = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "flatten(array("
+                + ", ".join(
+                    f"transform({gram_expr(k)}, g -> struct({k} AS n, g AS gram))"
+                    for k in (1, 2, 3)
+                )
+                + "))"
+            )
+        ).alias("__g"),
+    ).select(id_col, F.col("__g.n").alias("__n"), F.col("__g.gram").alias("__gram"))
+
+    per_gram = tagged.groupBy(id_col, "__n", "__gram").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    per_size = per_gram.groupBy(id_col, "__n").agg(
+        F.max("__cnt").alias("__max"),
+        F.sum("__cnt").alias("__tot"),
+        F.count(F.lit(1)).alias("__distinct"),
+    )
+    pivoted = per_size.groupBy(id_col).agg(
+        *[
+            agg
+            for k in (1, 2, 3)
+            for agg in (
+                F.max(F.when(F.col("__n") == k, F.col("__max"))).alias(
+                    f"__max{k}"
+                ),
+                F.max(F.when(F.col("__n") == k, F.col("__tot"))).alias(
+                    f"__tot{k}"
+                ),
+                F.max(F.when(F.col("__n") == k, F.col("__distinct"))).alias(
+                    f"__dis{k}"
+                ),
+            )
+        ]
+    )
+
+    def ratio(num, den):
+        return F.round(num / F.when(den == 0, None).otherwise(den), 6)
+
+    out = (
+        df.select(F.col(id_col))
+        .join(pivoted, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__tot1", F.lit(0)).cast("bigint").alias("n_tokens"),
+            ratio(F.col("__max1"), F.col("__tot1")).alias("top_unigram_frac"),
+            ratio(F.col("__max2"), F.col("__tot2")).alias("top_bigram_frac"),
+            ratio(
+                F.col("__tot3") - F.col("__dis3"), F.col("__tot3")
+            ).alias("dup_trigram_frac"),
+        )
+    )
+    return out.withColumn(
+        "repetitive",
+        F.coalesce(
+            (F.col("top_bigram_frac") > TOP_BIGRAM_MAX)
+            | (F.col("dup_trigram_frac") > DUP_TRIGRAM_MAX),
+            F.lit(False),
+        ),
+    )
+
+
+def repetition_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    grams = []
+    for k in (1, 2, 3):
+        parts = " || ' ' || ".join(
+            ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, k)]
+        )
+        last = f"lead(tok, {k - 1}) OVER w" if k > 1 else "tok"
+        grams.append(
+            f"""SELECT {id_col}, {k} AS n, gram FROM (
+              SELECT {id_col}, {parts} AS gram, {last} AS last_tok
+              FROM tokpos WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)
+            ) g WHERE last_tok IS NOT NULL"""
+        )
+    grams_sql = "\n      UNION ALL ".join(grams)
+    return f"""
+    WITH tokpos AS (
+      SELECT {id_col}, t[pos] AS tok, pos FROM (
+        SELECT {id_col},
+               regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS t
+        FROM {table}
+      ), unnest(range(1, len(t) + 1)) AS u(pos)
+    ),
+    tagged AS (
+      {grams_sql}
+    ),
+    per_gram AS (
+      SELECT {id_col}, n, gram, count(*) AS cnt
+      FROM tagged GROUP BY 1, 2, 3
+    ),
+    per_size AS (
+      SELECT {id_col}, n, max(cnt) AS mx, sum(cnt) AS tot,
+             count(*) AS dis
+      FROM per_gram GROUP BY 1, 2
+    ),
+    pivoted AS (
+      SELECT {id_col},
+             max(CASE WHEN n = 1 THEN mx END) AS max1,
+             max(CASE WHEN n = 1 THEN tot END) AS tot1,
+             max(CASE WHEN n = 2 THEN mx END) AS max2,
+             max(CASE WHEN n = 2 THEN tot END) AS tot2,
+             max(CASE WHEN n = 3 THEN tot END) AS tot3,
+             max(CASE WHEN n = 3 THEN dis END) AS dis3
+      FROM per_size GROUP BY 1
+    )
+    SELECT d.{id_col},
+           CAST(coalesce(tot1, 0) AS BIGINT) AS n_tokens,
+           round(max1 * 1.0 / NULLIF(tot1, 0), 6) AS top_unigram_frac,
+           round(max2 * 1.0 / NULLIF(tot2, 0), 6) AS top_bigram_frac,
+           round((tot3 - dis3) * 1.0 / NULLIF(tot3, 0), 6)
+             AS dup_trigram_frac,
+           coalesce(round(max2 * 1.0 / NULLIF(tot2, 0), 6)
+                      > {TOP_BIGRAM_MAX}
+                    OR round((tot3 - dis3) * 1.0 / NULLIF(tot3, 0), 6)
+                      > {DUP_TRIGRAM_MAX}, FALSE) AS repetitive
+    FROM {table} d LEFT JOIN pivoted p ON d.{id_col} = p.{id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (RE2-safe patterns — identical regex text on both engines)
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    # (kind, regex, replacement) — applied in order; no lookaround
+    # (DuckDB's RE2 has none), no backreferences.
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 -]{7,14}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mask emails, IPv4 addresses, and international-format phone
+    numbers, reporting per-kind redaction counts. Counts are taken on
+    the text each pattern actually sees (patterns apply in declared
+    order, so an email's digits can't double-count as a phone) —
+    byte-identical semantics in the oracle, which applies the same
+    regexes in the same order. Narrow projection: no shuffle, scales
+    with corpus bytes; regex cost is per-row JVM work inside codegen.
+    """
+    out_cols = [F.col(id_col)]
+    scrubbed = F.col(text_col)
+    for kind, pat, repl in PII_PATTERNS:
+        out_cols.append(
+            F.regexp_count(scrubbed, F.lit(pat))
+            .cast("bigint")
+            .alias(f"n_{kind}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    out_cols.append(scrubbed.alias("scrubbed_text"))
+    return df.select(*out_cols)
+
+
+def pii_scrub_oracle_sql(
+    source_sql: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """Oracle over an arbitrary source subquery (the fixture corpus has
+    no organic PII, so the registered query plants deterministic PII —
+    the same planting SQL is passed here)."""
+    counts = []
+    scrubbed = text_col
+    for kind, pat, repl in PII_PATTERNS:
+        counts.append(
+            f"CAST(length(regexp_extract_all({scrubbed}, '{pat}'))"
+            f" AS BIGINT) AS n_{kind}"
+        )
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    cols = ",\n           ".join(counts)
+    return f"""
+    SELECT {id_col},
+           {cols},
+           {scrubbed} AS scrubbed_text
+    FROM ({source_sql})
+    """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted domain mixture
+# ---------------------------------------------------------------------------
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget: int = 1000,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic temperature-sampled corpus mix: source ``s`` gets
+    a quota of ``floor(budget * n_s^alpha / sum_s n_s^alpha)`` documents
+    (alpha<1 flattens the source distribution — the standard
+    multilingual/multi-domain temperature trick), and the quota is
+    filled by the md5-smallest doc_ids within the source (a
+    deterministic uniform sample, same device as o3/o6).
+
+    Scale shape: per-source counts are a map-combined aggregate over
+    the corpus (tiny result — one row per source); the quota table
+    broadcasts back onto the corpus; the per-source rank is one window
+    partitioned by source. A heavily skewed source distribution skews
+    the window partition — at corpus scale rank within (source,
+    md5-prefix bucket) and merge quotas per bucket.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    wsum = counts.agg(
+        F.sum(F.pow(F.col("__n"), F.lit(alpha))).alias("__wsum")
+    )
+    quota = (
+        counts.crossJoin(F.broadcast(wsum))
+        .select(
+            source_col,
+            F.col("__n"),
+            F.floor(
+                F.lit(budget) * F.pow(F.col("__n"), F.lit(alpha)) / F.col("__wsum")
+            )
+            .cast("bigint")
+            .alias("quota"),
+        )
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = df.select(F.col(id_col), F.col(source_col)).withColumn(
+        "__rk", F.row_number().over(w)
+    )
+    return (
+        ranked.join(F.broadcast(quota), source_col)
+        .filter(F.col("__rk") <= F.col("quota"))
+        .select(
+            id_col,
+            source_col,
+            F.col("__rk").cast("bigint").alias("sample_rank"),
+            F.col("quota"),
+        )
+    )
+
+
+def temperature_mixture_oracle_sql(
+    table: str = "documents",
+    alpha: float = 0.5,
+    budget: int = 1000,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+    WITH counts AS (
+      SELECT {source_col}, count(*) AS n FROM {table} GROUP BY 1
+    ),
+    quota AS (
+      SELECT {source_col},
+             CAST(floor({budget} * pow(n, {alpha})
+                  / (SELECT sum(pow(n, {alpha})) FROM counts))
+               AS BIGINT) AS quota
+      FROM counts
+    ),
+    ranked AS (
+      SELECT {id_col}, {source_col},
+             row_number() OVER (
+               PARTITION BY {source_col}
+               ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}
+             ) AS rk
+      FROM {table}
+    )
+    SELECT r.{id_col}, r.{source_col},
+           CAST(r.rk AS BIGINT) AS sample_rank, q.quota
+    FROM ranked r JOIN quota q ON r.{source_col} = q.{source_col}
+    WHERE r.rk <= q.quota
+    """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-order token-budget packing
+# ---------------------------------------------------------------------------
+
+
+def pack_token_budget(
+    df: DataFrame,
+    budget: int = 2048,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to context-window chunks per source: documents
+    are taken in ``id`` order and a document starts a new chunk when
+    the running token total would exceed ``budget`` more often than
+    crossing one boundary (fixed-order packing — documents are never
+    split, so a chunk can overflow by at most one document's tail;
+    ``chunk_id = floor(cum_tokens_before / budget)``, the streaming
+    packer's assignment).
+
+    Scale shape: one tokenize projection, then a single running-sum
+    window partitioned by source — the partition is the unit of
+    sequential packing, matching how corpus shards are packed
+    per-source/per-shard in practice (a global pack order would
+    serialize the whole corpus through one partition; if needed, pack
+    per (source, shard) and renumber chunks by prefix sums).
+    """
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        id_col,
+        source_col,
+        "n_tokens",
+        F.floor(cum_before / budget).cast("bigint").alias("chunk_id"),
+        (cum_before % budget).cast("bigint").alias("chunk_offset"),
+    )
+
+
+def pack_token_budget_oracle_sql(
+    table: str = "documents",
+    budget: int = 2048,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, {source_col},
+             CAST(len(regexp_extract_all(lower({text_col}), '{TOKEN_RE}'))
+               AS BIGINT) AS n_tokens
+      FROM {table}
+    )
+    SELECT {id_col}, {source_col}, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+                  PARTITION BY {source_col} ORDER BY {id_col}
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) / {budget}) AS BIGINT) AS chunk_id,
+           CAST(coalesce(sum(n_tokens) OVER (
+                  PARTITION BY {source_col} ORDER BY {id_col}
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) % {budget} AS BIGINT) AS chunk_offset
+    FROM toks
+    """

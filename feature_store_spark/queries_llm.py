@@ -306,3 +306,112 @@ def q_ml_risk_scores(spark, sf_dir):
     frame = risk_training_frame(serving).cache()
     model = risk_model_pipeline().fit(frame)
     return score_risk(model, frame)
+
+
+# ---------------------------------------------------------------------------
+# Pretraining-corpus preparation (llm/pretrain.py)
+# ---------------------------------------------------------------------------
+
+from feature_store_spark.llm import pretrain as P  # noqa: E402
+
+_EVAL_MAX_ID = 100  # eval = doc_id < 100, train = the rest
+
+# Deterministic PII planting (the fixture corpus has no organic PII):
+# every 7th doc gains an email, every 11th an IPv4, every 13th a phone
+# number — same derivation on both engines so the scrub paths are
+# exercised for real.
+_PII_PLANT_SQL = f"""
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+            THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+            ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+            THEN ' call +1 555 01' || CAST(doc_id % 90 + 10 AS VARCHAR)
+            ELSE '' END AS text
+  FROM documents
+"""
+
+
+def _plant_pii(docs):
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(""),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" call +1 555 01"),
+                    (did % 90 + 10).cast("string"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+
+
+@spec(
+    "pt_contamination",
+    P.contamination_oracle_sql(eval_max_id=_EVAL_MAX_ID, n=8),
+    ("ext", "pretrain", "dedup"),
+)
+def q_pt_contamination(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return P.contamination_report(
+        docs.filter(F.col("doc_id") >= _EVAL_MAX_ID),
+        docs.filter(F.col("doc_id") < _EVAL_MAX_ID),
+        n=8,
+    )
+
+
+@spec("pt_repetition_stats", P.repetition_oracle_sql(), ("ext", "pretrain"))
+def q_pt_repetition(spark, sf_dir):
+    return P.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "pt_pii_scrub",
+    P.pii_scrub_oracle_sql(_PII_PLANT_SQL),
+    ("ext", "pretrain"),
+)
+def q_pt_pii_scrub(spark, sf_dir):
+    return P.pii_scrub(_plant_pii(_t(spark, sf_dir, "documents")))
+
+
+@spec(
+    "pt_temperature_mixture",
+    P.temperature_mixture_oracle_sql(alpha=0.5, budget=200),
+    ("ext", "pretrain", "O6"),
+)
+def q_pt_temperature_mixture(spark, sf_dir):
+    return P.temperature_mixture(
+        _t(spark, sf_dir, "documents"), alpha=0.5, budget=200
+    )
+
+
+@spec(
+    "pt_pack_token_budget",
+    P.pack_token_budget_oracle_sql(budget=512),
+    ("ext", "pretrain"),
+)
+def q_pt_pack_token_budget(spark, sf_dir):
+    return P.pack_token_budget(_t(spark, sf_dir, "documents"), budget=512)

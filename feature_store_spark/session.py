@@ -42,6 +42,19 @@ def get_spark(
         # Fixture events.parquet stores TIMESTAMP(NANOS); read as long
         # and convert in tables.load_table (Spark has no ns timestamps).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ObjectHashAggregate (collect_set/collect_list/hll paths)
+        # falls back to SORT-BASED aggregation after only 128 distinct
+        # keys per partition by default — any realistic group count
+        # triggers it and the whole aggregate pays a per-partition sort
+        # (measured 2.1x on the 1M-row events aggregate at sf~1).
+        # 128k keys/partition at ~1-2 KB per small-set buffer bounds
+        # the map at ~128-256 MB/partition — safe on 4 GB+ executors;
+        # aggregates with UNBOUNDED per-key state should not rely on
+        # this and belong in countDistinct/Expand form instead.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            "131072",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -18,6 +18,22 @@ rep("customer", f"SELECT c_custkey + {{i}} * {{ck}} AS c_custkey, c_name, c_nati
 rep("orders", f"SELECT o_orderkey + {{i}} * {{ok}} AS o_orderkey, o_custkey + {{i}} * {{ck}} AS o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM '{SRC}/orders.parquet'")
 rep("lineitem", f"SELECT l_orderkey + {{i}} * {{ok}} AS l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate FROM '{SRC}/lineitem.parquet'")
 rep("events", f"SELECT event_id + {{i}} * {{ev}} AS event_id, ts, user_id + {{i}} * {{uid}} AS user_id, event_type, value, props FROM '{SRC}/events.parquet'")
-for t in ("region", "nation", "supplier", "part", "documents", "embeddings"):
+# documents: 10x with a replica-suffix token appended to every text —
+# preserves each replica's internal near-dup structure (a shared
+# suffix token shifts all shingle sets of one replica identically)
+# while preventing the cross-replica exact-dup explosion verbatim
+# copies would create (every doc would gain 9 twins; pair counts and
+# LSH bucket sizes would grow 45x instead of 10x).
+mx["doc"] = con.execute(f"SELECT max(doc_id)+1 FROM '{SRC}/documents.parquet'").fetchone()[0]
+doc_cols = [d[0] for d in con.execute(f"SELECT * FROM '{SRC}/documents.parquet' LIMIT 0").description]
+passthru = ", ".join(c for c in doc_cols if c not in ("doc_id", "text"))
+rep("documents", f"SELECT doc_id + {{i}} * {{doc}} AS doc_id, text || ' replica{{i}}' AS text, {passthru} FROM '{SRC}/documents.parquet'")
+# embeddings: 10x with id offsets; vectors unchanged (timing only —
+# the query side stays vec_id < n_queries, i.e. replica-0 vectors).
+mx["vec"] = con.execute(f"SELECT max(vec_id)+1 FROM '{SRC}/embeddings.parquet'").fetchone()[0]
+emb_cols = [d[0] for d in con.execute(f"SELECT * FROM '{SRC}/embeddings.parquet' LIMIT 0").description]
+emb_passthru = ", ".join(c for c in emb_cols if c != "vec_id")
+rep("embeddings", f"SELECT vec_id + {{i}} * {{vec}} AS vec_id, {emb_passthru} FROM '{SRC}/embeddings.parquet'")
+for t in ("region", "nation", "supplier", "part"):
     shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
 print("done")

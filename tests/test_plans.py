@@ -200,6 +200,22 @@ def test_shingle_regex_not_inlined(spark, sf_dir):
     assert not bad, bad
 
 
+def test_text_stats_tokenizes_once(spark, sf_dir):
+    """text_stats derives four stats from the token array; without the
+    rand-column projection barrier CollapseProject duplicates the
+    tokenize regex into every consumer (measured 0.33 s -> 0.25 s at
+    sf0.1, ~1.5 s on a 50k-doc corpus). Pin: exactly one
+    regexp_extract_all of TOKEN_RE in the executed plan."""
+    from feature_store_spark.llm.text import TOKEN_RE, text_stats
+    from feature_store_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        text_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count(TOKEN_RE) == 1, plan
+
+
 def test_hll_merge_is_lossless(spark, sf_dir):
     """Mergeability property behind a16: union-merging per-day HLL
     partials yields EXACTLY the estimate of one sketch built over the
