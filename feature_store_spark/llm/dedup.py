@@ -234,6 +234,124 @@ def minhash_signatures(df: DataFrame, n: int = 3, k: int = MINHASH_K,
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _band_postings(
+    sig: DataFrame, k: int, bands: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Signature table → LSH band postings (id, band_idx, band_hash).
+    One stack() pass instead of a bands-way union: a union would
+    re-read the signature relation per branch. This is the row shape a
+    production pipeline PERSISTS as the incremental dedup index (see
+    :func:`minhash_lsh_incremental`)."""
+    r = k // bands
+    stack_args = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * r, (b + 1) * r)]
+        stack_args += [F.lit(b), F.md5(F.concat_ws("|", *cols))]
+    return sig.select(
+        F.col(id_col),
+        F.stack(F.lit(bands), *stack_args).alias("band_idx", "band_hash"),
+    )
+
+
+def lsh_index(
+    df: DataFrame,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The two persistable relations of an incremental MinHash-LSH
+    dedup index over an existing corpus: ``(postings, sets)`` where
+    postings = (id, band_idx, band_hash) and sets = (id, sh:
+    array<string>) shingle sets for exact verification. At corpus
+    scale both are written to storage once (postings bucketed by
+    band_hash, sets by id) and every ingest batch probes them —
+    the corpus is never re-shingled."""
+    sig = minhash_signatures(df, n=n, k=k, id_col=id_col, text_col=text_col)
+    postings = _band_postings(sig, k=k, bands=bands, id_col=id_col)
+    sets = (
+        shingles(df, n=n, id_col=id_col, text_col=text_col)
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("sh"))
+    )
+    return postings, sets
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    index_postings: DataFrame,
+    index_sets: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs INVOLVING a new ingest batch, probed against a
+    stored LSH index (:func:`lsh_index`) — the continuous-ingest shape
+    of corpus dedup: only the batch is shingled/signed, the existing
+    corpus contributes its persisted postings and shingle sets.
+
+    Output = exactly the pairs :func:`minhash_lsh_pairs` over
+    (corpus ∪ batch) would emit where at least one side is new —
+    new×corpus collisions via an equi-join of the batch's band
+    postings against the index (batch side small → broadcast), plus
+    new×new collisions via in-batch bucket pairing. Corpus×corpus
+    pairs are by definition already known to the store and never
+    recomputed — at 100 TB this is what makes per-batch dedup
+    O(batch), not O(corpus).
+    """
+    new_post, new_sets = lsh_index(
+        new_docs, n=n, k=k, bands=bands, id_col=id_col, text_col=text_col
+    )
+    # new×corpus candidates: postings equi-join (id_a = corpus side).
+    cross = (
+        index_postings.select(
+            F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+        )
+        .join(
+            F.broadcast(
+                new_post.select(
+                    F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+                )
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+    # new×new candidates: in-batch bucket pairing (batch is small).
+    within = (
+        new_post.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(F.col(id_col)).alias("mem"))
+        .select(F.explode("mem").alias("id_a"), "mem")
+        .select("id_a", F.explode("mem").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    cand = cross.unionByName(within).distinct()
+    sets = index_sets.unionByName(new_sets)
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    shared = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = shared / (F.size("sh_a") + F.size("sh_b") - shared)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            shared.alias("shared_shingles"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     n: int = 3,
@@ -307,16 +425,7 @@ def minhash_lsh_pairs(
         sig = minhash_signatures(
             df, n=n, k=k, id_col=id_col, text_col=text_col
         )
-    # One stack() pass instead of a bands-way union: a union would
-    # re-read the signature relation per branch.
-    stack_args = []
-    for b in range(bands):
-        cols = [F.col(f"h{i}") for i in range(b * r, (b + 1) * r)]
-        stack_args += [F.lit(b), F.md5(F.concat_ws("|", *cols))]
-    bands_df = sig.select(
-        F.col(id_col),
-        F.stack(F.lit(bands), *stack_args).alias("band_idx", "band_hash"),
-    )
+    bands_df = _band_postings(sig, k=k, bands=bands, id_col=id_col)
     cand = (
         bands_df.groupBy("band_idx", "band_hash")
         .agg(F.collect_list(F.col(id_col)).alias("mem"))

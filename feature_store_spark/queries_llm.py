@@ -415,3 +415,26 @@ def q_pt_temperature_mixture(spark, sf_dir):
 )
 def q_pt_pack_token_budget(spark, sf_dir):
     return P.pack_token_budget(_t(spark, sf_dir, "documents"), budget=512)
+
+
+_LSH_NEW_MIN_ID = 400  # ingest batch = doc_id >= 400; corpus = the rest
+
+
+@spec(
+    "d_lsh_incremental",
+    # pairs are emitted with id_a < id_b, so "at least one side new"
+    # reduces to id_b >= split.
+    f"""SELECT * FROM ({D.minhash_lsh_oracle_sql()})
+        WHERE id_b >= {_LSH_NEW_MIN_ID}""",
+    ("ext", "dedup", "incremental"),
+)
+def q_lsh_incremental(spark, sf_dir):
+    """Continuous-ingest dedup: probe a new batch against the stored
+    corpus LSH index; must equal the full-corpus LSH restricted to
+    pairs touching the batch (tests/test_plans.py pins the broadcast
+    of the batch postings)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < _LSH_NEW_MIN_ID)
+    batch = docs.filter(F.col("doc_id") >= _LSH_NEW_MIN_ID)
+    postings, sets = D.lsh_index(corpus)
+    return D.minhash_lsh_incremental(batch, postings, sets)

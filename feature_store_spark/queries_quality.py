@@ -957,3 +957,123 @@ def q_a18_algebraic_rollup(spark, sf_dir):
         F.min("min_ts").alias("first_ts"),
         F.max("max_ts").alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A19 — mergeable histogram-sketch percentile rollup (beyond reference)
+# ---------------------------------------------------------------------------
+
+# 20 log10 buckets per decade → every bucket spans a ×10^0.05 ≈ 12%
+# value range, so the midpoint estimate is within ~6% of any value in
+# the bucket.
+_A19_BPD = 20
+
+
+@spec(
+    "a19_quantile_sketch_rollup",
+    f"""WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day,
+                CAST(floor(log10(value) * {_A19_BPD}) AS BIGINT) AS bucket,
+                count(*) AS cnt
+         FROM events GROUP BY 1, 2
+       ),
+       weekly AS (
+         SELECT date_trunc('week', day) AS week, bucket, sum(cnt) AS cnt
+         FROM daily GROUP BY 1, 2
+       ),
+       cum AS (
+         SELECT week, bucket, cnt,
+                sum(cnt) OVER (PARTITION BY week ORDER BY bucket
+                               ROWS UNBOUNDED PRECEDING) AS running,
+                sum(cnt) OVER (PARTITION BY week) AS total
+         FROM weekly
+       ),
+       est AS (
+         SELECT week, CAST(total AS BIGINT) AS n_events,
+                round(pow(10, (min(bucket) + 0.5) / {_A19_BPD}), 6)
+                  AS est_p50
+         FROM cum WHERE running * 2 >= total
+         GROUP BY week, total
+       ),
+       exact AS (
+         SELECT date_trunc('week', CAST(ts AS DATE)) AS week,
+                quantile_cont(value, 0.5) AS exact_p50
+         FROM events GROUP BY 1
+       )
+       SELECT e.week, n_events, est_p50,
+              abs(est_p50 - exact_p50) / exact_p50 < 0.10
+                AS est_within_10pct
+       FROM est e JOIN exact x ON e.week = x.week""",
+    ("A11", "A16", "A19", "ext"),
+)
+def q_a19_quantile_rollup(spark, sf_dir):
+    """Mergeable percentile rollup: per-(day, log-bucket) counts are
+    the stored sketch — a fixed-size algebraic summary per day —
+    and any coarser percentile (week here) is answered by SUMMING
+    bucket counts and walking the merged histogram, never rescanning
+    raw events. The 100 TB shape for percentile dashboards, same
+    pattern as the a16 HLL rollup but for quantiles: ingest reduces
+    each partition once; rollups shuffle kilobytes. Unlike
+    percentile_approx partials (opaque, not user-mergeable), the
+    histogram is mergeable by construction in ANY engine, which is
+    also what makes the oracle exact on the estimate itself — the
+    hash-compared contract is the deterministic bucket estimate plus
+    a tolerance flag against each engine's own exact median (float
+    interpolation differs across engines; the sketch does not).
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy(
+        "day",
+        F.floor(F.log10("value") * _A19_BPD).cast("bigint").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    week = F.to_date(F.date_trunc("week", F.col("day"))).alias("week")
+    weekly = daily.groupBy(week, F.col("bucket")).agg(
+        F.sum("cnt").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("week")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("week")
+    cum = weekly.select(
+        "week",
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("running"),
+        F.sum("cnt").over(w_tot).alias("total"),
+    )
+    est = (
+        cum.filter(F.col("running") * 2 >= F.col("total"))
+        .groupBy("week", "total")
+        .agg(
+            F.round(
+                F.pow(F.lit(10.0), (F.min("bucket") + 0.5) / _A19_BPD), 6
+            ).alias("est_p50")
+        )
+        .select(
+            "week",
+            F.col("total").cast("bigint").alias("n_events"),
+            "est_p50",
+        )
+    )
+    exact = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.to_date(F.date_trunc("week", F.to_date("ts"))).alias("week"),
+            "value",
+        )
+        .groupBy("week")
+        .agg(F.expr("percentile(value, 0.5)").alias("exact_p50"))
+    )
+    return est.join(exact, "week").select(
+        "week",
+        "n_events",
+        "est_p50",
+        (
+            F.abs(F.col("est_p50") - F.col("exact_p50"))
+            / F.col("exact_p50")
+            < 0.10
+        ).alias("est_within_10pct"),
+    )

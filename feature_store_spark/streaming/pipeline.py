@@ -179,6 +179,26 @@ def velocity_windows_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """ST9: exactly-once ingest dedup — drop replayed/duplicate events
+    by key within the watermark horizon
+    (``dropDuplicatesWithinWatermark``: state holds one entry per key
+    seen in the last ``watermark`` of event time and is evicted as the
+    watermark advances, so memory is bounded by the duplicate-arrival
+    horizon, not the stream's lifetime — the property plain
+    ``dropDuplicates`` on a stream lacks). The streaming twin of
+    ``llm/dedup.py::exact_dedup``'s keep-first semantics for at-least-
+    once sources (a replayed Kafka partition, a re-delivered file).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def session_windows_stream(
     events: DataFrame,
     gap: str = "30 minutes",

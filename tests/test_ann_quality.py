@@ -101,3 +101,36 @@ def test_mllib_lsh_agrees_with_exact(spark, sf_dir, exact_pairs):
     if exact_pairs:
         recall = len(got) / len(exact_pairs)
         assert recall >= 0.8, f"MLlib LSH recall {recall:.2f}"
+
+
+def test_incremental_lsh_from_persisted_index(spark, sf_dir, tmp_path):
+    """Round-trip the LSH index through parquet (the production shape:
+    postings + shingle sets are STORED, batches probe them) and check
+    the probe result equals the inline full-corpus LSH restricted to
+    pairs touching the batch."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.llm.dedup import (
+        lsh_index,
+        minhash_lsh_incremental,
+        minhash_lsh_pairs,
+    )
+    from feature_store_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+
+    postings, sets = lsh_index(corpus)
+    postings.write.mode("overwrite").parquet(str(tmp_path / "postings"))
+    sets.write.mode("overwrite").parquet(str(tmp_path / "sets"))
+
+    inc = minhash_lsh_incremental(
+        batch,
+        spark.read.parquet(str(tmp_path / "postings")),
+        spark.read.parquet(str(tmp_path / "sets")),
+    )
+    full = minhash_lsh_pairs(docs).filter(F.col("id_b") >= 400)
+    key = lambda r: (r["id_a"], r["id_b"], r["shared_shingles"], r["jaccard"])
+    assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
+    assert inc.count() > 0

@@ -321,3 +321,22 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_incremental_lsh_broadcasts_batch_postings(spark, sf_dir):
+    """The continuous-ingest dedup probe must broadcast the (small)
+    batch band postings against the stored corpus index — a shuffle of
+    the corpus postings per ingest batch would be O(corpus) per batch.
+    """
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.llm.dedup import lsh_index, minhash_lsh_incremental
+    from feature_store_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, sets = lsh_index(docs.filter(F.col("doc_id") < 400))
+    out = minhash_lsh_incremental(
+        docs.filter(F.col("doc_id") >= 400), postings, sets
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan

@@ -244,3 +244,26 @@ def test_read_event_stream_on_empty_dir(spark, tmp_path):
     assert [f.name for f in stream.schema.fields] == [
         "event_id", "ts", "user_id", "event_type", "value", "props",
     ]
+
+
+def test_dedup_stream_drops_replayed_batch(spark, sf_dir, tmp_path):
+    """A re-delivered file (at-least-once source) must contribute zero
+    rows: dedup_stream over the fixture written TWICE equals the batch
+    distinct-by-event_id of one copy, exactly-once semantics."""
+    import shutil
+
+    from feature_store_spark.streaming.pipeline import dedup_stream
+
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "b.parquet")
+    out = _run_to_memory(
+        dedup_stream(read_event_stream(spark, str(d))), "dedup_t"
+    )
+    batch = load_table(spark, sf_dir, "events")
+    assert out.count() == batch.select("event_id").distinct().count()
+    # every surviving event is intact (same key set, no mangled rows)
+    s = {r["event_id"] for r in out.select("event_id").collect()}
+    b = {r["event_id"] for r in batch.select("event_id").collect()}
+    assert s == b
