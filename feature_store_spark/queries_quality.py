@@ -965,15 +965,21 @@ def q_a18_algebraic_rollup(spark, sf_dir):
 
 # 20 log10 buckets per decade → every bucket spans a ×10^0.05 ≈ 12%
 # value range, so the midpoint estimate is within ~6% of any value in
-# the bucket.
+# the bucket. Non-positive (or NULL) values land in one sentinel
+# bucket: DuckDB's log10 RAISES on 0 where Spark returns NULL (caught
+# at sf0.1, which has value=0 rows), so the guard must live in the
+# bucket expression on BOTH engines.
 _A19_BPD = 20
+_A19_ZERO_BUCKET = -10_000
 
 
 @spec(
     "a19_quantile_sketch_rollup",
     f"""WITH daily AS (
          SELECT CAST(ts AS DATE) AS day,
-                CAST(floor(log10(value) * {_A19_BPD}) AS BIGINT) AS bucket,
+                CASE WHEN value > 0
+                     THEN CAST(floor(log10(value) * {_A19_BPD}) AS BIGINT)
+                     ELSE {_A19_ZERO_BUCKET} END AS bucket,
                 count(*) AS cnt
          FROM events GROUP BY 1, 2
        ),
@@ -1026,7 +1032,12 @@ def q_a19_quantile_rollup(spark, sf_dir):
     )
     daily = ev.groupBy(
         "day",
-        F.floor(F.log10("value") * _A19_BPD).cast("bigint").alias("bucket"),
+        F.when(
+            F.col("value") > 0,
+            F.floor(F.log10("value") * _A19_BPD).cast("bigint"),
+        )
+        .otherwise(F.lit(_A19_ZERO_BUCKET))
+        .alias("bucket"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
     week = F.to_date(F.date_trunc("week", F.col("day"))).alias("week")
     weekly = daily.groupBy(week, F.col("bucket")).agg(
