@@ -244,6 +244,99 @@ def lsh_ann_oracle_sql(
     """
 
 
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-wide approximate k-nearest-neighbor graph: for EVERY
+    vector, its top-k cosine neighbors among vectors sharing its LSH
+    bucket — the candidate structure behind embedding-space near-dup
+    clustering, diversity sampling, and semantic dedup at corpus
+    scale; the corpus-to-corpus sibling of :func:`lsh_ann_topk`'s
+    query-to-corpus probe.
+
+    Plan: ONE signature pass, then in-bucket pairing via collect_list
+    + double explode (the SimHash pairing shape — a bucket self-join
+    would evaluate the signature subtree twice), then per-vector
+    round-before-rank top-k. Work is in-bucket-quadratic: with b
+    buckets and n vectors, ~n²/b pairs. 8 planes suit the fixture;
+    at corpus scale raise N_PLANES (buckets must grow with n to keep
+    pairs candidate-proportional) and union multiple hyperplane
+    tables for recall (multi-probe). Vectors alone in their bucket
+    emit no rows — the standard ANN recall trade, same as
+    lsh_ann_topk returning < k."""
+    sig = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__n"),
+        lsh_bucket(F.col(vec_col)).alias("__bucket"),
+    )
+    pairs = (
+        sig.groupBy("__bucket")
+        .agg(
+            F.collect_list(F.struct(id_col, "__v", "__n")).alias("mem")
+        )
+        .select(F.explode("mem").alias("a"), "mem")
+        .select("a", F.explode("mem").alias("b"))
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+    )
+    cos = F.round(
+        _dot(F.col("a.__v"), F.col("b.__v"))
+        / (F.col("a.__n") * F.col("b.__n")),
+        6,
+    )
+    scored = pairs.select(
+        F.col(f"a.{id_col}").alias(id_col),
+        F.col(f"b.{id_col}").alias("neighbor_id"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def knn_graph_oracle_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    bucket = _bucket_sql("v")
+    return f"""
+    WITH norm AS (
+      SELECT {id_col},
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(
+               list_transform({vec_col}, x -> CAST(x AS DOUBLE)),
+               x -> x * x))) AS nrm
+      FROM {table}
+    ),
+    sig AS (
+      SELECT {id_col}, v, nrm, {bucket} AS bucket FROM norm
+    ),
+    scored AS (
+      SELECT a.{id_col}, b.{id_col} AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(a.v) + 1),
+                   i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
+      FROM sig a JOIN sig b
+        ON a.bucket = b.bucket AND a.{id_col} <> b.{id_col}
+    )
+    SELECT {id_col}, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY {id_col}
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) t WHERE rank <= {k}
+    """
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

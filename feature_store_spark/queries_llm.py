@@ -438,3 +438,15 @@ def q_lsh_incremental(spark, sf_dir):
     batch = docs.filter(F.col("doc_id") >= _LSH_NEW_MIN_ID)
     postings, sets = D.lsh_index(corpus)
     return D.minhash_lsh_incremental(batch, postings, sets)
+
+
+@spec(
+    "sim_knn_graph",
+    S.knn_graph_oracle_sql(k=5),
+    ("ext", "similarity", "graph"),
+)
+def q_knn_graph(spark, sf_dir):
+    """Corpus-wide approximate kNN graph (LSH-bucketed candidates,
+    exact in-bucket rerank) — the embedding-space neighbor structure
+    semantic dedup and diversity sampling consume."""
+    return S.knn_graph(_t(spark, sf_dir, "embeddings"), k=5)

@@ -340,3 +340,12 @@ def test_incremental_lsh_broadcasts_batch_postings(spark, sf_dir):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_knn_graph_single_signature_scan(spark, sf_dir):
+    """In-bucket pairing via collect_list + double explode keeps the
+    kNN-graph plan at ONE scan of embeddings — a bucket self-join
+    would evaluate the signature subtree (8 hyperplane folds per
+    vector) twice."""
+    plan = _plan(spark, sf_dir, "sim_knn_graph")
+    assert plan.count("FileScan") == 1
