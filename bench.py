@@ -65,7 +65,10 @@ HEADLINE = [
     "t_text_stats",
     "d_minhash_lsh_pairs",
     "d_simhash_near_dup",
+    "d_lsh_incremental",
     "sim_cosine_topk",
+    "sim_knn_graph",
+    "pt_repetition_stats",
     "mm_decode_media",
 ]
 
