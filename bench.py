@@ -23,7 +23,7 @@ for DuckDB's parse/plan. Set SPARK_GRAFT_BENCH_WARMUP=0 /
 SPARK_GRAFT_BENCH_RUNS=1 for single cold-ish runs.
 
 Local-mode configs (bench only — get_spark defaults stay
-cluster-shaped): shuffle partitions sized to the SF body (8 at
+cluster-shaped): shuffle partitions sized to the SF body (4 at
 sf≤0.1 — AQE coalescing fixes the post-shuffle side but not the
 initial task count), static planning (AQE's per-stage re-optimization
 jobs cost more than they save on sub-second queries; on a real
@@ -67,6 +67,7 @@ HEADLINE = [
     "d_simhash_near_dup",
     "d_lsh_incremental",
     "sim_cosine_topk",
+    "sim_cosine_topk_vectorized",
     "sim_knn_graph",
     "pt_repetition_stats",
     "mm_decode_media",

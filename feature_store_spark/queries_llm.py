@@ -450,3 +450,17 @@ def q_knn_graph(spark, sf_dir):
     exact in-bucket rerank) — the embedding-space neighbor structure
     semantic dedup and diversity sampling consume."""
     return S.knn_graph(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+@spec(
+    "sim_cosine_topk_vectorized",
+    S.cosine_topk_oracle_sql(n_queries=N_QUERY_VECS, k=10),
+    ("ext", "similarity", "vectorized"),
+)
+def q_cosine_topk_vectorized(spark, sf_dir):
+    """Same contract (and oracle) as sim_cosine_topk with the scoring
+    kernel as one numpy matmul per Arrow batch — the dense-embedding
+    scale path (measured ~3x at sf~1, flat with corpus growth)."""
+    return S.cosine_topk_vectorized(
+        _t(spark, sf_dir, "embeddings"), _query_vecs(spark, sf_dir), k=10
+    )
