@@ -378,6 +378,64 @@ def knn_graph(
     )
 
 
+def knn_graph_vectorized(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`knn_graph` with the in-bucket scoring as one numpy
+    float128 matmul per bucket (``applyInPandas`` over the bucket
+    grouping — each bucket IS the candidate set under a single hash
+    table, so per-bucket top-k is the final answer and no window pass
+    is needed afterward). One signature projection, one shuffle on the
+    bucket key, BLAS inside; same float128-rounding argument as
+    :func:`cosine_topk_vectorized`, so the exact op's oracle applies
+    unchanged. Bucket skew bounds the kernel: a bucket of m vectors
+    costs an m×m matmul — at corpus scale raise N_PLANES so m stays
+    batch-sized."""
+    import numpy as _np
+    import pandas as _pd
+
+    out_schema = (
+        f"{id_col} long, neighbor_id long, cosine double, rank int"
+    )
+
+    def _bucket_topk(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        if len(ids) < 2:
+            return _pd.DataFrame(
+                columns=[id_col, "neighbor_id", "cosine", "rank"]
+            )
+        v = _np.array(list(pdf[vec_col]), dtype=_np.float128)
+        nrm = _np.sqrt((v * v).sum(axis=1))
+        cos = _np.round(
+            ((v @ v.T) / _np.outer(nrm, nrm)).astype(_np.float64), 6
+        )
+        rows = []
+        for i in range(len(ids)):
+            order = sorted(
+                (j for j in range(len(ids)) if j != i),
+                key=lambda j: (-cos[i, j], ids[j]),
+            )[:k]
+            rows += [
+                (int(ids[i]), int(ids[j]), float(cos[i, j]), r + 1)
+                for r, j in enumerate(order)
+            ]
+        return _pd.DataFrame(
+            rows, columns=[id_col, "neighbor_id", "cosine", "rank"]
+        )
+
+    sig = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col)).alias("__bucket"),
+    )
+    return sig.groupBy("__bucket").applyInPandas(
+        _bucket_topk, schema=out_schema
+    )
+
+
 def knn_graph_oracle_sql(
     table: str = "embeddings",
     k: int = 5,

@@ -464,3 +464,15 @@ def q_cosine_topk_vectorized(spark, sf_dir):
     return S.cosine_topk_vectorized(
         _t(spark, sf_dir, "embeddings"), _query_vecs(spark, sf_dir), k=10
     )
+
+
+@spec(
+    "sim_knn_graph_vectorized",
+    S.knn_graph_oracle_sql(k=5),
+    ("ext", "similarity", "graph", "vectorized"),
+)
+def q_knn_graph_vectorized(spark, sf_dir):
+    """Same contract (and oracle) as sim_knn_graph with per-bucket
+    numpy matmul scoring via applyInPandas — one shuffle, no window
+    pass (per-bucket top-k is final under a single hash table)."""
+    return S.knn_graph_vectorized(_t(spark, sf_dir, "embeddings"), k=5)
