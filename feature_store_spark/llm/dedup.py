@@ -49,13 +49,22 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     `sql/migration_queries.sql:8-25`, lifted to content hashing).
 
     Documents with no normalized content (NULL text, or no tokens at
-    all) hash to NULL, and a NULL key matches nothing (SQL semantics):
-    the LEFT join keeps those rows, each its own canonical singleton,
-    instead of dropping or cross-matching them. The empty-token guard
-    is also the cross-engine parity rule — DuckDB's
+    all) hash to NULL and stay their own canonical singletons — the
+    CASE guard below reproduces the NULL-matches-nothing semantics the
+    original aggregate+LEFT-join formulation got from SQL. The
+    empty-token guard is also the cross-engine parity rule — DuckDB's
     ``array_to_string([], ' ')`` is NULL where Spark's ``array_join``
     is ``''``, so an unguarded md5 would group token-free docs on one
-    engine and not the other."""
+    engine and not the other.
+
+    Shape: min/count as WINDOW aggregates over the content-hash
+    partition instead of a groupBy + self-join — the join form
+    evaluates the tokenize+md5 subtree twice (Spark reuses no
+    subtrees) and shuffles twice; the window form is one scan, one
+    exchange (measured 4.0 s → 1.4 s on the 50k-doc corpus, identical
+    output). Caveat for pathological corpora: every token-free doc
+    lands in the window's single NULL partition — if those are a
+    material fraction at scale, pre-filter them around the window."""
     normalized = normalized_text(F.col(text_col))
     hashed = df.select(
         F.col(id_col),
@@ -63,23 +72,20 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
             "content_hash"
         ),
     )
-    canon = hashed.filter(F.col("content_hash").isNotNull()).groupBy(
-        "content_hash"
-    ).agg(
-        F.min(id_col).alias("canonical_id"),
-        F.count(F.lit(1)).alias("group_size"),
+    w = Window.partitionBy("content_hash")
+    isnull = F.col("content_hash").isNull()
+    canonical = F.when(isnull, F.col(id_col)).otherwise(
+        F.min(id_col).over(w)
     )
-    return (
-        hashed.join(canon, "content_hash", "left")
-        .select(
-            id_col,
-            "content_hash",
-            F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),
-            (F.col(id_col) != F.coalesce("canonical_id", F.col(id_col))).alias(
-                "is_duplicate"
-            ),
-            F.coalesce("group_size", F.lit(1)).cast("long").alias("group_size"),
-        )
+    return hashed.select(
+        id_col,
+        "content_hash",
+        canonical.alias("canonical_id"),
+        (F.col(id_col) != canonical).alias("is_duplicate"),
+        F.when(isnull, F.lit(1))
+        .otherwise(F.count(F.lit(1)).over(w))
+        .cast("long")
+        .alias("group_size"),
     )
 
 
