@@ -327,3 +327,136 @@ def test_asof_join_null_timestamps_never_match(spark_prop):
         assert (None, None) in out  # NULL-ts left row unmatched
         matched = {s for t, s in out if t == 10}
         assert matched == ({42.0} if direction == "backward" else {None})
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 50),  # doc_id (dupes dropped below)
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.integers(0, 12),  # token count
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.integers(min_value=1, max_value=20),
+)
+@_settings
+def test_pack_token_budget_matches_sequential_model(
+    spark_prop, docs, budget
+):
+    """chunk_id/chunk_offset must equal the sequential packer: walk
+    docs in id order per source, chunk = floor(cum_before/budget)."""
+    from feature_store_spark.llm.pretrain import pack_token_budget
+
+    rows = [(i, s, "tok " * n) for i, s, n in docs]
+    df = spark_prop.createDataFrame(
+        rows, "doc_id int, source string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["chunk_id"], r["chunk_offset"])
+        for r in pack_token_budget(df, budget=budget).collect()
+    }
+    for src in {s for _, s, _ in docs}:
+        cum = 0
+        for i, s, n in sorted(docs):
+            if s != src:
+                continue
+            assert got[i] == (n, cum // budget, cum % budget), (
+                i, src, cum, budget, got[i],
+            )
+            cum += n
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 60), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    alpha=st.sampled_from([0.0, 0.5, 1.0]),
+    budget=st.integers(min_value=1, max_value=30),
+)
+@_settings
+def test_temperature_mixture_quota_properties(
+    spark_prop, docs, alpha, budget
+):
+    """Quotas: sum over sources ≤ budget (floor rounding), each source
+    sample is min(quota, n_s) rows, and alpha=1 reduces to
+    proportional allocation."""
+    from feature_store_spark.llm.pretrain import temperature_mixture
+
+    df = spark_prop.createDataFrame(
+        [(i, s) for i, s in docs], "doc_id int, source string"
+    )
+    out = temperature_mixture(df, alpha=alpha, budget=budget).collect()
+    n_by_src = Counter(s for _, s in docs)
+    quota_by_src = {r["source"]: r["quota"] for r in out}
+    got_by_src = Counter(r["source"] for r in out)
+    assert sum(quota_by_src.values()) <= budget
+    for s, q in quota_by_src.items():
+        assert got_by_src[s] == min(q, n_by_src[s])
+    # determinism: same inputs → same sampled ids
+    again = temperature_mixture(df, alpha=alpha, budget=budget).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in out
+    )
+
+
+def test_pii_scrub_leaves_no_matches(spark_prop):
+    """After scrubbing, every PII pattern count over scrubbed_text is
+    zero, and planted items are counted by kind."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.llm.pretrain import PII_PATTERNS, pii_scrub
+
+    rows = [
+        (0, "reach me at a.b+c@mail.example.com or x@y.io thanks"),
+        (1, "host 10.0.12.7 and 192.168.1.254 up"),
+        (2, "call +1 555 0123456 today"),
+        (3, "no pii here at all"),
+        (4, "mix bob@corp.example.org on 172.16.0.9 dial +44 20 7946 0958"),
+    ]
+    df = spark_prop.createDataFrame(rows, "doc_id int, text string")
+    out = pii_scrub(df)
+    for _, pat, _ in PII_PATTERNS:
+        residue = out.select(
+            F.sum(F.regexp_count("scrubbed_text", F.lit(pat))).alias("n")
+        ).collect()[0]["n"]
+        assert residue == 0, pat
+    got = {r["doc_id"]: (r["n_email"], r["n_ipv4"], r["n_phone"])
+           for r in out.collect()}
+    assert got[0] == (2, 0, 0)
+    assert got[1] == (0, 2, 0)
+    assert got[2] == (0, 0, 1)
+    assert got[3] == (0, 0, 0)
+    assert got[4] == (1, 1, 1)
+
+
+def test_contamination_detects_planted_overlap(spark_prop):
+    """A train doc sharing an 8-gram with an eval doc must flag it;
+    unrelated eval docs must report zeros."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.llm.pretrain import contamination_report
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (0, f"intro {shared} outro"),          # eval, contaminated
+        (1, "totally unrelated words only"),    # eval, clean
+        (100, f"prefix {shared} suffix"),       # train, source of overlap
+        (101, "other training content here"),   # train, unrelated
+    ]
+    df = spark_prop.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["eval_doc_id"]: (r["n_contaminating_docs"], r["contaminated"])
+        for r in contamination_report(
+            df.filter(F.col("doc_id") >= 100),
+            df.filter(F.col("doc_id") < 100),
+            n=8,
+        ).collect()
+    }
+    assert out[0] == (1, True)
+    assert out[1] == (0, False)
