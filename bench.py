@@ -76,9 +76,11 @@ HEADLINE = [
 REGRESSION_FACTOR = 1.5
 
 
-def _prior_timings() -> dict[str, float]:
+def _prior_timings(sf: float | None) -> dict[str, float]:
     """Per-query timings from the newest BENCH_r*.json next to this
-    script (written by the round driver), {} if none exist."""
+    script (written by the round driver) whose recorded scale factor
+    matches this run's — cross-scale comparisons would false-flag
+    every query (or mask real regressions). {} if none match."""
     here = os.path.dirname(os.path.abspath(__file__))
     best: tuple[int, dict[str, float]] | None = None
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
@@ -88,8 +90,12 @@ def _prior_timings() -> dict[str, float]:
         try:
             with open(path) as f:
                 doc = json.load(f)
-            queries = doc.get("parsed", doc).get("queries", {})
+            parsed = doc.get("parsed", doc)
+            queries = parsed.get("queries", {})
+            prior_sf = parsed.get("sf")
         except (OSError, json.JSONDecodeError, AttributeError):
+            continue
+        if prior_sf != sf:
             continue
         rnd = int(m.group(1))
         if queries and (best is None or rnd > best[0]):
@@ -117,10 +123,17 @@ def main() -> None:
     # its scheduling cost) is set here. 4 covers sf≤0.1 (measured A/B
     # vs 8: 3.00 s → 2.16 s on the five multi-stage pipelines, flat on
     # the compute-heavy dedup family); larger SFs scale up toward the
-    # core count.
-    shuffle = 4 if sf is None or sf <= 0.1 else int(
-        os.environ.get("SPARK_GRAFT_CPUS", "32")
-    )
+    # core count. An UNPARSEABLE dir (no sfN in the basename) gets the
+    # big-data config, not the toy one — under-parallelizing an
+    # unknown-size corpus 8× is the expensive mistake.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if sf is None:
+        print(
+            f"WARNING: cannot parse scale factor from {sf_dir!r}; "
+            f"assuming large (shuffle={cpus})",
+            file=sys.stderr,
+        )
+    shuffle = 4 if sf is not None and sf <= 0.1 else cpus
     spark = get_spark(
         "feature_store_bench",
         shuffle_partitions=shuffle,
@@ -164,7 +177,7 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
-    prior = _prior_timings()
+    prior = _prior_timings(sf)
     regressions = {}
     for name, t in timings.items():
         p = prior.get(name)

@@ -393,7 +393,6 @@ def minhash_lsh_pairs(
     documents or corpus scale where the 3× regex+md5 CPU outweighs
     caching the sets (at true 100 TB scale, write the shingle-set
     table to storage once and feed both phases from it instead)."""
-    r = k // bands
     if materialize_sets:
         # collect_list order is nondeterministic but irrelevant:
         # array_min, size, and array_intersect are order-insensitive.
@@ -779,7 +778,7 @@ def near_dup_clusters_oracle_sql(table: str = "documents",
 
 # one cosine implementation repo-wide: the determinism contract
 # (double fold, round-6 before thresholds) lives in similarity.py
-from feature_store_spark.llm.similarity import _dot, _norm  # noqa: E402
+from feature_store_spark.llm.similarity import _cosine, _norm  # noqa: E402
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.4,
@@ -801,7 +800,7 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.4,
     b = norm.select(
         F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
-    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    cos = _cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))

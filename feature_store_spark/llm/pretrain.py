@@ -30,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from feature_store_spark.llm.text import TOKEN_RE, shingles, token_count
+from feature_store_spark.llm.text import (
+    TOKEN_RE,
+    shingles,
+    shingles_oracle_sql,
+    token_count,
+)
 
 # ---------------------------------------------------------------------------
 # Train/eval contamination (n-gram collision decontamination)
@@ -110,24 +115,11 @@ def contamination_oracle_sql(
     text_col: str = "text",
 ) -> str:
     """Oracle for the fixture wiring: eval = doc_id < eval_max_id,
-    train = the rest of the same table."""
-    leads = " || ' ' || ".join(
-        ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, n)]
-    )
-    sh = f"""
-      SELECT DISTINCT {id_col}, shingle FROM (
-        SELECT {id_col}, {leads} AS shingle,
-               lead(tok, {n - 1}) OVER w AS last_tok
-        FROM (
-          SELECT {id_col}, t[pos] AS tok, pos FROM (
-            SELECT {id_col},
-                   regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS t
-            FROM {table}
-          ), unnest(range(1, len(t) + 1)) AS u(pos)
-        )
-        WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)
-      ) s WHERE last_tok IS NOT NULL
-    """
+    train = the rest of the same table. The shingle CTE is the shared
+    generator from llm/text.py — hand-copying it here would let a
+    tokenizer change silently desynchronize this oracle from the Spark
+    side."""
+    sh = shingles_oracle_sql(table, n, id_col, text_col)
     return f"""
     WITH sh AS ({sh}),
     hits AS (
@@ -217,22 +209,17 @@ def repetition_stats(
         F.sum("__cnt").alias("__tot"),
         F.count(F.lit(1)).alias("__distinct"),
     )
+    # only the six cells the metrics consume (max/tot at 1 and 2,
+    # tot/distinct at 3) — mirroring the oracle SQL exactly
     pivoted = per_size.groupBy(id_col).agg(
-        *[
-            agg
-            for k in (1, 2, 3)
-            for agg in (
-                F.max(F.when(F.col("__n") == k, F.col("__max"))).alias(
-                    f"__max{k}"
-                ),
-                F.max(F.when(F.col("__n") == k, F.col("__tot"))).alias(
-                    f"__tot{k}"
-                ),
-                F.max(F.when(F.col("__n") == k, F.col("__distinct"))).alias(
-                    f"__dis{k}"
-                ),
-            )
-        ]
+        F.max(F.when(F.col("__n") == 1, F.col("__max"))).alias("__max1"),
+        F.max(F.when(F.col("__n") == 1, F.col("__tot"))).alias("__tot1"),
+        F.max(F.when(F.col("__n") == 2, F.col("__max"))).alias("__max2"),
+        F.max(F.when(F.col("__n") == 2, F.col("__tot"))).alias("__tot2"),
+        F.max(F.when(F.col("__n") == 3, F.col("__tot"))).alias("__tot3"),
+        F.max(F.when(F.col("__n") == 3, F.col("__distinct"))).alias(
+            "__dis3"
+        ),
     )
 
     def ratio(num, den):

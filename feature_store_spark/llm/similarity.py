@@ -49,6 +49,17 @@ def _norm(v):
     )
 
 
+def _cosine(a_vec, b_vec, a_norm, b_norm):
+    """Rounded cosine with a zero-norm guard: a zero-norm side yields
+    NULL (ranking last under desc), matching the vectorized kernels.
+    The CASE guard is required, not cosmetic — under ANSI mode
+    (Spark 4 default) a bare x/0 RAISES DIVIDE_BY_ZERO."""
+    denom = a_norm * b_norm
+    return F.when(
+        denom != 0, F.round(_dot(a_vec, b_vec) / denom, 6)
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -73,8 +84,8 @@ def cosine_topk(
         F.col(vec_col).alias("__qv"),
         _norm(F.col(vec_col)).alias("__qn"),
     )
-    cos = F.round(
-        _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
+    cos = _cosine(
+        F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -103,14 +114,20 @@ def cosine_topk_vectorized(
     ~64 boxed multiplies per pair inside the JVM expression
     interpreter (higher-order lambdas are outside codegen); here each
     Arrow batch of corpus vectors is scored against the whole
-    broadcast query matrix with ONE float128 matmul (measured ~4× at
-    sf≈1; the gap widens with dimension). This is the sanctioned
-    Pandas-path exception: built-ins cannot express a batched matmul.
+    broadcast query matrix with ONE longdouble matmul (measured ~3× at
+    sf≈1 — numpy never dispatches longdouble to BLAS, so the win is
+    batch-vectorized C over boxed per-element JVM eval, and it widens
+    with dimension). This is the sanctioned Pandas-path exception:
+    built-ins cannot express a batched matmul.
 
-    float128 accumulation makes the 6-digit rounded cosine agree with
-    the JVM's sequential float64 fold (both approximate the true value
-    to ≪1e-6, so they round identically except on measure-zero
-    boundary ties) — same oracle as :func:`cosine_topk`.
+    Extended-precision (x86 80-bit; plain float64 on platforms whose
+    longdouble is 64-bit) accumulation makes the 6-digit rounded
+    cosine agree with the JVM's sequential float64 fold (both
+    approximate the true value to ≪1e-6, so they round identically
+    except on measure-zero boundary ties) — same oracle as
+    :func:`cosine_topk`. Zero-norm vectors get a NULL cosine exactly
+    like the exact op's x/0 → NULL, and rank last (desc NULLS LAST),
+    not first as a raw NaN would.
 
     The queries are collected to the driver (small by the same
     contract that lets :func:`cosine_topk` broadcast them) and ship to
@@ -128,7 +145,7 @@ def cosine_topk_vectorized(
     import numpy as _np
 
     q_ids = _np.array([r[0] for r in q_rows])
-    q_mat = _np.array([r[1] for r in q_rows], dtype=_np.float128)
+    q_mat = _np.array([r[1] for r in q_rows], dtype=_np.longdouble)
     q_norm = _np.sqrt((q_mat * q_mat).sum(axis=1))
 
     out_schema = (
@@ -138,17 +155,23 @@ def cosine_topk_vectorized(
     def _score(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
-            c = _np.array(list(pdf[vec_col]), dtype=_np.float128)
+            c = _np.array(list(pdf[vec_col]), dtype=_np.longdouble)
             c_norm = _np.sqrt((c * c).sum(axis=1))
-            cos = (c @ q_mat.T) / _np.outer(c_norm, q_norm)  # C×Q
+            denom = _np.outer(c_norm, q_norm)
+            with _np.errstate(divide="ignore", invalid="ignore"):
+                cos = (c @ q_mat.T) / denom  # C×Q
             n_c, n_q = cos.shape
+            flat = _np.round(cos.astype(_np.float64).ravel(), 6)
+            # zero-norm pairs: NULL like the exact op, never NaN
+            # (Spark sorts NaN ABOVE every real double; NULL sorts
+            # last under desc)
+            vals = _pd.array(flat, dtype="Float64")
+            vals[_np.isnan(flat)] = _pd.NA
             yield _pd.DataFrame(
                 {
                     query_id_col: _np.tile(q_ids, n_c),
                     id_col: _np.repeat(ids, n_q),
-                    "cosine": _np.round(
-                        cos.astype(_np.float64).ravel(), 6
-                    ),
+                    "cosine": vals,
                 }
             )
 
@@ -253,8 +276,8 @@ def lsh_ann_topk(
         _norm(F.col(vec_col)).alias("__qn"),
         lsh_bucket(F.col(vec_col)).alias("bucket"),
     )
-    cos = F.round(
-        _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
+    cos = _cosine(
+        F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -358,10 +381,8 @@ def knn_graph(
         .select("a", F.explode("mem").alias("b"))
         .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
     )
-    cos = F.round(
-        _dot(F.col("a.__v"), F.col("b.__v"))
-        / (F.col("a.__n") * F.col("b.__n")),
-        6,
+    cos = _cosine(
+        F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n")
     )
     scored = pairs.select(
         F.col(f"a.{id_col}").alias(id_col),
@@ -385,15 +406,21 @@ def knn_graph_vectorized(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """:func:`knn_graph` with the in-bucket scoring as one numpy
-    float128 matmul per bucket (``applyInPandas`` over the bucket
+    longdouble matmul per bucket (``applyInPandas`` over the bucket
     grouping — each bucket IS the candidate set under a single hash
     table, so per-bucket top-k is the final answer and no window pass
     is needed afterward). One signature projection, one shuffle on the
-    bucket key, BLAS inside; same float128-rounding argument as
-    :func:`cosine_topk_vectorized`, so the exact op's oracle applies
-    unchanged. Bucket skew bounds the kernel: a bucket of m vectors
-    costs an m×m matmul — at corpus scale raise N_PLANES so m stays
-    batch-sized."""
+    bucket key, batch-vectorized C inside (longdouble never hits BLAS;
+    the win over the interpreted pairing is still ~3× at sf≈1 and
+    grows with bucket size); same extended-precision-rounding argument
+    as :func:`cosine_topk_vectorized`, so the exact op's oracle
+    applies unchanged. Zero-norm vectors rank last with NULL cosine
+    (matching the exact op's x/0 → NULL under desc NULLS LAST) — a
+    raw NaN would sort first in Spark and arbitrarily in Python.
+    Bucket skew bounds the kernel: a bucket of m vectors costs an m×m
+    matmul — at corpus scale raise N_PLANES so m stays batch-sized."""
+    import math as _math
+
     import numpy as _np
     import pandas as _pd
 
@@ -407,19 +434,30 @@ def knn_graph_vectorized(
             return _pd.DataFrame(
                 columns=[id_col, "neighbor_id", "cosine", "rank"]
             )
-        v = _np.array(list(pdf[vec_col]), dtype=_np.float128)
+        v = _np.array(list(pdf[vec_col]), dtype=_np.longdouble)
         nrm = _np.sqrt((v * v).sum(axis=1))
-        cos = _np.round(
-            ((v @ v.T) / _np.outer(nrm, nrm)).astype(_np.float64), 6
-        )
+        with _np.errstate(divide="ignore", invalid="ignore"):
+            cos = _np.round(
+                ((v @ v.T) / _np.outer(nrm, nrm)).astype(_np.float64), 6
+            )
         rows = []
         for i in range(len(ids)):
             order = sorted(
                 (j for j in range(len(ids)) if j != i),
-                key=lambda j: (-cos[i, j], ids[j]),
+                # NaN (zero-norm pair) sorts LAST: key -inf on the
+                # score axis, like Spark's desc NULLS LAST
+                key=lambda j: (
+                    -cos[i, j] if not _math.isnan(cos[i, j]) else _math.inf,
+                    ids[j],
+                ),
             )[:k]
             rows += [
-                (int(ids[i]), int(ids[j]), float(cos[i, j]), r + 1)
+                (
+                    int(ids[i]),
+                    int(ids[j]),
+                    None if _math.isnan(cos[i, j]) else float(cos[i, j]),
+                    r + 1,
+                )
                 for r, j in enumerate(order)
             ]
         return _pd.DataFrame(

@@ -172,22 +172,24 @@ def upsert_parquet_partitioned(
     spark = updates.sparkSession
     existing = _read_store(spark, path)
     keys = [*key_cols, partition_col]
+    touched = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    if any(t is None for t in touched):
+        # isin(touched) never matches the NULL partition, so a
+        # dynamic overwrite of __HIVE_DEFAULT_PARTITION__ would
+        # silently drop its previously stored keys — refuse. Checked
+        # on the FIRST write too: allowing the initial batch to seed a
+        # NULL partition would strand keys that every later merge then
+        # rejects (or worse, silently drops).
+        raise ValueError(
+            f"updates contain NULL {partition_col!r} values; "
+            "NULL partitions cannot be merged safely — fill or "
+            "drop them before upserting"
+        )
     if existing is None:
         merged = latest_per_key(updates, keys, order_col)
     else:
-        touched = [
-            r[0]
-            for r in updates.select(partition_col).distinct().collect()
-        ]
-        if any(t is None for t in touched):
-            # isin(touched) never matches the NULL partition, so a
-            # dynamic overwrite of __HIVE_DEFAULT_PARTITION__ would
-            # silently drop its previously stored keys — refuse.
-            raise ValueError(
-                f"updates contain NULL {partition_col!r} values; "
-                "NULL partitions cannot be merged safely — fill or "
-                "drop them before upserting"
-            )
         relevant = existing.filter(F.col(partition_col).isin(touched))
         merged = latest_per_key(
             relevant.withColumn("__src", F.lit(0)).unionByName(

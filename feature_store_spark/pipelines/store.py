@@ -36,9 +36,21 @@ FEATURE_TABLES = ("user_features", "transaction_features", "risk_features")
 DEFAULT_BUCKETS = 8
 
 
-def _table_name(kind: str, sf_dir: str) -> str:
-    # one catalog namespace per fixture dir (sf0.01 and sf0.1 coexist)
-    slug = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+def _table_name(
+    kind: str,
+    sf_dir: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    ref_date: str = REF_DATE,
+    now: str = EVENTS_NOW,
+) -> str:
+    # one catalog namespace per (fixture dir, derivation parameters):
+    # the exists-check reuse below would otherwise silently serve
+    # features computed for a DIFFERENT ref_date/now/bucket-count —
+    # stale data that looks fresh. Parameters are part of the name.
+    slug = "".join(
+        c if c.isalnum() else "_"
+        for c in f"{sf_dir.strip('/')}_{n_buckets}_{ref_date}_{now}"
+    )
     return f"fs_{kind}_{slug}"
 
 
@@ -74,7 +86,7 @@ def materialize_feature_store(
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     names: dict[str, str] = {}
     for kind, df in frames.items():
-        name = _table_name(kind, sf_dir)
+        name = _table_name(kind, sf_dir, n_buckets, ref_date, now)
         if not spark.catalog.tableExists(name):
             # one file per bucket: Spark honors the bucket sortBy order
             # at read time only when each bucket is a single file, and

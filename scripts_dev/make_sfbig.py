@@ -26,8 +26,9 @@ rep("events", f"SELECT event_id + {{i}} * {{ev}} AS event_id, ts, user_id + {{i}
 # LSH bucket sizes would grow 45x instead of 10x).
 mx["doc"] = con.execute(f"SELECT max(doc_id)+1 FROM '{SRC}/documents.parquet'").fetchone()[0]
 doc_cols = [d[0] for d in con.execute(f"SELECT * FROM '{SRC}/documents.parquet' LIMIT 0").description]
-passthru = ", ".join(c for c in doc_cols if c not in ("doc_id", "text"))
-rep("documents", f"SELECT doc_id + {{i}} * {{doc}} AS doc_id, text || ' replica{{i}}' AS text, {passthru} FROM '{SRC}/documents.parquet'")
+# n_chars must track the suffixed text, not pass through stale
+passthru = ", ".join(c for c in doc_cols if c not in ("doc_id", "text", "n_chars"))
+rep("documents", f"SELECT doc_id + {{i}} * {{doc}} AS doc_id, text || ' replica{{i}}' AS text, {passthru}, length(text || ' replica{{i}}') AS n_chars FROM '{SRC}/documents.parquet'")
 # embeddings: 10x with id offsets; vectors unchanged (timing only —
 # the query side stays vec_id < n_queries, i.e. replica-0 vectors).
 mx["vec"] = con.execute(f"SELECT max(vec_id)+1 FROM '{SRC}/embeddings.parquet'").fetchone()[0]

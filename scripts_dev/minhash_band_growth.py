@@ -31,25 +31,20 @@ from scale_probe_docs import synthetic_docs
 def candidate_pairs(docs, n=3, k=None, bands=None):
     """The banding stage of minhash_lsh_pairs, stopped before exact
     verification — counts candidates, the quantity whose growth rate
-    decides scalability."""
+    decides scalability. Uses the PRODUCTION band construction
+    (`dedup._band_postings`) so the probe can never desynchronize
+    from the operator it measures."""
     from feature_store_spark.llm.dedup import (
         MINHASH_BANDS,
         MINHASH_K,
+        _band_postings,
         minhash_signatures,
     )
 
     k = k or MINHASH_K
     bands = bands or MINHASH_BANDS
-    r = k // bands
     sig = minhash_signatures(docs, n=n, k=k)
-    stack_args = []
-    for b in range(bands):
-        cols = [F.col(f"h{i}") for i in range(b * r, (b + 1) * r)]
-        stack_args += [F.lit(b), F.md5(F.concat_ws("|", *cols))]
-    bands_df = sig.select(
-        F.col("doc_id"),
-        F.stack(F.lit(bands), *stack_args).alias("band_idx", "band_hash"),
-    )
+    bands_df = _band_postings(sig, k=k, bands=bands)
     return (
         bands_df.groupBy("band_idx", "band_hash")
         .agg(F.collect_list(F.col("doc_id")).alias("mem"))

@@ -134,3 +134,42 @@ def test_incremental_lsh_from_persisted_index(spark, sf_dir, tmp_path):
     key = lambda r: (r["id_a"], r["id_b"], r["shared_shingles"], r["jaccard"])
     assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
     assert inc.count() > 0
+
+
+def test_vectorized_paths_match_exact_on_zero_norm_vectors(spark):
+    """A zero-norm embedding must get NULL cosine and rank LAST in the
+    vectorized kernels, exactly as the exact operators' x/0 -> NULL
+    under desc NULLS LAST — a raw NaN would sort FIRST in Spark."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.llm.similarity import (
+        cosine_topk,
+        cosine_topk_vectorized,
+        knn_graph,
+        knn_graph_vectorized,
+    )
+
+    rows = [(i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)])
+            for i in range(12)]
+    rows.append((12, [0.0] * 8))  # zero-norm corpus vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    a = sorted(tuple(r) for r in cosine_topk(emb, q, k=20).collect())
+    b = sorted(
+        tuple(r)
+        for r in cosine_topk_vectorized(emb, q, k=20)
+        .select("query_id", "vec_id", "cosine", "rank")
+        .collect()
+    )
+    assert a == b
+    ka = sorted(tuple(r) for r in knn_graph(emb, k=20).collect())
+    kb = sorted(
+        tuple(r)
+        for r in knn_graph_vectorized(emb, k=20)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+        .collect()
+    )
+    assert ka == kb
