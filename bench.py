@@ -23,9 +23,9 @@ for DuckDB's parse/plan. Set SPARK_GRAFT_BENCH_WARMUP=0 /
 SPARK_GRAFT_BENCH_RUNS=1 for single cold-ish runs.
 
 Local-mode configs (bench only — get_spark defaults stay
-cluster-shaped): shuffle partitions sized to the SF body (4 at
-sf≤0.1 — AQE coalescing fixes the post-shuffle side but not the
-initial task count), static planning (AQE's per-stage re-optimization
+cluster-shaped): shuffle partitions sized per query family (see
+HEAVY_SHUFFLE — AQE coalescing fixes the post-shuffle side but not
+the initial task count), static planning (AQE's per-stage re-optimization
 jobs cost more than they save on sub-second queries; on a real
 cluster AQE stays ON), a raised broadcast threshold (static size
 estimates over-state aggregated join sides at toy scale), and
@@ -75,6 +75,24 @@ HEADLINE = [
 
 REGRESSION_FACTOR = 1.5
 
+# Shuffle width is workload-proportional, the same sizing a cluster
+# gets from AQE coalescing (disabled here because its per-stage
+# re-planning jobs cost more than they save on sub-second queries).
+# Measured sweep at sf0.1 (best-of-3 per width): the compute-heavy
+# dedup/similarity/ngram family bottoms out at 16 partitions
+# (4.11 s @4 -> 3.14 s @16 -> 4.62 s @32 for the five heavy
+# queries), while the thin feature pipelines bottom out at 2
+# (3.10 s @4 -> 2.35 s @2 on the nine light queries; @1 regresses
+# st5 8x by serializing its two self-feeds). `spark.sql.shuffle.
+# partitions` is a runtime conf, so the width is set per query.
+HEAVY_SHUFFLE = {
+    "d_minhash_lsh_pairs",
+    "d_simhash_near_dup",
+    "d_lsh_incremental",
+    "sim_knn_graph",
+    "pt_repetition_stats",
+}
+
 
 def _prior_timings(sf: float | None) -> dict[str, float]:
     """Per-query timings from the newest BENCH_r*.json next to this
@@ -118,14 +136,12 @@ def main() -> None:
     from feature_store_spark.session import get_spark
 
     all_queries()
-    # Initial shuffle width sized to the SF body; AQE would coalesce
-    # the post-shuffle side but the initial map/reduce task count (and
-    # its scheduling cost) is set here. 4 covers sf≤0.1 (measured A/B
-    # vs 8: 3.00 s → 2.16 s on the five multi-stage pipelines, flat on
-    # the compute-heavy dedup family); larger SFs scale up toward the
-    # core count. An UNPARSEABLE dir (no sfN in the basename) gets the
-    # big-data config, not the toy one — under-parallelizing an
-    # unknown-size corpus 8× is the expensive mistake.
+    # Initial shuffle width sized per query family (HEAVY_SHUFFLE
+    # above); AQE would coalesce the post-shuffle side but the initial
+    # map/reduce task count (and its scheduling cost) is set here.
+    # An UNPARSEABLE dir (no sfN in the basename) gets the big-data
+    # config, not the toy one — under-parallelizing an unknown-size
+    # corpus 16× is the expensive mistake.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if sf is None:
         print(
@@ -133,10 +149,12 @@ def main() -> None:
             f"assuming large (shuffle={cpus})",
             file=sys.stderr,
         )
-    shuffle = 4 if sf is not None and sf <= 0.1 else cpus
+    toy = sf is not None and sf <= 0.1
+    light_shuffle = 2 if toy else cpus
+    heavy_shuffle = min(16, cpus) if toy else cpus
     spark = get_spark(
         "feature_store_bench",
-        shuffle_partitions=shuffle,
+        shuffle_partitions=light_shuffle,
         extra_conf={
             "spark.sql.adaptive.enabled": "false",
             "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
@@ -144,6 +162,12 @@ def main() -> None:
             "spark.shuffle.compress": "false",
             "spark.shuffle.spill.compress": "false",
             "spark.locality.wait": "0",
+            # constraint propagation re-derives filter constraints per
+            # optimizer fixpoint round; measured ~5% of sub-second
+            # query time on the widest pipeline plans, derives nothing
+            # these hand-pushed-down plans need (pushdown is pinned by
+            # test_plans.py). Cluster default stays ON in get_spark.
+            "spark.sql.constraintPropagation.enabled": "false",
             # serve from sorted buckets without re-sorting (1 file per
             # bucket — see pipelines/store.py)
             "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
@@ -165,6 +189,10 @@ def main() -> None:
                 file=sys.stderr,
             )
             continue
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(heavy_shuffle if name in HEAVY_SHUFFLE else light_shuffle),
+        )
         if warmup:
             run(SPECS[name].fn(spark, sf_dir))
         best = None
