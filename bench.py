@@ -70,6 +70,7 @@ HEADLINE = [
     "sim_cosine_topk_vectorized",
     "sim_knn_graph",
     "pt_repetition_stats",
+    "pt_dup_span_stats",
     "mm_decode_media",
 ]
 
@@ -91,6 +92,7 @@ HEAVY_SHUFFLE = {
     "d_lsh_incremental",
     "sim_knn_graph",
     "pt_repetition_stats",
+    "pt_dup_span_stats",
 }
 
 

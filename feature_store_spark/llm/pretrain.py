@@ -533,3 +533,176 @@ def pack_token_budget_oracle_sql(
                 ), 0) % {budget} AS BIGINT) AS chunk_offset
     FROM toks
     """
+
+
+# ---------------------------------------------------------------------------
+# Substring-level duplicate spans (exact-substring dedup statistics)
+# ---------------------------------------------------------------------------
+
+
+def dup_span_stats(
+    df: DataFrame,
+    k: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = True,
+) -> DataFrame:
+    """Per-document duplicated-substring statistics, the signal behind
+    exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a token ``k``-gram
+    window is *duplicated* when the identical k-gram occurs at least
+    ``min_count`` times corpus-wide (including within one document —
+    self-repetition is duplication too). Reports, per document:
+
+    - ``n_tokens`` / ``n_windows`` (= max(n_tokens - k + 1, 0)),
+    - ``n_dup_windows`` and ``dup_window_frac``,
+    - ``dup_token_frac``: fraction of the document's TOKENS covered by
+      at least one duplicated window — the interval-union length of the
+      [pos, pos+k-1] spans, i.e. how much of the doc an exact-substring
+      cut would remove.
+
+    Scale shape (the suffix-array step re-expressed relationally): one
+    tokenize projection behind the `shingles` collapse barrier, then a
+    single posting stream (id, pos, gram-key) that is shuffled ONCE on
+    the gram key for a count-over-partition window (vs groupBy+join,
+    which would shuffle the full posting stream twice), filtered down
+    to duplicated starts (candidate-proportional from here on), and
+    shuffled back to the document for the lag-window interval union —
+    whose Exchange(id) the final aggregate AND the spine join both
+    reuse. ``hashed=True`` ships xxhash64(gram) instead of the gram
+    bytes through the big shuffle (8 bytes vs ~6·k; a 64-bit collision
+    at corpus scale only upgrades a unique gram to "duplicated" —
+    acceptable for a statistic that feeds a filter). Hot-gram skew is
+    bounded: the per-gram partition holds only (id, pos) pairs and the
+    window computes one count, no pairing. The oracle counts raw gram
+    strings (DuckDB has no xxhash64); identical output modulo the
+    collision probability (~n²/2⁶⁵).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+        ).alias("__t"),
+    ).repartition(F.col(id_col))
+
+    gram_arr = (
+        f"CASE WHEN size(__t) >= {k} THEN"
+        f" transform(sequence(1, size(__t) - {k - 1}),"
+        f" i -> concat_ws(' ', slice(__t, i, {k})))"
+        " ELSE array() END"
+    )
+    starts = toks.select(
+        F.col(id_col),
+        F.posexplode(F.expr(gram_arr)).alias("__pos0", "__gram"),
+    ).select(
+        id_col,
+        (F.col("__pos0") + 1).alias("__pos"),
+        (
+            F.xxhash64("__gram") if hashed else F.col("__gram")
+        ).alias("__g"),
+    )
+
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("__g"))
+    dup = (
+        starts.withColumn("__cnt", cnt)
+        .filter(F.col("__cnt") >= min_count)
+        .select(id_col, "__pos")
+    )
+
+    w_doc = Window.partitionBy(id_col).orderBy("__pos")
+    prev = F.lag("__pos").over(w_doc)
+    covered = F.when(prev.isNull(), F.lit(k)).otherwise(
+        F.least(F.lit(k), F.col("__pos") - prev)
+    )
+    per_doc = (
+        dup.withColumn("__cov", covered)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum("__cov").alias("__dup_tokens"),
+        )
+    )
+
+    spine = toks.select(
+        F.col(id_col),
+        F.size("__t").cast("bigint").alias("n_tokens"),
+        F.greatest(F.size("__t") - (k - 1), F.lit(0))
+        .cast("bigint")
+        .alias("n_windows"),
+    )
+    nw = F.col("n_windows")
+    nt = F.col("n_tokens")
+    return spine.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias(
+            "n_dup_windows"
+        ),
+        F.round(
+            F.coalesce("n_dup_windows", F.lit(0))
+            / F.when(nw == 0, None).otherwise(nw),
+            6,
+        ).alias("dup_window_frac"),
+        F.round(
+            F.coalesce("__dup_tokens", F.lit(0))
+            / F.when(nt == 0, None).otherwise(nt),
+            6,
+        ).alias("dup_token_frac"),
+    )
+
+
+def dup_span_oracle_sql(
+    table: str = "documents",
+    k: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin on raw gram strings (same counts as the xxhash64
+    path modulo 64-bit collisions). ``range`` is exclusive-end and
+    REFUSES a start > stop (unlike Spark's counting-down sequence), so
+    the window count is guarded with greatest(, 1)."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col},
+             regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS t
+      FROM {table}
+    ),
+    starts AS (
+      SELECT {id_col}, pos,
+             array_to_string(t[pos : pos + {k - 1}], ' ') AS gram
+      FROM toks, unnest(range(1, greatest(len(t) - {k - 2}, 1))) AS u(pos)
+    ),
+    dup AS (
+      SELECT {id_col}, pos FROM (
+        SELECT {id_col}, pos,
+               count(*) OVER (PARTITION BY gram) AS cnt
+        FROM starts
+      ) WHERE cnt >= {min_count}
+    ),
+    per_doc AS (
+      SELECT {id_col},
+             CAST(count(*) AS BIGINT) AS n_dup_windows,
+             CAST(sum(CASE WHEN prev IS NULL THEN {k}
+                           ELSE least({k}, pos - prev) END) AS BIGINT)
+               AS dup_tokens
+      FROM (
+        SELECT {id_col}, pos,
+               lag(pos) OVER (PARTITION BY {id_col} ORDER BY pos) AS prev
+        FROM dup
+      )
+      GROUP BY {id_col}
+    )
+    SELECT s.{id_col},
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(greatest(len(t) - {k - 1}, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           round(coalesce(n_dup_windows, 0) * 1.0
+                 / nullif(greatest(len(t) - {k - 1}, 0), 0), 6)
+             AS dup_window_frac,
+           round(coalesce(dup_tokens, 0) * 1.0
+                 / nullif(len(t), 0), 6) AS dup_token_frac
+    FROM toks s LEFT JOIN per_doc p USING ({id_col})
+    """

@@ -426,3 +426,91 @@ def shingles_oracle_sql(table: str = "documents", n: int = 3,
       WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)
     ) s WHERE last_tok IS NOT NULL
     """
+
+
+def vocab_coverage(
+    df: DataFrame,
+    top_n: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary head: the ``top_n`` most frequent tokens with
+    rank, count, corpus share, and CUMULATIVE share — the curve a
+    tokenizer/vocab-size decision reads ("the top 200 types cover X%
+    of token mass"). Ties in count break lexicographically so the rank
+    is total and engine-independent.
+
+    Scale shape: one explode + map-combined groupBy(token) — the only
+    full shuffle, payload (token, count). The global top-N compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort); the
+    cumulative window then runs on N rows, and the corpus total rides
+    in as a broadcast single-row join (computed in the same scan
+    family, never a second pass over raw text). Integer counts make
+    every share a single exact division — no float-sum order issues.
+    """
+    toks = df.select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    total = counts.agg(
+        F.sum("n_occurrences").alias("__total"),
+        F.count(F.lit(1)).alias("n_vocab"),
+    )
+    top = counts.orderBy(
+        F.desc("n_occurrences"), F.asc("token")
+    ).limit(top_n)
+    w_rank = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            F.row_number().over(w_rank).cast("int").alias("rank"),
+            "token",
+            "n_occurrences",
+            F.col("n_vocab").cast("bigint").alias("n_vocab"),
+            F.round(F.col("n_occurrences") / F.col("__total"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.sum("n_occurrences").over(w_cum) / F.col("__total"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+def vocab_coverage_oracle_sql(
+    table: str = "documents",
+    top_n: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower({text_col}), '{TOKEN_RE}'))
+               AS token
+      FROM {table}
+    ),
+    counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM toks GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST(sum(n_occurrences) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_vocab
+      FROM counts
+    ),
+    top AS (
+      SELECT * FROM counts
+      ORDER BY n_occurrences DESC, token ASC LIMIT {top_n}
+    )
+    SELECT CAST(row_number() OVER w AS INT) AS rank,
+           token, n_occurrences, n_vocab,
+           round(n_occurrences * 1.0 / total, 6) AS share,
+           round(sum(n_occurrences) OVER (w ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) * 1.0 / total, 6)
+             AS cum_share
+    FROM top, tot
+    WINDOW w AS (ORDER BY n_occurrences DESC, token ASC)
+    """

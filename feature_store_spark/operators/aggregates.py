@@ -165,3 +165,100 @@ def freshness_report(
         "fresh_rows",
         (F.col("fresh_rows") / F.col("total_rows")).alias("fresh_ratio"),
     )
+
+
+def decayed_aggregate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    now: str,
+    half_life_days: int = 7,
+    horizon: int = 30,
+) -> DataFrame:
+    """Exponentially time-decayed per-key aggregates — the classic
+    recency-weighted feature (decayed event count / decayed spend)
+    with half-life ``half_life_days``, anchored at the injectable
+    ``now`` (F8 discipline; extends the reference's fixed 7d/30d
+    trailing windows, `sql/feature_queries.sql`, to a continuous
+    decay).
+
+    Exactness across engines: ages quantize to whole half-lives
+    ``d = floor(days/half_life)``, so every weight is a power of two
+    ``2^-d`` and the decayed sum is computed in FIXED POINT — cents
+    scaled by ``2^(horizon-d)`` as BIGINT, summed exactly (order-free,
+    unlike any float sum; libm-free, unlike exp()). Rows older than
+    ``horizon`` half-lives weigh 0 (< 1e-9 — below fixed-point
+    resolution; ALSO the partition-pruning predicate a date-partitioned
+    store needs anyway). The readable double is derived by ONE exact
+    bigint→double conversion and ONE exact power-of-two division per
+    key. Overflow bound: cents·2^horizon ≤ 1e6·2^30 ≈ 1e15 per row —
+    9e3 such rows per key fit in int64; for corpora beyond that, lower
+    ``horizon``.
+
+    Scale shape: narrow projection + single map-combined groupBy on
+    the key — one shuffle of (key, 2×bigint), no window, no join.
+    """
+    days = F.datediff(F.lit(now).cast("date"), F.col(ts_col).cast("date"))
+    d = F.floor(days / F.lit(half_life_days)).cast("int")
+    aged = df.select(
+        F.col(key_col),
+        d.alias("__d"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("__cents"),
+    ).filter((F.col("__d") >= 0) & (F.col("__d") < horizon))
+    scale = F.expr(f"shiftleft(cast(1 as bigint), {horizon} - __d)")
+    cents = F.col("__cents")
+    return (
+        aged.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(scale).alias("__decayed_count_fp"),
+            F.sum(cents * scale).alias("__decayed_cents_fp"),
+        )
+        .select(
+            key_col,
+            "n_events",
+            (
+                F.col("__decayed_count_fp").cast("double")
+                / F.lit(float(2**horizon))
+            ).alias("decayed_count"),
+            (
+                F.col("__decayed_cents_fp").cast("double")
+                / F.lit(float(2**horizon) * 100.0)
+            ).alias("decayed_value"),
+        )
+    )
+
+
+def decayed_aggregate_oracle_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    now: str,
+    half_life_days: int = 7,
+    horizon: int = 30,
+) -> str:
+    """DuckDB twin: identical fixed-point plan. datediff semantics
+    match (whole-day difference of the date casts); the two divisions
+    at the end are by powers of two (exact)."""
+    return f"""
+    WITH aged AS (
+      SELECT {key_col},
+             CAST(floor(date_diff('day', CAST({ts_col} AS DATE),
+                                  DATE '{now}') * 1.0
+                        / {half_life_days}) AS INT) AS d,
+             CAST(round({value_col} * 100) AS BIGINT) AS cents
+      FROM {table}
+    )
+    SELECT {key_col},
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(1 AS BIGINT) << ({horizon} - d)) AS DOUBLE)
+             / {float(2 ** horizon)!r} AS decayed_count,
+           CAST(sum(cents * (CAST(1 AS BIGINT) << ({horizon} - d)))
+                AS DOUBLE)
+             / {float(2 ** horizon) * 100.0!r} AS decayed_value
+    FROM aged
+    WHERE d >= 0 AND d < {horizon}
+    GROUP BY {key_col}
+    """

@@ -11,7 +11,7 @@ same row set comes out on any engine, any cluster size, any run.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_SCALE = 1_000_000
@@ -70,4 +70,115 @@ def stratified_sample_oracle_sql(
     WHERE ({nib}) % {HASH_SCALE}
           < (CASE {strata_col} {cases}
              ELSE {int(round(default_fraction * HASH_SCALE))} END)
+    """
+
+
+def _hash_expr(key_col: str) -> str:
+    """60-bit md5 prefix folded to [0, HASH_SCALE) — the shared
+    deterministic-uniform primitive (same stream as stratified_sample,
+    so composed operators subsample consistently)."""
+    return (
+        f"pmod(cast(conv(substring(md5(cast({key_col} as string)), 1, 15),"
+        f" 16, 10) as bigint), {HASH_SCALE})"
+    )
+
+
+def priority_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted sample of ``k`` rows WITHOUT replacement by priority
+    sampling (Duffield, Lund & Thorup, JACM 2007): each row gets
+    priority ``w / u`` with ``u`` uniform in (0, 1]; the ``k`` largest
+    priorities are the sample, and ``est_weight = max(w, tau)`` (tau =
+    the (k+1)-th priority) makes any subset-sum unbiasedly estimable
+    from the sample alone — the right primitive for "give me 10k
+    documents weighted by length, with reweighting factors" corpus
+    draws. If the input has ≤ k rows the whole input is the sample and
+    ``est_weight = w`` exactly.
+
+    Determinism & cross-engine exactness: ``u = (h+1)/HASH_SCALE``
+    with ``h`` the md5-derived integer — so ``priority = w ·
+    HASH_SCALE / (h+1)``, one multiply of exactly-representable
+    integers and one correctly-rounded IEEE division: bit-identical in
+    any engine, no RNG stream, no transcendental calls (ln/pow of the
+    classic Efraimidis–Spirakis key would be libm-dependent). Ties
+    (identical priorities) break on the key.
+
+    Scale shape: global top-(k+1) compiles to TakeOrderedAndProject —
+    per-partition heaps merged on the driver, no global sort, no
+    shuffle of the losers. The window pass afterwards runs on k+1
+    rows. Rows with non-positive or NULL weight are excluded (zero
+    weight means "never sample" in the estimator).
+    """
+    pri = (
+        F.col(weight_col).cast("double")
+        * HASH_SCALE
+        / (F.expr(_hash_expr(key_col)) + F.lit(1))
+    )
+    top = (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(key_col),
+            F.col(weight_col).cast("double").alias("weight"),
+            pri.alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc(key_col))
+        .limit(k + 1)
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rank = Window.orderBy(F.desc("priority"), F.asc(key_col))
+    ranked = top.select(
+        key_col,
+        "weight",
+        "priority",
+        F.row_number().over(w_rank).alias("sample_rank"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.min("priority").over(w_all).alias("__tau"),
+    )
+    return ranked.filter(F.col("sample_rank") <= k).select(
+        key_col,
+        "weight",
+        "priority",
+        "sample_rank",
+        F.when(F.col("__n") <= k, F.col("weight"))
+        .otherwise(F.greatest(F.col("weight"), F.col("__tau")))
+        .alias("est_weight"),
+    )
+
+
+def priority_sample_oracle_sql(
+    table: str, key_col: str, weight_col: str, k: int
+) -> str:
+    """DuckDB twin: same md5 nibble-sum hash, same exact arithmetic,
+    same (priority DESC, key ASC) order and k+1 cutoff."""
+    nib = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST({key_col} AS VARCHAR)),"
+        f" {j + 1}, 1)) - 1) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    return f"""
+    WITH top AS (
+      SELECT {key_col},
+             CAST({weight_col} AS DOUBLE) AS weight,
+             CAST({weight_col} AS DOUBLE) * {HASH_SCALE}
+               / ((({nib}) % {HASH_SCALE}) + 1) AS priority
+      FROM {table}
+      WHERE {weight_col} > 0
+      ORDER BY priority DESC, {key_col} ASC
+      LIMIT {k + 1}
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY priority DESC, {key_col} ASC)
+               AS sample_rank,
+             count(*) OVER () AS n,
+             min(priority) OVER () AS tau
+      FROM top
+    )
+    SELECT {key_col}, weight, priority, CAST(sample_rank AS INT) AS sample_rank,
+           CASE WHEN n <= {k} THEN weight
+                ELSE greatest(weight, tau) END AS est_weight
+    FROM ranked WHERE sample_rank <= {k}
     """

@@ -24,12 +24,16 @@ from pyspark.sql import functions as F
 from feature_store_spark.functions.scalars import is_night, is_weekend, safe_ratio
 from feature_store_spark.operators.aggregates import (
     completeness_report,
+    decayed_aggregate,
+    decayed_aggregate_oracle_sql,
     freshness_report,
     mode_deterministic,
     stats_with_outliers,
 )
 from feature_store_spark.operators.joins import band_join
 from feature_store_spark.operators.sampling import (
+    priority_sample,
+    priority_sample_oracle_sql,
     stratified_sample,
     stratified_sample_oracle_sql,
 )
@@ -709,6 +713,47 @@ def q_o6(spark, sf_dir):
         STRATA_FRACTIONS,
         "c_custkey",
         default_fraction=0.05,
+    )
+
+
+@spec(
+    "o7_priority_sample",
+    priority_sample_oracle_sql("documents", "doc_id", "n_chars", 150),
+    ("ext", "O3", "sampling"),
+)
+def q_o7(spark, sf_dir):
+    """Weighted sample without replacement by priority sampling
+    (Duffield–Lund–Thorup): 150 documents weighted by length, with the
+    tau-threshold ``est_weight`` that makes subset sums unbiasedly
+    estimable from the sample alone. Deterministic md5 uniforms and
+    integer-exact priority arithmetic — identical sample on any
+    engine; top-(k+1) compiles to TakeOrderedAndProject (no sort, no
+    shuffle of losers)."""
+    return priority_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "n_chars", 150
+    )
+
+
+@spec(
+    "a20_decayed_features",
+    decayed_aggregate_oracle_sql(
+        "events", "user_id", "ts", "value", EVENTS_NOW.split(" ")[0]
+    ),
+    ("ext", "A1", "F8", "aggregate"),
+)
+def q_a20(spark, sf_dir):
+    """Exponentially time-decayed per-user event aggregates (7-day
+    half-life, 30-half-life horizon, anchored at EVENTS_NOW): the
+    recency-weighted feature the reference's fixed 7d/30d trailing
+    windows approximate. Fixed-point power-of-two weights make the
+    decayed sums exact and order-free — no float-sum nondeterminism,
+    no libm exp(); one narrow map-combined groupBy shuffle."""
+    return decayed_aggregate(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "value",
+        EVENTS_NOW.split(" ")[0],
     )
 
 

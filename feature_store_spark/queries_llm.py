@@ -417,6 +417,24 @@ def q_pt_pack_token_budget(spark, sf_dir):
     return P.pack_token_budget(_t(spark, sf_dir, "documents"), budget=512)
 
 
+@spec("pt_dup_span_stats", P.dup_span_oracle_sql(k=5), ("ext", "pretrain"))
+def q_pt_dup_span_stats(spark, sf_dir):
+    """Exact-substring duplicate-span statistics (Lee et al. 2022):
+    per-doc count of corpus-duplicated token 5-gram windows and the
+    interval-union fraction of tokens they cover. Single gram-keyed
+    shuffle (count-over-partition window), candidate-proportional
+    thereafter."""
+    return P.dup_span_stats(_t(spark, sf_dir, "documents"), k=5)
+
+
+@spec("t_vocab_coverage", T.vocab_coverage_oracle_sql(top_n=200), ("ext", "text"))
+def q_t_vocab_coverage(spark, sf_dir):
+    """Vocabulary head with cumulative corpus coverage (tokenizer-
+    planning curve): one token shuffle, TakeOrdered top-200, window
+    over 200 rows, broadcast 1-row total."""
+    return T.vocab_coverage(_t(spark, sf_dir, "documents"), top_n=200)
+
+
 _LSH_NEW_MIN_ID = 400  # ingest batch = doc_id >= 400; corpus = the rest
 
 

@@ -80,13 +80,32 @@ def main() -> int:
     text_stats(docs).write.format("noop").mode("overwrite").save()
     t_ts = time.perf_counter() - t0
 
+    # dup-span: each planted copy shares ALL its 5-grams with its
+    # neighbor (minus the one-word tail), so exactly the planted docs
+    # and their originals should light up near frac 1; unrelated docs
+    # share no words at all. Work is linear: the duplicated-gram set is
+    # 2 × planted docs' grams, not corpus².
+    from feature_store_spark.llm.pretrain import dup_span_stats
+
+    t0 = time.perf_counter()
+    n_dup_docs = (
+        dup_span_stats(docs, k=5)
+        .filter(F.col("dup_window_frac") > 0.5)
+        .count()
+    )
+    t_ds = time.perf_counter() - t0
+
     planted = n_docs // 10 - 1
     recall = n_pairs / planted if planted else 1.0
     print(
         f"n_docs={n_docs} minhash_pairs={n_pairs} ({t_mh:.1f}s, "
         f"recall {recall:.4f}) "
-        f"simhash_pairs={n_sim} ({t_sh:.1f}s) text_stats={t_ts:.1f}s"
+        f"simhash_pairs={n_sim} ({t_sh:.1f}s) text_stats={t_ts:.1f}s "
+        f"dup_span_docs={n_dup_docs} ({t_ds:.1f}s)"
     )
+    # every planted copy AND its original must exceed 50% dup-window
+    # coverage; nothing else shares any words, so the count is exact
+    assert n_dup_docs == 2 * planted, (n_dup_docs, planted)
     # planted pairs sit at J≈0.95; the r=3,b=4 S-curve misses ~(1-J³)⁴
     # of them, so demand ≥99% recall rather than exhaustiveness
     assert recall >= 0.99, (n_pairs, planted)

@@ -349,3 +349,33 @@ def test_knn_graph_single_signature_scan(spark, sf_dir):
     vector) twice."""
     plan = _plan(spark, sf_dir, "sim_knn_graph")
     assert plan.count("FileScan") == 1
+
+
+def test_priority_sample_uses_take_ordered(spark, sf_dir):
+    # the global top-(k+1) must be heap-based TakeOrderedAndProject —
+    # a full Sort + Exchange would shuffle every loser row at scale
+    plan = _plan(spark, sf_dir, "o7_priority_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") <= 1  # only the k+1-row window pass
+
+
+def test_vocab_coverage_take_ordered_top_n(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "t_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total, broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_span_single_gram_shuffle(spark, sf_dir):
+    # posting stream must be shuffled ONCE on the gram key (window
+    # count), not twice (groupBy + join back); remaining exchanges are
+    # the doc-keyed tokenize barrier and the small dup-starts window
+    plan = _plan(spark, sf_dir, "pt_dup_span_stats")
+    assert plan.count("hashpartitioning(__g") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_decayed_features_single_shuffle_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "a20_decayed_features")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan

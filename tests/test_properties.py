@@ -460,3 +460,133 @@ def test_contamination_detects_planted_overlap(spark_prop):
     }
     assert out[0] == (1, True)
     assert out[1] == (0, False)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), max_size=8),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@_settings
+def test_dup_span_stats_matches_bruteforce(spark_prop, docs):
+    """n_dup_windows and the interval-union token coverage must match
+    a direct python model (k=2, corpus-wide counts incl. within-doc)."""
+    from feature_store_spark.llm.pretrain import dup_span_stats
+
+    k = 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark_prop.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_token_frac"])
+        for r in dup_span_stats(df, k=k).collect()
+    }
+    grams = Counter()
+    for toks in docs:
+        for i in range(len(toks) - k + 1):
+            grams[tuple(toks[i : i + k])] += 1
+    for i, toks in enumerate(docs):
+        starts = [
+            p
+            for p in range(len(toks) - k + 1)
+            if grams[tuple(toks[p : p + k])] >= 2
+        ]
+        covered = set()
+        for p in starts:
+            covered.update(range(p, p + k))
+        n_windows = max(len(toks) - k + 1, 0)
+        frac = round(len(covered) / len(toks), 6) if toks else None
+        assert got[i][0] == n_windows
+        assert got[i][1] == len(starts)
+        if toks:
+            assert got[i][2] == pytest.approx(frac, abs=1e-9)
+        else:
+            assert got[i][2] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(-2, 50)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+@_settings
+def test_priority_sample_matches_model(spark_prop, rows, k):
+    """Sample set, ranks, and est_weight must equal the exact python
+    priority-sampling model (same md5 uniforms, same tie-break)."""
+    import hashlib
+
+    from feature_store_spark.operators.sampling import (
+        HASH_SCALE,
+        priority_sample,
+    )
+
+    df = spark_prop.createDataFrame(rows, "id int, w int")
+    got = sorted(
+        (r["id"], r["sample_rank"], r["est_weight"])
+        for r in priority_sample(df, "id", "w", k).collect()
+    )
+    pri = []
+    for i, w in rows:
+        if w <= 0:
+            continue
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % HASH_SCALE
+        pri.append((float(w) * HASH_SCALE / (h + 1), i, float(w)))
+    pri.sort(key=lambda t: (-t[0], t[1]))
+    top = pri[: k + 1]
+    tau = top[-1][0] if len(top) == k + 1 else None
+    expect = sorted(
+        (i, rank + 1, w if tau is None else max(w, tau))
+        for rank, (p, i, w) in enumerate(top[:k])
+    )
+    assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),  # user
+            st.integers(-5, 250),  # age in days (negative = future)
+            st.integers(-10_000, 10_000),  # value in cents
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@_settings
+def test_decayed_aggregate_matches_fixed_point_model(spark_prop, rows):
+    """Decayed sums must equal the exact integer fixed-point model —
+    bit-for-bit, independent of row order (the whole point of the
+    power-of-two formulation)."""
+    import datetime
+
+    from feature_store_spark.operators.aggregates import decayed_aggregate
+
+    now = datetime.date(2024, 1, 31)
+    H, HL = 30, 7
+    data = [
+        (u, datetime.datetime.combine(now - datetime.timedelta(days=age),
+                                      datetime.time(12, 0)), c / 100.0)
+        for u, age, c in rows
+    ]
+    df = spark_prop.createDataFrame(data, "user_id int, ts timestamp, value double")
+    got = {
+        r["user_id"]: (r["n_events"], r["decayed_count"], r["decayed_value"])
+        for r in decayed_aggregate(
+            df, "user_id", "ts", "value", "2024-01-31", HL, H
+        ).collect()
+    }
+    expect = {}
+    for u, age, c in rows:
+        d = age // HL  # python floor division == SQL floor for ints
+        if not (0 <= d < H):
+            continue
+        n, fc, fv = expect.get(u, (0, 0, 0))
+        expect[u] = (n + 1, fc + (1 << (H - d)), fv + c * (1 << (H - d)))
+    assert set(got) == set(expect)
+    for u, (n, fc, fv) in expect.items():
+        assert got[u] == (n, float(fc) / 2.0**H, float(fv) / (2.0**H * 100.0))
