@@ -204,3 +204,73 @@ def sessionize(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn("session_id", sess_id)
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change
+    log: one row per EFFECTIVE state change with ``[valid_from,
+    valid_to)`` validity and an ``is_current`` flag — the point-in-time
+    join target a feature store serves training labels against (the
+    batch-build complement of the reference's last-writer upsert,
+    `src/pipelines/batch_pipeline.py:222`; the as-of join in
+    `asof_join` consumes exactly this shape).
+
+    Consecutive records with an unchanged state are collapsed (a
+    heartbeat re-emitting the same value must not fragment validity):
+    a lag-compare keeps only change points, then lead() over the
+    SURVIVORS closes each interval. Both windows hash on the key —
+    ONE shuffle, two passes over sorted partitions, state = one row.
+    Ordering is (ts, tiebreak) so same-timestamp flaps resolve
+    deterministically; timestamps compare at native precision here
+    (no cross-engine truncation — the operator itself is exact).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changed = (
+        F.lag(state_col).over(w).isNull()
+        | (F.lag(state_col).over(w) != F.col(state_col))
+    )
+    points = df.select(
+        key_col, ts_col, state_col, tiebreak_col
+    ).withColumn("__chg", changed).filter("__chg")
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return points.select(
+        F.col(key_col),
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )
+
+
+def scd2_history_oracle_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+) -> str:
+    return f"""
+    WITH points AS (
+      SELECT {key_col}, {ts_col}, {state_col}, {tiebreak_col}
+      FROM (
+        SELECT *,
+               lag({state_col}) OVER (PARTITION BY {key_col}
+                 ORDER BY {ts_col}, {tiebreak_col}) AS prev_state
+        FROM {table}
+      )
+      WHERE prev_state IS NULL OR prev_state <> {state_col}
+    )
+    SELECT {key_col},
+           {state_col} AS state,
+           {ts_col} AS valid_from,
+           lead({ts_col}) OVER w AS valid_to,
+           lead({ts_col}) OVER w IS NULL AS is_current
+    FROM points
+    WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {tiebreak_col})
+    """

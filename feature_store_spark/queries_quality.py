@@ -545,6 +545,27 @@ def q_w3(spark, sf_dir):
     )
 
 
+def _scd2_oracle():
+    from feature_store_spark.operators.windows import scd2_history_oracle_sql
+
+    return scd2_history_oracle_sql(
+        "events", "user_id", "ts", "event_type", "event_id"
+    )
+
+
+@spec("w8_scd2_history", _scd2_oracle(), ("ext", "W1", "J9", "scd2"))
+def q_w8_scd2(spark, sf_dir):
+    """SCD2 history build from the event change log: per-user
+    event_type validity intervals with heartbeat collapse — the
+    point-in-time join target (`operators/windows.py::scd2_history`);
+    one key shuffle, two window passes."""
+    from feature_store_spark.operators.windows import scd2_history
+
+    return scd2_history(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type", "event_id"
+    )
+
+
 @spec(
     "w7_rolling_spend",
     f"""SELECT o_custkey AS user_id, o_orderkey,

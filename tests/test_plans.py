@@ -379,3 +379,9 @@ def test_decayed_features_single_shuffle_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "a20_decayed_features")
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "w8_scd2_history")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan

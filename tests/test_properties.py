@@ -590,3 +590,50 @@ def test_decayed_aggregate_matches_fixed_point_model(spark_prop, rows):
     assert set(got) == set(expect)
     for u, (n, fc, fv) in expect.items():
         assert got[u] == (n, float(fc) / 2.0**H, float(fv) / (2.0**H * 100.0))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # key
+            st.integers(0, 8),  # ts (hours)
+            st.sampled_from(["x", "y"]),  # state
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@_settings
+def test_scd2_history_matches_model(spark_prop, rows):
+    """Heartbeat collapse + interval chaining must match the direct
+    model: sort by (ts, id), drop unchanged states, valid_to = next
+    survivor's ts, last one open/current."""
+    import datetime
+
+    from feature_store_spark.operators.windows import scd2_history
+
+    data = [
+        (k, datetime.datetime(2024, 1, 1, h), s, i)
+        for i, (k, h, s) in enumerate(rows)
+    ]
+    df = spark_prop.createDataFrame(
+        data, "k int, ts timestamp, state string, eid int"
+    )
+    got = sorted(
+        (r["k"], r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df, "k", "ts", "state", "eid").collect()
+    )
+    expect = []
+    for k in {k for k, _, _ in rows}:
+        recs = sorted(
+            (ts, eid, s) for kk, ts, s, eid in
+            ((d[0], d[1], d[2], d[3]) for d in data) if kk == k
+        )
+        surv = []
+        for ts, eid, s in recs:
+            if not surv or surv[-1][2] != s:
+                surv.append((ts, eid, s))
+        for i, (ts, eid, s) in enumerate(surv):
+            nxt = surv[i + 1][0] if i + 1 < len(surv) else None
+            expect.append((k, s, ts, nxt, nxt is None))
+    assert got == sorted(expect)
