@@ -61,8 +61,15 @@ HEADLINE = [
     "o3_deterministic_sample",
     "st5_velocity_features",
     "st7_session_features",
+    "w7_rolling_spend",
+    "w8_scd2_history",
     "a16_hll_sketch_rollup",
+    "a20_decayed_features",
+    "o7_priority_sample",
     "t_text_stats",
+    "t_quality_score",
+    "t_vocab_coverage",
+    "d_exact_dedup",
     "d_minhash_lsh_pairs",
     "d_simhash_near_dup",
     "d_lsh_incremental",

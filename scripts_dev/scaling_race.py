@@ -6,7 +6,7 @@ from feature_store_spark.queries import SPECS, all_queries
 from feature_store_spark.oracle import duckdb_connection
 from feature_store_spark.session import get_spark
 all_queries()
-NAMES = ["pipeline_user_features","pipeline_transaction_features","pipeline_risk_features","pipeline_serving_join","a7_stats_outliers","w1_latest_event_per_user","st5_velocity_features","st7_session_features","w7_rolling_spend","a16_hll_sketch_rollup","t_text_stats","t_quality_score","d_exact_dedup","d_minhash_lsh_pairs","d_simhash_near_dup","sim_cosine_topk","mm_decode_media"]
+NAMES = ["pipeline_user_features","pipeline_transaction_features","pipeline_risk_features","pipeline_serving_join","a7_stats_outliers","w1_latest_event_per_user","st5_velocity_features","st7_session_features","w7_rolling_spend","w8_scd2_history","a16_hll_sketch_rollup","a20_decayed_features","o7_priority_sample","t_text_stats","t_quality_score","t_vocab_coverage","d_exact_dedup","d_minhash_lsh_pairs","d_simhash_near_dup","sim_cosine_topk","sim_cosine_topk_vectorized","pt_repetition_stats","pt_dup_span_stats","mm_decode_media"]
 spark = get_spark("race")
 spark.range(1000).selectExpr("sum(id)").collect()
 for sf_dir, label in (("/root/testdata/sf0.1", "sf0.1"), ("/tmp/sfbig", "sf1.0")):

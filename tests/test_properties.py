@@ -619,9 +619,17 @@ def test_scd2_history_matches_model(spark_prop, rows):
     df = spark_prop.createDataFrame(
         data, "k int, ts timestamp, state string, eid int"
     )
+    # sort key maps the open interval's None past any real timestamp
+    # (same-ts flaps otherwise compare None against datetime)
+    sort_key = lambda t: (  # noqa: E731
+        t[0], t[1], t[2], t[3] or datetime.datetime.max, t[4],
+    )
     got = sorted(
-        (r["k"], r["state"], r["valid_from"], r["valid_to"], r["is_current"])
-        for r in scd2_history(df, "k", "ts", "state", "eid").collect()
+        (
+            (r["k"], r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in scd2_history(df, "k", "ts", "state", "eid").collect()
+        ),
+        key=sort_key,
     )
     expect = []
     for k in {k for k, _, _ in rows}:
@@ -636,4 +644,4 @@ def test_scd2_history_matches_model(spark_prop, rows):
         for i, (ts, eid, s) in enumerate(surv):
             nxt = surv[i + 1][0] if i + 1 < len(surv) else None
             expect.append((k, s, ts, nxt, nxt is None))
-    assert got == sorted(expect)
+    assert got == sorted(expect, key=sort_key)
