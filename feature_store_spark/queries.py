@@ -118,10 +118,13 @@ def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TF_SQL = f"""
+def tf_sql(ref: str = SQL_REF) -> str:
+    """Transaction-features oracle, parameterized by the anchor
+    date (F8): the snapshot-diff spec runs it at two dates."""
+    return f"""
 WITH scan AS (
   SELECT * FROM orders
-  WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 31
+  WHERE CAST(o_orderdate AS DATE) >= {ref} - 31
 ), feats AS (
   SELECT user_id, total_transactions_30d,
     COALESCE(s1_30d, 0) / 100.0 AS total_amount_30d,
@@ -130,34 +133,34 @@ WITH scan AS (
     weekend_transaction_ratio, night_transaction_ratio
   FROM (
     SELECT o_custkey AS user_id,
-      count(*) FILTER (WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 30)
+      count(*) FILTER (WHERE CAST(o_orderdate AS DATE) >= {ref} - 30)
         AS total_transactions_30d,
       sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (
-        WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 30) AS s1_30d,
+        WHERE CAST(o_orderdate AS DATE) >= {ref} - 30) AS s1_30d,
       max(o_totalprice) FILTER (
-        WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 30)
+        WHERE CAST(o_orderdate AS DATE) >= {ref} - 30)
         AS max_transaction_amount,
-      count(*) FILTER (WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 30
+      count(*) FILTER (WHERE CAST(o_orderdate AS DATE) >= {ref} - 30
                        AND o_orderstatus = 'P') AS transactions_declined_30d,
-      count(*) FILTER (WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 30
+      count(*) FILTER (WHERE CAST(o_orderdate AS DATE) >= {ref} - 30
                        AND dayofweek(o_orderdate) IN (0, 6))
         / NULLIF(count(*) FILTER (
-            WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 30), 0)
+            WHERE CAST(o_orderdate AS DATE) >= {ref} - 30), 0)
         AS weekend_transaction_ratio,
-      count(*) FILTER (WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 30
+      count(*) FILTER (WHERE CAST(o_orderdate AS DATE) >= {ref} - 30
                        AND (hour(o_orderdate) >= 22 OR hour(o_orderdate) <= 6))
         / NULLIF(count(*) FILTER (
-            WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 30), 0)
+            WHERE CAST(o_orderdate AS DATE) >= {ref} - 30), 0)
         AS night_transaction_ratio
     FROM scan GROUP BY o_custkey
     HAVING count(*) FILTER (
-      WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 30) > 0
+      WHERE CAST(o_orderdate AS DATE) >= {ref} - 30) > 0
   ) raw
 ), merch AS (
   SELECT o.o_custkey AS user_id,
          count(DISTINCT l.l_suppkey) AS unique_merchants_30d
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  WHERE CAST(l.l_shipdate AS DATE) >= {SQL_REF} - 30
+  WHERE CAST(l.l_shipdate AS DATE) >= {ref} - 30
   GROUP BY o.o_custkey
 )
 SELECT f.user_id, f.total_transactions_30d, f.total_amount_30d,
@@ -169,11 +172,51 @@ FROM feats f LEFT JOIN merch m ON f.user_id = m.user_id
 """
 
 
+TF_SQL = tf_sql()
+
+
 @spec("pipeline_transaction_features", TF_SQL, ("pipeline", "S1", "A2", "A3", "A5", "A6", "F3", "F5", "F6", "P6"))
 def q_transaction_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derive_transaction_features(
         _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
     )
+
+
+DIFF_OLD_REF = "2001-07-25"  # REF_DATE - 7: the prior pipeline run
+_TF_COLS = (
+    "total_transactions_30d", "total_amount_30d",
+    "avg_transaction_amount", "max_transaction_amount",
+    "transactions_declined_30d", "weekend_transaction_ratio",
+    "night_transaction_ratio", "unique_merchants_30d",
+)
+
+
+def _j11_oracle():
+    from feature_store_spark.operators.diff import snapshot_diff_oracle_sql
+
+    return snapshot_diff_oracle_sql(
+        tf_sql(f"DATE '{DIFF_OLD_REF}'"),
+        tf_sql(),
+        ["user_id"],
+        _TF_COLS,
+    )
+
+
+@spec("j11_snapshot_diff", _j11_oracle(), ("ext", "J2", "SV7", "diff"))
+def q_j11_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level data-diff between two transaction-feature snapshots
+    (pipeline runs 7 days apart): added/removed/changed/unchanged per
+    user with the changed column names — the migration/backfill
+    validation check (`operators/diff.py::snapshot_diff`) promoted
+    from the reference's count/spot validation. One key-hashed join;
+    bucketed stores make it shuffle-free."""
+    from feature_store_spark.operators.diff import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    old = derive_transaction_features(orders, lineitem, ref_date=DIFF_OLD_REF)
+    new = derive_transaction_features(orders, lineitem)
+    return snapshot_diff(old, new, ["user_id"], _TF_COLS)
 
 
 RF_SQL = f"""

@@ -545,6 +545,36 @@ def q_w3(spark, sf_dir):
     )
 
 
+def _a21_oracle():
+    from feature_store_spark.operators.diff import value_drift_oracle_sql
+
+    return value_drift_oracle_sql(
+        f"SELECT value FROM events WHERE ts <  {SQL_NOW} - INTERVAL 30 DAY",
+        f"SELECT value FROM events WHERE ts >= {SQL_NOW} - INTERVAL 30 DAY",
+        "value",
+    )
+
+
+@spec("a21_value_drift", _a21_oracle(), ("ext", "A7", "A19", "drift"))
+def q_a21_value_drift(spark, sf_dir):
+    """PSI distribution-drift report: event values in the trailing 30d
+    vs all history before — per-log-bucket shares, quantized PSI terms,
+    exact DECIMAL-summed PSI total and the 0.2 drift flag
+    (`operators/diff.py::value_drift_report`). Bucket scheme shared
+    with the a19 sketch, so a deployed store computes this from stored
+    partials without rescanning."""
+    from feature_store_spark.operators.diff import value_drift_report
+
+    ev = _t(spark, sf_dir, "events")
+    now_ts = F.to_timestamp(F.lit(EVENTS_NOW))
+    cut = now_ts - F.expr("INTERVAL 30 DAYS")
+    return value_drift_report(
+        ev.filter(F.col("ts") < cut),
+        ev.filter(F.col("ts") >= cut),
+        "value",
+    )
+
+
 def _scd2_oracle():
     from feature_store_spark.operators.windows import scd2_history_oracle_sql
 

@@ -645,3 +645,44 @@ def test_scd2_history_matches_model(spark_prop, rows):
             nxt = surv[i + 1][0] if i + 1 < len(surv) else None
             expect.append((k, s, ts, nxt, nxt is None))
     assert got == sorted(expect, key=sort_key)
+
+
+@given(
+    old=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 3),
+                  st.one_of(st.none(), st.integers(0, 2))),
+        max_size=15, unique_by=lambda t: t[0],
+    ),
+    new=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 3),
+                  st.one_of(st.none(), st.integers(0, 2))),
+        max_size=15, unique_by=lambda t: t[0],
+    ),
+)
+@_settings
+def test_snapshot_diff_matches_model(spark_prop, old, new):
+    """Status + changed-column list must match the direct dict model,
+    including NULL->value and value->NULL transitions (null-safe)."""
+    from feature_store_spark.operators.diff import snapshot_diff
+
+    schema = "k int, a int, b int"
+    df_o = spark_prop.createDataFrame(old, schema)
+    df_n = spark_prop.createDataFrame(new, schema)
+    got = {
+        r["k"]: (r["status"], r["changed_cols"])
+        for r in snapshot_diff(df_o, df_n, ["k"], ["a", "b"]).collect()
+    }
+    om = {k: (a, b) for k, a, b in old}
+    nm = {k: (a, b) for k, a, b in new}
+    assert set(got) == set(om) | set(nm)
+    for k in got:
+        if k not in om:
+            assert got[k] == ("added", None)
+        elif k not in nm:
+            assert got[k] == ("removed", None)
+        else:
+            diffs = [c for c, i in (("a", 0), ("b", 1)) if om[k][i] != nm[k][i]]
+            if diffs:
+                assert got[k] == ("changed", ",".join(diffs))
+            else:
+                assert got[k] == ("unchanged", None)
