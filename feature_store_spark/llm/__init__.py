@@ -4,7 +4,8 @@ n-gram Jaccard / embedding cosine), similarity search (brute-force +
 LSH-bucketed ANN), multimodal column plumbing, and pretraining-corpus
 preparation (train/eval decontamination, repetition quality rules,
 PII scrubbing, temperature-weighted domain mixing, token-budget
-sequence packing).
+sequence packing, exact-substring duplicate-span statistics,
+vocabulary coverage curves).
 
 All deterministic and cross-engine reproducible: hashing is md5-based
 (identical in Spark and DuckDB), folds are explicit sequential
