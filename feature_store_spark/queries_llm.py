@@ -494,3 +494,16 @@ def q_knn_graph_vectorized(spark, sf_dir):
     numpy matmul scoring via applyInPandas — one shuffle, no window
     pass (per-bucket top-k is final under a single hash table)."""
     return S.knn_graph_vectorized(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+@spec("sim_pq_ann_topk", None, ("ext", "similarity", "pq"))
+def q_pq_ann_topk(spark, sf_dir):
+    """Product-quantization ANN (rows-only by design, like IVF: the
+    KMeans codebook trainer has no SQL twin; recall + full-shortlist
+    == exact pinned in tests/test_ann_quality.py): 32x-compressed
+    asymmetric-distance shortlist + exact rerank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.pq_ann_topk(emb, queries, k=10)

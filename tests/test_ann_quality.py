@@ -173,3 +173,29 @@ def test_vectorized_paths_match_exact_on_zero_norm_vectors(spark):
         .collect()
     )
     assert ka == kb
+
+
+def test_pq_recall_and_determinism(emb, queries, exact_topk):
+    from feature_store_spark.llm.similarity import pq_ann_topk
+
+    a1 = pq_ann_topk(emb, queries, k=K, shortlist_factor=5)
+    got1 = {(r["query_id"], r["vec_id"]) for r in a1.collect()}
+    recall = len(got1 & exact_topk) / len(exact_topk)
+    # ADC shortlist (5k of the corpus) + exact rerank: codes are 32x
+    # smaller than the vectors, so 0.6 recall at this compression is
+    # the expected trade — production raises shortlist_factor, not m
+    assert recall >= 0.6, f"PQ recall {recall:.2f}"
+    a2 = pq_ann_topk(emb, queries, k=K, shortlist_factor=5)
+    got2 = {(r["query_id"], r["vec_id"]) for r in a2.collect()}
+    assert got1 == got2  # seeded codebooks → reproducible
+
+
+def test_pq_full_shortlist_equals_exact(emb, queries, exact_topk):
+    # with the shortlist covering the whole corpus the exact rerank
+    # must reproduce cosine_topk verbatim — pins the rerank path
+    from feature_store_spark.llm.similarity import pq_ann_topk
+
+    n = emb.count()
+    full = pq_ann_topk(emb, queries, k=K, shortlist_factor=n)
+    got = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    assert got == exact_topk
