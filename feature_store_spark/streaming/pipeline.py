@@ -78,6 +78,7 @@ def read_event_stream(
     spark: SparkSession,
     events_dir: str,
     ts_is_nanos: bool | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-based event stream with the fixture schema. Streaming
     sources need the schema up front; ``ts_is_nanos`` picks it:
@@ -96,12 +97,17 @@ def read_event_stream(
             )
         except AnalysisException:  # empty/absent dir: schema unknowable
             ts_is_nanos = False
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        # bounds per-micro-batch work (and, with availableNow, splits
+        # a backlog into multiple batches instead of one giant drain)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if ts_is_nanos:
-        raw = spark.readStream.schema(EVENT_SCHEMA_NANOS).parquet(events_dir)
+        raw = reader.schema(EVENT_SCHEMA_NANOS).parquet(events_dir)
         return raw.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-    return spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
+    return reader.schema(EVENT_SCHEMA).parquet(events_dir)
 
 
 def dispatch_events(events: DataFrame) -> DataFrame:
@@ -426,6 +432,67 @@ def run_streaming_upsert(
     q = (
         stream.filter(F.col("valid"))
         .writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return counters
+
+
+def run_drift_monitor(
+    spark: SparkSession,
+    events_dir: str,
+    baseline: DataFrame,
+    report_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    max_files_per_trigger: int | None = None,
+) -> dict[str, int]:
+    """ST10: streaming data-quality drift monitor — every micro-batch's
+    value distribution is PSI-compared against a static baseline
+    snapshot (`operators/diff.py::value_drift_report`) and one summary
+    row per batch is appended to a parquet report: (batch_id, n_values,
+    psi, drifted). The streaming twin of the a21 batch check, and the
+    continuous version of the reference's scheduled data-quality DAG
+    (`dags/data_quality_dag.py`: every-4h anomaly sweep → per-batch).
+
+    foreachBatch composes the BATCH operator unchanged — the PSI
+    report reduces each micro-batch to bucket-count rows before any
+    join, so per-batch cost is one map-combined groupBy over the
+    batch plus window math over dozens of rows. The baseline's bucket
+    counts are recomputed per batch here for simplicity; a deployment
+    caches them (they are a handful of rows) or reads stored a19
+    sketch partials.
+
+    Drained deterministically with ``availableNow``; returns
+    {batches, drifted_batches}.
+    """
+    from feature_store_spark.operators.diff import value_drift_report
+
+    counters = {"batches": 0, "drifted_batches": 0}
+
+    def _check_batch(batch_df: DataFrame, batch_id: int) -> None:
+        counters["batches"] += 1
+        report = value_drift_report(baseline, batch_df, value_col)
+        summary = report.agg(
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
+            F.sum("n_new").cast("bigint").alias("n_values"),
+            F.first("psi_total").alias("psi"),
+            F.first("drifted").alias("drifted"),
+        )
+        rows = summary.collect()  # 1 row — driver-side report append
+        if rows and rows[0]["drifted"]:
+            counters["drifted_batches"] += 1
+        spark.createDataFrame(
+            rows, "batch_id bigint, n_values bigint, psi double, drifted boolean"
+        ).write.mode("append").parquet(report_dir)
+
+    q = (
+        read_event_stream(
+            spark, events_dir, max_files_per_trigger=max_files_per_trigger
+        )
+        .writeStream.foreachBatch(_check_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

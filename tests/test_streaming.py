@@ -267,3 +267,53 @@ def test_dedup_stream_drops_replayed_batch(spark, sf_dir, tmp_path):
     s = {r["event_id"] for r in out.select("event_id").collect()}
     b = {r["event_id"] for r in batch.select("event_id").collect()}
     assert s == b
+
+
+def test_drift_monitor_flags_shifted_batch(spark, sf_dir, tmp_path):
+    """ST10: the monitor must stay quiet on a same-distribution batch
+    and flag a 100x-shifted one; report rows land in parquet."""
+    from feature_store_spark.streaming.pipeline import run_drift_monitor
+
+    ev = load_table(spark, sf_dir, "events")
+    baseline = ev.select("value")
+
+    # batch 1: the same distribution; batch 2: values shifted 100x.
+    # The file stream source does not recurse, so the parquet dirs'
+    # part files are flattened into the watched directory.
+    import glob
+    import shutil as _sh
+
+    stream_dir = tmp_path / "drift_stream"
+    stream_dir.mkdir()
+    for name, df in (
+        ("same", ev),
+        ("shifted", ev.withColumn("value", F.col("value") * 100)),
+    ):
+        out = tmp_path / f"_{name}"
+        df.coalesce(1).write.parquet(str(out))
+        part = glob.glob(str(out / "part-*.parquet"))[0]
+        _sh.copy(part, stream_dir / f"{name}.parquet")
+
+    counters = run_drift_monitor(
+        spark,
+        str(stream_dir),
+        baseline,
+        str(tmp_path / "report"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,  # one file per micro-batch
+    )
+    report = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(str(tmp_path / "report")).collect()
+    }
+    # availableNow may drain into 1..n batches; exactly the shifted
+    # rows must trip the flag, identical rows must not
+    drifted = [r for r in report.values() if r["drifted"]]
+    clean = [r for r in report.values() if not r["drifted"]]
+    assert counters["batches"] == len(report)
+    assert counters["drifted_batches"] == len(drifted) >= 1
+    assert len(clean) >= 1
+    for r in drifted:
+        assert r["psi"] > 0.2
+    for r in clean:
+        assert r["psi"] <= 0.2
