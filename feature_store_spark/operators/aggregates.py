@@ -262,3 +262,112 @@ def decayed_aggregate_oracle_sql(
     WHERE d >= 0 AND d < {horizon}
     GROUP BY {key_col}
     """
+
+
+def normalize_features(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_cols: Sequence[str],
+    scale: int = 100,
+) -> DataFrame:
+    """Feature scaling for ML hand-off: per input column emit the
+    z-score (``z_<col>``) and min-max (``mm_<col>``) normalized value
+    — the batch, oracle-checkable equivalent of MLlib's
+    StandardScaler/MinMaxScaler (which `ml/pipeline.py` uses inside
+    the model pipeline; this op is for materializing scaled feature
+    TABLES, reference `src/pipelines/batch_pipeline.py` feature
+    preparation).
+
+    All statistics come from one fused aggregate using EXACT integer/
+    decimal moments (the `stats_with_outliers` discipline: first
+    moment bigint, second moment decimal(38,0), one correctly-rounded
+    conversion at the end), so every mean/std — and therefore every
+    scaled value — is bit-identical across engines, partitionings,
+    and cluster sizes. NULLs pass through as NULL; a zero-variance or
+    constant column yields NULL scores (guarded division), never ±inf.
+
+    Scale shape: ONE full scan for the moments (all columns fused into
+    a single 1-row aggregate), broadcast back, one projection pass —
+    shuffle-free at any size.
+    """
+    aggs = []
+    for c in value_cols:
+        v = F.col(c)
+        iv = F.round(v * scale).cast("bigint")
+        ivd = F.round(v * scale).cast("decimal(38,0)")
+        aggs += [
+            F.count(v).alias(f"__n_{c}"),
+            F.sum(iv).cast("double").alias(f"__s1_{c}"),
+            F.sum(ivd * ivd).cast("double").alias(f"__s2_{c}"),
+            F.min(v).alias(f"__min_{c}"),
+            F.max(v).alias(f"__max_{c}"),
+        ]
+    stats = df.agg(*aggs)
+
+    out_cols = [F.col(k) for k in key_cols]
+    s = float(scale)
+    for c in value_cols:
+        v = F.col(c)
+        n = F.col(f"__n_{c}")
+        s1 = F.col(f"__s1_{c}")
+        s2 = F.col(f"__s2_{c}")
+        mean = s1 / s / n
+        std = F.sqrt(
+            (s2 / (s * s) - (s1 / s) * (s1 / s) / n) / (n - F.lit(1))
+        )
+        rng = F.col(f"__max_{c}") - F.col(f"__min_{c}")
+        out_cols.append(
+            F.round(
+                F.when(std > 0, (v - mean) / std), 6
+            ).alias(f"z_{c}")
+        )
+        out_cols.append(
+            F.round(
+                F.when(rng > 0, (v - F.col(f"__min_{c}")) / rng), 6
+            ).alias(f"mm_{c}")
+        )
+    return df.crossJoin(F.broadcast(stats)).select(*out_cols)
+
+
+def normalize_features_oracle_sql(
+    table: str,
+    key_cols: Sequence[str],
+    value_cols: Sequence[str],
+    scale: int = 100,
+) -> str:
+    """DuckDB twin: identical exact-moment arithmetic, identical
+    guards and rounding."""
+    s = float(scale)
+    stats_sel = []
+    for c in value_cols:
+        stats_sel += [
+            f"count({c}) AS n_{c}",
+            f"CAST(sum(CAST(round({c} * {scale}) AS BIGINT)) AS DOUBLE)"
+            f" AS s1_{c}",
+            f"CAST(sum(CAST(round({c} * {scale}) AS DECIMAL(38,0))"
+            f" * CAST(round({c} * {scale}) AS DECIMAL(38,0))) AS DOUBLE)"
+            f" AS s2_{c}",
+            f"min({c}) AS min_{c}",
+            f"max({c}) AS max_{c}",
+        ]
+    proj = list(key_cols)
+    for c in value_cols:
+        mean = f"(s1_{c} / {s!r} / n_{c})"
+        std = (
+            f"sqrt((s2_{c} / {s * s!r} - (s1_{c} / {s!r})"
+            f" * (s1_{c} / {s!r}) / n_{c}) / (n_{c} - 1))"
+        )
+        rng = f"(max_{c} - min_{c})"
+        proj.append(
+            f"round(CASE WHEN {std} > 0 THEN ({c} - {mean}) / {std} END, 6)"
+            f" AS z_{c}"
+        )
+        proj.append(
+            f"round(CASE WHEN {rng} > 0 THEN ({c} - min_{c}) / {rng} END, 6)"
+            f" AS mm_{c}"
+        )
+    return f"""
+    WITH stats AS (SELECT {", ".join(stats_sel)} FROM {table})
+    SELECT {", ".join(proj)}
+    FROM {table}, stats
+    """

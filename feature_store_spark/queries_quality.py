@@ -545,6 +545,29 @@ def q_w3(spark, sf_dir):
     )
 
 
+def _a22_oracle():
+    from feature_store_spark.operators.aggregates import (
+        normalize_features_oracle_sql,
+    )
+
+    return normalize_features_oracle_sql(
+        "orders", ["o_orderkey"], ["o_totalprice"]
+    )
+
+
+@spec("a22_feature_scaling", _a22_oracle(), ("ext", "A7", "ml", "scaling"))
+def q_a22_feature_scaling(spark, sf_dir):
+    """Materialized feature scaling (z-score + min-max per value) from
+    ONE fused exact-moment aggregate broadcast back over the table —
+    bit-identical across engines/cluster sizes, shuffle-free
+    (`operators/aggregates.py::normalize_features`)."""
+    from feature_store_spark.operators.aggregates import normalize_features
+
+    return normalize_features(
+        _t(spark, sf_dir, "orders"), ["o_orderkey"], ["o_totalprice"]
+    )
+
+
 def _a21_oracle():
     from feature_store_spark.operators.diff import value_drift_oracle_sql
 

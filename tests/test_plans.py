@@ -385,3 +385,11 @@ def test_scd2_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "w8_scd2_history")
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_feature_scaling_single_scan_stats_broadcast(spark, sf_dir):
+    # the moments aggregate must come back as a broadcast, and the
+    # projection pass must not shuffle the fact table
+    plan = _plan(spark, sf_dir, "a22_feature_scaling")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
