@@ -187,6 +187,21 @@ def main() -> None:
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    # Measured scheduler floor: a one-row one-stage plan timed with the
+    # exact same protocol. Every query in this harness pays at least
+    # this much regardless of its plan; queries whose DuckDB time is
+    # below it are measuring the client constant, not the engine (see
+    # BASELINE.md round-2 status). Emitted so the ratio-vs-oracle can
+    # be read floor-corrected without re-deriving the constant.
+    run(spark.range(1))
+    floor = None
+    for _ in range(n_runs):
+        df = spark.range(1)
+        t0 = time.perf_counter()
+        run(df)
+        dt = time.perf_counter() - t0
+        floor = dt if floor is None else min(floor, dt)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in SPECS:
@@ -236,6 +251,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "floor_sec": round(floor, 3),
                 "regressions": regressions,
             }
         )

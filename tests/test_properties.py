@@ -686,3 +686,72 @@ def test_snapshot_diff_matches_model(spark_prop, old, new):
                 assert got[k] == ("changed", ",".join(diffs))
             else:
                 assert got[k] == ("unchanged", None)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    top_n=st.integers(min_value=1, max_value=5),
+)
+@_settings
+def test_vocab_coverage_matches_counter(spark_prop, docs, top_n):
+    from feature_store_spark.llm.text import vocab_coverage
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark_prop.createDataFrame(rows, "doc_id int, text string")
+    got = [
+        (r["rank"], r["token"], r["n_occurrences"], r["cum_share"])
+        for r in vocab_coverage(df, top_n=top_n)
+        .orderBy("rank")
+        .collect()
+    ]
+    counts = Counter(t for ts in docs for t in ts)
+    total = sum(counts.values())
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    assert [(g[1], g[2]) for g in got] == expect
+    assert [g[0] for g in got] == list(range(1, len(expect) + 1))
+    cum = 0
+    for g, (tok, cnt) in zip(got, expect):
+        cum += cnt
+        assert g[3] == pytest.approx(round(cum / total, 6), abs=1e-9)
+
+
+def test_new_operators_empty_input(spark_prop):
+    """Every round-2 operator must return an empty (or spine-only)
+    result on empty input without raising."""
+    from feature_store_spark.llm.pretrain import dup_span_stats
+    from feature_store_spark.operators.aggregates import (
+        decayed_aggregate,
+        normalize_features,
+    )
+    from feature_store_spark.operators.diff import (
+        snapshot_diff,
+        value_drift_report,
+    )
+    from feature_store_spark.operators.sampling import priority_sample
+    from feature_store_spark.operators.windows import scd2_history
+
+    empty_docs = spark_prop.createDataFrame([], "doc_id int, text string")
+    assert dup_span_stats(empty_docs).count() == 0
+    empty_w = spark_prop.createDataFrame([], "id int, w int")
+    assert priority_sample(empty_w, "id", "w", 5).count() == 0
+    empty_ev = spark_prop.createDataFrame(
+        [], "user_id int, ts timestamp, value double, eid int, state string"
+    )
+    assert (
+        decayed_aggregate(empty_ev, "user_id", "ts", "value", "2024-01-31")
+        .count() == 0
+    )
+    assert (
+        scd2_history(empty_ev, "user_id", "ts", "state", "eid").count() == 0
+    )
+    assert normalize_features(empty_ev, ["user_id"], ["value"]).count() == 0
+    assert snapshot_diff(empty_ev, empty_ev, ["user_id"], ["value"]).count() == 0
+    # drift vs an empty snapshot: report still returns (buckets of the
+    # non-empty side) and a finite PSI
+    one = spark_prop.createDataFrame([(1.0,), (2.0,)], "value double")
+    rep = value_drift_report(one, empty_ev.select("value"), "value").collect()
+    assert all(r["psi_total"] is not None for r in rep)
