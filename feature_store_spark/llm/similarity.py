@@ -694,7 +694,10 @@ def pq_encode(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    d = corpus.select(F.size(F.col(vec_col))).first()[0]
+    first = corpus.select(F.size(F.col(vec_col))).first()
+    if first is None:
+        raise ValueError("pq_encode: empty corpus — nothing to train on")
+    d = first[0]
     assert d % m == 0, f"dim {d} not divisible by m={m}"
     dsub = d // m
 
@@ -710,24 +713,36 @@ def pq_encode(
             for sub in range(m)
         ],
     )
-    codebook = []
-    encoded = sliced
-    for sub in range(m):
-        model = KMeans(
-            k=n_codes,
-            seed=seed + sub,
-            featuresCol=f"__f{sub}",
-            predictionCol=f"__c{sub}",
-        ).fit(sliced)
-        codebook.append(
-            [[float(x) for x in c] for c in model.clusterCenters()]
-        )
-        encoded = model.transform(encoded)
-    codes_df = encoded.select(
-        F.col(id_col),
-        F.array(*[F.col(f"__c{sub}") for sub in range(m)]).alias("codes"),
-        _norm(F.col(vec_col)).alias("norm"),
-    )
+    # m KMeans fits each materialize their input independently —
+    # persist the sliced projection once so training reads the corpus
+    # one time, not m times, and release it after the eager encode
+    sliced = sliced.persist()
+    try:
+        codebook = []
+        encoded = sliced
+        for sub in range(m):
+            model = KMeans(
+                k=n_codes,
+                seed=seed + sub,
+                featuresCol=f"__f{sub}",
+                predictionCol=f"__c{sub}",
+            ).fit(sliced)
+            # KMeans can return FEWER than k centers when a subspace
+            # has fewer distinct points — keep whatever it produced;
+            # pq_ann_topk derives its table stride from the codebook
+            codebook.append(
+                [[float(x) for x in c] for c in model.clusterCenters()]
+            )
+            encoded = model.transform(encoded)
+        codes_df = encoded.select(
+            F.col(id_col),
+            F.array(*[F.col(f"__c{sub}") for sub in range(m)]).alias(
+                "codes"
+            ),
+            _norm(F.col(vec_col)).alias("norm"),
+        ).localCheckpoint(eager=True)  # the materialized index
+    finally:
+        sliced.unpersist()
     return codes_df, codebook
 
 
@@ -774,10 +789,23 @@ def pq_ann_topk(
         corpus, m=m, n_codes=n_codes, seed=seed,
         id_col=id_col, vec_col=vec_col,
     )
+    # geometry comes from the codebook itself, not the m/n_codes args
+    # (a prebuilt index may have been trained with different settings,
+    # and KMeans can return fewer than n_codes centers per subspace) —
+    # missing (sub, code) slots are zero-padded so the flat-table
+    # stride stays uniform; codes never reference a padded slot
+    m = len(codebook)
+    n_codes = max(len(cb_sub) for cb_sub in codebook)
     dsub = len(codebook[0][0])
 
     cb_rows = [
-        (sub, code, codebook[sub][code])
+        (
+            sub,
+            code,
+            codebook[sub][code]
+            if code < len(codebook[sub])
+            else [0.0] * dsub,
+        )
         for sub in range(m)
         for code in range(n_codes)
     ]
@@ -843,10 +871,14 @@ def pq_ann_topk(
     rerank = short.join(
         corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")), id_col
     )
-    cos = F.round(
-        _dot(F.col("__qv"), F.col("__cv"))
-        / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
-        6,
+    # _cosine, not a bare division: zero-norm vectors (supported by
+    # cosine_topk and present in its tests) must yield NULL, not an
+    # ANSI DIVIDE_BY_ZERO
+    cos = _cosine(
+        F.col("__qv"),
+        F.col("__cv"),
+        _norm(F.col("__qv")),
+        _norm(F.col("__cv")),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()

@@ -431,7 +431,6 @@ def shingles_oracle_sql(table: str = "documents", n: int = 3,
 def vocab_coverage(
     df: DataFrame,
     top_n: int = 200,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Corpus vocabulary head: the ``top_n`` most frequent tokens with
@@ -483,7 +482,6 @@ def vocab_coverage(
 def vocab_coverage_oracle_sql(
     table: str = "documents",
     top_n: int = 200,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
     return f"""

@@ -312,8 +312,13 @@ def normalize_features(
         s1 = F.col(f"__s1_{c}")
         s2 = F.col(f"__s2_{c}")
         mean = s1 / s / n
-        std = F.sqrt(
-            (s2 / (s * s) - (s1 / s) * (s1 / s) / n) / (n - F.lit(1))
+        # n ≤ 1 → no sample variance; guard BEFORE the (n-1) division
+        # (ANSI mode raises DIVIDE_BY_ZERO, it doesn't yield NULL)
+        std = F.when(
+            n > 1,
+            F.sqrt(
+                (s2 / (s * s) - (s1 / s) * (s1 / s) / n) / (n - F.lit(1))
+            ),
         )
         rng = F.col(f"__max_{c}") - F.col(f"__min_{c}")
         out_cols.append(
@@ -354,8 +359,9 @@ def normalize_features_oracle_sql(
     for c in value_cols:
         mean = f"(s1_{c} / {s!r} / n_{c})"
         std = (
-            f"sqrt((s2_{c} / {s * s!r} - (s1_{c} / {s!r})"
-            f" * (s1_{c} / {s!r}) / n_{c}) / (n_{c} - 1))"
+            f"(CASE WHEN n_{c} > 1 THEN"
+            f" sqrt((s2_{c} / {s * s!r} - (s1_{c} / {s!r})"
+            f" * (s1_{c} / {s!r}) / n_{c}) / (n_{c} - 1)) END)"
         )
         rng = f"(max_{c} - min_{c})"
         proj.append(

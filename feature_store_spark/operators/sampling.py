@@ -7,6 +7,9 @@ dominant language, keep all of a rare source). Engine randomness
 run — useless for differential testing and for reproducible dataset
 builds. Sampling here is a pure hash function of the row key: the
 same row set comes out on any engine, any cluster size, any run.
+``_hash_expr`` / ``_nibble_sql`` are the single definition of that
+hash — Spark and DuckDB sides of every sampler derive from them, so
+composed operators subsample from one consistent stream.
 """
 
 from __future__ import annotations
@@ -15,6 +18,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_SCALE = 1_000_000
+
+
+def _hash_expr(key_col: str) -> str:
+    """60-bit md5 prefix folded to [0, HASH_SCALE) — the shared
+    deterministic-uniform primitive (Spark SQL form)."""
+    return (
+        f"pmod(cast(conv(substring(md5(cast({key_col} as string)), 1, 15),"
+        f" 16, 10) as bigint), {HASH_SCALE})"
+    )
+
+
+def _nibble_sql(key_col: str) -> str:
+    """DuckDB twin of ``_hash_expr``: the same 60-bit md5 prefix as an
+    explicit nibble sum (DuckDB has no conv()), pre-modulo."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST({key_col} AS VARCHAR)),"
+        f" {j + 1}, 1)) - 1) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
 
 
 def stratified_sample(
@@ -34,10 +56,7 @@ def stratified_sample(
     it still prune. Thresholds are integers (round(frac · 1e6)) so the
     predicate is integer-exact across engines.
     """
-    h = F.expr(
-        f"pmod(cast(conv(substring(md5(cast({key_col} as string)), 1, 15),"
-        f" 16, 10) as bigint), {HASH_SCALE})"
-    )
+    h = F.expr(_hash_expr(key_col))
     threshold = F.lit(int(round(default_fraction * HASH_SCALE)))
     for stratum, frac in sorted(fractions.items()):
         threshold = F.when(
@@ -54,33 +73,18 @@ def stratified_sample_oracle_sql(
     key_col: str,
     default_fraction: float = 0.0,
 ) -> str:
-    """DuckDB twin: same 60-bit md5 prefix as an explicit nibble sum
-    (DuckDB has no conv()), same integer thresholds."""
-    nib = " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(CAST({key_col} AS VARCHAR)),"
-        f" {j + 1}, 1)) - 1) * {16 ** (14 - j)}"
-        for j in range(15)
-    )
+    """DuckDB twin: same hash via ``_nibble_sql``, same integer
+    thresholds."""
     cases = " ".join(
         f"WHEN '{stratum}' THEN {int(round(frac * HASH_SCALE))}"
         for stratum, frac in sorted(fractions.items())
     )
     return f"""
     SELECT * FROM {table}
-    WHERE ({nib}) % {HASH_SCALE}
+    WHERE ({_nibble_sql(key_col)}) % {HASH_SCALE}
           < (CASE {strata_col} {cases}
              ELSE {int(round(default_fraction * HASH_SCALE))} END)
     """
-
-
-def _hash_expr(key_col: str) -> str:
-    """60-bit md5 prefix folded to [0, HASH_SCALE) — the shared
-    deterministic-uniform primitive (same stream as stratified_sample,
-    so composed operators subsample consistently)."""
-    return (
-        f"pmod(cast(conv(substring(md5(cast({key_col} as string)), 1, 15),"
-        f" 16, 10) as bigint), {HASH_SCALE})"
-    )
 
 
 def priority_sample(
@@ -151,19 +155,14 @@ def priority_sample(
 def priority_sample_oracle_sql(
     table: str, key_col: str, weight_col: str, k: int
 ) -> str:
-    """DuckDB twin: same md5 nibble-sum hash, same exact arithmetic,
-    same (priority DESC, key ASC) order and k+1 cutoff."""
-    nib = " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(CAST({key_col} AS VARCHAR)),"
-        f" {j + 1}, 1)) - 1) * {16 ** (14 - j)}"
-        for j in range(15)
-    )
+    """DuckDB twin: same hash via ``_nibble_sql``, same exact
+    arithmetic, same (priority DESC, key ASC) order and k+1 cutoff."""
     return f"""
     WITH top AS (
       SELECT {key_col},
              CAST({weight_col} AS DOUBLE) AS weight,
              CAST({weight_col} AS DOUBLE) * {HASH_SCALE}
-               / ((({nib}) % {HASH_SCALE}) + 1) AS priority
+               / ((({_nibble_sql(key_col)}) % {HASH_SCALE}) + 1) AS priority
       FROM {table}
       WHERE {weight_col} > 0
       ORDER BY priority DESC, {key_col} ASC

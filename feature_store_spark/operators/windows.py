@@ -229,11 +229,18 @@ def scd2_history(
     Ordering is (ts, tiebreak) so same-timestamp flaps resolve
     deterministically; timestamps compare at native precision here
     (no cross-engine truncation — the operator itself is exact).
+    State comparison is null-safe: NULL→value and value→NULL are
+    change points, consecutive NULLs collapse like any repeat.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
-    changed = (
-        F.lag(state_col).over(w).isNull()
-        | (F.lag(state_col).over(w) != F.col(state_col))
+    # first-row detection via a lag'd constant marker, NOT
+    # lag(state).isNull() — that would conflate "no previous row" with
+    # "previous state was NULL"; the comparison itself is null-safe so
+    # NULL→value and value→NULL transitions are real change points and
+    # NULL→NULL heartbeats collapse like any other repeat
+    first_row = F.lag(F.lit(True)).over(w).isNull()
+    changed = first_row | ~F.lag(state_col).over(w).eqNullSafe(
+        F.col(state_col)
     )
     points = df.select(
         key_col, ts_col, state_col, tiebreak_col
@@ -260,11 +267,13 @@ def scd2_history_oracle_sql(
       SELECT {key_col}, {ts_col}, {state_col}, {tiebreak_col}
       FROM (
         SELECT *,
-               lag({state_col}) OVER (PARTITION BY {key_col}
-                 ORDER BY {ts_col}, {tiebreak_col}) AS prev_state
+               lag({state_col}) OVER win AS prev_state,
+               lag(TRUE) OVER win IS NULL AS first_row
         FROM {table}
+        WINDOW win AS (PARTITION BY {key_col}
+                       ORDER BY {ts_col}, {tiebreak_col})
       )
-      WHERE prev_state IS NULL OR prev_state <> {state_col}
+      WHERE first_row OR prev_state IS DISTINCT FROM {state_col}
     )
     SELECT {key_col},
            {state_col} AS state,

@@ -199,3 +199,22 @@ def test_pq_full_shortlist_equals_exact(emb, queries, exact_topk):
     full = pq_ann_topk(emb, queries, k=K, shortlist_factor=n)
     got = {(r["query_id"], r["vec_id"]) for r in full.collect()}
     assert got == exact_topk
+
+
+def test_pq_degenerate_inputs(spark):
+    """Review regressions: low-cardinality subspaces (KMeans returns
+    fewer than n_codes centers) and zero-norm vectors must not raise
+    under ANSI mode; prebuilt-index geometry comes from the codebook."""
+    from feature_store_spark.llm.similarity import pq_ann_topk, pq_encode
+
+    rows = [(i, [float(i % 3)] * 64) for i in range(30)] + [(99, [0.0] * 64)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_ann_topk(emb, q, k=5).collect()
+    assert len(out) == 10
+    # a prebuilt index trained with DIFFERENT m must be honored
+    idx = pq_encode(emb, m=16, n_codes=4)
+    out2 = pq_ann_topk(emb, q, k=5, index=idx).collect()
+    assert len(out2) == 10

@@ -597,7 +597,7 @@ def test_decayed_aggregate_matches_fixed_point_model(spark_prop, rows):
         st.tuples(
             st.integers(0, 2),  # key
             st.integers(0, 8),  # ts (hours)
-            st.sampled_from(["x", "y"]),  # state
+            st.sampled_from(["x", "y", None]),  # state (NULL legal)
         ),
         min_size=1,
         max_size=20,
@@ -622,7 +622,7 @@ def test_scd2_history_matches_model(spark_prop, rows):
     # sort key maps the open interval's None past any real timestamp
     # (same-ts flaps otherwise compare None against datetime)
     sort_key = lambda t: (  # noqa: E731
-        t[0], t[1], t[2], t[3] or datetime.datetime.max, t[4],
+        t[0], t[1] or "", t[2], t[3] or datetime.datetime.max, t[4],
     )
     got = sorted(
         (
@@ -755,3 +755,20 @@ def test_new_operators_empty_input(spark_prop):
     one = spark_prop.createDataFrame([(1.0,), (2.0,)], "value double")
     rep = value_drift_report(one, empty_ev.select("value"), "value").collect()
     assert all(r["psi_total"] is not None for r in rep)
+
+
+def test_normalize_features_degenerate_columns(spark_prop):
+    """Review regressions: single-row and constant columns yield NULL
+    scores (not DIVIDE_BY_ZERO under ANSI, not inf)."""
+    from feature_store_spark.operators.aggregates import normalize_features
+
+    one = spark_prop.createDataFrame([(1, 5.0)], "k int, v double")
+    assert normalize_features(one, ["k"], ["v"]).collect()[0][1:] == (
+        None,
+        None,
+    )
+    const = spark_prop.createDataFrame(
+        [(1, 2.0), (2, 2.0)], "k int, v double"
+    )
+    for r in normalize_features(const, ["k"], ["v"]).collect():
+        assert r["z_v"] is None and r["mm_v"] is None
