@@ -706,3 +706,87 @@ def dup_span_oracle_sql(
                  / nullif(len(t), 0), 6) AS dup_token_frac
     FROM toks s LEFT JOIN per_doc p USING ({id_col})
     """
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking (context-window splitting)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into ``chunk_tokens``-token windows with
+    ``overlap`` tokens of context carried between consecutive chunks —
+    the complement of :func:`pack_token_budget` (which never splits a
+    document): packing assembles SHORT docs into a context window,
+    chunking cuts LONG docs down to one. Emits (id, chunk_idx,
+    n_tokens, chunk_text); the final chunk keeps its natural shorter
+    length, and a document shorter than one window yields exactly one
+    chunk (empty docs yield one empty chunk — the row is preserved,
+    matching the curation pipelines' keep-the-spine discipline).
+
+    Stride is ``chunk_tokens - overlap`` (must be positive). One
+    tokenize projection behind the standard collapse barrier, then a
+    per-row lambda explode — no shuffle beyond the barrier, output
+    rows ∝ total tokens / stride.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+        ).alias("__t"),
+    ).repartition(F.col(id_col))
+    # number of chunks = 1 + ceil(max(n - chunk, 0) / stride)
+    n_chunks = F.expr(
+        f"1 + cast(ceil(greatest(size(__t) - {chunk_tokens}, 0)"
+        f" / {stride}.0) as int)"
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("__t"), i * stride + 1, chunk_tokens),
+    )
+    exploded = toks.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "__c"),
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("__c").cast("bigint").alias("n_tokens"),
+        F.array_join(F.col("__c"), " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_oracle_sql(
+    table: str = "documents",
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    stride = chunk_tokens - overlap
+    return f"""
+    WITH toks AS (
+      SELECT {id_col},
+             regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS t
+      FROM {table}
+    )
+    SELECT {id_col},
+           CAST(i AS INT) AS chunk_idx,
+           CAST(len(t[i * {stride} + 1 : i * {stride} + {chunk_tokens}])
+             AS BIGINT) AS n_tokens,
+           COALESCE(array_to_string(
+             t[i * {stride} + 1 : i * {stride} + {chunk_tokens}], ' '), '')
+             AS chunk_text
+    FROM toks,
+         unnest(range(0, 1 + CAST(ceil(greatest(len(t) - {chunk_tokens}, 0)
+                                       / {stride}.0) AS BIGINT))) AS u(i)
+    """

@@ -427,6 +427,21 @@ def q_pt_dup_span_stats(spark, sf_dir):
     return P.dup_span_stats(_t(spark, sf_dir, "documents"), k=5)
 
 
+@spec(
+    "pt_chunk_documents",
+    P.chunk_documents_oracle_sql(chunk_tokens=32, overlap=8),
+    ("ext", "pretrain"),
+)
+def q_pt_chunk_documents(spark, sf_dir):
+    """Sliding-window context chunking: 32-token windows, 8-token
+    overlap — the splitting complement of pack_token_budget (which
+    never splits a doc). One tokenize barrier, per-row lambda explode,
+    rows proportional to total tokens / stride."""
+    return P.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
 @spec("t_vocab_coverage", T.vocab_coverage_oracle_sql(top_n=200), ("ext", "text"))
 def q_t_vocab_coverage(spark, sf_dir):
     """Vocabulary head with cumulative corpus coverage (tokenizer-

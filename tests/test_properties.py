@@ -772,3 +772,42 @@ def test_normalize_features_degenerate_columns(spark_prop):
     )
     for r in normalize_features(const, ["k"], ["v"]).collect():
         assert r["z_v"] is None and r["mm_v"] is None
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), max_size=20),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk=st.integers(min_value=2, max_value=8),
+    overlap=st.integers(min_value=0, max_value=6),
+)
+@_settings
+def test_chunk_documents_matches_model(spark_prop, docs, chunk, overlap):
+    """Chunks must tile each doc with the exact stride/overlap model:
+    full coverage, correct overlap carry, short/empty docs -> one
+    chunk."""
+    from hypothesis import assume
+
+    from feature_store_spark.llm.pretrain import chunk_documents
+
+    assume(overlap < chunk)
+    stride = chunk - overlap
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark_prop.createDataFrame(rows, "doc_id int, text string")
+    got = {}
+    for r in chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        )
+    import math
+
+    for i, t in enumerate(docs):
+        n = len(t)
+        n_chunks = 1 + math.ceil(max(n - chunk, 0) / stride)
+        expect = []
+        for c in range(n_chunks):
+            piece = t[c * stride : c * stride + chunk]
+            expect.append((c, len(piece), " ".join(piece)))
+        assert sorted(got[i]) == expect, (i, t, chunk, overlap)
