@@ -512,3 +512,122 @@ def vocab_coverage_oracle_sql(
     FROM top, tot
     WINDOW w AS (ORDER BY n_occurrences DESC, token ASC)
     """
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-grounded statistical quality score: every document is
+    scored under a Laplace-smoothed bigram language model trained on
+    the corpus itself — ``avg_logprob`` = mean log10 P(w2|w1) over the
+    doc's bigram positions (P = (C(w1,w2)+1) / (C(w1)+V)). Documents
+    full of corpus-atypical token sequences (boilerplate explosions,
+    encoding garbage, shuffled text) score far below the mass of the
+    corpus — the perplexity-style filter signal the heuristic
+    `quality_score` rules cannot express, with no external model
+    (KenLM-shaped, but relational).
+
+    Determinism: all counts are integers computed by count-over-
+    partition windows; each position's probability is one exact
+    division; the single libm call (log10) is quantized to 9 decimals
+    per position and the per-doc mean is a DECIMAL sum divided by an
+    integer — order-free, hash-stable across engines (the PSI-drift
+    discipline).
+
+    Scale shape: the bigram posting stream shuffles twice (once keyed
+    by the bigram for C(w1,w2), once by the head token for C(w1) —
+    count-over-partition windows, no count-table joins), then once by
+    doc for the mean. Head-token/bigram skew is bounded: hot
+    partitions compute counts, never pairs. V rides in as a broadcast
+    1-row aggregate.
+    """
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    ).repartition(F.col(id_col))
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__t) >= 2 THEN"
+                " transform(sequence(1, size(__t) - 1),"
+                " i -> struct(element_at(__t, i) AS w1,"
+                " element_at(__t, i + 1) AS w2))"
+                " ELSE array() END"
+            )
+        ).alias("__p"),
+    ).select(id_col, F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2"))
+
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("__w"))
+        .agg(F.countDistinct("__w").cast("bigint").alias("__v"))
+    )
+
+    c_big = F.count(F.lit(1)).over(Window.partitionBy("__w1", "__w2"))
+    c_head = F.count(F.lit(1)).over(Window.partitionBy("__w1"))
+    scored = (
+        pairs.withColumn("__cb", c_big)
+        .withColumn("__ch", c_head)
+        .join(F.broadcast(vocab))
+    )
+    logp = F.round(
+        F.log10((F.col("__cb") + 1) / (F.col("__ch") + F.col("__v"))), 9
+    ).cast("decimal(28,9)")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum(logp).alias("__sum_lp"),
+    )
+    spine = df.select(F.col(id_col))
+    return spine.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            (F.col("__sum_lp").cast("double")) / F.col("n_bigrams"), 6
+        ).alias("avg_logprob"),
+    )
+
+
+def ngram_lm_score_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin: same windows, same Laplace smoothing, same
+    per-position quantization and DECIMAL mean."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col},
+             regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS t
+      FROM {table}
+    ),
+    pairs AS (
+      SELECT {id_col}, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+    ),
+    vocab AS (
+      SELECT count(DISTINCT tok) AS v FROM (
+        SELECT unnest(regexp_extract_all(lower({text_col}), '{TOKEN_RE}'))
+          AS tok FROM {table}
+      )
+    ),
+    scored AS (
+      SELECT {id_col},
+             CAST(round(log10(
+               (count(*) OVER (PARTITION BY w1, w2) + 1) * 1.0
+               / (count(*) OVER (PARTITION BY w1) + v)), 9)
+               AS DECIMAL(28,9)) AS lp
+      FROM pairs, vocab
+    ),
+    per_doc AS (
+      SELECT {id_col},
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             sum(lp) AS sum_lp
+      FROM scored GROUP BY {id_col}
+    )
+    SELECT s.{id_col},
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           round(CAST(sum_lp AS DOUBLE) / n_bigrams, 6) AS avg_logprob
+    FROM (SELECT {id_col} FROM {table}) s
+    LEFT JOIN per_doc USING ({id_col})
+    """

@@ -49,6 +49,15 @@ def q_fingerprint(spark, sf_dir):
     return T.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+@spec("t_ngram_lm_score", T.ngram_lm_score_oracle_sql(), ("ext", "text"))
+def q_ngram_lm_score(spark, sf_dir):
+    """Corpus-grounded bigram-LM quality score (KenLM-shaped,
+    relational): avg log10 P(w2|w1) per document under the corpus's
+    own Laplace-smoothed bigram model — the perplexity-style filter
+    signal heuristic rules can't express."""
+    return T.ngram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 @spec("t_tfidf_topk", T.tfidf_topk_oracle_sql(k=5), ("ext", "text"))
 def q_tfidf_topk(spark, sf_dir):
     return T.tfidf_topk(_t(spark, sf_dir, "documents"), k=5)

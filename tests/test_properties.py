@@ -811,3 +811,19 @@ def test_chunk_documents_matches_model(spark_prop, docs, chunk, overlap):
             piece = t[c * stride : c * stride + chunk]
             expect.append((c, len(piece), " ".join(piece)))
         assert sorted(got[i]) == expect, (i, t, chunk, overlap)
+
+
+def test_ngram_lm_score_separates_garbage(spark_prop):
+    """The corpus LM must score corpus-typical documents above a
+    shuffled/alien-token document — the filter signal the operator
+    exists for."""
+    from feature_store_spark.llm.text import ngram_lm_score
+
+    normal = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, normal) for i in range(20)]
+    rows.append((99, "zq xv qqj wvx zzk jxq vvz kqx"))  # alien bigrams
+    df = spark_prop.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["avg_logprob"] for r in ngram_lm_score(df).collect()}
+    typical = got[0]
+    garbage = got[99]
+    assert garbage < typical - 0.5, (typical, garbage)
