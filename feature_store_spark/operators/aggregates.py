@@ -194,18 +194,52 @@ def decayed_aggregate(
     bigint→double conversion and ONE exact power-of-two division per
     key. Overflow bound: cents·2^horizon ≤ 1e6·2^30 ≈ 1e15 per row —
     9e3 such rows per key fit in int64; for corpora beyond that, lower
-    ``horizon``.
+    ``horizon``. Rows whose |value·100| exceeds 2^(62−horizon) raise a
+    targeted error (naming the offending value and the ``horizon``
+    knob) instead of surfacing later as an opaque ANSI
+    ARITHMETIC_OVERFLOW in the aggregate.
 
     Scale shape: narrow projection + single map-combined groupBy on
     the key — one shuffle of (key, 2×bigint), no window, no join.
     """
     days = F.datediff(F.lit(now).cast("date"), F.col(ts_col).cast("date"))
     d = F.floor(days / F.lit(half_life_days)).cast("int")
-    aged = df.select(
-        F.col(key_col),
-        d.alias("__d"),
-        F.round(F.col(value_col) * 100).cast("bigint").alias("__cents"),
-    ).filter((F.col("__d") >= 0) & (F.col("__d") < horizon))
+    # Per-row fixed-point guard: |cents|·2^horizon must stay well under
+    # 2^63 (headroom left for the per-key sum). A value beyond the bound
+    # would otherwise surface as an opaque ANSI ARITHMETIC_OVERFLOW job
+    # failure; raise eagerly with a pointer to the horizon knob instead.
+    max_cents = 2 ** (62 - horizon)
+    cents_raw = F.round(F.col(value_col) * 100).cast("bigint")
+    aged = (
+        df.select(
+            F.col(key_col),
+            d.alias("__d"),
+            cents_raw.alias("__cents_raw"),
+        )
+        .filter((F.col("__d") >= 0) & (F.col("__d") < horizon))
+        .select(
+            key_col,
+            "__d",
+            F.when(
+                F.abs(F.col("__cents_raw")) > F.lit(max_cents),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "decayed_aggregate: |value*100| exceeds the "
+                            f"fixed-point bound {max_cents} for "
+                            f"horizon={horizon} (value*100 = "
+                        ),
+                        F.col("__cents_raw").cast("string"),
+                        F.lit(
+                            "); lower `horizon` or pre-scale the value column"
+                        ),
+                    )
+                ).cast("bigint"),
+            )
+            .otherwise(F.col("__cents_raw"))
+            .alias("__cents"),
+        )
+    )
     scale = F.expr(f"shiftleft(cast(1 as bigint), {horizon} - __d)")
     cents = F.col("__cents")
     return (

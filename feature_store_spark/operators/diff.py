@@ -34,7 +34,17 @@ def snapshot_diff(
     the caller filters ``status != 'unchanged'``; the operator keeps
     unchanged rows so completeness is auditable (counts per status
     reconcile to |old ∪ new|).
+
+    ``key_cols`` and ``compare_cols`` must be disjoint: a key column
+    listed in both would be renamed to the ``__o_``/``__n_`` compare
+    slots and break the equi-join silently, so overlap raises.
     """
+    overlap = set(key_cols) & set(compare_cols)
+    if overlap:
+        raise ValueError(
+            "snapshot_diff: key_cols and compare_cols must be disjoint; "
+            f"overlapping columns: {sorted(overlap)}"
+        )
     cols = sorted(compare_cols)
     o = old.select(
         *key_cols, *cols, F.lit(1).alias("__in_old")
@@ -74,7 +84,14 @@ def snapshot_diff_oracle_sql(
 ) -> str:
     """DuckDB twin over two snapshot subqueries: same sorted column
     order, same null-safe IS DISTINCT FROM semantics, same
-    NULL-skipping concat_ws."""
+    NULL-skipping concat_ws. Mirrors the operator's disjointness
+    check so misuse fails identically on both sides."""
+    overlap = set(key_cols) & set(compare_cols)
+    if overlap:
+        raise ValueError(
+            "snapshot_diff_oracle_sql: key_cols and compare_cols must be "
+            f"disjoint; overlapping columns: {sorted(overlap)}"
+        )
     cols = sorted(compare_cols)
     keys = ", ".join(key_cols)
     using = ", ".join(key_cols)
@@ -118,7 +135,10 @@ def value_drift_report(
     from per-run outliers to run-over-run distribution shift).
 
     Values land in the same signed log10 buckets the a19 quantile
-    sketch stores (``floor(log10(v)·bpd)``, one bucket for v ≤ 0), so
+    sketch stores (``floor(log10(v)·bpd)``, one bucket for v ≤ 0, and
+    a DEDICATED bucket for NULL — a shift in NULL rate between
+    snapshots is real drift but must not masquerade as v≤0
+    distribution drift; both engines route NULLs identically), so
     a deployed store can compute PSI from ALREADY-MATERIALIZED sketch
     partials without rescanning either snapshot. Proportions are
     Laplace-smoothed (+0.5 per bucket over the union of buckets) so a
@@ -142,10 +162,14 @@ def value_drift_report(
 
     def bucketize(df):
         v = F.col(value_col)
-        b = F.when(
-            v > 0,
-            F.floor(F.log10(v) * buckets_per_decade).cast("bigint"),
-        ).otherwise(F.lit(-(10**9)))
+        b = (
+            F.when(v.isNull(), F.lit(-(10**9) - 1))
+            .when(
+                v > 0,
+                F.floor(F.log10(v) * buckets_per_decade).cast("bigint"),
+            )
+            .otherwise(F.lit(-(10**9)))
+        )
         return df.select(b.alias("bucket")).groupBy("bucket").agg(
             F.count(F.lit(1)).alias("cnt")
         )
@@ -186,19 +210,22 @@ def value_drift_oracle_sql(
     value_col: str,
     buckets_per_decade: int = 4,
 ) -> str:
-    """DuckDB twin: same buckets, same smoothing, same per-term
-    quantization and DECIMAL total."""
+    """DuckDB twin: same buckets (incl. the dedicated NULL bucket),
+    same smoothing, same per-term quantization and DECIMAL total."""
     bpd = buckets_per_decade
     zero = -(10**9)
+    nul = -(10**9) - 1
     return f"""
     WITH o AS (
-      SELECT CASE WHEN {value_col} > 0
+      SELECT CASE WHEN {value_col} IS NULL THEN {nul}
+                  WHEN {value_col} > 0
                   THEN CAST(floor(log10({value_col}) * {bpd}) AS BIGINT)
                   ELSE {zero} END AS bucket, count(*) AS n_old
       FROM ({old_sql}) GROUP BY 1
     ),
     n AS (
-      SELECT CASE WHEN {value_col} > 0
+      SELECT CASE WHEN {value_col} IS NULL THEN {nul}
+                  WHEN {value_col} > 0
                   THEN CAST(floor(log10({value_col}) * {bpd}) AS BIGINT)
                   ELSE {zero} END AS bucket, count(*) AS n_new
       FROM ({new_sql}) GROUP BY 1

@@ -465,28 +465,32 @@ def run_drift_monitor(
     caches them (they are a handful of rows) or reads stored a19
     sketch partials.
 
+    Idempotence: foreachBatch is at-least-once, so a checkpoint-replayed
+    micro-batch re-runs ``_check_batch`` with the SAME batch_id. The
+    report row therefore lands via dynamic partition overwrite into its
+    ``batch_id=`` partition (replay rewrites the partition, never
+    double-appends), and the returned counters are derived from the
+    materialized report — not from in-memory increments a replay would
+    double-count.
+
     Drained deterministically with ``availableNow``; returns
-    {batches, drifted_batches}.
+    {batches, drifted_batches} over the whole report_dir.
     """
     from feature_store_spark.operators.diff import value_drift_report
 
-    counters = {"batches": 0, "drifted_batches": 0}
-
     def _check_batch(batch_df: DataFrame, batch_id: int) -> None:
-        counters["batches"] += 1
         report = value_drift_report(baseline, batch_df, value_col)
         summary = report.agg(
-            F.lit(batch_id).cast("bigint").alias("batch_id"),
             F.sum("n_new").cast("bigint").alias("n_values"),
             F.first("psi_total").alias("psi"),
             F.first("drifted").alias("drifted"),
+        ).withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+        (
+            summary.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(report_dir)
         )
-        rows = summary.collect()  # 1 row — driver-side report append
-        if rows and rows[0]["drifted"]:
-            counters["drifted_batches"] += 1
-        spark.createDataFrame(
-            rows, "batch_id bigint, n_values bigint, psi double, drifted boolean"
-        ).write.mode("append").parquet(report_dir)
 
     q = (
         read_event_stream(
@@ -498,4 +502,8 @@ def run_drift_monitor(
         .start()
     )
     q.awaitTermination()
-    return counters
+    report = spark.read.parquet(report_dir)
+    return {
+        "batches": int(report.count()),
+        "drifted_batches": int(report.filter(F.col("drifted")).count()),
+    }

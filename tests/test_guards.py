@@ -1,0 +1,76 @@
+"""Round-3 ADVICE.md defect regressions: misuse guards and edge
+semantics that should fail loudly (or behave identically on both
+engines) rather than corrupt results silently."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_spark.operators.aggregates import decayed_aggregate
+from feature_store_spark.operators.diff import (
+    snapshot_diff,
+    snapshot_diff_oracle_sql,
+    value_drift_report,
+)
+
+
+def test_snapshot_diff_rejects_key_compare_overlap(spark):
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(ValueError, match="disjoint.*'k'"):
+        snapshot_diff(df, df, key_cols=["k"], compare_cols=["k", "v"])
+
+
+def test_snapshot_diff_oracle_sql_rejects_overlap():
+    with pytest.raises(ValueError, match="disjoint.*'k'"):
+        snapshot_diff_oracle_sql(
+            "SELECT 1 AS k, 'a' AS v",
+            "SELECT 1 AS k, 'b' AS v",
+            key_cols=["k"],
+            compare_cols=["k", "v"],
+        )
+
+
+def test_decayed_aggregate_overflow_raises_with_knob_pointer(spark):
+    # horizon=30 → per-row bound 2^32 cents ≈ 4.3e9 → value ≈ 4.3e7.
+    df = spark.createDataFrame(
+        [(1, "2024-01-30 00:00:00", 1e9)],
+        "k int, ts string, v double",
+    ).select("k", F.to_timestamp("ts").alias("ts"), "v")
+    out = decayed_aggregate(df, "k", "ts", "v", now="2024-01-31", horizon=30)
+    with pytest.raises(Exception, match="horizon"):
+        out.collect()
+
+
+def test_decayed_aggregate_in_bound_unaffected(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-30 00:00:00", 100.0), (1, "2024-01-01 00:00:00", 50.0)],
+        "k int, ts string, v double",
+    ).select("k", F.to_timestamp("ts").alias("ts"), "v")
+    row = decayed_aggregate(
+        df, "k", "ts", "v", now="2024-01-31", half_life_days=7, horizon=30
+    ).collect()[0]
+    # 100 at age 0 half-lives (w=1) + 50 at age 4 half-lives (w=1/16)
+    assert row["n_events"] == 2
+    assert row["decayed_value"] == pytest.approx(100.0 + 50.0 / 16)
+
+
+def test_value_drift_null_rate_change_lands_in_null_bucket(spark):
+    old = spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 3, 4]] + [(None,)], "v double"
+    )
+    new = spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 3, 4]] + [(None,)] * 40, "v double"
+    )
+    rep = {
+        r["bucket"]: r
+        for r in value_drift_report(old, new, "v").collect()
+    }
+    null_bucket = -(10**9) - 1
+    zero_bucket = -(10**9)
+    assert null_bucket in rep
+    assert rep[null_bucket]["n_old"] == 1 and rep[null_bucket]["n_new"] == 40
+    # NULLs must NOT leak into the v<=0 bucket
+    assert zero_bucket not in rep
+    # a pure NULL-rate shift of this size is real drift
+    assert rep[null_bucket]["psi_total"] > 0.2

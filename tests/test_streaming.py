@@ -317,3 +317,44 @@ def test_drift_monitor_flags_shifted_batch(spark, sf_dir, tmp_path):
         assert r["psi"] > 0.2
     for r in clean:
         assert r["psi"] <= 0.2
+
+
+def test_drift_monitor_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """ST10 idempotence: re-processing the same files with the same
+    batch ids (fresh checkpoint, same report_dir — the worst-case
+    at-least-once replay) must overwrite the per-batch_id partitions,
+    not double-append, and counters must come from the report."""
+    import glob
+    import shutil as _sh
+
+    from feature_store_spark.tables import load_table
+    from feature_store_spark.streaming.pipeline import run_drift_monitor
+
+    ev = load_table(spark, sf_dir, "events")
+    baseline = ev.select("value")
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for name, df in (
+        ("same", ev),
+        ("shifted", ev.withColumn("value", F.col("value") * 100)),
+    ):
+        out = tmp_path / f"_{name}"
+        df.coalesce(1).write.parquet(str(out))
+        part = glob.glob(str(out / "part-*.parquet"))[0]
+        _sh.copy(part, stream_dir / f"{name}.parquet")
+
+    c1 = run_drift_monitor(
+        spark, str(stream_dir), baseline, str(tmp_path / "report"),
+        str(tmp_path / "ckpt1"), max_files_per_trigger=1,
+    )
+    # replay: fresh checkpoint → batch ids restart at 0 over the same
+    # files and the same report_dir
+    c2 = run_drift_monitor(
+        spark, str(stream_dir), baseline, str(tmp_path / "report"),
+        str(tmp_path / "ckpt2"), max_files_per_trigger=1,
+    )
+    report = spark.read.parquet(str(tmp_path / "report"))
+    assert c2 == c1
+    assert report.count() == c1["batches"]
+    ids = [r["batch_id"] for r in report.select("batch_id").collect()]
+    assert len(ids) == len(set(ids))
