@@ -67,13 +67,27 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    kernel: str = "auto",
 ) -> DataFrame:
     """Exact top-k nearest corpus vectors per query vector by cosine.
 
     ``queries`` must have (query_id_col, vec_col). The query side is
     broadcast (small by contract); self-matches (same id) are excluded.
     Output: (query_id, vec_id, cosine, rank), rank 1..k.
+
+    ``kernel="auto"`` (default) routes to the numpy-batched
+    :func:`cosine_topk_vectorized` scoring kernel — measured ~3× faster
+    at sf≈1 and widening with corpus size and dimension, with the SAME
+    rounded-cosine values and tie-break order (pinned identical in
+    tests). ``kernel="jvm"`` keeps the pure-JVM ``zip_with`` fold: no
+    Python workers and a fully lazy plan (the vectorized path collects
+    the query side eagerly at plan-build time), the correctness
+    baseline the ANN variants rerank against.
     """
+    if kernel != "jvm":
+        return cosine_topk_vectorized(
+            corpus, queries, k, id_col, vec_col, query_id_col
+        )
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("__cv"),
@@ -138,8 +152,9 @@ def cosine_topk_vectorized(
 
     q_rows = queries.select(query_id_col, vec_col).collect()
     if not q_rows:
+        # kernel="jvm" avoids recursing back into this function
         return cosine_topk(
-            corpus, queries, k, id_col, vec_col, query_id_col
+            corpus, queries, k, id_col, vec_col, query_id_col, kernel="jvm"
         ).limit(0)
 
     import numpy as _np

@@ -157,7 +157,9 @@ def test_vectorized_paths_match_exact_on_zero_norm_vectors(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
 
-    a = sorted(tuple(r) for r in cosine_topk(emb, q, k=20).collect())
+    a = sorted(
+        tuple(r) for r in cosine_topk(emb, q, k=20, kernel="jvm").collect()
+    )
     b = sorted(
         tuple(r)
         for r in cosine_topk_vectorized(emb, q, k=20)

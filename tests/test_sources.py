@@ -96,3 +96,38 @@ def test_null_text_rows_survive_dedup_and_multimodal(spark):
     fs = frame_sample(dec)
     assert fs.filter("doc_id = 5").count() == 0
     assert compare(fs, con, frame_sample_oracle_sql())["ok"]
+
+
+def test_multimodal_native_matches_arrow_kernel(spark, sf_dir):
+    """The default native-expression stub path must be value-identical
+    to the mapInPandas Arrow path (the plumbing a real codec plugs
+    into) on the real documents fixture, NULL rows included — and must
+    contain no Python evaluation node in its plan."""
+    from feature_store_spark.llm.multimodal import (
+        attach_payload,
+        decode_media,
+        extract_features,
+        resize_media,
+    )
+    from feature_store_spark.oracle import value_hash
+    from feature_store_spark.tables import load_table
+
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+
+    for native, arrow in (
+        (decode_media(media), decode_media(media, kernel="arrow")),
+        (resize_media(media), resize_media(media, kernel="arrow")),
+        (extract_features(media), extract_features(media, kernel="arrow")),
+    ):
+        assert native.columns == arrow.columns
+        h_n = value_hash(native.columns, [tuple(r) for r in native.collect()])
+        h_a = value_hash(arrow.columns, [tuple(r) for r in arrow.collect()])
+        assert h_n == h_a
+        plan = native._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+    import pytest
+
+    # worker-side NotImplementedError surfaces as a PythonException
+    with pytest.raises(Exception, match="PIL/ffmpeg"):
+        decode_media(media, real_decode=True).collect()
