@@ -270,35 +270,110 @@ def q_extract_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# ANN scale-path variants (trainers/hashers aren't SQL-expressible →
-# rows-only driver check; recall vs the exact operators is asserted in
-# tests/test_ann_quality.py)
+# ANN scale-path variants. The trainers/hashers aren't SQL-expressible,
+# so the driver entries use the a11 tolerance-band pattern
+# (queries_quality.py): the engine asserts its own approximate result
+# against its own exact result and hash-compares the DETERMINISTIC
+# summary (ids, exact counts, within-band booleans) with an oracle that
+# computes the exact side in SQL. Raw ANN outputs + recall are further
+# pinned in tests/test_ann_quality.py. Thresholds sit well under the
+# measured minima (seeded → deterministic per dataset): IVF n_probe=5/8
+# per-query recall ≥0.8 at sf0.001/0.01/0.1, PQ shortlist_factor=25
+# ≥0.6, MLlib-MinHash pair recall 1.0, risk-model accuracy 0.96.
 # ---------------------------------------------------------------------------
 
+ANN_RECALL_MIN = 0.5  # per-query floor for the IVF/PQ driver bands
 
-@spec("sim_ivf_ann_topk", None, ("ext", "similarity", "mllib"))
+
+def _ann_recall_band(exact: DataFrame, ann: DataFrame) -> DataFrame:
+    """Per-query (query_id, n_exact, recall_ok): the ANN result must
+    recover ≥ ANN_RECALL_MIN of the exact top-k for every query."""
+    hits = exact.join(ann, ["query_id", "vec_id"], "left_semi").groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("__n_hit"))
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            (
+                F.coalesce(F.col("__n_hit"), F.lit(0)) / F.col("n_exact")
+                >= ANN_RECALL_MIN
+            ).alias("recall_ok"),
+        )
+    )
+
+
+@spec(
+    "sim_ivf_ann_topk",
+    f"""SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact,
+               TRUE AS recall_ok
+        FROM ({S.cosine_topk_oracle_sql(n_queries=N_QUERY_VECS, k=10)}) t
+        GROUP BY query_id""",
+    ("ext", "similarity", "mllib"),
+)
 def q_ivf_ann_topk(spark, sf_dir):
-    return S.ivf_ann_topk(
-        _t(spark, sf_dir, "embeddings"),
-        _query_vecs(spark, sf_dir),
-        k=10,
-        n_centroids=8,
-        n_probe=3,
+    """IVF ANN tolerance band: per-query recall of the bucketed search
+    (probe 5 of 8 KMeans cells) against the exact top-10, as
+    deterministic booleans the DuckDB oracle reproduces from its own
+    exact side. Measured recall ≥0.8 per query at every fixture SF;
+    band at 0.5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = _query_vecs(spark, sf_dir)
+    ann = S.ivf_ann_topk(
+        emb, queries, k=10, n_centroids=8, n_probe=5
+    ).select("query_id", "vec_id")
+    exact = S.cosine_topk(emb, queries, k=10, kernel="jvm").select(
+        "query_id", "vec_id"
     )
+    return _ann_recall_band(exact, ann)
 
 
-@spec("d_mllib_minhash_pairs", None, ("ext", "dedup", "mllib"))
+@spec(
+    "d_mllib_minhash_pairs",
+    f"""SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok
+        FROM ({D.ngram_jaccard_oracle_sql(n=3, threshold=0.5)}) t""",
+    ("ext", "dedup", "mllib"),
+)
 def q_mllib_minhash(spark, sf_dir):
-    return D.mllib_minhash_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    """MLlib MinHashLSH tolerance band: one summary row — the count of
+    TRUE near-dup pairs (exact n-gram Jaccard ≥ 0.5, which the oracle
+    recomputes in SQL) and whether the MLlib candidate pairs recover
+    ≥0.8 of them (measured 1.0 at every fixture SF — 5 OR-amplified
+    hash tables)."""
+    docs = _t(spark, sf_dir, "documents")
+    ml = D.mllib_minhash_pairs(docs, n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    true = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    hit = true.join(ml, ["id_a", "id_b"], "left_semi")
+    return true.agg(F.count(F.lit(1)).alias("n_true_pairs")).crossJoin(
+        hit.agg(F.count(F.lit(1)).alias("__n_hit"))
+    ).select(
+        "n_true_pairs",
+        F.when(F.col("n_true_pairs") == 0, F.lit(True))
+        .otherwise(F.col("__n_hit") / F.col("n_true_pairs") >= 0.8)
+        .alias("recall_ok"),
     )
 
 
-@spec("ml_risk_scores", None, ("ext", "mllib", "pipeline"))
+@spec(
+    "ml_risk_scores",
+    """SELECT CAST(count(*) AS BIGINT) AS n_scored, TRUE AS acc_ok
+       FROM customer""",
+    ("ext", "mllib", "pipeline"),
+)
 def q_ml_risk_scores(spark, sf_dir):
-    """Train the MLlib risk pipeline on the fused serving frame and
-    score every user (rows-only: an iterative optimizer has no SQL
-    oracle; behavior is pinned by tests/test_ml_pipeline.py)."""
+    """Train the MLlib risk pipeline on the fused serving frame, score
+    every user, and emit the a11-style band: user count (= customers,
+    which the oracle counts in SQL) plus accuracy-vs-derived-labels
+    ≥ 0.95 as a deterministic boolean (LBFGS with fixed maxIter on a
+    fixed frame; measured 0.96 at every fixture SF). Raw scores are
+    pinned by tests/test_ml_pipeline.py."""
     from feature_store_spark.ml import (
         risk_model_pipeline,
         risk_training_frame,
@@ -314,7 +389,19 @@ def q_ml_risk_scores(spark, sf_dir):
     )
     frame = risk_training_frame(serving).cache()
     model = risk_model_pipeline().fit(frame)
-    return score_risk(model, frame)
+    scored = score_risk(model, frame)
+    j = scored.join(frame.select("user_id", "label"), "user_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        (
+            F.avg(
+                (F.col("risk_flag") == F.col("label").cast("int")).cast(
+                    "double"
+                )
+            )
+            >= 0.95
+        ).alias("acc_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -520,14 +607,29 @@ def q_knn_graph_vectorized(spark, sf_dir):
     return S.knn_graph_vectorized(_t(spark, sf_dir, "embeddings"), k=5)
 
 
-@spec("sim_pq_ann_topk", None, ("ext", "similarity", "pq"))
+@spec(
+    "sim_pq_ann_topk",
+    f"""SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact,
+               TRUE AS recall_ok
+        FROM ({S.cosine_topk_oracle_sql(n_queries=10, k=10)}) t
+        GROUP BY query_id""",
+    ("ext", "similarity", "pq"),
+)
 def q_pq_ann_topk(spark, sf_dir):
-    """Product-quantization ANN (rows-only by design, like IVF: the
-    KMeans codebook trainer has no SQL twin; recall + full-shortlist
-    == exact pinned in tests/test_ann_quality.py): 32x-compressed
-    asymmetric-distance shortlist + exact rerank."""
+    """Product-quantization ANN tolerance band (the KMeans codebook
+    trainer has no SQL twin, so the band is per-query recall of the
+    32x-compressed ADC shortlist + exact rerank against the exact
+    top-10 — the same a11 pattern as IVF). shortlist_factor=25:
+    measured per-query recall ≥0.6 at every fixture SF; band at 0.5.
+    Full-shortlist == exact is pinned in tests/test_ann_quality.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.pq_ann_topk(emb, queries, k=10)
+    ann = S.pq_ann_topk(emb, queries, k=10, shortlist_factor=25).select(
+        "query_id", "vec_id"
+    )
+    exact = S.cosine_topk(emb, queries, k=10, kernel="jvm").select(
+        "query_id", "vec_id"
+    )
+    return _ann_recall_band(exact, ann)
