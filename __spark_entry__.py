@@ -13,21 +13,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from feature_store_spark.queries import all_oracle_sql, all_queries
+from feature_store_spark.queries import driver_oracle_sql, driver_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    qs = all_queries()
+    qs = driver_queries()
     return qs["pipeline_user_features"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return all_queries()
+    """One row per operator FAMILY (≤50 so the driver's sample covers
+    everything): flagship queries standalone, the rest folded into
+    `suite_*` melt composites that hash-check every member's values in
+    one row (see feature_store_spark/queries_composite.py). The full
+    per-operator registry remains `feature_store_spark.queries.
+    all_queries()` and is exercised by tests/ and bench.py."""
+    return driver_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for each queries() key (keys without
     SQL are non-SQL-expressible ops → rows-only check)."""
-    return all_oracle_sql()
+    return driver_oracle_sql()

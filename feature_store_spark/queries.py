@@ -886,9 +886,12 @@ def q_f13(spark, sf_dir):
 
 def _load_extensions() -> None:
     """Register the extension query modules (they import ``spec`` from
-    this module, so the import happens after the registry exists)."""
+    this module, so the import happens after the registry exists).
+    queries_composite goes last — its suites wrap members registered
+    by the other two."""
     import feature_store_spark.queries_llm  # noqa: F401
     import feature_store_spark.queries_quality  # noqa: F401
+    import feature_store_spark.queries_composite  # noqa: F401
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -899,3 +902,26 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def all_oracle_sql() -> dict[str, str]:
     _load_extensions()
     return {name: s.sql for name, s in SPECS.items() if s.sql is not None}
+
+
+def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The curated ≤50-entry registry `__spark_entry__` exposes to the
+    round driver: one row per operator family (family composites +
+    flagship standalones — see queries_composite.driver_registry), so
+    the driver's 50-row CORRECTNESS sample covers everything. The full
+    per-operator registry stays in SPECS for tests and bench."""
+    _load_extensions()
+    from feature_store_spark.queries_composite import driver_registry
+
+    return {name: SPECS[name].fn for name in driver_registry()}
+
+
+def driver_oracle_sql() -> dict[str, str]:
+    _load_extensions()
+    from feature_store_spark.queries_composite import driver_registry
+
+    return {
+        name: SPECS[name].sql
+        for name in driver_registry()
+        if SPECS[name].sql is not None
+    }
