@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from feature_store_spark.functions.scalars import is_night, is_weekend, safe_ratio
-from feature_store_spark.tables import EVENTS_NOW, REF_DATE
+from feature_store_spark.tables import (
+    EVENTS_NOW,
+    REF_DATE,
+    prune_months,
+    window_scan,
+)
 
 # Order-status analogues (documented mapping, not TPC-H semantics):
 # 'F'/'O' = completed/fulfilled (reference `sql/user_features.sql:13`
@@ -127,7 +132,7 @@ def derive_transaction_features(
     with date-partitioned data only ~1 month of partitions is read.
     """
     ref = F.to_date(F.lit(ref_date))
-    scan = orders.filter(F.to_date("o_orderdate") >= F.date_sub(ref, 31))
+    scan = window_scan(orders, "o_orderdate", ref_date, 31)
     in_30d = F.to_date("o_orderdate") >= F.date_sub(ref, 30)
     n_30d = F.count(F.when(in_30d, 1))
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
@@ -183,7 +188,7 @@ def derive_transaction_features(
     # memory is |30d lineitem| / shuffle-partitions; remove the hint
     # (fall back to SMJ) only if the window side stops being bounded.
     merch = (
-        lineitem.filter(F.to_date("l_shipdate") >= F.date_sub(ref, 30))
+        window_scan(lineitem, "l_shipdate", ref_date, 30)
         .hint("shuffle_hash")
         .join(
             orders.select("o_orderkey", "o_custkey"),
@@ -241,7 +246,7 @@ def derive_risk_features(
     # derive_transaction_features (sort-merge pays two sorts of the
     # full orders projection for nothing).
     pay = (
-        lineitem.filter(F.to_date("l_shipdate") >= F.date_sub(ref, 90))
+        window_scan(lineitem, "l_shipdate", ref_date, 90)
         .hint("shuffle_hash")
         .join(
             orders.select("o_orderkey", "o_custkey", "o_orderdate"),
@@ -271,8 +276,12 @@ def derive_risk_features(
     # + the 90d-activity flag, one orders scan for both.
     declined = F.col("o_orderstatus") == DECLINED_STATUS
     od = F.to_date("o_orderdate")
+    # coarse-only prune: the filter is a DISJUNCTION of windows whose
+    # union is bounded by the 24-month lookback (732 d covers a leap
+    # span) — the fine predicate below is unchanged
     ostats = (
-        orders.filter(declined & (od >= F.add_months(ref, -24)) | (od >= F.date_sub(ref, 90)))
+        prune_months(orders, "o_orderdate", ref_date, 732)
+        .filter(declined & (od >= F.add_months(ref, -24)) | (od >= F.date_sub(ref, 90)))
         .groupBy(F.col("o_custkey").alias("user_id"))
         .agg(
             F.count(F.when(declined & (od >= F.add_months(ref, -24)), 1))
@@ -462,7 +471,7 @@ def serving_features(
     # shuffle_hash build on the window-filtered side — see
     # derive_transaction_features for the measurement
     li = (
-        lineitem.filter(ship >= F.date_sub(ref, 90))
+        window_scan(lineitem, "l_shipdate", ref_date, 90)
         .hint("shuffle_hash")
         .join(
             orders.select("o_orderkey", "o_custkey", "o_orderdate"),

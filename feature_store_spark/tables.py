@@ -56,7 +56,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         setattr(spark, _CACHE_ATTR, cache)
     key = (sf_dir, name)
     if key not in cache:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        import os
+
+        # a directory `{sf_dir}/{name}/` is a partitioned table root
+        # (write_month_partitioned layout) — partition discovery gives
+        # the scan its partition column; the flat fixture stays the
+        # single-file read
+        root = f"{sf_dir}/{name}"
+        path = root if os.path.isdir(root) else f"{root}.parquet"
+        df = spark.read.parquet(path)
         if name == "events" and isinstance(
             df.schema["ts"].dataType, LongType
         ):
@@ -75,6 +83,78 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+# ---------------------------------------------------------------------------
+# Date-partitioned layout support
+# ---------------------------------------------------------------------------
+#
+# A production 100 TB fact table is date-partitioned. SCALE.md §8's
+# probe showed the trap: Spark does NOT infer partition bounds from a
+# predicate on a different column — `to_date(o_orderdate) >= ref-31`
+# over an `o_month=`-partitioned table prunes NOTHING. Every trailing
+# window therefore goes through `window_scan`, which applies the fine
+# date predicate AND, when the declared partition column is present in
+# the schema, the implied coarse month predicate (so PartitionFilters
+# engages: 2 of ~80 month partitions for a 31 d window). On the flat
+# fixture files the coarse predicate is simply absent — same results
+# either way (probe-verified sym-diff 0; plan test in tests/test_plans).
+#
+# The coarse predicate is only legal where the query's own filter
+# implies it: full-history sides (e.g. the merchant join consuming ALL
+# orders) must never pass through window_scan.
+
+MONTH_PARTITIONS = {
+    "o_orderdate": "o_month",
+    "l_shipdate": "l_month",
+}
+
+
+def prune_months(
+    df: DataFrame, date_col: str, ref_date: str, days: int
+) -> DataFrame:
+    """Coarse-ONLY partition predicate: keep month partitions that can
+    contain rows within ``days`` of ``ref_date``. A no-op on flat
+    (unpartitioned) inputs. Use directly when the fine predicate is
+    more complex than a simple trailing window (e.g. a disjunction of
+    windows whose union is bounded) — the caller keeps its own fine
+    filter, this only unlocks pruning."""
+    import datetime as _dt
+
+    part = MONTH_PARTITIONS.get(date_col)
+    if part and part in df.columns:
+        cut = (
+            _dt.date.fromisoformat(ref_date) - _dt.timedelta(days=days)
+        ).strftime("%Y-%m")
+        df = df.filter(F.col(part) >= cut)
+    return df
+
+
+def window_scan(
+    df: DataFrame, date_col: str, ref_date: str, days: int
+) -> DataFrame:
+    """Trailing-window scan: rows with ``to_date(date_col) >=
+    ref_date - days``, plus the implied partition-column predicate when
+    the table carries its declared month-partition column."""
+    df = prune_months(df, date_col, ref_date, days)
+    ref = F.to_date(F.lit(ref_date))
+    return df.filter(F.to_date(date_col) >= F.date_sub(ref, days))
+
+
+def write_month_partitioned(
+    df: DataFrame, path: str, date_col: str
+) -> None:
+    """Materialize a fact table month-partitioned on its declared
+    partition column (the SCALE.md §8 layout): one directory per
+    ``yyyy-MM``, clustered so each partition is one file set."""
+    part = MONTH_PARTITIONS[date_col]
+    (
+        df.withColumn(part, F.date_format(date_col, "yyyy-MM"))
+        .repartition(part)
+        .write.mode("overwrite")
+        .partitionBy(part)
+        .parquet(path)
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

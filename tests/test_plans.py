@@ -393,3 +393,46 @@ def test_feature_scaling_single_scan_stats_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "a22_feature_scaling")
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_window_scan_prunes_month_partitions(spark, sf_dir, tmp_path):
+    """SCALE.md §8 trap, engine-wired (round-3): over a
+    month-partitioned store, the tf derivation's trailing-window scans
+    must carry non-empty PartitionFilters (Spark cannot infer month
+    bounds from the o_orderdate/l_shipdate predicates alone), and the
+    output must be value-identical to the flat-fixture run. The
+    full-history merchant-join side must NOT be pruned."""
+    from feature_store_spark.oracle import value_hash
+    from feature_store_spark.pipelines.features import (
+        derive_transaction_features,
+    )
+    from feature_store_spark.tables import load_table, write_month_partitioned
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    write_month_partitioned(orders, str(tmp_path / "orders"), "o_orderdate")
+    write_month_partitioned(
+        lineitem, str(tmp_path / "lineitem"), "l_shipdate"
+    )
+    po = load_table(spark, str(tmp_path), "orders")
+    pl = load_table(spark, str(tmp_path), "lineitem")
+    assert "o_month" in po.columns and "l_month" in pl.columns
+
+    flat = derive_transaction_features(orders, lineitem)
+    part = derive_transaction_features(po, pl)
+
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    # both window scans pruned; 31d/30d windows anchored at REF_DATE
+    # 2001-08-01 imply the 2001-07 cut on both partition columns
+    assert "PartitionFilters: [isnotnull(o_month" in plan
+    assert "(o_month#" in plan and ">= 2001-07)" in plan
+    assert "PartitionFilters: [isnotnull(l_month" in plan
+    # the merchant join consumes ALL orders: at least one orders scan
+    # must remain unpruned (empty PartitionFilters)
+    assert "PartitionFilters: []" in plan
+
+    assert flat.columns == part.columns
+    h_flat = value_hash(flat.columns, [tuple(r) for r in flat.collect()])
+    h_part = value_hash(part.columns, [tuple(r) for r in part.collect()])
+    assert h_flat == h_part

@@ -364,3 +364,41 @@ def test_stats_with_outliers_empty_input_counts_zero(spark):
     assert row["count_value"] == 0
     assert row["outlier_count"] == 0
     assert row["mean_value"] is None
+
+
+def test_preload_serves_point_lookups_with_zero_spark_jobs(spark, sf_dir):
+    """SV1 hot path: after preload(), point lookups must never touch
+    Spark — proven by poisoning feature_dfs (any attribute access on a
+    miss would raise) and asserting all-hit stats."""
+    from feature_store_spark.queries import all_queries
+
+    uf = all_queries()["pipeline_user_features"](spark, sf_dir)
+    fs = FeatureStore({"user": uf})
+    n = fs.preload()
+    assert n == uf.count() > 0
+
+    class _Poisoned:
+        def __getattr__(self, name):  # pragma: no cover - should not run
+            raise AssertionError(
+                f"Spark touched after preload (attribute {name})"
+            )
+
+    fs.feature_dfs = {"user": _Poisoned()}
+    ids = [r["user_id"] for r in uf.select("user_id").limit(20).collect()]
+    for u in ids:
+        r = fs.get_features(u, ["user"])
+        assert r.cache_hit and r.features["user"]["user_id"] == u
+    assert fs.stats()["hits"] == len(ids) and fs.stats()["misses"] == 0
+    # batch path is served from the same warm cache
+    batch = fs.get_batch_features(ids[:10], ["user"])
+    assert all(b.cache_hit for b in batch)
+
+
+def test_preload_keyset_only_loads_requested_keys(spark, sf_dir):
+    from feature_store_spark.queries import all_queries
+
+    uf = all_queries()["pipeline_user_features"](spark, sf_dir)
+    fs = FeatureStore({"user": uf})
+    loaded = fs.preload(user_ids=[1, 2, 3])
+    assert loaded == 3
+    assert fs.get_features(1, ["user"]).cache_hit
