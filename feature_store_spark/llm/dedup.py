@@ -198,8 +198,16 @@ def ngram_jaccard_oracle_sql(table: str = "documents", n: int = 3,
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
-MINHASH_K = 12  # total hash functions
-MINHASH_BANDS = 4  # bands of r = K/BANDS rows each
+# k=24/b=8 (r=3): S-curve midpoint at J=(1/8)^(1/3)≈0.5, matching the
+# default 0.5 threshold. Measured candidate recall (lsh_scurve_probe,
+# 500 planted pairs/level): 0.62@J=0.5, 0.79@0.6, 0.94@0.7 vs the old
+# k=12/b=4 (midpoint 0.63): 0.39@0.5, 0.58@0.6, 0.78@0.7 — and the
+# wider banding is FASTER at sf≈1 (6.2 s vs 6.8 s: more bands → smaller
+# buckets → less in-bucket pairing) at 2× signature width (24 longs per
+# doc through the shuffle). Fixture-corpus verified recall: 0.998 vs
+# 0.990 at sf≈1 (SCALE.md §2 table).
+MINHASH_K = 24  # total hash functions
+MINHASH_BANDS = 8  # bands of r = K/BANDS rows each
 MINHASH_P = 2147483647  # Mersenne prime 2^31-1 for the LCG family
 
 

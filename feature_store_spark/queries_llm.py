@@ -161,8 +161,16 @@ def _query_vecs(spark, sf_dir):
     ("ext", "similarity"),
 )
 def q_cosine_topk(spark, sf_dir):
+    """Exact cosine top-k, pure-JVM kernel (kernel="jvm"): the
+    correctness baseline the ANN variants rerank against, and the
+    name-stable bench entry for the scalar path. The API DEFAULT
+    (``cosine_topk`` without kernel=) routes to the numpy-batched
+    kernel — benched as sim_cosine_topk_vectorized."""
     return S.cosine_topk(
-        _t(spark, sf_dir, "embeddings"), _query_vecs(spark, sf_dir), k=10
+        _t(spark, sf_dir, "embeddings"),
+        _query_vecs(spark, sf_dir),
+        k=10,
+        kernel="jvm",
     )
 
 

@@ -1,29 +1,74 @@
-"""Spark vs DuckDB on the same queries at sf0.1 and sf~1 (10x)."""
-import sys, time, os
+"""Spark vs DuckDB on the FULL 29-query bench headline at sf0.1 and
+sf~1 (10x, /tmp/sfbig built by make_sfbig.py) — the evidence behind
+every "floor-dominated at sf0.1" claim in SCALE.md §8 (round-3: all 29
+headline queries, not the r2 24-query subset). Session config and
+per-family shuffle widths mirror bench.py exactly so the sf0.1 column
+is comparable with BENCH_r*.json."""
+import os
+import sys
+import time
+
 sys.path.insert(0, "/root/repo")
 os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
-from feature_store_spark.queries import SPECS, all_queries
-from feature_store_spark.oracle import duckdb_connection
-from feature_store_spark.session import get_spark
+
+from bench import HEADLINE, HEAVY_SHUFFLE  # noqa: E402
+
+from feature_store_spark.oracle import duckdb_connection  # noqa: E402
+from feature_store_spark.queries import SPECS, all_queries  # noqa: E402
+from feature_store_spark.session import get_spark  # noqa: E402
+
 all_queries()
-NAMES = ["pipeline_user_features","pipeline_transaction_features","pipeline_risk_features","pipeline_serving_join","a7_stats_outliers","w1_latest_event_per_user","st5_velocity_features","st7_session_features","w7_rolling_spend","w8_scd2_history","a16_hll_sketch_rollup","a20_decayed_features","o7_priority_sample","t_text_stats","t_quality_score","t_vocab_coverage","d_exact_dedup","d_minhash_lsh_pairs","d_simhash_near_dup","sim_cosine_topk","sim_cosine_topk_vectorized","pt_repetition_stats","pt_dup_span_stats","mm_decode_media"]
-spark = get_spark("race")
+CPUS = int(os.environ["SPARK_GRAFT_CPUS"])
+spark = get_spark(
+    "race",
+    shuffle_partitions=2,
+    extra_conf={
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.shuffle.compress": "false",
+        "spark.shuffle.spill.compress": "false",
+        "spark.locality.wait": "0",
+        "spark.sql.constraintPropagation.enabled": "false",
+        "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
+    },
+)
 spark.range(1000).selectExpr("sum(id)").collect()
-for sf_dir, label in (("/root/testdata/sf0.1", "sf0.1"), ("/tmp/sfbig", "sf1.0")):
+
+for sf_dir, label, toy in (
+    ("/root/testdata/sf0.1", "sf0.1", True),
+    ("/tmp/sfbig", "sf1.0", False),
+):
+    light = 2 if toy else CPUS
+    heavy = min(16, CPUS) if toy else CPUS
     con = duckdb_connection(sf_dir)
     s_tot = d_tot = 0.0
     print(f"== {label} ==")
-    for name in NAMES:
+    for name in HEADLINE:
         fn = SPECS[name].fn
         sql = SPECS[name].sql
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(heavy if name in HEAVY_SHUFFLE else light),
+        )
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         s_best = 1e9
         for _ in range(2):
-            t0=time.perf_counter(); fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            s_best = min(s_best, time.perf_counter()-t0)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            s_best = min(s_best, time.perf_counter() - t0)
         con.execute(sql).fetchall()  # warm
-        t0=time.perf_counter(); con.execute(sql).fetchall(); d_best = time.perf_counter()-t0
-        s_tot += s_best; d_tot += d_best
-        print(f"{name}: spark={s_best:.3f} duckdb={d_best:.3f} ratio={s_best/d_best:.1f}x")
-    print(f"TOTAL {label}: spark={s_tot:.2f} duckdb={d_tot:.2f} ratio={s_tot/d_tot:.2f}x")
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        d_best = time.perf_counter() - t0
+        s_tot += s_best
+        d_tot += d_best
+        print(
+            f"{name}: spark={s_best:.3f} duckdb={d_best:.3f} "
+            f"ratio={s_best / d_best:.1f}x"
+        )
+    print(
+        f"TOTAL {label}: spark={s_tot:.2f} duckdb={d_tot:.2f} "
+        f"ratio={s_tot / d_tot:.2f}x"
+    )
 spark.stop()
