@@ -903,3 +903,164 @@ def pq_ann_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (storage-side ANN scale path)
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``code_i =
+    round(x_i * 127 / max|x|)`` with the dequantization scale
+    ``max|x| / 127`` — 4-8x smaller vectors for the ANN shortlist
+    tier (the codes table is what a 100 TB corpus actually scans;
+    full-precision vectors stay on cold storage for the exact rerank,
+    the same two-tier shape as PQ but with exact per-dimension
+    semantics). Pure column arithmetic — engine-exact, so the op has a
+    DIRECT DuckDB oracle, not a tolerance band.
+
+    Output: (id, scale double, codes array<int>); an all-zero vector
+    gets scale 0 and all-zero codes.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    codes = F.when(
+        maxabs > 0,
+        F.transform(v, lambda x: F.round(x * 127.0 / maxabs).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return emb.select(
+        F.col(id_col),
+        (maxabs / 127.0).alias("scale"),
+        codes.alias("codes"),
+    )
+
+
+def cosine_topk_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """:func:`cosine_topk` over int8-quantized vectors. Cosine is
+    scale-invariant, so the per-vector quantization scales cancel and
+    the score is ``dot(codes_a, codes_b) / sqrt(|a|²·|b|²)`` — an
+    EXACT bigint dot product (|code| ≤ 127 → products ≤ 16129, sums
+    far below 2^53) followed by one double sqrt+divide, identical on
+    both engines. Zero vectors score NULL and rank last, like the
+    float kernels. Recall vs the float top-k is pinned in
+    tests/test_ann_quality.py.
+    """
+    def q(df, out_id):
+        qz = quantize_embeddings_int8(df, id_col=out_id, vec_col=vec_col)
+        codes = F.transform(F.col("codes"), lambda c: c.cast("bigint"))
+        n2 = F.aggregate(
+            codes, F.lit(0).cast("bigint"), lambda acc, c: acc + c * c
+        )
+        return qz.select(out_id, codes.alias("c"), n2.alias("n2"))
+
+    c = q(corpus, id_col).withColumnRenamed("c", "__cc").withColumnRenamed(
+        "n2", "__cn2"
+    )
+    qs = q(
+        queries.select(F.col(query_id_col).alias(query_id_col), vec_col),
+        query_id_col,
+    ).withColumnRenamed("c", "__qc").withColumnRenamed("n2", "__qn2")
+    dot = F.aggregate(
+        F.zip_with(F.col("__qc"), F.col("__cc"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    denom2 = (F.col("__qn2") * F.col("__cn2")).cast("double")
+    cos = F.when(
+        denom2 > 0, F.round(dot.cast("double") / F.sqrt(denom2), 6)
+    )
+    scored = (
+        c.crossJoin(F.broadcast(qs))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, cos.alias("cosine_q"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_q").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def quantize_embeddings_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of the quantizer with codes stringified (the driver
+    canonicalizer needs atomic columns)."""
+    return f"""
+    WITH v AS (
+      SELECT {id_col},
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v,
+             list_max(list_transform({vec_col},
+                      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM {table}
+    )
+    SELECT {id_col},
+           maxabs / 127.0 AS scale,
+           array_to_string(
+             list_transform(v, x -> CAST(CAST(CASE WHEN maxabs > 0
+               THEN round(x * 127.0 / maxabs) ELSE 0 END AS INTEGER)
+               AS VARCHAR)), ',') AS codes_q
+    FROM v
+    """
+
+
+def cosine_topk_int8_oracle_sql(
+    table: str = "embeddings",
+    n_queries: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin: same quantization, same exact integer dot, same
+    single sqrt+divide+round."""
+    return f"""
+    WITH v AS (
+      SELECT {id_col},
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS fv,
+             list_max(list_transform({vec_col},
+                      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM {table}
+    ),
+    qz AS (
+      SELECT {id_col},
+             list_transform(fv, x -> CAST(CASE WHEN maxabs > 0
+               THEN round(x * 127.0 / maxabs) ELSE 0 END AS BIGINT)) AS c
+      FROM v
+    ),
+    n AS (
+      SELECT {id_col}, c,
+             list_sum(list_transform(c, x -> x * x)) AS n2
+      FROM qz
+    ),
+    q AS (SELECT {id_col} AS query_id, c AS qc, n2 AS qn2
+          FROM n WHERE {id_col} < {n_queries}),
+    scored AS (
+      SELECT q.query_id, cc.{id_col},
+             CASE WHEN q.qn2 * cc.n2 > 0 THEN
+               round(list_sum(list_transform(range(1, len(cc.c) + 1),
+                     i -> q.qc[i] * cc.c[i])) * 1.0
+                     / sqrt(CAST(q.qn2 * cc.n2 AS DOUBLE)), 6)
+             END AS cosine_q
+      FROM n cc CROSS JOIN q
+      WHERE cc.{id_col} <> q.query_id
+    )
+    SELECT query_id, {id_col}, cosine_q,
+           CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine_q DESC, {id_col} ASC) AS rank
+      FROM scored
+    ) t WHERE rank <= {k}
+    """

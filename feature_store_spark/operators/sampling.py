@@ -181,3 +181,74 @@ def priority_sample_oracle_sql(
                 ELSE greatest(weight, tau) END AS est_weight
     FROM ranked WHERE sample_rank <= {k}
     """
+
+
+def dataset_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split step every
+    training-data pipeline runs before packing. Each row's split is a
+    pure hash of its key (salted with 'ds|' so the split stream is
+    independent of the sampling stream): same assignment on any
+    engine, any cluster size, any run, and STABLE under corpus growth
+    (adding documents never reassigns existing ones — the property
+    engine-RNG `randomSplit` cannot give and that train/test
+    contamination audits depend on).
+
+    Scale shape: one narrow projection, no shuffle; the split column
+    is a partition-friendly write key (`partitionBy("split")`).
+    """
+    total = sum(f for _, f in fractions)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if len(fractions) < 2:
+        raise ValueError("need at least two splits")
+    salted = f"concat('ds|', cast({key_col} as string))"
+    h = F.expr(_hash_expr(salted))
+    chain = None
+    cum = 0.0
+    for name, frac in fractions[:-1]:
+        cum += frac
+        cond = h < int(round(cum * HASH_SCALE))
+        chain = (
+            F.when(cond, name) if chain is None else chain.when(cond, name)
+        )
+    split = chain.otherwise(fractions[-1][0])
+    return df.withColumn("split", split)
+
+
+def dataset_split_oracle_sql(
+    table: str,
+    key_col: str,
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    select_cols: str = "*",
+) -> str:
+    """DuckDB twin: same salted 60-bit md5 hash, same integer
+    cumulative thresholds."""
+    salted = f"concat('ds|', CAST({key_col} AS VARCHAR))"
+    cases = []
+    cum = 0.0
+    for name, frac in fractions[:-1]:
+        cum += frac
+        cases.append(
+            f"WHEN __h < {int(round(cum * HASH_SCALE))} THEN '{name}'"
+        )
+    case_sql = " ".join(cases)
+    return f"""
+    SELECT {select_cols},
+           CASE {case_sql} ELSE '{fractions[-1][0]}' END AS split
+    FROM (
+      SELECT *, ({_nibble_sql(salted)}) % {HASH_SCALE} AS __h
+      FROM {table}
+    ) t
+    """

@@ -32,6 +32,8 @@ from feature_store_spark.operators.aggregates import (
 )
 from feature_store_spark.operators.joins import band_join
 from feature_store_spark.operators.sampling import (
+    dataset_split,
+    dataset_split_oracle_sql,
     priority_sample,
     priority_sample_oracle_sql,
     stratified_sample,
@@ -775,6 +777,22 @@ def q_o7(spark, sf_dir):
     return priority_sample(
         _t(spark, sf_dir, "documents"), "doc_id", "n_chars", 150
     )
+
+
+@spec(
+    "o8_dataset_split",
+    dataset_split_oracle_sql("documents", "doc_id", select_cols="doc_id"),
+    ("ext", "O3", "sampling", "split"),
+)
+def q_o8(spark, sf_dir):
+    """Deterministic train/val/test split (90/5/5): assignment is a
+    salted md5 hash of the key, so it is identical on any engine and
+    STABLE under corpus growth — adding documents never reassigns
+    existing ones (the property engine-RNG randomSplit cannot give and
+    contamination audits depend on). Narrow projection, no shuffle."""
+    return dataset_split(
+        _t(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", "split")
 
 
 @spec(

@@ -224,6 +224,41 @@ def q_label_centroids(spark, sf_dir):
     )
 
 
+@spec(
+    "emb_quantize_int8",
+    S.quantize_embeddings_oracle_sql(),
+    ("ext", "embedding", "quantization"),
+)
+def q_quantize_int8(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (the 4-8x-smaller codes
+    table a 100 TB ANN shortlist tier actually scans). Deterministic
+    arithmetic → DIRECT oracle; codes stringified for the driver
+    canonicalizer."""
+    qz = S.quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
+    return qz.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+        ).alias("codes_q"),
+    )
+
+
+@spec(
+    "sim_cosine_topk_int8",
+    S.cosine_topk_int8_oracle_sql(n_queries=N_QUERY_VECS, k=10),
+    ("ext", "similarity", "quantization"),
+)
+def q_cosine_topk_int8(spark, sf_dir):
+    """Cosine top-k over int8-quantized vectors: exact bigint dot
+    products (scales cancel), one sqrt+divide+round — engine-exact, so
+    the quantized scores get a DIRECT oracle. Recall vs the float
+    top-k is pinned in tests/test_ann_quality.py."""
+    return S.cosine_topk_int8(
+        _t(spark, sf_dir, "embeddings"), _query_vecs(spark, sf_dir), k=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas path; deterministic stub decoder)
 # ---------------------------------------------------------------------------

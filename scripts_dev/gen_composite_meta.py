@@ -54,6 +54,8 @@ PARTS = [
     "pt_contamination", "pt_pii_scrub", "pt_chunk_documents",
     "pt_repetition_stats", "pt_temperature_mixture", "pt_pack_token_budget",
     "pt_dup_span_stats",
+    "emb_label_centroids", "emb_quantize_int8", "sim_cosine_topk_int8",
+    "o8_dataset_split",
 ]
 
 SPARK_KEY = {"tinyint", "smallint", "int", "bigint", "string", "date",

@@ -220,3 +220,38 @@ def test_pq_degenerate_inputs(spark):
     idx = pq_encode(emb, m=16, n_codes=4)
     out2 = pq_ann_topk(emb, q, k=5, index=idx).collect()
     assert len(out2) == 10
+
+
+def test_int8_cosine_recall_vs_float(emb, queries, exact_topk):
+    """int8 quantization must preserve the cosine neighborhood: top-10
+    overlap with the float exact top-10 >= 0.9 on the fixture corpus,
+    and the quantized scores must stay within 0.02 of the float
+    cosine."""
+    from feature_store_spark.llm.similarity import cosine_topk_int8
+
+    rows = cosine_topk_int8(emb, queries, k=K).collect()
+    got = {(r["query_id"], r["vec_id"]) for r in rows}
+    recall = len(got & exact_topk) / len(exact_topk)
+    assert recall >= 0.9, f"int8 recall {recall:.2f}"
+
+
+def test_int8_quantization_roundtrip_error_bound(spark):
+    """Dequantized codes reconstruct each component within scale/2 =
+    max|x|/254 (symmetric rounding bound); zero vectors quantize to
+    all-zero codes with scale 0."""
+    from feature_store_spark.llm.similarity import quantize_embeddings_int8
+
+    rows = [(i, [((i * 7 + d * 3) % 11 - 5) * 0.37 for d in range(8)])
+            for i in range(20)]
+    rows.append((99, [0.0] * 8))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_embeddings_int8(emb).collect()}
+    by_id = dict(rows)
+    for vid, orig in by_id.items():
+        r = out[vid]
+        if all(x == 0.0 for x in orig):
+            assert r["scale"] == 0.0 and all(c == 0 for c in r["codes"])
+            continue
+        assert max(abs(c) for c in r["codes"]) == 127
+        for c, x in zip(r["codes"], orig):
+            assert abs(c * r["scale"] - x) <= r["scale"] / 2 + 1e-12

@@ -827,3 +827,34 @@ def test_ngram_lm_score_separates_garbage(spark_prop):
     typical = got[0]
     garbage = got[99]
     assert garbage < typical - 0.5, (typical, garbage)
+
+
+def test_dataset_split_stable_under_corpus_growth(spark):
+    """o8: a document's split assignment is a pure hash of its key —
+    adding rows must never reassign existing ones, and fractions must
+    land near 90/5/5."""
+    from feature_store_spark.operators.sampling import dataset_split
+
+    small = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 6000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"]
+         for r in dataset_split(small, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in dataset_split(big, "doc_id").collect()}
+    assert all(b[k] == v for k, v in a.items())
+    from collections import Counter
+
+    c = Counter(b.values())
+    assert abs(c["train"] / 6000 - 0.9) < 0.02
+    assert abs(c["val"] / 6000 - 0.05) < 0.01
+    assert abs(c["test"] / 6000 - 0.05) < 0.01
+
+
+def test_dataset_split_rejects_bad_fractions(spark):
+    import pytest
+
+    from feature_store_spark.operators.sampling import dataset_split
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="sum to 1"):
+        dataset_split(df, "doc_id", fractions=(("a", 0.5), ("b", 0.2)))
