@@ -924,16 +924,29 @@ def quantize_embeddings_int8(
 
     Output: (id, scale double, codes array<int>); an all-zero vector
     gets scale 0 and all-zero codes.
+
+    Shape note: ``max|x|`` is computed in its OWN projection step, not
+    inlined into the per-element lambda — Catalyst's project collapse
+    would otherwise substitute the ``array_max(transform(...))``
+    subtree into every lambda element and recompute it d times per row
+    (measured 6.2 s → 2.5 s for the sf≈1 quantized top-k).
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(v, F.abs))
-    codes = F.when(
-        maxabs > 0,
-        F.transform(v, lambda x: F.round(x * 127.0 / maxabs).cast("int")),
-    ).otherwise(F.transform(v, lambda x: F.lit(0)))
-    return emb.select(
+    staged = emb.select(
         F.col(id_col),
-        (maxabs / 127.0).alias("scale"),
+        v.alias("__v"),
+        F.array_max(F.transform(v, F.abs)).alias("__maxabs"),
+    )
+    m = F.col("__maxabs")
+    codes = F.when(
+        m > 0,
+        F.transform(
+            F.col("__v"), lambda x: F.round(x * 127.0 / m).cast("int")
+        ),
+    ).otherwise(F.transform(F.col("__v"), lambda x: F.lit(0)))
+    return staged.select(
+        id_col,
+        (m / 127.0).alias("scale"),
         codes.alias("codes"),
     )
 
@@ -954,14 +967,23 @@ def cosine_topk_int8(
     both engines. Zero vectors score NULL and rank last, like the
     float kernels. Recall vs the float top-k is pinned in
     tests/test_ann_quality.py.
+
+    Cost profile: the in-plan JVM dot is the CORRECTNESS/oracle shape;
+    at true scale the win of int8 is the 4-8x smaller MATERIALIZED
+    codes table (quantize once, write, scan codes not vectors), with
+    scoring either here or via the numpy kernel pattern of
+    :func:`cosine_topk_vectorized` over the codes column. The bigint
+    cast and the norm each get their own projection step (same
+    project-collapse trap as the quantizer).
     """
     def q(df, out_id):
         qz = quantize_embeddings_int8(df, id_col=out_id, vec_col=vec_col)
         codes = F.transform(F.col("codes"), lambda c: c.cast("bigint"))
+        staged = qz.select(out_id, codes.alias("c"))
         n2 = F.aggregate(
-            codes, F.lit(0).cast("bigint"), lambda acc, c: acc + c * c
+            F.col("c"), F.lit(0).cast("bigint"), lambda acc, c: acc + c * c
         )
-        return qz.select(out_id, codes.alias("c"), n2.alias("n2"))
+        return staged.select(out_id, "c", n2.alias("n2"))
 
     c = q(corpus, id_col).withColumnRenamed("c", "__cc").withColumnRenamed(
         "n2", "__cn2"
