@@ -502,7 +502,12 @@ def run_drift_monitor(
         .start()
     )
     q.awaitTermination()
-    report = spark.read.parquet(report_dir)
+    try:
+        report = spark.read.parquet(report_dir)
+    except Exception:
+        # zero micro-batches fired (empty source) -> no report was ever
+        # written; that is "no drift observed", not an error
+        return {"batches": 0, "drifted_batches": 0}
     return {
         "batches": int(report.count()),
         "drifted_batches": int(report.filter(F.col("drifted")).count()),

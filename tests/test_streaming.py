@@ -358,3 +358,17 @@ def test_drift_monitor_replay_is_idempotent(spark, sf_dir, tmp_path):
     assert report.count() == c1["batches"]
     ids = [r["batch_id"] for r in report.select("batch_id").collect()]
     assert len(ids) == len(set(ids))
+
+
+def test_drift_monitor_empty_source_returns_zero_counters(spark, sf_dir, tmp_path):
+    from feature_store_spark.tables import load_table
+    from feature_store_spark.streaming.pipeline import run_drift_monitor
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()  # exists but has no files
+    baseline = load_table(spark, sf_dir, "events").select("value")
+    c = run_drift_monitor(
+        spark, str(stream_dir), baseline, str(tmp_path / "report"),
+        str(tmp_path / "ckpt"),
+    )
+    assert c == {"batches": 0, "drifted_batches": 0}
