@@ -386,14 +386,15 @@ def minhash_lsh_pairs(
     (``array_intersect`` on the pruned pairs — shingle sets cross the
     shuffle once per join side instead of the full exploded shingle
     table). Output schema matches :func:`ngram_jaccard_pairs` (LSH may
-    miss pairs below ~threshold; with r=3, b=4 the S-curve midpoint
-    sits near J≈0.6).
+    miss pairs below ~threshold; the default k=24/b=8 banding's S-curve
+    midpoint sits near J≈(1/8)^(1/3)≈0.5 — measured recall table in
+    SCALE.md §2).
 
     The plan references the tokenize→shingle subtree three times
     (signature pass + both verification sides) and Spark reuses no
     subtrees, so the shingle pass runs three times. That is the
     measured-faster default anyway (narrow shuffles: the signature pass
-    moves 12 longs per doc, not arrays). ``materialize_sets=True``
+    moves k longs per doc — 24 by default — not arrays). ``materialize_sets=True``
     flips to tokenize-ONCE: one aggregate collects the shingle set and
     its md5-int values, lazily localCheckpoint-ed and shared by all
     branches, with signatures derived per-row via ``array_min`` over

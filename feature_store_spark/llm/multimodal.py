@@ -90,6 +90,17 @@ def _fake_metadata(n_bytes: int, media_type: str) -> tuple[int, int, str]:
     return width, height, fmt
 
 
+def _stub_dims(n):
+    """Column twins of ``_fake_metadata``'s width/height arithmetic —
+    the single place the native paths derive stub dimensions from, so
+    a formula change cannot desynchronize decode and resize (the Arrow
+    kernels share ``_fake_metadata`` the same way)."""
+    return (
+        (F.lit(16) + n % 624).cast("int"),
+        (F.lit(16) + (n * 7) % 464).cast("int"),
+    )
+
+
 def _format_by_type():
     # built lazily: a module-level Column would be constructed at import
     # time inside Python WORKERS too (no SparkContext there) when this
@@ -116,12 +127,13 @@ def decode_media(
     if real_decode or kernel == "arrow":
         return _decode_media_arrow(media, real_decode)
     n = F.length("payload").cast("long")
+    w, h = _stub_dims(n)
     return media.select(
         F.col("doc_id"),
         F.col("media_type"),
         n.alias("n_bytes"),
-        (F.lit(16) + n % 624).cast("int").alias("width"),
-        (F.lit(16) + (n * 7) % 464).cast("int").alias("height"),
+        w.alias("width"),
+        h.alias("height"),
         _format_by_type().alias("format"),
     )
 
@@ -216,8 +228,7 @@ def resize_media(
     if kernel == "arrow":
         return _resize_media_arrow(media, target_w, target_h)
     n = F.length("payload").cast("long")
-    w = (F.lit(16) + n % 624).cast("int")
-    h = (F.lit(16) + (n * 7) % 464).cast("int")
+    w, h = _stub_dims(n)
     # Spark least/greatest SKIP NULL args (DuckDB too) — a NULL
     # dimension would silently become scale 1.0, so NULL payloads are
     # guarded explicitly on every derived column.
@@ -332,7 +343,10 @@ def extract_features(media: DataFrame, kernel: str = "native") -> DataFrame:
     ONNX kernel drops into."""
     if kernel == "arrow":
         return _extract_features_arrow(media)
-    n = F.length("payload")
+    # long, like the sibling native paths: a multi-GB payload times d
+    # would overflow 32-bit int arithmetic (ANSI mode raises) while the
+    # int64 numpy kernel and the BIGINT oracle would not
+    n = F.length("payload").cast("long")
     feats = F.transform(
         F.sequence(F.lit(1), F.lit(FEATURE_DIM)),
         lambda d: F.round(((n * d) % 1000) / 1000.0, 6),

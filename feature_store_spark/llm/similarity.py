@@ -84,6 +84,11 @@ def cosine_topk(
     the query side eagerly at plan-build time), the correctness
     baseline the ANN variants rerank against.
     """
+    if kernel not in ("auto", "vectorized", "jvm"):
+        raise ValueError(
+            f"cosine_topk: unknown kernel {kernel!r} "
+            "(expected 'auto', 'vectorized', or 'jvm')"
+        )
     if kernel != "jvm":
         return cosine_topk_vectorized(
             corpus, queries, k, id_col, vec_col, query_id_col

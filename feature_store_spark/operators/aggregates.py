@@ -192,36 +192,39 @@ def decayed_aggregate(
     resolution; ALSO the partition-pruning predicate a date-partitioned
     store needs anyway). The readable double is derived by ONE exact
     bigint→double conversion and ONE exact power-of-two division per
-    key. Overflow bound: cents·2^horizon ≤ 1e6·2^30 ≈ 1e15 per row —
-    9e3 such rows per key fit in int64; for corpora beyond that, lower
-    ``horizon``. Rows whose |value·100| exceeds 2^(62−horizon) raise a
-    targeted error (naming the offending value and the ``horizon``
-    knob) instead of surfacing later as an opaque ANSI
-    ARITHMETIC_OVERFLOW in the aggregate.
+    key. Overflow posture: each row's |value·100| must stay within
+    2^(62−horizon) — checked on the pre-cast double so an extreme
+    value raises a targeted error naming the value and the ``horizon``
+    knob (not an opaque ANSI CAST_OVERFLOW); the per-key sums then
+    accumulate in DECIMAL(38,0) (matching DuckDB's HUGEINT bigint-sum
+    semantics), so no per-key row count can overflow the aggregate.
 
     Scale shape: narrow projection + single map-combined groupBy on
     the key — one shuffle of (key, 2×bigint), no window, no join.
     """
     days = F.datediff(F.lit(now).cast("date"), F.col(ts_col).cast("date"))
     d = F.floor(days / F.lit(half_life_days)).cast("int")
-    # Per-row fixed-point guard: |cents|·2^horizon must stay well under
-    # 2^63 (headroom left for the per-key sum). A value beyond the bound
-    # would otherwise surface as an opaque ANSI ARITHMETIC_OVERFLOW job
-    # failure; raise eagerly with a pointer to the horizon knob instead.
+    # Per-row fixed-point guard, checked on the DOUBLE before any
+    # bigint cast (a value like 1e18 would otherwise die in the
+    # round().cast("bigint") projection as an opaque ANSI CAST_OVERFLOW
+    # before a post-cast guard could fire). The per-key SUMS accumulate
+    # in DECIMAL(38,0) below, so no row count can overflow them; the
+    # guard's job is to keep each row's |cents|·2^horizon inside the
+    # exact fixed-point domain with a pointer to the horizon knob.
     max_cents = 2 ** (62 - horizon)
-    cents_raw = F.round(F.col(value_col) * 100).cast("bigint")
+    cents_dbl = F.round(F.col(value_col) * 100)
     aged = (
         df.select(
             F.col(key_col),
             d.alias("__d"),
-            cents_raw.alias("__cents_raw"),
+            cents_dbl.alias("__cents_dbl"),
         )
         .filter((F.col("__d") >= 0) & (F.col("__d") < horizon))
         .select(
             key_col,
             "__d",
             F.when(
-                F.abs(F.col("__cents_raw")) > F.lit(max_cents),
+                F.abs(F.col("__cents_dbl")) > F.lit(float(max_cents)),
                 F.raise_error(
                     F.concat(
                         F.lit(
@@ -229,25 +232,30 @@ def decayed_aggregate(
                             f"fixed-point bound {max_cents} for "
                             f"horizon={horizon} (value*100 = "
                         ),
-                        F.col("__cents_raw").cast("string"),
+                        F.col("__cents_dbl").cast("string"),
                         F.lit(
                             "); lower `horizon` or pre-scale the value column"
                         ),
                     )
-                ).cast("bigint"),
+                ).cast("double"),
             )
-            .otherwise(F.col("__cents_raw"))
+            .otherwise(F.col("__cents_dbl"))
+            .cast("bigint")
             .alias("__cents"),
         )
     )
     scale = F.expr(f"shiftleft(cast(1 as bigint), {horizon} - __d)")
-    cents = F.col("__cents")
+    # exact, overflow-free accumulation: DECIMAL(38,0) sums match
+    # DuckDB's HUGEINT bigint-sum semantics; every addend is an integer
+    # < 2^62 so the 38-digit domain is never approached
+    cents = F.col("__cents").cast("decimal(38,0)")
+    scale_dec = scale.cast("decimal(38,0)")
     return (
         aged.groupBy(key_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(scale).alias("__decayed_count_fp"),
-            F.sum(cents * scale).alias("__decayed_cents_fp"),
+            F.sum(scale_dec).alias("__decayed_count_fp"),
+            F.sum(cents * scale_dec).alias("__decayed_cents_fp"),
         )
         .select(
             key_col,

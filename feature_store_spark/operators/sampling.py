@@ -231,10 +231,12 @@ def dataset_split_oracle_sql(
         ("val", 0.05),
         ("test", 0.05),
     ),
-    select_cols: str = "*",
+    select_cols: str = "* EXCLUDE (__h)",
 ) -> str:
     """DuckDB twin: same salted 60-bit md5 hash, same integer
-    cumulative thresholds."""
+    cumulative thresholds. The default projection EXCLUDEs the
+    internal ``__h`` hash column so the output matches the operator's
+    (original columns, split) schema."""
     salted = f"concat('ds|', CAST({key_col} AS VARCHAR))"
     cases = []
     cum = 0.0

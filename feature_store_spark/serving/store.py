@@ -188,7 +188,7 @@ class FeatureStore:
         cache entries written.
         """
         ftypes = self._validate_types(feature_types)
-        loaded = 0
+        written: set[tuple[str, int]] = set()
         for t in ftypes:
             df = self.feature_dfs[t]
             if user_ids is not None:
@@ -199,8 +199,10 @@ class FeatureStore:
                 df = df.join(F.broadcast(keys), "user_id")
             for r in df.collect():
                 self._cache_put(t, r["user_id"], r.asDict())
-                loaded += 1
-        return loaded
+                written.add((t, r["user_id"]))
+        # distinct entries, not rows: a duplicated user_id upstream
+        # must not inflate the count (the cache keeps one row per key)
+        return len(written)
 
     # -- health / stats (SV5) ---------------------------------------------
 

@@ -474,7 +474,11 @@ def run_drift_monitor(
     double-count.
 
     Drained deterministically with ``availableNow``; returns
-    {batches, drifted_batches} over the whole report_dir.
+    {batches, drifted_batches} over the whole report_dir. Note for
+    report readers: ``batch_id`` is the PARTITION column of the
+    report layout (directory-encoded; partition-type inference reads
+    it back as int), unlike the pre-round-3 append layout that stored
+    it as a bigint data column.
     """
     from feature_store_spark.operators.diff import value_drift_report
 
@@ -502,12 +506,18 @@ def run_drift_monitor(
         .start()
     )
     q.awaitTermination()
+    from pyspark.errors import AnalysisException
+
     try:
         report = spark.read.parquet(report_dir)
-    except Exception:
-        # zero micro-batches fired (empty source) -> no report was ever
-        # written; that is "no drift observed", not an error
-        return {"batches": 0, "drifted_batches": 0}
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            # zero micro-batches fired (empty source) -> no report was
+            # ever written; that is "no drift observed", not an error
+            return {"batches": 0, "drifted_batches": 0}
+        # an unreadable EXISTING report must not read as "no drift" —
+        # this component's whole job is alerting
+        raise
     return {
         "batches": int(report.count()),
         "drifted_batches": int(report.filter(F.col("drifted")).count()),

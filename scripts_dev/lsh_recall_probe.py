@@ -16,19 +16,14 @@ spark.range(1000).selectExpr("sum(id)").collect()
 
 for sf_dir, label in (("/root/testdata/sf0.1", "sf0.1"), ("/tmp/sfbig", "sf1.0")):
     docs = load_table(spark, sf_dir, "documents")
-    true = {
-        (r[0], r[1])
-        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5)
-        .select("id_a", "id_b")
-        .collect()
-    }
-    # J-stratified recall: pairs right at the threshold vs clearly above
+    # one exact-Jaccard job: `true` derives from the same collect
     jac = {
         (r[0], r[1]): r[2]
         for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5)
         .select("id_a", "id_b", "jaccard")
         .collect()
     }
+    true = set(jac)
     for k, b in ((12, 4), (24, 8)):
         t0 = time.perf_counter()
         got = {

@@ -74,3 +74,43 @@ def test_value_drift_null_rate_change_lands_in_null_bucket(spark):
     assert zero_bucket not in rep
     # a pure NULL-rate shift of this size is real drift
     assert rep[null_bucket]["psi_total"] > 0.2
+
+
+def test_decayed_aggregate_extreme_value_gets_targeted_error(spark):
+    """A value far past int64 (1e18 -> cents 1e20) must hit the
+    targeted guard on the pre-cast double, not an opaque ANSI
+    CAST_OVERFLOW in the bigint projection."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-30 00:00:00", 1e18)],
+        "k int, ts string, v double",
+    ).select("k", F.to_timestamp("ts").alias("ts"), "v")
+    out = decayed_aggregate(df, "k", "ts", "v", now="2024-01-31")
+    with pytest.raises(Exception, match="horizon"):
+        out.collect()
+
+
+def test_decayed_aggregate_sum_cannot_overflow_at_row_bound(spark):
+    """Many same-key rows at the per-row bound must aggregate exactly
+    (DECIMAL accumulation), not raise ARITHMETIC_OVERFLOW as a bigint
+    sum would: 8 rows x 2^32 cents x 2^30 scale = 2^65 > int64."""
+    bound_value = float(2**32) / 100.0  # |cents| == 2^32 == bound
+    rows = [(1, "2024-01-31 00:00:00", bound_value)] * 8
+    df = spark.createDataFrame(
+        rows, "k int, ts string, v double"
+    ).select("k", F.to_timestamp("ts").alias("ts"), "v")
+    row = decayed_aggregate(
+        df, "k", "ts", "v", now="2024-01-31", horizon=30
+    ).collect()[0]
+    assert row["n_events"] == 8
+    assert row["decayed_value"] == pytest.approx(8 * bound_value)
+
+
+def test_cosine_topk_rejects_unknown_kernel(spark):
+    from feature_store_spark.llm.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    q = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="unknown kernel"):
+        cosine_topk(df, q, kernel="native")
