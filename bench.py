@@ -242,20 +242,42 @@ def main() -> None:
             )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "steady-state wall time: feature pipelines + "
-                "operator sweep + LLM-data ops",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "floor_sec": round(floor, 3),
-                "regressions": regressions,
-            }
-        )
-    )
+    payload = {
+        "metric": "steady-state wall time: feature pipelines + "
+        "operator sweep + LLM-data ops",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "floor_sec": round(floor, 3),
+        "regressions": regressions,
+    }
+
+    # Optional self-contained oracle companion (SPARK_GRAFT_BENCH_ORACLE=1):
+    # time the same queries' DuckDB oracle SQL over the same parquet so
+    # the emitted line carries its own per-query ratios (floor_sec is
+    # the Spark-side scheduling constant to subtract when reading them).
+    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE") == "1":
+        from feature_store_spark.oracle import duckdb_connection
+
+        con = duckdb_connection(sf_dir)
+        duck: dict[str, float] = {}
+        for name in HEADLINE:
+            if name not in SPECS or SPECS[name].sql is None:
+                continue
+            sql = SPECS[name].sql
+            con.execute(sql).fetchall()  # warm
+            best = None
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            duck[name] = round(best, 3)
+        payload["oracle_sec"] = duck
+        payload["oracle_total"] = round(sum(duck.values()), 3)
+
+    print(json.dumps(payload))
     spark.stop()
 
 
