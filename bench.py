@@ -253,11 +253,12 @@ def main() -> None:
         "regressions": regressions,
     }
 
-    # Optional self-contained oracle companion (SPARK_GRAFT_BENCH_ORACLE=1):
-    # time the same queries' DuckDB oracle SQL over the same parquet so
-    # the emitted line carries its own per-query ratios (floor_sec is
-    # the Spark-side scheduling constant to subtract when reading them).
-    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE") == "1":
+    # Self-contained oracle companion (default on; SPARK_GRAFT_BENCH_ORACLE=0
+    # to skip): time the same queries' DuckDB oracle SQL over the same
+    # parquet so the emitted line carries its own per-query ratios
+    # (floor_sec is the Spark-side scheduling constant to subtract when
+    # reading them). Costs one DuckDB pass (~15 s at sf0.1).
+    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
         from feature_store_spark.oracle import duckdb_connection
 
         con = duckdb_connection(sf_dir)
