@@ -858,3 +858,27 @@ def test_dataset_split_rejects_bad_fractions(spark):
     df = spark.range(5).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError, match="sum to 1"):
         dataset_split(df, "doc_id", fractions=(("a", 0.5), ("b", 0.2)))
+
+
+def test_prune_months_cut_never_excludes_window_rows():
+    """Pure arithmetic property of the partition cut: for any ref_date
+    and window length, every date satisfying the fine predicate
+    (d >= ref - days) has month(d) >= the yyyy-MM cut string, so the
+    coarse partition predicate can never drop a row the window keeps
+    (yyyy-MM strings compare monotonically with calendar months)."""
+    import datetime as dt
+
+    from hypothesis import given, strategies as st
+
+    @given(
+        st.dates(dt.date(1992, 1, 1), dt.date(2030, 12, 31)),
+        st.integers(0, 1200),
+        st.integers(0, 1200),
+    )
+    def check(ref, days, offset_in_window):
+        cut = (ref - dt.timedelta(days=days)).strftime("%Y-%m")
+        d = ref - dt.timedelta(days=min(offset_in_window, days))
+        assert d >= ref - dt.timedelta(days=days)
+        assert d.strftime("%Y-%m") >= cut
+
+    check()
