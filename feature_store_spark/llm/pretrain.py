@@ -35,7 +35,21 @@ from feature_store_spark.llm.text import (
     shingles,
     shingles_oracle_sql,
     token_count,
+    tokens,
 )
+
+
+def _kgram_expr(k: int) -> str:
+    """Spark-SQL expression for the k-gram array over the ``__t``
+    token column — the ONE definition shared by repetition_stats and
+    dup_span_stats (hand-copies of the tokenizer/n-gram generators are
+    exactly the drift contamination_oracle_sql warns against)."""
+    return (
+        f"CASE WHEN size(__t) >= {k} THEN"
+        f" transform(sequence(1, size(__t) - {k - 1}),"
+        f" i -> concat_ws(' ', slice(__t, i, {k})))"
+        " ELSE array() END"
+    )
 
 # ---------------------------------------------------------------------------
 # Train/eval contamination (n-gram collision decontamination)
@@ -174,19 +188,10 @@ def repetition_stats(
     """
     toks = df.select(
         F.col(id_col),
-        F.regexp_extract_all(
-            F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
-        ).alias("__t"),
+        tokens(F.col(text_col)).alias("__t"),
     ).repartition(F.col(id_col))
 
-    def gram_expr(k: int):
-        return (
-            f"CASE WHEN size(__t) >= {k} THEN"
-            f" transform(sequence(1, size(__t) - {k - 1}),"
-            f" i -> concat_ws(' ', slice(__t, i, {k})))"
-            " ELSE array() END"
-        )
-
+    gram_expr = _kgram_expr
     tagged = toks.select(
         F.col(id_col),
         F.explode(
@@ -581,17 +586,10 @@ def dup_span_stats(
     """
     toks = df.select(
         F.col(id_col),
-        F.regexp_extract_all(
-            F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
-        ).alias("__t"),
+        tokens(F.col(text_col)).alias("__t"),
     ).repartition(F.col(id_col))
 
-    gram_arr = (
-        f"CASE WHEN size(__t) >= {k} THEN"
-        f" transform(sequence(1, size(__t) - {k - 1}),"
-        f" i -> concat_ws(' ', slice(__t, i, {k})))"
-        " ELSE array() END"
-    )
+    gram_arr = _kgram_expr(k)
     starts = toks.select(
         F.col(id_col),
         F.posexplode(F.expr(gram_arr)).alias("__pos0", "__gram"),
@@ -740,8 +738,11 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     toks = df.select(
         F.col(id_col),
-        F.regexp_extract_all(
-            F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+        # NULL text normalizes to an empty token array so the doc still
+        # yields its one empty chunk — keep-the-spine applies to NULL
+        # docs exactly like empty ones (oracle side mirrors this)
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
         ).alias("__t"),
     ).repartition(F.col(id_col))
     # number of chunks = 1 + ceil(max(n - chunk, 0) / stride)
@@ -776,7 +777,8 @@ def chunk_documents_oracle_sql(
     return f"""
     WITH toks AS (
       SELECT {id_col},
-             regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS t
+             COALESCE(regexp_extract_all(lower({text_col}), '{TOKEN_RE}'),
+                      CAST([] AS VARCHAR[])) AS t
       FROM {table}
     )
     SELECT {id_col},

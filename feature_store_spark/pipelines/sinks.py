@@ -2,10 +2,14 @@
 partitioning/clustering (S7/S8), synthetic data generator (S11).
 
 Upsert strategy without Delta (SURVEY §7.4): read-modify-overwrite
-with last-writer-wins on the ordering column. Written via a tmp path
-then re-written, so a failed job never leaves a half-deleted store.
-On a Delta/Iceberg lake this function body becomes ``MERGE INTO`` —
-the call sites don't change.
+with last-writer-wins on the ordering column. The merge lands in a
+tmp path first, so a crash during the MERGE never touches the live
+store and the merged data always survives somewhere. The final
+tmp→store overwrite is still a non-atomic delete-then-write window
+(transactionless parquet); a crash there leaves the live path partial
+with the full merge recoverable from ``<path>__tmp``. On a
+Delta/Iceberg lake both writes collapse into an atomic ``MERGE INTO``
+— the call sites don't change.
 """
 
 from __future__ import annotations
@@ -52,8 +56,11 @@ def _staged_overwrite(
 ) -> int:
     """Write merged rows via a tmp path (Spark refuses to overwrite a
     path it reads, and the staging write is the failure barrier: a
-    crashed merge never half-deletes the live store), then overwrite
-    the store and drop the tmp copy. The double write is the price of
+    crash during the MERGE never touches the live store), then
+    overwrite the store and drop the tmp copy. The final overwrite is
+    itself a non-atomic delete-then-write — a crash inside it leaves
+    the live path partial with the merge recoverable from the tmp copy
+    (see module docstring). The double write is the price of
     transactionless parquet — on Delta/Iceberg both writes collapse
     into one MERGE. Returns the merged row count, observed on the
     final write (no extra counting pass)."""
@@ -63,7 +70,12 @@ def _staged_overwrite(
         w = w.partitionBy(partition_col)
     w.parquet(tmp)
     obs = Observation()
-    out = spark.read.parquet(tmp).observe(
+    # read the stage back under the WRITER'S schema: schema/partition
+    # inference on the tmp read would silently re-type the partition
+    # column (string '2024-01-01' -> date; '00123' -> int 123, losing
+    # the zero-padded directory value in the live store) and cannot
+    # infer anything at all from an all-empty stage (no part files)
+    out = spark.read.schema(merged.schema).parquet(tmp).observe(
         obs, F.count(F.lit(1)).alias("rows")
     )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
@@ -175,6 +187,10 @@ def upsert_parquet_partitioned(
     touched = [
         r[0] for r in updates.select(partition_col).distinct().collect()
     ]
+    if not touched:
+        # a no-op batch (zero update rows) must be a harmless no-op,
+        # not an empty staged write
+        return 0
     if any(t is None for t in touched):
         # isin(touched) never matches the NULL partition, so a
         # dynamic overwrite of __HIVE_DEFAULT_PARTITION__ would
@@ -225,6 +241,15 @@ def export_warehouse(
     ``partition_date`` skips files entirely.
     """
     out = df.withColumn("partition_date", F.to_date(F.col(date_col)))
+    # same NULL-partition refusal as upsert_parquet_partitioned: a NULL
+    # (or unparseable) date would either vanish through the retention
+    # filter or land in __HIVE_DEFAULT_PARTITION__, which the next
+    # run's dynamic overwrite clobbers — silently losing history
+    if out.filter(F.col("partition_date").isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"export_warehouse: rows with NULL/unparseable {date_col!r} "
+            "cannot be partitioned safely — fill or drop them first"
+        )
     if retention_days is not None and ref_date is not None:
         out = out.filter(
             F.col("partition_date")
@@ -247,13 +272,28 @@ def export_warehouse(
     return int(obs.get["rows"])
 
 
+def _hash_uniform(id_col: str, seed: int, stream: int):
+    """Layout-independent uniform in [0, 1): a 60-bit md5 of
+    (seed, stream, id). Unlike ``F.rand(seed)`` — whose output depends
+    on the PARTITION INDEX, so the same seed yields different data on
+    a machine with a different default parallelism — this is a pure
+    function of the row id: reproducible across machines, cluster
+    sizes, and repartitionings."""
+    h = (
+        f"cast(conv(substring(md5(concat('{seed}|{stream}|', "
+        f"cast({id_col} as string))), 1, 15), 16, 10) as bigint)"
+    )
+    return F.expr(h).cast("double") / float(2**60)
+
+
 def generate_synthetic_users(
     spark: SparkSession, n: int, seed: int = 42
 ) -> DataFrame:
     """Deterministic synthetic user base (reference Faker seeder,
     `scripts/seed_data.py:28-155`): segment-conditioned age/balance
-    distributions from seeded ``F.rand`` over ``spark.range`` — fully
-    distributed, no driver-side generation, reproducible at any n."""
+    distributions from id-hash uniforms over ``spark.range`` — fully
+    distributed, no driver-side generation, and reproducible at any n
+    on ANY machine/partition layout (see ``_hash_uniform``)."""
     segs = F.array(
         F.lit("AUTOMOBILE"),
         F.lit("BUILDING"),
@@ -267,10 +307,12 @@ def generate_synthetic_users(
             "user_tag"
         ),
         segs.getItem(
-            (F.rand(seed) * 5).cast("int")
+            (_hash_uniform("id", seed, 0) * 5).cast("int")
         ).alias("segment"),
-        (F.rand(seed + 1) * 82 + 18).cast("int").alias("age"),
-        F.round(F.rand(seed + 2) * 10000 - 1000, 2).alias("account_balance"),
+        (_hash_uniform("id", seed, 1) * 82 + 18).cast("int").alias("age"),
+        F.round(
+            _hash_uniform("id", seed, 2) * 10000 - 1000, 2
+        ).alias("account_balance"),
     )
     # Segment-conditioned skew: machinery users carry higher balances
     # (mirrors the reference's segment-conditioned distributions).
@@ -288,26 +330,25 @@ def generate_synthetic_orders(
     """Synthetic order feed: ~orders_per_user per user with seeded
     amounts/status/dates (reference `scripts/seed_data.py:157-230`)."""
     n = n_users * orders_per_user
-    # One materialized draw drives the status CASE: two textually
-    # identical rand(seed) expressions are SEPARATE RNG instances that
-    # desynchronize under lazy branch evaluation (the second only
-    # advances on rows reaching its branch), skewing the distribution.
-    # Catalyst never collapses the nondeterministic projection, so the
-    # draw is evaluated exactly once per row.
+    # id-hash uniforms (see _hash_uniform): deterministic per row id,
+    # so repeated references to the same stream are the SAME value —
+    # no rand()-style per-partition RNG streams to desynchronize
+    status_draw = _hash_uniform("id", seed, 11)
     return (
         spark.range(n)
-        .withColumn("__status_draw", F.rand(seed + 11))
         .select(
             F.col("id").alias("order_id"),
             (F.col("id") % n_users).alias("user_id"),
-            F.round(F.rand(seed + 10) * 500 + 5, 2).alias("amount"),
-            F.when(F.col("__status_draw") < 0.85, "completed")
-            .when(F.col("__status_draw") < 0.95, "pending")
+            F.round(_hash_uniform("id", seed, 10) * 500 + 5, 2).alias(
+                "amount"
+            ),
+            F.when(status_draw < 0.85, "completed")
+            .when(status_draw < 0.95, "pending")
             .otherwise("declined")
             .alias("status"),
             F.date_sub(
                 F.to_date(F.lit("2001-08-01")),
-                (F.rand(seed + 12) * 365).cast("int"),
+                (_hash_uniform("id", seed, 12) * 365).cast("int"),
             ).alias("created_at"),
         )
     )

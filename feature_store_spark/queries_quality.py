@@ -431,6 +431,27 @@ def q_st5(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _nation_segment_cents(spark, sf_dir):
+    """Shared base frame for the a14/a15/a17 marginal-total trio: the
+    customer⋈nation join projected to (nation, segment, exact cents) —
+    one definition so a change to the join or the cents rounding
+    cannot desynchronize the three grouping variants."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return c.join(n, c.c_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("__cents"),
+    )
+
+
+def _marginal_aggs():
+    return (
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("__cents").cast("bigint").alias("balance_cents"),
+    )
+
+
 @spec(
     "a14_rollup_counts",
     """SELECT n.n_name AS nation, c.c_mktsegment AS segment,
@@ -445,20 +466,10 @@ def q_a14(spark, sf_dir):
     """Hierarchical totals via ROLLUP (SURVEY §2.4 'free if needed':
     nation → segment → grand total in one pass; Spark expands to
     grouping sets with partial aggregation)."""
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
     return (
-        c.join(n, c.c_nationkey == n.n_nationkey)
-        .select(
-            F.col("n_name").alias("nation"),
-            F.col("c_mktsegment").alias("segment"),
-            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("__cents"),
-        )
+        _nation_segment_cents(spark, sf_dir)
         .rollup("nation", "segment")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.sum("__cents").cast("bigint").alias("balance_cents"),
-        )
+        .agg(*_marginal_aggs())
     )
 
 
@@ -475,20 +486,10 @@ def q_a14(spark, sf_dir):
 def q_a15(spark, sf_dir):
     """All marginal totals via CUBE (adds the segment-only margins
     ROLLUP lacks) — same single-pass grouping-sets expansion."""
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
     return (
-        c.join(n, c.c_nationkey == n.n_nationkey)
-        .select(
-            F.col("n_name").alias("nation"),
-            F.col("c_mktsegment").alias("segment"),
-            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("__cents"),
-        )
+        _nation_segment_cents(spark, sf_dir)
         .cube("nation", "segment")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.sum("__cents").cast("bigint").alias("balance_cents"),
-        )
+        .agg(*_marginal_aggs())
     )
 
 
@@ -945,20 +946,10 @@ def q_a17_grouping_sets(spark, sf_dir):
     with the (nation, segment) cross that isn't wanted here. Same
     single-pass expand+partial-aggregate physical shape as a14/a15:
     one shuffle regardless of how many sets are declared."""
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
     return (
-        c.join(n, c.c_nationkey == n.n_nationkey)
-        .select(
-            F.col("n_name").alias("nation"),
-            F.col("c_mktsegment").alias("segment"),
-            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("__cents"),
-        )
+        _nation_segment_cents(spark, sf_dir)
         .groupingSets([["nation"], ["segment"]], "nation", "segment")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.sum("__cents").cast("bigint").alias("balance_cents"),
-        )
+        .agg(*_marginal_aggs())
     )
 
 

@@ -114,3 +114,33 @@ def test_cosine_topk_rejects_unknown_kernel(spark):
     q = df.select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="unknown kernel"):
         cosine_topk(df, q, kernel="native")
+
+
+def test_chunk_documents_preserves_null_text_docs(spark):
+    """Keep-the-spine: a NULL-text document must yield exactly one
+    empty chunk (like an empty document), not vanish — on BOTH
+    engines."""
+    import duckdb
+
+    from feature_store_spark.llm.pretrain import (
+        chunk_documents,
+        chunk_documents_oracle_sql,
+    )
+    from feature_store_spark.oracle import compare
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=3, overlap=1)
+    rows = {r["doc_id"]: r for r in out.collect() if r["chunk_idx"] == 0}
+    assert set(rows) == {0, 1, 2}
+    assert rows[1]["n_tokens"] == 0 and rows[1]["chunk_text"] == ""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(0, 'alpha beta gamma delta'), (1, NULL), (2, '')) t(doc_id, text)"
+    )
+    assert compare(
+        out, con, chunk_documents_oracle_sql(chunk_tokens=3, overlap=1)
+    )["ok"]

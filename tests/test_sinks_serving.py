@@ -402,3 +402,78 @@ def test_preload_keyset_only_loads_requested_keys(spark, sf_dir):
     loaded = fs.preload(user_ids=[1, 2, 3])
     assert loaded == 3
     assert fs.get_features(1, ["user"]).cache_hit
+
+
+def test_partitioned_upsert_preserves_string_partition_type(spark, tmp_path):
+    """The staged read-back must not let partition-type inference
+    re-type the partition column: a zero-padded string key like
+    '00123' would otherwise come back as int 123, permanently
+    corrupting the store's keys."""
+    path = str(tmp_path / "store")
+    v1 = spark.createDataFrame(
+        [(1, 10.0, "2024-01-02", "00123"), (2, 20.0, "2024-01-02", "00456")],
+        "user_id long, score double, updated_at string, snap string",
+    )
+    from feature_store_spark.pipelines.sinks import upsert_parquet_partitioned
+
+    assert upsert_parquet_partitioned(
+        v1, path, ["user_id"], "updated_at", "snap"
+    ) == 2
+    # the sink controls what lands on disk: the zero-padded string
+    # values must survive as the partition directory names (the old
+    # staged read re-typed them to int 123/456 and wrote those dirs)
+    import os
+
+    dirs = {d for d in os.listdir(path) if d.startswith("snap=")}
+    assert dirs == {"snap=00123", "snap=00456"}
+    # a schema-aware reader gets the strings back verbatim (plain
+    # reads are subject to Spark's reader-side partition-type
+    # inference, which is the READER'S choice, not the sink's)
+    back = spark.read.schema(v1.schema).parquet(path)
+    assert dict(back.dtypes)["snap"] == "string"
+    assert {r["snap"] for r in back.select("snap").collect()} == {
+        "00123", "00456",
+    }
+
+
+def test_partitioned_upsert_empty_updates_is_noop(spark, tmp_path):
+    from feature_store_spark.pipelines.sinks import upsert_parquet_partitioned
+
+    path = str(tmp_path / "store")
+    v1 = spark.createDataFrame(
+        [(1, 10.0, "2024-01-02", "a")],
+        "user_id long, score double, updated_at string, snap string",
+    )
+    upsert_parquet_partitioned(v1, path, ["user_id"], "updated_at", "snap")
+    empty = v1.limit(0)
+    assert upsert_parquet_partitioned(
+        empty, path, ["user_id"], "updated_at", "snap"
+    ) == 0
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_export_warehouse_refuses_null_dates(spark, tmp_path):
+    from feature_store_spark.pipelines.sinks import export_warehouse
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-02"), (2, None)], "user_id long, updated_at string"
+    )
+    with pytest.raises(ValueError, match="NULL/unparseable"):
+        export_warehouse(df, str(tmp_path / "wh"))
+
+
+def test_synthetic_users_layout_independent(spark):
+    """Seeded synthetic data must be identical under different
+    partition layouts (F.rand would differ: it seeds per partition
+    index)."""
+    from feature_store_spark.pipelines.sinks import generate_synthetic_users
+
+    a = sorted(
+        tuple(r) for r in generate_synthetic_users(spark, 300, seed=7)
+        .repartition(1).collect()
+    )
+    b = sorted(
+        tuple(r) for r in generate_synthetic_users(spark, 300, seed=7)
+        .repartition(13).collect()
+    )
+    assert a == b
