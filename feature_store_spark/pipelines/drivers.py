@@ -51,7 +51,17 @@ def run_daily_pipeline(
     The three derivations share the orders/lineitem scans only through
     the parquet cache — at 100 TB each stage is an independent job and
     the offline store is the hand-off point (materialized view role,
-    SURVEY §4)."""
+    SURVEY §4).
+
+    Semantics pinned by round-3 review: ``counts`` are THIS RUN'S
+    derived row counts (a zero-row derivation day is a visible
+    failure, not masked by the non-empty merged store — store sizes
+    ride in ``details``), and the warehouse snapshot for ``ref_date``
+    is built from THIS RUN'S frames, not the merged store: the store
+    keeps only last-writer rows, so a repair re-run of an OLDER date
+    could never regenerate that date's partition from it. The frames
+    are cached across upsert + export, so each derivation computes
+    once."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -59,33 +69,32 @@ def run_daily_pipeline(
 
     stamp = F.to_timestamp(F.lit(f"{ref_date} 00:00:00"))
     counts: dict[str, int] = {}
+    store_counts: dict[str, int] = {}
     uf = derive_user_features(
         customer, orders, ref_date=ref_date
-    ).withColumn("updated_at", stamp)
-    counts["user_features"] = upsert_parquet(
+    ).withColumn("updated_at", stamp).cache()
+    counts["user_features"] = uf.count()
+    store_counts["user_features"] = upsert_parquet(
         uf, f"{out_dir}/user_features", ["user_id"], "updated_at"
     )
     tf = derive_transaction_features(
         orders, lineitem, ref_date=ref_date
-    ).withColumn("updated_at", stamp)
-    counts["transaction_features"] = upsert_parquet(
+    ).withColumn("updated_at", stamp).cache()
+    counts["transaction_features"] = tf.count()
+    store_counts["transaction_features"] = upsert_parquet(
         tf, f"{out_dir}/transaction_features", ["user_id"], "updated_at"
     )
     rf = derive_risk_features(
         customer, orders, lineitem, events, ref_date=ref_date
-    ).withColumn("updated_at", stamp)
-    counts["risk_features"] = upsert_parquet(
+    ).withColumn("updated_at", stamp).cache()
+    counts["risk_features"] = rf.count()
+    store_counts["risk_features"] = upsert_parquet(
         rf, f"{out_dir}/risk_features", ["user_id"], "updated_at"
     )
 
-    store_uf = spark.read.parquet(f"{out_dir}/user_features")
-    store_tf = spark.read.parquet(f"{out_dir}/transaction_features")
-    store_rf = spark.read.parquet(f"{out_dir}/risk_features")
-    serving = (
-        store_uf.join(
-            store_tf.drop("updated_at"), "user_id", "left"
-        ).join(store_rf.drop("updated_at"), "user_id", "left")
-    )
+    serving = uf.join(
+        tf.drop("updated_at"), "user_id", "left"
+    ).join(rf.drop("updated_at"), "user_id", "left")
     counts["warehouse_rows"] = export_warehouse(
         serving,
         f"{out_dir}/warehouse/serving_features",
@@ -93,12 +102,16 @@ def run_daily_pipeline(
         cluster_col="user_id",
         ref_date=ref_date,
     )
+    for frame in (uf, tf, rf):
+        frame.unpersist()
     status = (
         "SUCCESS"
         if all(v > 0 for v in counts.values())
         else ("PARTIAL" if any(v > 0 for v in counts.values()) else "FAILED")
     )
-    return PipelineResult(status, counts, {"ref_date": ref_date})
+    return PipelineResult(
+        status, counts, {"ref_date": ref_date, "store_counts": store_counts}
+    )
 
 
 def run_backfill(

@@ -46,12 +46,22 @@ def _table_name(
     # one catalog namespace per (fixture dir, derivation parameters):
     # the exists-check reuse below would otherwise silently serve
     # features computed for a DIFFERENT ref_date/now/bucket-count —
-    # stale data that looks fresh. Parameters are part of the name.
+    # stale data that looks fresh. The readable slug is for humans;
+    # the md5 of the RAW parameter tuple makes the mapping injective
+    # (character sanitization alone would collide e.g. 'data/sf0.1'
+    # with 'data_sf0_1' and serve the wrong fixture's features), and
+    # the absolute path collapses relative-vs-absolute duplicates of
+    # the same directory.
+    import hashlib
+    import os
+
+    raw = f"{os.path.abspath(sf_dir)}|{n_buckets}|{ref_date}|{now}"
+    digest = hashlib.md5(raw.encode()).hexdigest()[:10]
     slug = "".join(
         c if c.isalnum() else "_"
-        for c in f"{sf_dir.strip('/')}_{n_buckets}_{ref_date}_{now}"
+        for c in f"{os.path.basename(sf_dir.strip('/'))}_{n_buckets}"
     )
-    return f"fs_{kind}_{slug}"
+    return f"fs_{kind}_{slug}_{digest}"
 
 
 def materialize_feature_store(

@@ -95,8 +95,27 @@ def read_event_stream(
                 spark.read.parquet(events_dir).schema["ts"].dataType,
                 LongType,
             )
-        except AnalysisException:  # empty/absent dir: schema unknowable
-            ts_is_nanos = False
+        except AnalysisException as e:
+            # ONLY the schema-unknowable cases mean "assume plain
+            # timestamps" (empty/absent dir — producer not started);
+            # any other analysis failure (e.g. an unreadable nanos
+            # fixture on a session missing the nanosAsLong conf) must
+            # surface HERE, not as a confusing mid-stream parquet
+            # conversion error later. Structured-condition match, like
+            # sinks._read_store.
+            condition = (
+                e.getCondition() if hasattr(e, "getCondition")
+                else e.getErrorClass() if hasattr(e, "getErrorClass")
+                else None
+            )
+            unknowable = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+            if condition in unknowable or (
+                condition is None
+                and any(c in str(e) for c in unknowable)
+            ):
+                ts_is_nanos = False
+            else:
+                raise
     reader = spark.readStream
     if max_files_per_trigger is not None:
         # bounds per-micro-batch work (and, with availableNow, splits
@@ -163,7 +182,11 @@ def velocity_windows_stream(
         .groupBy(F.window("ts", window, slide).alias("w"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("transaction_velocity"),
-            F.sum(F.when(purch, F.col("value"))).alias("spending_velocity"),
+            # zero-filled like every sibling spend aggregate (the F1
+            # COALESCE convention): a window with no purchases spends 0
+            F.coalesce(
+                F.sum(F.when(purch, F.col("value"))), F.lit(0.0)
+            ).alias("spending_velocity"),
             F.approx_count_distinct("event_type").alias(
                 "approx_unique_event_types"
             ),
@@ -365,10 +388,18 @@ def running_user_profile(events: DataFrame) -> DataFrame:
                     lambda v: int(math.floor(v * 100 + 0.5))
                 ).sum()
             )
-            batch_max_us = int(pd.Timestamp(pdf["ts"].max()).value // 1000)
-            last_us = (
-                batch_max_us if last_us is None else max(last_us, batch_max_us)
-            )
+            # guard NaT: a batch whose rows all carry NULL ts (the
+            # schema allows it; dispatch validity doesn't check ts)
+            # must not poison last_us with int64-min / overflow
+            # pd.to_datetime below
+            ts_max = pdf["ts"].max()
+            if pd.notna(ts_max):
+                batch_max_us = int(pd.Timestamp(ts_max).value // 1000)
+                last_us = (
+                    batch_max_us
+                    if last_us is None
+                    else max(last_us, batch_max_us)
+                )
         state.update((n_events, n_purch, cents, last_us))
         yield pd.DataFrame(
             {
@@ -411,22 +442,29 @@ def run_streaming_upsert(
     Delta-MERGE shape. The merge itself IS ``sinks.upsert_parquet``:
     its update-wins tie-break makes a checkpoint-replayed batch (same
     ts as the stored row) deterministic, and its staged write cleans
-    up after itself."""
+    up after itself. Within a batch, same-timestamp purchases break
+    ties on event_id (``latest_per_key`` tiebreak) so the stored
+    risk_score is replay-deterministic too. Counters are derived from
+    the engine's progress reports and the materialized store — not
+    from in-memory increments an at-least-once batch retry would
+    double-count (the run_drift_monitor rule)."""
     from feature_store_spark.operators.windows import latest_per_key
-    from feature_store_spark.pipelines.sinks import upsert_parquet
-
-    counters = {"batches": 0, "upserted_users": 0}
+    from feature_store_spark.pipelines.sinks import _read_store, upsert_parquet
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        counters["batches"] += 1
         scores = (
             batch_df.filter(F.col("event_type") == "purchase")
-            .select("user_id", "ts", F.col("value").alias("risk_score"))
+            .select(
+                "user_id",
+                "ts",
+                "event_id",
+                F.col("value").alias("risk_score"),
+            )
         )
-        latest = latest_per_key(scores, ["user_id"], "ts")
-        counters["upserted_users"] = upsert_parquet(
-            latest, state_dir, ["user_id"], "ts"
-        )
+        latest = latest_per_key(
+            scores, ["user_id"], "ts", tiebreak_col="event_id"
+        ).drop("event_id")
+        upsert_parquet(latest, state_dir, ["user_id"], "ts")
 
     stream = dispatch_events(read_event_stream(spark, events_dir))
     q = (
@@ -437,7 +475,11 @@ def run_streaming_upsert(
         .start()
     )
     q.awaitTermination()
-    return counters
+    store = _read_store(spark, state_dir)
+    return {
+        "batches": len(q.recentProgress),
+        "upserted_users": 0 if store is None else store.count(),
+    }
 
 
 def run_drift_monitor(
@@ -506,18 +548,15 @@ def run_drift_monitor(
         .start()
     )
     q.awaitTermination()
-    from pyspark.errors import AnalysisException
+    from feature_store_spark.pipelines.sinks import _read_store
 
-    try:
-        report = spark.read.parquet(report_dir)
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e):
-            # zero micro-batches fired (empty source) -> no report was
-            # ever written; that is "no drift observed", not an error
-            return {"batches": 0, "drifted_batches": 0}
-        # an unreadable EXISTING report must not read as "no drift" —
-        # this component's whole job is alerting
-        raise
+    # _read_store: None ONLY for a missing path (zero micro-batches
+    # fired -> "no drift observed"); an unreadable EXISTING report
+    # propagates — this component's whole job is alerting, and its
+    # structured-condition matching survives Spark message rewording
+    report = _read_store(spark, report_dir)
+    if report is None:
+        return {"batches": 0, "drifted_batches": 0}
     return {
         "batches": int(report.count()),
         "drifted_batches": int(report.filter(F.col("drifted")).count()),
