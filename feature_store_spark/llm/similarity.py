@@ -60,6 +60,20 @@ def _cosine(a_vec, b_vec, a_norm, b_norm):
     )
 
 
+def _rank_topk(scored, part_col: str, score_col: str, id_col: str, k: int):
+    """The module's determinism contract in ONE place (it was restated
+    at six call sites): rank candidates per ``part_col`` by rounded
+    score DESC with ``id_col`` ASC as the tie-break — both engines
+    pick the same top-k set even under float noise — and keep
+    rank ≤ k."""
+    w = Window.partitionBy(part_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -111,13 +125,7 @@ def cosine_topk(
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(query_id_col, id_col, cos.alias("cosine"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, query_id_col, "cosine", id_col, k)
 
 
 def cosine_topk_vectorized(
@@ -168,8 +176,14 @@ def cosine_topk_vectorized(
     q_mat = _np.array([r[1] for r in q_rows], dtype=_np.longdouble)
     q_norm = _np.sqrt((q_mat * q_mat).sum(axis=1))
 
+    # id types follow the INPUT schemas (the generic id_col API allows
+    # e.g. string ids, which the JVM kernel and the empty-queries
+    # fallback both preserve — a hardcoded `long` here would die in
+    # Arrow conversion and desynchronize the two kernels' schemas)
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    cid_t = corpus.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{query_id_col} long, {id_col} long, cosine double"
+        f"{query_id_col} {qid_t}, {id_col} {cid_t}, cosine double"
     )
 
     def _score(batches):
@@ -200,13 +214,7 @@ def cosine_topk_vectorized(
         .mapInPandas(_score, schema=out_schema)
         .filter(F.col(id_col) != F.col(query_id_col))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, query_id_col, "cosine", id_col, k)
 
 
 def cosine_topk_oracle_sql(
@@ -304,13 +312,7 @@ def lsh_ann_topk(
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(query_id_col, id_col, cos.alias("cosine"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, query_id_col, "cosine", id_col, k)
 
 
 def _bucket_sql(vec_expr: str) -> str:
@@ -409,13 +411,8 @@ def knn_graph(
         F.col(f"b.{id_col}").alias("neighbor_id"),
         cos.alias("cosine"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .withColumn("rank", F.col("rank").cast("int"))
+    return _rank_topk(scored, id_col, "cosine", "neighbor_id", k).withColumn(
+        "rank", F.col("rank").cast("int")
     )
 
 
@@ -567,6 +564,7 @@ def ivf_ann_topk(
     assigned = model.transform(train).select(
         F.col(id_col),
         F.col("__arr"),
+        _norm(F.col("__arr")).alias("__cn"),
         F.col("prediction").alias("cell"),
     )
 
@@ -594,26 +592,24 @@ def ivf_ann_topk(
         .withColumn("__d2", d2)
         .withColumn("__pr", F.row_number().over(w_probe))
         .filter(F.col("__pr") <= n_probe)
-        .select(query_id_col, "__qv", "cell")
+        .select(
+            query_id_col, "__qv", _norm(F.col("__qv")).alias("__qn"), "cell"
+        )
     )
 
-    cos = F.round(
-        _dot(F.col("__qv"), F.col("__arr"))
-        / (_norm(F.col("__qv")) * _norm(F.col("__arr"))),
-        6,
+    # the guarded _cosine, not a bare division (zero-norm → NULL,
+    # rank-last — a bare x/0 RAISES under ANSI mode), with both norms
+    # precomputed in the projections above rather than re-folded per
+    # scored pair (the cosine_topk/lsh_ann_topk pattern)
+    cos = _cosine(
+        F.col("__qv"), F.col("__arr"), F.col("__qn"), F.col("__cn")
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(query_id_col, id_col, cos.alias("cosine"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, query_id_col, "cosine", id_col, k)
 
 
 # ---------------------------------------------------------------------------
@@ -900,13 +896,12 @@ def pq_ann_topk(
         _norm(F.col("__qv")),
         _norm(F.col("__cv")),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        rerank.select(query_id_col, id_col, cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return _rank_topk(
+        rerank.select(query_id_col, id_col, cos.alias("cosine")),
+        query_id_col,
+        "cosine",
+        id_col,
+        k,
     )
 
 
@@ -1011,12 +1006,7 @@ def cosine_topk_int8(
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(query_id_col, id_col, cos.alias("cosine_q"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_q").desc(), F.col(id_col).asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _rank_topk(scored, query_id_col, "cosine_q", id_col, k)
 
 
 def quantize_embeddings_oracle_sql(

@@ -74,10 +74,16 @@ class FeatureStore:
         if self.clock() - entry.cached_at > self.ttl_seconds:
             del self._cache[(ftype, user_id)]
             return None
-        return entry.value
+        # fresh copy per read (values are scalars, shallow suffices):
+        # the Redis hot store this stands in for deserializes a new
+        # object per GET — returning the cached dict by reference would
+        # let a caller's mutation poison every later hit
+        return dict(entry.value)
 
     def _cache_put(self, ftype: str, user_id: int, value: dict[str, Any]) -> None:
-        self._cache[(ftype, user_id)] = _CacheEntry(value, self.clock())
+        # own copy on write too: miss paths hand the SAME dict to the
+        # cache and the caller's response
+        self._cache[(ftype, user_id)] = _CacheEntry(dict(value), self.clock())
 
     def invalidate(self, user_id: int) -> int:
         """ST2: drop every cached feature group for a user; returns the
@@ -233,7 +239,14 @@ class FeatureStore:
     # -- internals --------------------------------------------------------
 
     def _validate_types(self, feature_types: Sequence[str] | None) -> list[str]:
-        ftypes = list(feature_types or sorted(self.feature_dfs))
+        # None means "all types"; an EXPLICIT empty list is a caller
+        # bug and must raise, not silently expand to a full 3-type
+        # fetch (`feature_types or ...` conflated the two)
+        ftypes = (
+            sorted(self.feature_dfs)
+            if feature_types is None
+            else list(feature_types)
+        )
         if not ftypes:
             raise ValueError("at least one feature type required")
         unknown = set(ftypes) - set(self.feature_dfs)

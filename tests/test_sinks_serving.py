@@ -477,3 +477,19 @@ def test_synthetic_users_layout_independent(spark):
         .repartition(13).collect()
     )
     assert a == b
+
+
+def test_cache_returns_fresh_copies_and_rejects_empty_type_list(spark, sf_dir):
+    from feature_store_spark.queries import all_queries
+
+    uf = all_queries()["pipeline_user_features"](spark, sf_dir)
+    fs = FeatureStore({"user": uf})
+    fs.preload(user_ids=[1])
+    r1 = fs.get_features(1, ["user"])
+    r1.features["user"]["total_orders"] = -999  # caller mutation
+    r2 = fs.get_features(1, ["user"])
+    assert r2.features["user"]["total_orders"] != -999
+    with pytest.raises(ValueError, match="at least one feature type"):
+        fs.get_features(1, [])
+    with pytest.raises(ValueError, match="at least one feature type"):
+        fs.get_batch_features([1, 2], [])
