@@ -130,9 +130,13 @@ def ngram_jaccard_pairs(
     ``J = shared / (|A| + |B| - shared)``.
 
     ``max_df`` drops shingles appearing in more than that many docs
-    before the self-join (df-pruning). Shingles that frequent cannot be
-    discriminative, and at corpus scale a single hub shingle would
-    otherwise dominate the join output.
+    from CANDIDATE GENERATION (the self-join) — shingles that frequent
+    cannot be discriminative, and at corpus scale a single hub shingle
+    would otherwise dominate the join output. The emitted ``jaccard``
+    is always computed over the FULL shingle sets (exact verification
+    on candidates, like ``minhash_lsh_pairs``); pruning trades recall
+    on pairs that overlap ONLY in hub shingles, never the reported
+    similarity values.
 
     The per-doc set size rides along as a window count over the same
     shingle pass instead of a separate sizes aggregate — one fewer
@@ -143,10 +147,31 @@ def ngram_jaccard_pairs(
     """
     sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
     if max_df is not None:
-        keep = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")).filter(
-            F.col("__df") <= max_df
+        # df-pruning applies to CANDIDATE GENERATION only: candidate
+        # pairs come from the pruned postings join, but the emitted
+        # jaccard is verified against the FULL shingle sets (the
+        # minhash_lsh_pairs pattern). Pruning the sets themselves
+        # would silently redefine the output similarity — a pair
+        # whose overlap is mostly hub shingles would report a J far
+        # from the documented word-n-gram Jaccard and flip threshold
+        # decisions. The recall trade is explicit instead: pairs
+        # overlapping ONLY in hub shingles produce no candidate.
+        keep = sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("__df")
+        ).filter(F.col("__df") <= max_df)
+        pruned = sh.join(keep.select("shingle"), "shingle")
+        cand = (
+            pruned.select(F.col(id_col).alias("id_a"), "shingle")
+            .join(
+                pruned.select(F.col(id_col).alias("id_b"), "shingle"),
+                "shingle",
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
         )
-        sh = sh.join(keep.select("shingle"), "shingle")
+        sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("sh"))
+        return _verify_pairs(cand, sets, threshold, id_col=id_col)
     sh = sh.withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
     )
@@ -192,6 +217,48 @@ def ngram_jaccard_oracle_sql(table: str = "documents", n: int = 3,
     JOIN sizes y ON id_b = y.{id_col}
     WHERE round(shared * 1.0 / (x.n + y.n - shared), 6) >= {threshold}
     """
+
+
+def _bucket_pairs(postings: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from band postings via
+    in-bucket collect_list + double explode — the ONE definition of
+    in-bucket pairing shared by the batch and incremental LSH ops."""
+    return (
+        postings.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(F.col(id_col)).alias("mem"))
+        .select(F.explode("mem").alias("id_a"), "mem")
+        .select("id_a", F.explode("mem").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
+def _verify_pairs(
+    cand: DataFrame,
+    sets: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs against per-doc
+    shingle-set arrays (round-6-before-threshold, ≥ threshold) — the
+    ONE definition of the verification contract; the incremental op's
+    'equals full-corpus LSH restricted to batch pairs' oracle depends
+    on both call sites staying bit-identical."""
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    shared = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = shared / (F.size("sh_a") + F.size("sh_b") - shared)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            shared.alias("shared_shingles"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -340,30 +407,10 @@ def minhash_lsh_incremental(
         )
     )
     # new×new candidates: in-batch bucket pairing (batch is small).
-    within = (
-        new_post.groupBy("band_idx", "band_hash")
-        .agg(F.collect_list(F.col(id_col)).alias("mem"))
-        .select(F.explode("mem").alias("id_a"), "mem")
-        .select("id_a", F.explode("mem").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
+    within = _bucket_pairs(new_post, id_col=id_col)
     cand = cross.unionByName(within).distinct()
     sets = index_sets.unionByName(new_sets)
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    shared = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    jac = shared / (F.size("sh_a") + F.size("sh_b") - shared)
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            shared.alias("shared_shingles"),
-            F.round(jac, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verify_pairs(cand, sets, threshold, id_col=id_col)
 
 
 def minhash_lsh_pairs(
@@ -440,31 +487,10 @@ def minhash_lsh_pairs(
             df, n=n, k=k, id_col=id_col, text_col=text_col
         )
     bands_df = _band_postings(sig, k=k, bands=bands, id_col=id_col)
-    cand = (
-        bands_df.groupBy("band_idx", "band_hash")
-        .agg(F.collect_list(F.col(id_col)).alias("mem"))
-        .select(F.explode("mem").alias("id_a"), "mem")
-        .select("id_a", F.explode("mem").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
-    )
+    cand = _bucket_pairs(bands_df, id_col=id_col)
     # Exact verification restricted to candidates. shingles() emits
     # distinct (id, shingle) rows, so the collected array is a set.
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    shared = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    jac = shared / (F.size("sh_a") + F.size("sh_b") - shared)
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            shared.alias("shared_shingles"),
-            F.round(jac, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verify_pairs(cand, sets, threshold, id_col=id_col)
 
 
 def minhash_lsh_oracle_sql(table: str = "documents", n: int = 3,
@@ -889,8 +915,13 @@ def mllib_minhash_pairs(
         numHashTables=num_hash_tables,
         seed=seed,
     ).fit(vecs)
+    # approxSimilarityJoin keeps distance STRICTLY below the cutoff,
+    # which would drop pairs at exactly J == threshold while every
+    # sibling operator keeps jaccard >= threshold; widen the distance
+    # cutoff slightly and apply the inclusive rounded-jaccard filter
+    # ourselves (the repo-wide round-6-before-threshold contract)
     joined = lsh.approxSimilarityJoin(
-        vecs, vecs, 1.0 - threshold, distCol="jaccard_dist"
+        vecs, vecs, 1.0 - threshold + 1e-6, distCol="jaccard_dist"
     )
     return (
         joined.select(
@@ -898,5 +929,8 @@ def mllib_minhash_pairs(
             F.col(f"datasetB.{id_col}").alias("id_b"),
             F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard"),
         )
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("jaccard") >= threshold)
+        )
     )

@@ -77,9 +77,15 @@ def stats_with_outliers(
     s1 = F.col("__s1")
     s2 = F.col("__s2")
     stats = base.select(
-        (s1 / s / n).alias("mean_value"),
-        F.sqrt(
-            (s2 / (s * s) - (s1 / s) * (s1 / s) / n) / (n - F.lit(1))
+        # ANSI guards: n==0 (mean) and n==1 (sample stddev) yield NULL
+        # like DuckDB's 0/0 — a bare division RAISES DIVIDE_BY_ZERO
+        # under Spark 4's default ANSI mode
+        F.when(n > 0, s1 / s / n).alias("mean_value"),
+        F.when(
+            n > 1,
+            F.sqrt(
+                (s2 / (s * s) - (s1 / s) * (s1 / s) / n) / (n - F.lit(1))
+            ),
         ).alias("stddev_value"),
         "min_value",
         "max_value",
@@ -140,7 +146,12 @@ def completeness_report(
         "column_name",
         F.col("__total").cast("bigint").alias("total_rows"),
         F.col("non_null_count").cast("bigint").alias("non_null_count"),
-        (F.col("non_null_count") / F.col("__total")).alias("completeness_ratio"),
+        # empty table -> NULL ratio (DuckDB 0/0 semantics), not an
+        # ANSI DIVIDE_BY_ZERO abort of the quality driver
+        F.when(
+            F.col("__total") > 0,
+            F.col("non_null_count") / F.col("__total"),
+        ).alias("completeness_ratio"),
     )
 
 
@@ -163,7 +174,10 @@ def freshness_report(
         "max_ts",
         "total_rows",
         "fresh_rows",
-        (F.col("fresh_rows") / F.col("total_rows")).alias("fresh_ratio"),
+        F.when(
+            F.col("total_rows") > 0,
+            F.col("fresh_rows") / F.col("total_rows"),
+        ).alias("fresh_ratio"),
     )
 
 

@@ -144,3 +144,75 @@ def test_chunk_documents_preserves_null_text_docs(spark):
     assert compare(
         out, con, chunk_documents_oracle_sql(chunk_tokens=3, overlap=1)
     )["ok"]
+
+
+def test_quality_aggregates_survive_degenerate_inputs(spark):
+    """ANSI-mode regressions: one-value stats, empty freshness, and
+    empty completeness must report NULLs (DuckDB 0/0 semantics), not
+    raise DIVIDE_BY_ZERO and abort the quality driver."""
+    from feature_store_spark.operators.aggregates import (
+        completeness_report,
+        freshness_report,
+        stats_with_outliers,
+    )
+
+    one = spark.createDataFrame([(5.0,)], "v double")
+    r = stats_with_outliers(one, "v").collect()[0]
+    assert r["count_value"] == 1 and r["stddev_value"] is None
+
+    empty = spark.createDataFrame([], "ts timestamp, v double")
+    fr = freshness_report(empty, "ts", "2024-01-31 00:00:00").collect()[0]
+    assert fr["total_rows"] == 0 and fr["fresh_ratio"] is None
+
+    edocs = spark.createDataFrame([], "text string, lang string")
+    rows = completeness_report(edocs, ["text", "lang"], "docs").collect()
+    assert all(
+        r["total_rows"] == 0 and r["completeness_ratio"] is None
+        for r in rows
+    )
+
+
+def test_ngram_jaccard_max_df_prunes_candidates_not_similarity(spark):
+    """max_df must only restrict candidate generation: an emitted
+    pair's jaccard must equal the exact full-universe value, not the
+    jaccard of the pruned shingle universe."""
+    from feature_store_spark.llm.dedup import ngram_jaccard_pairs
+
+    hub = "common boiler plate header text here"  # shared by ALL docs
+    rows = [(i, f"{hub} filler{i} x{i} y{i} z{i}") for i in range(10)]
+    # docs 100/101 share the hub AND a distinctive tail
+    rows.append((100, f"{hub} unique shared tail alpha beta"))
+    rows.append((101, f"{hub} unique shared tail gamma delta"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()
+    }
+    pruned = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.1, max_df=5
+        ).collect()
+    }
+    assert (100, 101) in pruned
+    # identical similarity values wherever a candidate survives
+    for pair, j in pruned.items():
+        assert j == exact[pair], pair
+
+
+def test_mllib_minhash_keeps_exact_threshold_boundary(spark):
+    """A pair at exactly J == threshold must be kept (inclusive >=,
+    like every sibling operator) — approxSimilarityJoin's strict <
+    distance cutoff would drop it without the widened cutoff."""
+    from feature_store_spark.llm.dedup import mllib_minhash_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d f")],  # J = 2/4 = 0.5 exactly
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in mllib_minhash_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert pairs.get((0, 1)) == 0.5
