@@ -21,6 +21,21 @@ from pyspark.sql import functions as F
 # DuckDB oracle SQL (both engines: lowercase alnum runs).
 TOKEN_RE = "[a-z0-9]+"
 
+# GPT-2-style pre-tokenizer (Radford et al. 2019, public BPE vocab
+# convention): contraction suffixes, space-prefixed letter runs,
+# space-prefixed digit runs, space-prefixed punctuation runs, then
+# residual whitespace. The published pattern's trailing negative
+# lookahead (`\s+(?!\S)`) only re-splits interior whitespace runs and
+# is not RE2-expressible; dropping it changes which run a space
+# belongs to, never how many non-whitespace pre-tokens exist, so the
+# COUNT this engine reports is lookahead-invariant. Alternation is
+# leftmost-first in both Java regex and RE2 — same matches both
+# engines (parity probed incl. contractions/digits/unicode/NULL).
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+# Whitespace tokenization = runs of non-whitespace.
+WS_TOKEN_RE = r"\S+"
+
 # Function-word lists for the n-gram/stopword language heuristic.
 # Deliberately tiny and declared here so the oracle SQL is generated
 # from the same constants.
@@ -113,6 +128,60 @@ def text_stats_oracle_sql(table: str = "documents", id_col: str = "doc_id",
            len(p) / NULLIF(n_char, 0) AS punct_ratio,
            len(list_filter(t, x -> x IN ({stop_list}))) / NULLIF(len(t), 0)
              AS stopword_ratio
+    FROM tok
+    """
+
+
+def token_report(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-document token counts under the three tokenizers a
+    training-data pipeline budgets with: whitespace runs (the
+    sequence-packing unit this repo's pretrain ops use), GPT-2-style
+    BPE pre-tokens (the unit an actual BPE tokenizer would merge
+    within — a closer proxy for model-token cost on text with
+    punctuation/digits/contractions), and the lowercase-alnum tokens
+    every other text operator here shares.
+
+    ``bpe_per_ws`` is the pre-token inflation factor: ~1.0 on clean
+    prose, rising with punctuation/number density — a cheap
+    tokenizer-cost signal for corpus budgeting.
+
+    Narrow projection, zero shuffles, zero Python — three
+    regexp_extract_all passes inside one codegen stage. NULL text
+    yields NULL counts on both engines (regexp over NULL is NULL).
+    """
+    n_ws = F.size(F.regexp_extract_all(F.col(text_col), F.lit(WS_TOKEN_RE), 0))
+    bpe_all = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+    # whitespace-only matches are inter-token residue, not tokens
+    n_bpe = F.size(F.filter(bpe_all, lambda x: F.trim(x) != ""))
+    n_alnum = token_count(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        n_ws.cast("bigint").alias("n_tokens_ws"),
+        n_bpe.cast("bigint").alias("n_tokens_bpe"),
+        n_alnum.cast("bigint").alias("n_tokens_alnum"),
+        (n_bpe / F.when(n_ws == 0, None).otherwise(n_ws)).alias("bpe_per_ws"),
+    )
+
+
+def token_report_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    bpe = BPE_PRETOKEN_RE.replace("'", "''")
+    return f"""
+    WITH tok AS (
+      SELECT {id_col},
+             len(regexp_extract_all({text_col}, '{WS_TOKEN_RE}')) AS n_ws,
+             len(list_filter(regexp_extract_all({text_col}, '{bpe}'),
+                             x -> trim(x) <> '')) AS n_bpe,
+             len(regexp_extract_all(lower({text_col}), '{TOKEN_RE}'))
+               AS n_alnum
+      FROM {table}
+    )
+    SELECT {id_col},
+           CAST(n_ws AS BIGINT) AS n_tokens_ws,
+           CAST(n_bpe AS BIGINT) AS n_tokens_bpe,
+           CAST(n_alnum AS BIGINT) AS n_tokens_alnum,
+           n_bpe / NULLIF(n_ws, 0) AS bpe_per_ws
     FROM tok
     """
 

@@ -10,6 +10,10 @@ from feature_store_spark.operators.diff import (
     value_drift_report,
 )
 from feature_store_spark.operators.joins import band_join
+from feature_store_spark.operators.layout import (
+    cluster_by_zorder,
+    zorder_key,
+)
 from feature_store_spark.operators.sampling import (
     priority_sample,
     stratified_sample,
@@ -27,6 +31,7 @@ from feature_store_spark.operators.windows import (
 __all__ = [
     "asof_join",
     "band_join",
+    "cluster_by_zorder",
     "completeness_report",
     "decayed_aggregate",
     "freshness_report",
@@ -42,4 +47,5 @@ __all__ = [
     "top_k",
     "top_k_per_group",
     "value_drift_report",
+    "zorder_key",
 ]

@@ -34,6 +34,14 @@ def q_text_stats(spark, sf_dir):
     return T.text_stats(_t(spark, sf_dir, "documents"))
 
 
+@spec("t_token_report", T.token_report_oracle_sql(), ("ext", "text"))
+def q_token_report(spark, sf_dir):
+    """Token counts under whitespace / GPT-2-style BPE pre-token /
+    alnum tokenizers plus the pre-token inflation factor — the
+    budgeting signal for tokenizer cost per document."""
+    return T.token_report(_t(spark, sf_dir, "documents"))
+
+
 @spec("t_language_id", T.language_id_oracle_sql(), ("ext", "text"))
 def q_language_id(spark, sf_dir):
     return T.language_id(_t(spark, sf_dir, "documents"))

@@ -1153,3 +1153,40 @@ def q_a19_quantile_rollup(spark, sf_dir):
             < 0.10
         ).alias("est_within_10pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L1: Z-order clustering key (multi-dimensional layout)
+# ---------------------------------------------------------------------------
+
+
+def _l1_oracle() -> str:
+    from feature_store_spark.operators.layout import zorder_key_oracle_sql
+
+    return zorder_key_oracle_sql(
+        "(SELECT o_orderkey, o_custkey,"
+        " CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents"
+        " FROM orders)",
+        ["o_custkey", "price_cents"],
+        select_cols=["o_orderkey", "o_custkey", "price_cents"],
+    )
+
+
+@spec("l1_zorder_key", _l1_oracle(), ("ext", "layout"))
+def q_l1_zorder(spark, sf_dir):
+    """Z-order clustering key over (customer, exact price cents) — the
+    Delta/Iceberg OPTIMIZE ZORDER primitive as exact bigint arithmetic
+    (`operators/layout.py::zorder_key`). The key drives
+    `cluster_by_zorder`'s range-partition+sort write so parquet
+    row-group min/max stats prune box filters on BOTH dimensions; the
+    oracle proves the key itself is engine-exact."""
+    from feature_store_spark.operators.layout import zorder_key
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "price_cents"
+        ),
+    )
+    return zorder_key(orders, ["o_custkey", "price_cents"])

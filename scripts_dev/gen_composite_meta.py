@@ -43,7 +43,8 @@ PARTS = [
     "s9_ordered_export",
     "f11_iso_roundtrip", "f13_json_extract", "f14_freshness_minutes",
     "st5_velocity_features", "st7_session_features",
-    "t_text_stats", "t_language_id", "t_quality_score", "t_fingerprint",
+    "t_text_stats", "t_token_report", "t_language_id", "t_quality_score",
+    "t_fingerprint",
     "t_ngram_lm_score", "t_tfidf_topk", "t_vocab_coverage",
     "d_simhash_signatures", "d_simhash_near_dup",
     "d_ngram_jaccard_pairs", "d_embedding_near_dup",

@@ -216,3 +216,46 @@ def test_mllib_minhash_keeps_exact_threshold_boundary(spark):
         for r in mllib_minhash_pairs(docs, n=3, threshold=0.5).collect()
     }
     assert pairs.get((0, 1)) == 0.5
+
+
+def test_token_report_bpe_parity_on_planted_punctuation(spark):
+    """The documents fixture is pure lowercase [a-z ] where whitespace
+    and BPE-pre-token counts coincide, so the oracle row alone cannot
+    exercise the interesting alternations. Plant contractions, digits,
+    punctuation, unicode letters, NULL and empty text and hash-compare
+    both engines; then pin the known GPT-2-pre-token arithmetic."""
+    import duckdb
+
+    from feature_store_spark.llm.text import token_report, token_report_oracle_sql
+    from feature_store_spark.oracle import compare
+
+    rows = [
+        (0, "it's 2024, we're 100% ready-to-go!"),
+        (1, "don't  stop   believing"),
+        (2, "naïve café déjà-vu ©2020"),
+        (3, ""),
+        (4, None),
+        (5, "the quick brown fox"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = token_report(docs)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # "it's 2024, we're 100% ready-to-go!" pre-tokens:
+    # [it]['s][ 2024][,][ we]['re][ 100][%][ ready][-to][-go][!] +
+    # 2 splits inside -to/-go ("-","to","-","go" -> '-to' matches
+    # punct-run "-" then letter-run "to") = 14
+    assert got[0]["n_tokens_ws"] == 5 and got[0]["n_tokens_bpe"] == 14
+    assert got[1]["n_tokens_bpe"] == 4  # [don]['t][ stop][ believing]
+    assert got[3]["n_tokens_ws"] == 0 and got[3]["bpe_per_ws"] is None
+    assert got[4]["n_tokens_bpe"] is None  # NULL text stays NULL
+    assert got[5]["n_tokens_ws"] == got[5]["n_tokens_bpe"] == 4
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(0, 'it''s 2024, we''re 100% ready-to-go!'),"
+        "(1, 'don''t  stop   believing'),"
+        "(2, 'naïve café déjà-vu ©2020'),"
+        "(3, ''), (4, NULL), (5, 'the quick brown fox')"
+        ") t(doc_id, text)"
+    )
+    assert compare(out, con, token_report_oracle_sql())["ok"]
