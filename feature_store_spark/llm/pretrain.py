@@ -398,21 +398,34 @@ def temperature_mixture(
     partitioned by source. A heavily skewed source distribution skews
     the window partition — at corpus scale rank within (source,
     md5-prefix bucket) and merge quotas per bucket.
+
+    Quota arithmetic is exact past the one libm call: ``pow(n, alpha)``
+    is quantized to fixed-point micros (the a19/a21 round-then-exact
+    contract), the normalizer is a BIGINT sum of those micros (float
+    summation is grouping-order-dependent — with every source at the
+    same count the true quota sits exactly ON the floor boundary and
+    a one-ulp wsum wobble flips it, which is how the sf0.1 fixture
+    [20 sources x 250 docs] caught the float form), and the quota is
+    a DECIMAL(38,0) product with integer `div` — so equal-weight
+    sources get exactly ``budget/n_sources`` on every engine, every
+    partitioning.
     """
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
-    wsum = counts.agg(
-        F.sum(F.pow(F.col("__n"), F.lit(alpha))).alias("__wsum")
+    w_micros = (
+        F.round(F.pow(F.col("__n"), F.lit(alpha)) * 1_000_000)
+        .cast("bigint")
+        .alias("__w")
     )
+    weighted = counts.select(F.col(source_col), F.col("__n"), w_micros)
+    wsum = weighted.agg(F.sum("__w").alias("__wsum"))
     quota = (
-        counts.crossJoin(F.broadcast(wsum))
+        weighted.crossJoin(F.broadcast(wsum))
         .select(
             source_col,
             F.col("__n"),
-            F.floor(
-                F.lit(budget) * F.pow(F.col("__n"), F.lit(alpha)) / F.col("__wsum")
-            )
-            .cast("bigint")
-            .alias("quota"),
+            F.expr(
+                f"(CAST({budget} AS DECIMAL(38,0)) * __w) div __wsum"
+            ).alias("quota"),
         )
     )
     w = Window.partitionBy(source_col).orderBy(
@@ -444,12 +457,16 @@ def temperature_mixture_oracle_sql(
     WITH counts AS (
       SELECT {source_col}, count(*) AS n FROM {table} GROUP BY 1
     ),
+    weighted AS (
+      SELECT {source_col}, n,
+             CAST(round(pow(n, {alpha}) * 1000000) AS BIGINT) AS w
+      FROM counts
+    ),
     quota AS (
       SELECT {source_col},
-             CAST(floor({budget} * pow(n, {alpha})
-                  / (SELECT sum(pow(n, {alpha})) FROM counts))
-               AS BIGINT) AS quota
-      FROM counts
+             CAST(({budget}::HUGEINT * w)
+                  // (SELECT sum(w) FROM weighted) AS BIGINT) AS quota
+      FROM weighted
     ),
     ranked AS (
       SELECT {id_col}, {source_col},

@@ -259,3 +259,37 @@ def test_token_report_bpe_parity_on_planted_punctuation(spark):
         ") t(doc_id, text)"
     )
     assert compare(out, con, token_report_oracle_sql())["ok"]
+
+
+def test_temperature_mixture_quota_exact_at_equal_counts(spark):
+    """20 equal-count sources put every true quota exactly ON the
+    floor boundary (budget * w / (20w) = budget/20). The float form
+    flipped quotas to budget/20 - 1 depending on the GROUPING of the
+    double wsum partial sums (caught by the sf0.1 sweep: 20 x 250
+    docs); the quantized-bigint form must give budget/20 under any
+    partitioning, and still match the DuckDB twin."""
+    import duckdb
+
+    from feature_store_spark.llm.pretrain import (
+        temperature_mixture,
+        temperature_mixture_oracle_sql,
+    )
+    from feature_store_spark.oracle import compare
+
+    rows = [(s * 1000 + i, f"src{s}") for s in range(20) for i in range(250)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string"
+    ).repartition(32)
+    out = temperature_mixture(docs, alpha=0.5, budget=200)
+    got = out.groupBy("source").count().collect()
+    assert len(got) == 20 and all(r["count"] == 10 for r in got)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT "
+        "(s * 1000 + i) AS doc_id, 'src' || s AS source "
+        "FROM range(20) t(s), range(250) u(i)"
+    )
+    assert compare(
+        out, con, temperature_mixture_oracle_sql(alpha=0.5, budget=200)
+    )["ok"]
