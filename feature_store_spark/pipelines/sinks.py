@@ -272,6 +272,65 @@ def export_warehouse(
     return int(obs.get["rows"])
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_cols: Sequence[str] | None = None,
+) -> dict:
+    """Small-file compaction — the other half of a lake's OPTIMIZE
+    (pair with ``operators.layout.cluster_by_zorder`` for the full
+    compact+cluster pass). Streaming upserts and per-partition dynamic
+    overwrites accrete files far below the scanner-efficient size;
+    at 100 TB the file *count* becomes the bottleneck (driver listing,
+    task-per-file scheduling, footer reads), independent of data size.
+
+    Reads the store, re-lays it into ``ceil(total_bytes /
+    target_file_bytes)`` files — plain round-robin ``repartition`` (even
+    sizes, no assumptions), or Z-order-clustered when ``zorder_cols``
+    is given (range partition on the Morton key, so compaction also
+    tightens row-group stats on those dimensions) — and rewrites it
+    through the same staged tmp-path protocol as the upserts (a crash
+    mid-compaction never corrupts the live store). Returns counts for
+    the caller's compaction log.
+
+    Sizes come from the filesystem handle (works for any Hadoop FS),
+    so the target is bytes-on-disk, not estimated in-memory size.
+    """
+    df = spark.read.parquet(path)  # absent path must raise, not create
+    files = df.inputFiles()
+    if hasattr(spark, "_jvm") and spark._jvm is not None:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            jpath = jvm.org.apache.hadoop.fs.Path(f)
+            total += jpath.getFileSystem(conf).getFileStatus(jpath).getLen()
+    else:  # Spark Connect: no JVM handle — local paths only
+        import os
+        from urllib.parse import urlparse
+
+        total = sum(
+            os.path.getsize(urlparse(f).path or f) for f in files
+        )
+    n_target = max(1, -(-total // target_file_bytes))
+    if zorder_cols:
+        from feature_store_spark.operators.layout import cluster_by_zorder
+
+        laid = cluster_by_zorder(
+            df, list(zorder_cols), partitions=n_target
+        )
+    else:
+        laid = df.repartition(n_target)
+    rows = _staged_overwrite(spark, laid, path)
+    return {
+        "rows": rows,
+        "files_before": len(files),
+        "files_after": n_target,
+        "bytes_before": int(total),
+    }
+
+
 def _hash_uniform(id_col: str, seed: int, stream: int):
     """Layout-independent uniform in [0, 1): a 60-bit md5 of
     (seed, stream, id). Unlike ``F.rand(seed)`` — whose output depends

@@ -493,3 +493,56 @@ def test_cache_returns_fresh_copies_and_rejects_empty_type_list(spark, sf_dir):
         fs.get_features(1, [])
     with pytest.raises(ValueError, match="at least one feature type"):
         fs.get_batch_features([1, 2], [])
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    from feature_store_spark.pipelines.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"),
+        ((F.col("id") * 31) % 1000).alias("v"),
+    )
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    before = spark.read.parquet(path)
+    n_before = len(before.inputFiles())
+    assert n_before >= 32
+
+    report = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert report["files_before"] == n_before
+    assert report["files_after"] == 1
+    assert report["rows"] == 10_000
+
+    after = spark.read.parquet(path)
+    assert len(after.inputFiles()) == 1
+    assert after.count() == 10_000
+    # content identical (orderless)
+    assert sorted(r["id"] for r in after.collect()) == list(range(10_000))
+    # sums survive exactly
+    s = after.agg(F.sum("v").alias("s")).collect()[0]["s"]
+    assert s == sum((i * 31) % 1000 for i in range(10_000))
+
+
+def test_compact_parquet_zorder_layout(spark, tmp_path):
+    from feature_store_spark.pipelines.sinks import compact_parquet
+
+    path = str(tmp_path / "fragz")
+    spark.range(5_000).select(
+        ((F.col("id") * 37) % 500).alias("a"),
+        ((F.col("id") * 911 + 13) % 9000).alias("b"),
+    ).repartition(16).write.parquet(path)
+
+    report = compact_parquet(
+        spark, path, target_file_bytes=10**9, zorder_cols=["a", "b"]
+    )
+    assert report["files_after"] == 1 and report["rows"] == 5_000
+    out = spark.read.parquet(path)
+    assert set(out.columns) == {"a", "b"}  # layout key dropped
+    assert out.count() == 5_000
+
+
+def test_compact_parquet_missing_path_raises(spark, tmp_path):
+    from feature_store_spark.pipelines.sinks import compact_parquet
+
+    with pytest.raises(Exception):
+        compact_parquet(spark, str(tmp_path / "absent"))
