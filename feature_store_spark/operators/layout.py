@@ -40,11 +40,25 @@ def _quantize(col_name: str, bits: int) -> Column:
     min-offset, so truncation == floor == DuckDB's `//`). No float
     division anywhere, so the key is bit-identical cross-engine even
     when the scaled numerator exceeds double's 2^53 exact range.
-    A constant column (hi == lo) maps everything to bucket 0."""
+    A constant column (hi == lo) maps everything to bucket 0.
+
+    The numerator (v - lo) * (2^bits - 1) must stay inside int64, so
+    the column RANGE is capped at (2^63 - 1) / (2^bits - 1) — ~1.4e14
+    at the default 16 bits. Epoch-seconds/millis and cents columns sit
+    far inside that; an epoch-MICROS column does not. Rather than let
+    ANSI mode abort the whole write mid-job with an opaque
+    ARITHMETIC_OVERFLOW, the range is checked in the same broadcast
+    bounds row and raises a targeted error naming the column and the
+    fix (coarsen the unit, or lower ``bits``)."""
     m = (1 << bits) - 1
+    safe = ((1 << 63) - 1) >> bits  # range cap keeps the numerator < 2^63
     c, lo, hi = col_name, f"__lo_{col_name}", f"__hi_{col_name}"
     return F.expr(
-        f"CASE WHEN {hi} = {lo} THEN CAST(0 AS BIGINT) ELSE "
+        f"CASE WHEN {hi} - {lo} > {safe} THEN "
+        f"CAST(raise_error('zorder_key: range of column {c} exceeds the "
+        f"exact-arithmetic cap {safe} at bits={bits}; coarsen the unit "
+        f"(e.g. epoch seconds, not micros) or lower bits') AS BIGINT) "
+        f"WHEN {hi} = {lo} THEN CAST(0 AS BIGINT) ELSE "
         f"((CAST({c} AS BIGINT) - {lo}) * {m}) div ({hi} - {lo}) END"
     )
 

@@ -69,6 +69,22 @@ def test_zorder_key_validates_inputs(spark):
         zorder_key(df, ["a", "b"], bits=32)
 
 
+def test_zorder_key_overflow_range_raises_targeted_error(spark):
+    """A column whose range exceeds (2^63-1) >> bits (e.g. epoch
+    MICROS) must fail with the named-column guard message, not an
+    opaque ANSI ARITHMETIC_OVERFLOW mid-write."""
+    df = spark.createDataFrame(
+        [(0, 0), (1, (1 << 62))], "rid long, t long"
+    )
+    with pytest.raises(Exception, match="zorder_key: range of column t"):
+        zorder_key(df, ["t"]).collect()
+    # just inside the cap still computes exactly
+    cap = ((1 << 63) - 1) >> DEFAULT_BITS
+    ok = spark.createDataFrame([(0, 0), (1, cap)], "rid long, t long")
+    out = {r["rid"]: r["zkey"] for r in zorder_key(ok, ["t"]).collect()}
+    assert out[0] == 0 and out[1] == (1 << DEFAULT_BITS) - 1
+
+
 def test_cluster_by_zorder_preserves_rows_and_prunes_groups(spark):
     """The whole point of the layout: same rows, but a stats-driven
     scan of a 2-D box filter reads strictly fewer row groups than the
