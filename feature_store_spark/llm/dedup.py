@@ -868,6 +868,123 @@ def embedding_near_dup_oracle_sql(table: str = "embeddings",
     """
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public arXiv:2303.09540): partition the embedding
+    space, then within each partition greedily keep one representative
+    per cosine-ε ball and mark the rest as duplicates.
+
+    The paper partitions with k-means; this variant uses the
+    deterministic random-hyperplane LSH buckets from
+    ``similarity.lsh_bucket`` (md5-derived planes) so the whole
+    operator — bucketing included — is a pure function of the data and
+    hash-checkable against the DuckDB twin. The greedy keep rule is
+    id-ordered (the deterministic stand-in for the paper's "random"
+    representative): a vector is a duplicate iff some LOWER-id vector
+    in its bucket has rounded cosine ≥ ``threshold`` with it;
+    ``dup_of`` records the smallest such witness. Note the witness may
+    itself be a duplicate (greedy chain semantics — standard for
+    SemDeDup-style pruning, identical on both engines).
+
+    Scale posture: one narrow projection computes (bucket, norm) per
+    vector; candidate pairs come from an equi-join on ``bucket`` —
+    never all-pairs — and the witness aggregate is a map-side-combined
+    min per id. ``planes`` is the dial: each extra plane halves the
+    expected bucket population, so in-bucket pair work stays bounded
+    as the corpus grows (same dial as ``lsh_ann_topk``/``knn_graph``).
+
+    Output: one row per input vector — (id, bucket, keep, dup_of) —
+    so the driver hash covers keeps and drops alike.
+    """
+    from feature_store_spark.llm.similarity import lsh_bucket
+
+    sig = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = sig.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = sig.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    witnesses = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", cos.alias("cosine"), "id_a")
+        .filter(F.col("cosine") >= threshold)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        sig.select(F.col(id_col), F.col("bucket"))
+        .join(witnesses, sig[id_col] == witnesses["id_b"], "left")
+        .select(
+            F.col(id_col),
+            F.col("bucket"),
+            F.col("dup_of").isNull().alias("keep"),
+            F.col("dup_of"),
+        )
+    )
+
+
+def semantic_dedup_oracle_sql(
+    table: str = "embeddings",
+    threshold: float = 0.4,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` — same md5 hyperplane
+    buckets (``similarity._bucket_sql``), same rounded-cosine
+    threshold, same min-witness greedy rule."""
+    from feature_store_spark.llm.similarity import _bucket_sql
+
+    bucket = _bucket_sql("v", planes)
+    dot_ab = (
+        "list_sum(list_transform(range(1, len(a.v) + 1), "
+        "i -> a.v[i] * b.v[i]))"
+    )
+    return f"""
+    WITH norm AS (
+      SELECT {id_col},
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(
+               list_transform({vec_col}, x -> CAST(x AS DOUBLE)),
+               x -> x * x))) AS nrm
+      FROM {table}
+    ),
+    sig AS (SELECT {id_col}, v, nrm, {bucket} AS bucket FROM norm),
+    witnesses AS (
+      SELECT b.{id_col} AS id_b, MIN(a.{id_col}) AS dup_of
+      FROM sig a JOIN sig b
+        ON a.bucket = b.bucket AND a.{id_col} < b.{id_col}
+      WHERE a.nrm * b.nrm <> 0
+        AND round({dot_ab} / (a.nrm * b.nrm), 6) >= {threshold}
+      GROUP BY b.{id_col}
+    )
+    SELECT s.{id_col}, s.bucket,
+           w.dup_of IS NULL AS keep, w.dup_of
+    FROM sig s LEFT JOIN witnesses w ON s.{id_col} = w.id_b
+    """
+
+
 def mllib_minhash_pairs(
     df: DataFrame,
     n: int = 3,

@@ -270,11 +270,13 @@ def hyperplane_sign(vec, plane: int):
     return F.when(s >= 0, 1).otherwise(0)
 
 
-def lsh_bucket(vec):
-    """N_PLANES-bit random-hyperplane signature packed into an int
-    (8 planes -> 256 buckets)."""
+def lsh_bucket(vec, planes: int = N_PLANES):
+    """``planes``-bit random-hyperplane signature packed into an int
+    (8 planes -> 256 buckets). ``planes`` is the bucket-size dial:
+    each extra plane halves the expected bucket population, so at
+    corpus scale raise it to keep in-bucket work batch-sized."""
     out = None
-    for p in range(N_PLANES):
+    for p in range(planes):
         term = hyperplane_sign(vec, p) * (2**p)
         out = term if out is None else out + term
     return out
@@ -315,9 +317,9 @@ def lsh_ann_topk(
     return _rank_topk(scored, query_id_col, "cosine", id_col, k)
 
 
-def _bucket_sql(vec_expr: str) -> str:
+def _bucket_sql(vec_expr: str, planes: int = N_PLANES) -> str:
     terms = []
-    for p in range(N_PLANES):
+    for p in range(planes):
         w = (
             f"list_sum(list_transform(range(1, len({vec_expr}) + 1), "
             f"i -> CASE WHEN substr(md5('{p}|' || CAST(i - 1 AS VARCHAR)), 1, 1) "

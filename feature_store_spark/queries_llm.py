@@ -138,6 +138,19 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 @spec(
+    "d_semantic_dedup",
+    D.semantic_dedup_oracle_sql(threshold=0.4),
+    ("ext", "dedup", "similarity"),
+)
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style embedding dedup: LSH-bucketed candidate pairs,
+    greedy min-id representative per cosine ball (llm/dedup.py)."""
+    return D.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@spec(
     "d_corpus_curation",
     C.curate_corpus_oracle_sql(),
     ("ext", "dedup", "text", "iterative"),

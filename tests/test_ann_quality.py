@@ -38,6 +38,67 @@ def exact_topk(emb, queries):
     return {(r["query_id"], r["vec_id"]) for r in rows}
 
 
+def test_semantic_dedup_matches_brute_force_model(emb):
+    """semantic_dedup == a Python brute-force of the same contract:
+    md5-hyperplane buckets, rounded cosine >= threshold within bucket,
+    greedy min-id witness."""
+    import hashlib
+    import math
+
+    from feature_store_spark.llm.dedup import semantic_dedup
+
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+    def plane_sign(p, d):
+        h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0]
+        return 1.0 if h in "01234567" else -1.0
+
+    dims = len(next(iter(vecs.values())))
+    weights = [
+        [plane_sign(p, d) for d in range(dims)] for p in range(8)
+    ]
+
+    def bucket(v):
+        out = 0
+        for p in range(8):
+            s = sum(w * x for w, x in zip(weights[p], v))
+            out += (1 if s >= 0 else 0) << p
+        return out
+
+    buckets = {vid: bucket(v) for vid, v in vecs.items()}
+    norms = {
+        vid: math.sqrt(sum(x * x for x in v)) for vid, v in vecs.items()
+    }
+    expect = {}
+    ids = sorted(vecs)
+    for b_id in ids:
+        dup_of = None
+        for a_id in ids:
+            if a_id >= b_id or buckets[a_id] != buckets[b_id]:
+                continue
+            den = norms[a_id] * norms[b_id]
+            if den == 0:
+                continue
+            cos = round(
+                sum(x * y for x, y in zip(vecs[a_id], vecs[b_id])) / den,
+                6,
+            )
+            if cos >= 0.4:
+                dup_of = a_id
+                break  # ids ascending -> first hit is the min witness
+        expect[b_id] = (buckets[b_id], dup_of is None, dup_of)
+
+    got = {
+        r["vec_id"]: (r["bucket"], r["keep"], r["dup_of"])
+        for r in semantic_dedup(emb, threshold=0.4).collect()
+    }
+    assert got == expect
+    # the fixture must actually exercise both branches
+    assert any(not keep for _, keep, _ in got.values())
+    assert any(keep for _, keep, _ in got.values())
+
+
 def test_ivf_recall_and_determinism(spark, emb, queries, exact_topk):
     approx1 = ivf_ann_topk(emb, queries, k=K, n_centroids=8, n_probe=3)
     got1 = {(r["query_id"], r["vec_id"]) for r in approx1.collect()}
