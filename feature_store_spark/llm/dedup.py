@@ -893,9 +893,12 @@ def semantic_dedup(
     itself be a duplicate (greedy chain semantics — standard for
     SemDeDup-style pruning, identical on both engines).
 
-    Scale posture: one narrow projection computes (bucket, norm) per
-    vector; candidate pairs come from an equi-join on ``bucket`` —
-    never all-pairs — and the witness aggregate is a map-side-combined
+    Scale posture: ONE signature pass (the kNN-graph shape — a bucket
+    self-join would scan the corpus and evaluate the hyperplane folds
+    twice; plan-pinned to a single FileScan), in-bucket pairing via
+    collect_list + double explode with each vector's SELF-pair kept as
+    the carrier row (so kept vectors survive the aggregate without a
+    second scan), and the witness is a map-side-combined conditional
     min per id. ``planes`` is the dial: each extra plane halves the
     expected bucket population, so in-bucket pair work stays bounded
     as the corpus grows (same dial as ``lsh_ann_topk``/``knn_graph``).
@@ -907,39 +910,38 @@ def semantic_dedup(
 
     sig = df.select(
         F.col(id_col),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__n"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    a = sig.select(
-        F.col("bucket"),
-        F.col(id_col).alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
+    pairs = (
+        sig.groupBy("bucket")
+        .agg(F.collect_list(F.struct(id_col, "__v", "__n")).alias("mem"))
+        .select("bucket", F.explode("mem").alias("a"), "mem")
+        .select("bucket", "a", F.explode("mem").alias("b"))
+        # keep a == b: the self-pair is each vector's carrier row
+        .filter(F.col(f"a.{id_col}") <= F.col(f"b.{id_col}"))
     )
-    b = sig.select(
-        F.col("bucket"),
-        F.col(id_col).alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
+    cos = _cosine(
+        F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n")
     )
-    cos = _cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
-    witnesses = (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_b", cos.alias("cosine"), "id_a")
-        .filter(F.col("cosine") >= threshold)
-        .groupBy("id_b")
-        .agg(F.min("id_a").alias("dup_of"))
+    witness = F.when(
+        (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (cos >= threshold),
+        F.col(f"a.{id_col}"),
     )
     return (
-        sig.select(F.col(id_col), F.col("bucket"))
-        .join(witnesses, sig[id_col] == witnesses["id_b"], "left")
-        .select(
-            F.col(id_col),
+        pairs.select(
+            F.col(f"b.{id_col}").alias(id_col),
             F.col("bucket"),
+            witness.alias("__w"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.min("__w").alias("dup_of"))
+        .select(
+            id_col,
+            "bucket",
             F.col("dup_of").isNull().alias("keep"),
-            F.col("dup_of"),
+            "dup_of",
         )
     )
 

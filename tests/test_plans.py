@@ -351,6 +351,14 @@ def test_knn_graph_single_signature_scan(spark, sf_dir):
     assert plan.count("FileScan") == 1
 
 
+def test_semantic_dedup_single_signature_scan(spark, sf_dir):
+    """Same single-scan contract for semantic_dedup: the self-pair
+    carrier row lets the keep/drop verdict come out of the pair
+    aggregate directly — no second scan to re-attach kept vectors."""
+    plan = _plan(spark, sf_dir, "d_semantic_dedup")
+    assert plan.count("FileScan") == 1
+
+
 def test_priority_sample_uses_take_ordered(spark, sf_dir):
     # the global top-(k+1) must be heap-based TakeOrderedAndProject —
     # a full Sort + Exchange would shuffle every loser row at scale
