@@ -468,6 +468,45 @@ def q_ml_risk_scores(spark, sf_dir):
     )
 
 
+@spec(
+    "t_quality_model",
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS acc_ok
+       FROM documents""",
+    ("ext", "text", "mllib"),
+)
+def q_text_quality_model(spark, sf_dir):
+    """Model-based quality filter (CCNet/fastText-style distillation,
+    ml/text_quality.py): train the hashed-TF-IDF + stats logistic
+    classifier on the rule-gate weak labels, score every document, and
+    emit the a11-style band — document count (the oracle counts it in
+    SQL) plus accuracy-vs-weak-labels >= 0.95 as a deterministic
+    boolean (seed-free murmur3 hashing + LBFGS on a fixed frame;
+    measured 0.999-1.0 at every fixture SF)."""
+    from feature_store_spark.ml.text_quality import (
+        quality_training_frame,
+        score_text_quality,
+        text_quality_pipeline,
+    )
+
+    frame = quality_training_frame(
+        _t(spark, sf_dir, "documents")
+    ).cache()
+    model = text_quality_pipeline().fit(frame)
+    scored = score_text_quality(model, frame)
+    j = scored.join(frame.select("doc_id", "label"), "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.avg(
+                (
+                    F.col("quality_flag").cast("double") == F.col("label")
+                ).cast("double")
+            )
+            >= 0.95
+        ).alias("acc_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pretraining-corpus preparation (llm/pretrain.py)
 # ---------------------------------------------------------------------------
