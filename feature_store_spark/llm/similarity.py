@@ -270,14 +270,18 @@ def hyperplane_sign(vec, plane: int):
     return F.when(s >= 0, 1).otherwise(0)
 
 
-def lsh_bucket(vec, planes: int = N_PLANES):
+def lsh_bucket(vec, planes: int = N_PLANES, start: int = 0):
     """``planes``-bit random-hyperplane signature packed into an int
     (8 planes -> 256 buckets). ``planes`` is the bucket-size dial:
     each extra plane halves the expected bucket population, so at
-    corpus scale raise it to keep in-bucket work batch-sized."""
+    corpus scale raise it to keep in-bucket work batch-sized.
+    ``start`` offsets the plane indices — table t of a multi-probe
+    scheme uses planes [t*planes, (t+1)*planes), so every table's
+    hyperplanes are independent md5 draws (start=0 reproduces the
+    single-table bucket exactly)."""
     out = None
     for p in range(planes):
-        term = hyperplane_sign(vec, p) * (2**p)
+        term = hyperplane_sign(vec, start + p) * (2**p)
         out = term if out is None else out + term
     return out
 
@@ -317,12 +321,14 @@ def lsh_ann_topk(
     return _rank_topk(scored, query_id_col, "cosine", id_col, k)
 
 
-def _bucket_sql(vec_expr: str, planes: int = N_PLANES) -> str:
+def _bucket_sql(
+    vec_expr: str, planes: int = N_PLANES, start: int = 0
+) -> str:
     terms = []
     for p in range(planes):
         w = (
             f"list_sum(list_transform(range(1, len({vec_expr}) + 1), "
-            f"i -> CASE WHEN substr(md5('{p}|' || CAST(i - 1 AS VARCHAR)), 1, 1) "
+            f"i -> CASE WHEN substr(md5('{start + p}|' || CAST(i - 1 AS VARCHAR)), 1, 1) "
             f"IN ('0','1','2','3','4','5','6','7') "
             f"THEN {vec_expr}[i] ELSE -{vec_expr}[i] END))"
         )
@@ -518,6 +524,121 @@ def knn_graph_oracle_sql(
                    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
       FROM sig a JOIN sig b
         ON a.bucket = b.bucket AND a.{id_col} <> b.{id_col}
+    )
+    SELECT {id_col}, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY {id_col}
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) t WHERE rank <= {k}
+    """
+
+
+def knn_graph_multiprobe(
+    df: DataFrame,
+    k: int = 5,
+    n_tables: int = 2,
+    planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`knn_graph` with OR-amplified recall: ``n_tables``
+    independent hyperplane tables (table t uses md5 planes
+    [t*planes, (t+1)*planes)), a pair is a candidate if it collides in
+    ANY table — the standard LSH recall amplification (Indyk & Motwani
+    1998; the same OR-construction MLlib's MinHashLSH hash tables
+    use). ``n_tables=1`` is exactly :func:`knn_graph`.
+
+    Plan: ONE signature pass computes all tables' buckets as an array,
+    exploded to (table, bucket) postings — n_tables·n narrow rows, the
+    vectors never duplicated into the postings... except per colliding
+    bucket via the same collect_list pairing as the single-table op.
+    A pair colliding in several tables is scored per collision and
+    deduplicated by a (id, neighbor) max-aggregate BEFORE the top-k
+    window (cosine is deterministic per pair, so max == the value);
+    work stays candidate-proportional — ~n_tables times the
+    single-table candidate count, which is the recall dial's price.
+
+    Scale: same in-bucket-quadratic bound per table; raise ``planes``
+    with corpus size (bucket size), raise ``n_tables`` for recall
+    (candidate multiplicity). Both knobs are independent.
+    """
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
+    sig = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__n"),
+        F.array(
+            *[
+                lsh_bucket(F.col(vec_col), planes, start=t * planes)
+                for t in range(n_tables)
+            ]
+        ).alias("__buckets"),
+    )
+    posted = sig.select(
+        id_col,
+        "__v",
+        "__n",
+        F.posexplode("__buckets").alias("__table", "__bucket"),
+    )
+    pairs = (
+        posted.groupBy("__table", "__bucket")
+        .agg(F.collect_list(F.struct(id_col, "__v", "__n")).alias("mem"))
+        .select(F.explode("mem").alias("a"), "mem")
+        .select("a", F.explode("mem").alias("b"))
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+    )
+    cos = _cosine(
+        F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n")
+    )
+    scored = (
+        pairs.select(
+            F.col(f"a.{id_col}").alias(id_col),
+            F.col(f"b.{id_col}").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .groupBy(id_col, "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    return _rank_topk(scored, id_col, "cosine", "neighbor_id", k).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+def knn_graph_multiprobe_oracle_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_tables: int = 2,
+    planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin: same per-table md5 buckets, candidate = collision
+    in ANY table (UNION of per-table joins deduped per pair), same
+    rounded cosine and round-before-rank top-k."""
+    posting_selects = " UNION ALL ".join(
+        f"SELECT {id_col}, v, nrm, {t} AS tbl, "
+        f"{_bucket_sql('v', planes, start=t * planes)} AS bucket FROM norm"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH norm AS (
+      SELECT {id_col},
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(
+               list_transform({vec_col}, x -> CAST(x AS DOUBLE)),
+               x -> x * x))) AS nrm
+      FROM {table}
+    ),
+    postings AS ({posting_selects}),
+    scored AS (
+      SELECT DISTINCT a.{id_col}, b.{id_col} AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(a.v) + 1),
+                   i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
+      FROM postings a JOIN postings b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket
+       AND a.{id_col} <> b.{id_col}
     )
     SELECT {id_col}, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
     FROM (

@@ -685,6 +685,20 @@ def q_knn_graph(spark, sf_dir):
 
 
 @spec(
+    "sim_knn_graph_multiprobe",
+    S.knn_graph_multiprobe_oracle_sql(k=5, n_tables=2),
+    ("ext", "similarity", "graph", "multiprobe"),
+)
+def q_knn_graph_multiprobe(spark, sf_dir):
+    """OR-amplified kNN graph: 2 independent hyperplane tables, a pair
+    is a candidate on ANY collision (llm/similarity.py) — the recall
+    dial the single-table op's docstring points at, oracle-checked."""
+    return S.knn_graph_multiprobe(
+        _t(spark, sf_dir, "embeddings"), k=5, n_tables=2
+    )
+
+
+@spec(
     "sim_cosine_topk_vectorized",
     S.cosine_topk_oracle_sql(n_queries=N_QUERY_VECS, k=10),
     ("ext", "similarity", "vectorized"),

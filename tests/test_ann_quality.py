@@ -99,6 +99,49 @@ def test_semantic_dedup_matches_brute_force_model(emb):
     assert any(keep for _, keep, _ in got.values())
 
 
+def test_knn_multiprobe_amplifies_recall(spark, emb):
+    """OR-amplification contract: the 2-table CANDIDATE set is a
+    strict superset per vector (the k-truncated edge set need not be —
+    a better new candidate can displace an old edge), so exact-graph
+    recall can only improve; asserted strictly on the fixture. Also:
+    n_tables=1 must degenerate to the single-table op bit-for-bit."""
+    from feature_store_spark.llm.similarity import (
+        knn_graph,
+        knn_graph_multiprobe,
+    )
+
+    single = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in knn_graph(emb, k=5).collect()
+    }
+    multi = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in knn_graph_multiprobe(emb, k=5, n_tables=2).collect()
+    }
+    # exact graph: top-5 over ALL pairs (brute force via cosine_topk
+    # with every vector as a query)
+    allq = emb.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, allq, k=5, kernel="jvm").collect()
+    }
+    recall_single = len(single & exact) / len(exact)
+    recall_multi = len(multi & exact) / len(exact)
+    assert recall_multi > recall_single, (recall_single, recall_multi)
+    # n_tables=1 degenerates to the single-table op exactly
+    one = {
+        (r["vec_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in knn_graph_multiprobe(emb, k=5, n_tables=1).collect()
+    }
+    base = {
+        (r["vec_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in knn_graph(emb, k=5).collect()
+    }
+    assert one == base
+
+
 def test_ivf_recall_and_determinism(spark, emb, queries, exact_topk):
     approx1 = ivf_ann_topk(emb, queries, k=K, n_centroids=8, n_probe=3)
     got1 = {(r["query_id"], r["vec_id"]) for r in approx1.collect()}
