@@ -1,0 +1,123 @@
+"""CDC apply: fold an ordered insert/update/delete change feed into a
+keyed base snapshot — the lakehouse MERGE the reference's upsert path
+(`src/pipelines/feature_updates.py` last-writer-wins refresh) implies
+but never generalizes to deletes. This is the Debezium/Delta-CDF
+compaction shape: a change log with per-key sequence numbers replayed
+into the next table version.
+
+Semantics are per-key last-writer-wins over the change feed:
+
+- the change with the highest ``seq_col`` wins its key;
+- winning op ``'D'`` removes the key from the snapshot (even if it
+  exists in the base);
+- winning op ``'I'``/``'U'`` upserts the change's payload (both carry
+  a full row image — Debezium ``c``/``u``; a ``'U'`` for a key absent
+  from the base inserts it, and an ``'I'``/``'U'`` after a ``'D'``
+  resurrects the key — op codes are advisory, the row image is truth);
+- keys untouched by the feed keep their base row bit-for-bit.
+
+Well-formed feeds have unique (key, seq); if a producer violates that,
+ties break deterministically on ``op_col`` descending ('U' > 'I' >
+'D'), so replays stay idempotent rather than partition-order-lucky.
+
+Scale shape: the change feed — the SMALL side in every real CDC cycle
+— is shuffled once on the key for the latest-wins window; the base is
+touched by ONE left-anti join against the window's (distinct-key)
+output, which AQE broadcasts whenever the batch is broadcastable, and
+which is shuffle-free entirely when the base is bucketed by the key
+(`pipelines/store.py` contract). Cost is O(changes) + one pass over
+the base; the base is never windowed, never sorted.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Return the next snapshot of ``base`` after replaying
+    ``changes``. ``changes`` must carry every ``base`` column plus
+    ``seq_col`` (orders a key's changes; highest wins) and ``op_col``
+    ('I'/'U'/'D'). Output schema == base schema.
+    """
+    key_cols = list(key_cols)
+    payload = [c for c in base.columns if c not in key_cols]
+    missing = [c for c in base.columns if c not in changes.columns]
+    if missing:
+        raise ValueError(
+            f"apply_cdc: changes feed lacks base columns {missing}"
+        )
+    # malformed op codes fail loudly (a silent typo'd op would drop or
+    # keep rows wrong); the check rides inside the __op column every
+    # downstream filter reads, so column pruning cannot elide it
+    op_checked = F.when(
+        F.col(op_col).isin("I", "U", "D"), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("apply_cdc: bad op code "),
+                F.coalesce(F.col(op_col), F.lit("NULL")),
+            )
+        )
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("__seq").desc(), F.col("__op").desc()
+    )
+    latest = (
+        changes.select(
+            *key_cols,
+            *payload,
+            F.col(seq_col).alias("__seq"),
+            op_checked.alias("__op"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    upserts = latest.filter(F.col("__op") != "D").select(
+        *key_cols, *payload
+    )
+    touched = latest.select(*key_cols)
+    kept = base.join(touched, key_cols, "left_anti")
+    return kept.unionByName(upserts)
+
+
+def apply_cdc_oracle_sql(
+    base_sql: str,
+    changes_sql: str,
+    key_cols: Sequence[str],
+    payload_cols: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> str:
+    """DuckDB twin: same latest-wins window, same anti-join + union.
+    ``base_sql`` / ``changes_sql`` are subqueries producing the two
+    inputs; columns follow the same contract as :func:`apply_cdc`."""
+    keys = ", ".join(key_cols)
+    cols = ", ".join(list(key_cols) + list(payload_cols))
+    on = " AND ".join(f"b.{k} = t.{k}" for k in key_cols)
+    return f"""
+    WITH base AS ({base_sql}),
+    changes AS ({changes_sql}),
+    latest AS (
+      SELECT * FROM (
+        SELECT {cols}, {op_col} AS __op,
+               row_number() OVER (
+                 PARTITION BY {keys}
+                 ORDER BY {seq_col} DESC, {op_col} DESC) AS __rn
+        FROM changes
+      ) WHERE __rn = 1
+    )
+    SELECT {cols} FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM latest t WHERE {on})
+    UNION ALL
+    SELECT {cols} FROM latest WHERE __op <> 'D'
+    """

@@ -649,6 +649,97 @@ def q_j10_band(spark, sf_dir):
     )
 
 
+# CDC fixture: a deterministic I/U/D change feed derived from orders
+# itself (both engines synthesize the identical feed), exercising
+# update-wins, delete, delete-then-resurrect, and brand-new-key
+# insert — the four MERGE paths.
+_CDC_BASE_SQL = """SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+  FROM orders"""
+_CDC_CHANGES_SQL = """
+  SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) + 12345 AS total_cents,
+         1 AS seq, 'U' AS op
+    FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(0 AS BIGINT), 2, 'D'
+    FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, 'U3',
+         CAST(round(o_totalprice * 100) AS BIGINT) * 2, 3, 'U'
+    FROM orders WHERE o_orderkey % 25 = 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, 'NW',
+         CAST(777 AS BIGINT), 1, 'I'
+    FROM orders WHERE o_orderkey % 97 = 0"""
+
+
+def _cdc_oracle() -> str:
+    from feature_store_spark.operators.cdc import apply_cdc_oracle_sql
+
+    return apply_cdc_oracle_sql(
+        _CDC_BASE_SQL,
+        _CDC_CHANGES_SQL,
+        key_cols=["o_orderkey"],
+        payload_cols=["o_custkey", "o_orderstatus", "total_cents"],
+    )
+
+
+@spec("s12_cdc_apply", _cdc_oracle(), ("ext", "S6", "cdc", "merge"))
+def q_s12_cdc_apply(spark, sf_dir):
+    """Ordered-change-feed MERGE (`operators/cdc.py::apply_cdc`): the
+    upsert sink (S6) generalized to deletes and per-key sequence
+    ordering — Debezium/Delta-CDF replay semantics. The feed is
+    windowed once on the key; the base pays one anti-join (broadcast
+    when the batch is small, shuffle-free from a bucketed store)."""
+    from feature_store_spark.operators.cdc import apply_cdc
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        cents.alias("total_cents"),
+    )
+    key = F.col("o_orderkey")
+    u1 = orders.filter(key % 5 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U1").alias("o_orderstatus"),
+        (cents + 12345).alias("total_cents"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    d2 = orders.filter(key % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.lit(0).cast("bigint").alias("total_cents"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    u3 = orders.filter(key % 25 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U3").alias("o_orderstatus"),
+        (cents * 2).alias("total_cents"),
+        F.lit(3).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    ins = orders.filter(key % 97 == 0).select(
+        (key + 1000000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("NW").alias("o_orderstatus"),
+        F.lit(777).cast("bigint").alias("total_cents"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    changes = u1.unionByName(d2).unionByName(u3).unionByName(ins)
+    return apply_cdc(base, changes, key_cols=["o_orderkey"])
+
+
 # ---------------------------------------------------------------------------
 # §2.2 Predicates / validation
 # ---------------------------------------------------------------------------

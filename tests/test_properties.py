@@ -882,3 +882,69 @@ def test_prune_months_cut_never_excludes_window_rows():
         assert d.strftime("%Y-%m") >= cut
 
     check()
+
+
+@given(
+    base=st.lists(
+        st.tuples(keys, st.integers(0, 99)), min_size=0, max_size=12,
+        unique_by=lambda r: r[0],
+    ),
+    changes=st.lists(
+        st.tuples(
+            keys,
+            st.integers(0, 99),
+            st.integers(0, 5),
+            st.sampled_from(["I", "U", "D"]),
+        ),
+        min_size=0,
+        max_size=20,
+        unique_by=lambda r: (r[0], r[2]),  # well-formed: unique (key, seq)
+    ),
+)
+@_settings
+def test_apply_cdc_matches_replay_model(spark_prop, base, changes):
+    """apply_cdc == a Python replay model: sort a key's changes by
+    seq, the last one wins; D removes, I/U upsert, untouched base
+    keys pass through. Also exercises delete-then-resurrect and
+    U-for-absent-key (both legal: the row image is truth)."""
+    from feature_store_spark.operators.cdc import apply_cdc
+
+    bdf = spark_prop.createDataFrame(
+        base, "k int, payload int"
+    ) if base else spark_prop.createDataFrame([], "k int, payload int")
+    cdf = spark_prop.createDataFrame(
+        changes, "k int, payload int, seq int, op string"
+    ) if changes else spark_prop.createDataFrame(
+        [], "k int, payload int, seq int, op string"
+    )
+    got = {
+        (r["k"], r["payload"])
+        for r in apply_cdc(bdf, cdf, ["k"]).collect()
+    }
+    model = {k: p for k, p in base}
+    latest: dict[int, tuple[int, int, str]] = {}
+    for k, p, s, op in changes:
+        if k not in latest or s > latest[k][0]:
+            latest[k] = (s, p, op)
+    for k, (_, p, op) in latest.items():
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = p
+    assert got == set(model.items()), (base, changes, got, model)
+
+
+def test_apply_cdc_rejects_bad_op_and_missing_cols(spark_prop):
+    from feature_store_spark.operators.cdc import apply_cdc
+
+    base = spark_prop.createDataFrame([(1, 10)], "k int, payload int")
+    bad = spark_prop.createDataFrame(
+        [(1, 11, 1, "X")], "k int, payload int, seq int, op string"
+    )
+    with pytest.raises(Exception, match="bad op code"):
+        apply_cdc(base, bad, ["k"]).collect()
+    lacking = spark_prop.createDataFrame(
+        [(1, 1, "U")], "k int, seq int, op string"
+    )
+    with pytest.raises(ValueError, match="lacks base columns"):
+        apply_cdc(base, lacking, ["k"])
