@@ -436,3 +436,69 @@ def normalize_features_oracle_sql(
     SELECT {", ".join(proj)}
     FROM {table}, stats
     """
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance of algebraic partials (IVM)
+# ---------------------------------------------------------------------------
+
+_MERGE_KINDS = {"sum", "min", "max"}
+
+
+def merge_algebraic_partials(
+    parts: DataFrame,
+    key_cols: Sequence[str],
+    agg_spec: dict[str, str],
+) -> DataFrame:
+    """Re-aggregate a frame of algebraic partials (counts merge as
+    sums of counts; ``agg_spec`` maps each partial column to its merge
+    function 'sum'|'min'|'max'). One map-side-combined shuffle on the
+    key; lossless for algebraic aggregates by definition."""
+    bad = {k for k in agg_spec.values()} - _MERGE_KINDS
+    if bad:
+        raise ValueError(f"merge_algebraic_partials: bad kinds {sorted(bad)}")
+    missing = [c for c in agg_spec if c not in parts.columns]
+    if missing:
+        raise ValueError(
+            f"merge_algebraic_partials: partials lack columns {missing}"
+        )
+    aggs = [
+        getattr(F, kind)(c).cast(dict(parts.dtypes)[c]).alias(c)
+        for c, kind in agg_spec.items()
+    ]
+    return parts.groupBy(*key_cols).agg(*aggs)
+
+
+def update_algebraic_partials(
+    existing: DataFrame,
+    batch_partials: DataFrame,
+    key_cols: Sequence[str],
+    agg_spec: dict[str, str],
+    touched_only: bool = False,
+) -> DataFrame:
+    """Incremental-view-maintenance step for a stored algebraic-
+    partial table (the a18 pattern made continuous): fold a new
+    batch's partials into the existing store WITHOUT rescanning raw
+    history — the merge reads partial rows only, so maintaining a
+    100 TB rollup costs O(|batch| + |touched partials|), not O(raw).
+
+    ``touched_only=True`` returns ONLY the keys the batch touches —
+    exactly the rows a dynamic-partition-overwrite sink
+    (`pipelines/sinks.py::upsert_parquet_partitioned`) must rewrite;
+    the semi-join probe side is the batch's distinct keys, which AQE
+    broadcasts in every realistic cycle (a day's batch touches a few
+    partitions of a years-deep store). With ``touched_only=False``
+    the full next-version partial table comes back (union + one
+    keyed merge).
+    """
+    key_cols = list(key_cols)
+    if set(existing.columns) != set(batch_partials.columns):
+        raise ValueError(
+            "update_algebraic_partials: schema mismatch "
+            f"{sorted(existing.columns)} vs {sorted(batch_partials.columns)}"
+        )
+    if touched_only:
+        touched = batch_partials.select(*key_cols).distinct()
+        existing = existing.join(touched, key_cols, "left_semi")
+    merged = existing.unionByName(batch_partials)
+    return merge_algebraic_partials(merged, key_cols, agg_spec)

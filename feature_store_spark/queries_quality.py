@@ -1024,6 +1024,87 @@ def q_a18_algebraic_rollup(spark, sf_dir):
     )
 
 
+_A23_CUTOFF = "2024-01-25"
+
+
+@spec(
+    "a23_incremental_rollup",
+    # the oracle recomputes the weekly rollup FROM SCRATCH over all
+    # raw events (a18's SQL) — hash equality therefore proves the
+    # incremental-maintenance path (stored partials + late-data batch
+    # merge, never rescanning history) is lossless, the strongest
+    # check an IVM step can get
+    """SELECT date_trunc('week', CAST(ts AS DATE)) AS week,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(COALESCE(sum(CAST(round(value * 100) AS BIGINT))
+                   FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT)
+                AS spend_cents,
+              date_trunc('second', min(ts)) AS first_ts,
+              date_trunc('second', max(ts)) AS last_ts
+       FROM events
+       GROUP BY 1""",
+    ("A18", "A23", "ext", "ivm"),
+)
+def q_a23_incremental_rollup(spark, sf_dir):
+    """Incremental rollup maintenance (IVM — the a18 partial store
+    made continuous): history's per-day partials are UPDATED with a
+    new batch that contains both new days and LATE rows for already-
+    stored days (`operators/aggregates.py::update_algebraic_partials`,
+    touched_only semi-join → only batch-touched days re-merge, the
+    dynamic-partition-overwrite footprint), then untouched ∪ updated
+    partials roll up to weeks. The oracle aggregates all raw events
+    from scratch — equality proves maintenance is lossless. At 100 TB
+    the batch merge reads O(|batch| + touched partial rows), never
+    raw history."""
+    from feature_store_spark.operators.aggregates import (
+        update_algebraic_partials,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_date("ts").alias("day"),
+        F.date_trunc("second", F.col("ts")).alias("ts_s"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("bigint"),
+        ).alias("cents"),
+    )
+    # late rows (event_id % 50 == 0) arrive with the new batch even
+    # though their event day is already in the partial store
+    late = F.col("event_id") % 50 == 0
+    recent = F.col("day") >= F.lit(_A23_CUTOFF)
+    batch_rows = ev.filter(late | recent)
+    hist_rows = ev.filter(~late & ~recent)
+
+    def daily(rows):
+        return rows.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("bigint")
+            .alias("cents"),
+            F.min("ts_s").alias("min_ts"),
+            F.max("ts_s").alias("max_ts"),
+        )
+
+    spec_map = {"n": "sum", "cents": "sum", "min_ts": "min", "max_ts": "max"}
+    stored = daily(hist_rows)
+    updated = update_algebraic_partials(
+        stored, daily(batch_rows), ["day"], spec_map, touched_only=True
+    )
+    untouched = stored.join(
+        batch_rows.select("day").distinct(), ["day"], "left_anti"
+    )
+    parts = untouched.unionByName(updated)
+    return parts.groupBy(
+        F.to_date(F.date_trunc("week", F.col("day"))).alias("week")
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("spend_cents"),
+        F.min("min_ts").alias("first_ts"),
+        F.max("max_ts").alias("last_ts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A19 — mergeable histogram-sketch percentile rollup (beyond reference)
 # ---------------------------------------------------------------------------

@@ -948,3 +948,33 @@ def test_apply_cdc_rejects_bad_op_and_missing_cols(spark_prop):
     )
     with pytest.raises(ValueError, match="lacks base columns"):
         apply_cdc(base, lacking, ["k"])
+
+
+def test_update_algebraic_partials_touched_equals_full(spark_prop):
+    """touched_only ∪ untouched == the full merged next version, and
+    schema/kind misuse raises."""
+    from feature_store_spark.operators.aggregates import (
+        merge_algebraic_partials,
+        update_algebraic_partials,
+    )
+
+    old = spark_prop.createDataFrame(
+        [(1, 2, 10), (2, 1, 5), (3, 4, 40)], "k int, n bigint, mx int"
+    )
+    batch = spark_prop.createDataFrame(
+        [(2, 3, 9), (4, 1, 1)], "k int, n bigint, mx int"
+    )
+    spec_map = {"n": "sum", "mx": "max"}
+    full = update_algebraic_partials(old, batch, ["k"], spec_map)
+    touched = update_algebraic_partials(
+        old, batch, ["k"], spec_map, touched_only=True
+    )
+    untouched = old.join(batch.select("k"), ["k"], "left_anti")
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, touched.unionByName(untouched).collect())
+    )
+    assert {tuple(r) for r in touched.collect()} == {(2, 4, 9), (4, 1, 1)}
+    with pytest.raises(ValueError, match="bad kinds"):
+        merge_algebraic_partials(old, ["k"], {"n": "avg"})
+    with pytest.raises(ValueError, match="schema mismatch"):
+        update_algebraic_partials(old.drop("mx"), batch, ["k"], spec_map)
