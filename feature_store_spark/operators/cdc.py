@@ -37,6 +37,48 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def latest_changes(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Per-key winning change: highest ``seq_col``, op-desc tiebreak.
+    Output = the non-key/meta columns plus ``__seq``/``__op``.
+    Malformed op codes fail loudly (a silent typo'd op would drop or
+    keep rows wrong); the check rides inside the ``__op`` column every
+    downstream filter reads, so column pruning cannot elide it."""
+    key_cols = list(key_cols)
+    payload = [
+        c for c in changes.columns
+        if c not in key_cols and c not in (seq_col, op_col)
+    ]
+    op_checked = F.when(
+        F.col(op_col).isin("I", "U", "D"), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("cdc: bad op code "),
+                F.coalesce(F.col(op_col), F.lit("NULL")),
+            )
+        )
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("__seq").desc(), F.col("__op").desc()
+    )
+    return (
+        changes.select(
+            *key_cols,
+            *payload,
+            F.col(seq_col).alias("__seq"),
+            op_checked.alias("__op"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def apply_cdc(
     base: DataFrame,
     changes: DataFrame,
@@ -56,31 +98,11 @@ def apply_cdc(
         raise ValueError(
             f"apply_cdc: changes feed lacks base columns {missing}"
         )
-    # malformed op codes fail loudly (a silent typo'd op would drop or
-    # keep rows wrong); the check rides inside the __op column every
-    # downstream filter reads, so column pruning cannot elide it
-    op_checked = F.when(
-        F.col(op_col).isin("I", "U", "D"), F.col(op_col)
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("apply_cdc: bad op code "),
-                F.coalesce(F.col(op_col), F.lit("NULL")),
-            )
-        )
-    )
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.col("__seq").desc(), F.col("__op").desc()
-    )
-    latest = (
-        changes.select(
-            *key_cols,
-            *payload,
-            F.col(seq_col).alias("__seq"),
-            op_checked.alias("__op"),
-        )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+    latest = latest_changes(
+        changes.select(*key_cols, *payload, seq_col, op_col),
+        key_cols,
+        seq_col,
+        op_col,
     )
     upserts = latest.filter(F.col("__op") != "D").select(
         *key_cols, *payload

@@ -561,3 +561,87 @@ def run_drift_monitor(
         "batches": int(report.count()),
         "drifted_batches": int(report.filter(F.col("drifted")).count()),
     }
+
+
+def run_streaming_cdc(
+    spark: SparkSession,
+    changes_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    schema,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    max_files_per_trigger: int | None = None,
+) -> dict[str, int]:
+    """ST11: continuous CDC apply — a parquet change-log stream
+    (Debezium-shaped rows: payload + ``seq`` + ``op`` in I/U/D) folded
+    into a keyed snapshot store, drained with ``availableNow``.
+
+    The state table keeps DELETE TOMBSTONES (``__deleted`` rows with
+    their winning ``__seq``) rather than physically dropping keys:
+    cross-micro-batch ordering then comes from the seq-based
+    ``upsert_parquet`` merge, NOT from arrival order — a late update
+    (seq 3) arriving a batch after its key's delete (seq 5) correctly
+    loses to the tombstone, the case every last-batch-wins sink gets
+    wrong. Batch-internal ordering is the same latest-wins window the
+    batch operator uses (`operators/cdc.py::latest_changes`), so
+    stream output == one-shot ``apply_cdc`` over the full feed no
+    matter how the files split into micro-batches. Replay-idempotent:
+    a checkpoint-retried batch re-merges identical (key, seq) rows —
+    the upsert's update-wins tie-break rewrites the same values.
+
+    Serve the snapshot through :func:`read_cdc_snapshot` (filters
+    tombstones, drops meta). Compact tombstones out once every
+    downstream consumer has passed their seq — a retention policy,
+    not this function's job.
+
+    Returns {batches, live_keys, tombstones}, counted from the
+    materialized store (never from in-memory increments — the
+    at-least-once rule).
+    """
+    from feature_store_spark.operators.cdc import latest_changes
+    from feature_store_spark.pipelines.sinks import (
+        _read_store,
+        upsert_parquet,
+    )
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = latest_changes(batch_df, key_cols, seq_col, op_col)
+        rows = latest.select(
+            *[c for c in latest.columns if c != "__op"],
+            (F.col("__op") == "D").alias("__deleted"),
+        )
+        upsert_parquet(rows, state_dir, key_cols, "__seq")
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(changes_dir)
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    store = _read_store(spark, state_dir)
+    if store is None:
+        return {"batches": len(q.recentProgress), "live_keys": 0,
+                "tombstones": 0}
+    return {
+        "batches": len(q.recentProgress),
+        "live_keys": int(store.filter(~F.col("__deleted")).count()),
+        "tombstones": int(store.filter(F.col("__deleted")).count()),
+    }
+
+
+def read_cdc_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The live snapshot a CDC state store serves: tombstones filtered,
+    merge metadata dropped."""
+    from feature_store_spark.pipelines.sinks import _read_store
+
+    store = _read_store(spark, state_dir)
+    if store is None:
+        raise FileNotFoundError(f"no CDC state at {state_dir}")
+    return store.filter(~F.col("__deleted")).drop("__seq", "__deleted")

@@ -372,3 +372,61 @@ def test_drift_monitor_empty_source_returns_zero_counters(spark, sf_dir, tmp_pat
         str(tmp_path / "ckpt"),
     )
     assert c == {"batches": 0, "drifted_batches": 0}
+
+
+def test_streaming_cdc_tombstone_beats_late_update(spark, tmp_path):
+    """ST11 run_streaming_cdc: (a) stream over 2 forced micro-batches
+    == one-shot apply_cdc over the full feed (seq order wins across
+    batches — the delete at seq 5 survives a LATER-ARRIVING update at
+    seq 3, which any last-batch-wins sink gets wrong); (b) a replay
+    with a fresh checkpoint over the same files is a no-op."""
+    import os
+    import time
+
+    from feature_store_spark.operators.cdc import apply_cdc
+    from feature_store_spark.streaming.pipeline import (
+        read_cdc_snapshot,
+        run_streaming_cdc,
+    )
+
+    schema = "k bigint, v bigint, seq bigint, op string"
+    batch_a = [(1, 10, 1, "I"), (2, 20, 1, "I"), (3, 0, 5, "D"),
+               (1, 11, 2, "U")]
+    batch_b = [(3, 30, 3, "U"), (2, 21, 4, "U"), (4, 40, 1, "I")]
+    changes_dir = tmp_path / "changes"
+    changes_dir.mkdir()
+    fa, fb = str(changes_dir / "a"), str(changes_dir / "b")
+    spark.createDataFrame(batch_a, schema).coalesce(1).write.parquet(fa)
+    spark.createDataFrame(batch_b, schema).coalesce(1).write.parquet(fb)
+    # FileStreamSource orders a backlog by modification time — pin it
+    now = time.time()
+    for d, mt in [(fa, now - 60), (fb, now)]:
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (mt, mt))
+
+    state = str(tmp_path / "state")
+    counters = run_streaming_cdc(
+        spark, str(changes_dir) + "/*", state, str(tmp_path / "ckpt"),
+        ["k"], schema, max_files_per_trigger=1,
+    )
+    assert counters["batches"] >= 2
+    assert counters["tombstones"] == 1
+    got = {(r["k"], r["v"]) for r in read_cdc_snapshot(spark, state).collect()}
+    empty_base = spark.createDataFrame([], "k bigint, v bigint")
+    all_changes = spark.createDataFrame(batch_a + batch_b, schema)
+    want = {
+        (r["k"], r["v"])
+        for r in apply_cdc(empty_base, all_changes, ["k"]).collect()
+    }
+    assert got == want == {(1, 11), (2, 21), (4, 40)}
+    assert counters["live_keys"] == 3
+
+    # replay with a fresh checkpoint: merge is seq-idempotent
+    counters2 = run_streaming_cdc(
+        spark, str(changes_dir) + "/*", state, str(tmp_path / "ckpt2"),
+        ["k"], schema, max_files_per_trigger=1,
+    )
+    got2 = {(r["k"], r["v"]) for r in read_cdc_snapshot(spark, state).collect()}
+    assert got2 == want
+    assert counters2["tombstones"] == 1
