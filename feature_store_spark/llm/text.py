@@ -14,6 +14,8 @@ DuckDB), ratios are rounded by the oracle harness.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -699,4 +701,160 @@ def ngram_lm_score_oracle_sql(
            round(CAST(sum_lp AS DOUBLE) / n_bigrams, 6) AS avg_logprob
     FROM (SELECT {id_col} FROM {table}) s
     LEFT JOIN per_doc USING ({id_col})
+    """
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: Sequence[tuple[str, Sequence[str]]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-``k`` documents per query (Robertson & Walker
+    1994 — the lexical-retrieval baseline every RAG/eval pipeline
+    needs next to the ANN ops). ``queries`` is a literal list of
+    (query_id, [terms]); scores use the standard k1/b formulation with
+    idf = ln(1 + (N - df + .5)/(df + .5)).
+
+    Plan: ONE tokenize pass feeds both the (doc, term) tf counts and —
+    re-aggregated from those counts, never a second scan — the doc
+    lengths, document frequencies, and the (N, avgdl) 1-row stats
+    frame (broadcast). The query-term table is a broadcast literal, so
+    only postings for query terms survive the semi-ish join: scoring
+    cost is candidate-proportional (docs sharing ≥1 term), the
+    inverted-index shape, never corpus × queries.
+
+    Float parity: each per-term score is quantized to integer micros
+    and per-(query, doc) totals are BIGINT sums — grouping-order-free
+    (the a19/a21/ngram-LM recipe); the final score divides back and
+    rounds to 6 before the rank cut (doc-id-ascending tie-break).
+    """
+    terms = [
+        (qid, t) for qid, ts in queries for t in dict.fromkeys(ts)
+    ]
+    if not terms:
+        raise ValueError("bm25_topk: queries must carry >= 1 term")
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(terms, "query_id string, tok string")
+
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dlen = tf.groupBy(id_col).agg(F.sum("tf").alias("__dl"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    stats = dlen.agg(
+        (F.sum("__dl") / F.count(F.lit(1))).alias("__avgdl")
+    ).crossJoin(F.broadcast(n_docs))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    norm = F.lit(BM25_K1) * (
+        F.lit(1 - BM25_B)
+        + F.lit(BM25_B) * F.col("__dl") / F.col("__avgdl")
+    )
+    term_score = idf * (F.col("tf") * (BM25_K1 + 1)) / (F.col("tf") + norm)
+    scored = (
+        tf.join(F.broadcast(qdf), "tok")
+        .join(dfreq, "tok")
+        .join(dlen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(term_score * 1_000_000)
+            .cast("bigint")
+            .alias("__micros"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("__micros").alias("__total"),
+        )
+        .select(
+            "query_id",
+            id_col,
+            "n_terms",
+            F.round(F.col("__total") / 1_000_000, 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "n_terms", "score", "rank")
+    )
+
+
+def bm25_topk_oracle_sql(
+    queries: Sequence[tuple[str, Sequence[str]]],
+    table: str = "documents",
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin: same literal query terms, same micro-quantized
+    per-term scores summed as BIGINT, same round-before-rank cut."""
+    terms = [
+        (qid, t) for qid, ts in queries for t in dict.fromkeys(ts)
+    ]
+    values = ", ".join(f"('{q}', '{t}')" for q, t in terms)
+    return f"""
+    WITH qterms(query_id, tok) AS (VALUES {values}),
+    tok AS (
+      SELECT {id_col}, unnest(regexp_extract_all(lower({text_col}),
+             '{TOKEN_RE}')) AS tok
+      FROM {table}
+    ),
+    tf AS (
+      SELECT {id_col}, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    dlen AS (SELECT {id_col}, sum(tf) AS dl FROM tf GROUP BY 1),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    stats AS (
+      SELECT (SELECT sum(dl) / count(*) FROM dlen) AS avgdl,
+             (SELECT CAST(count(*) AS DOUBLE) FROM {table}) AS n
+    ),
+    scored AS (
+      SELECT q.query_id, tf.{id_col},
+             CAST(round(1000000 *
+               ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1))
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                  + {BM25_B} * dlen.dl / s.avgdl))
+             ) AS BIGINT) AS micros
+      FROM tf
+      JOIN qterms q USING (tok)
+      JOIN dfreq USING (tok)
+      JOIN dlen USING ({id_col})
+      CROSS JOIN stats s
+    ),
+    totals AS (
+      SELECT query_id, {id_col},
+             CAST(count(*) AS BIGINT) AS n_terms,
+             round(sum(micros) / 1000000.0, 6) AS score
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT query_id, {id_col}, n_terms, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, {id_col} ASC) AS rank
+      FROM totals
+    ) WHERE rank <= {k}
     """

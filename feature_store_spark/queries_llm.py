@@ -71,6 +71,29 @@ def q_tfidf_topk(spark, sf_dir):
     return T.tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
 
 
+# literal retrieval queries over the synthetic corpus vocabulary —
+# the SAME list feeds both engines (bm25_topk builds the broadcast
+# term table; the oracle inlines a VALUES list)
+BM25_QUERIES = [
+    ("q_scan", ["table", "scan"]),
+    ("q_shuffle", ["hash", "merge", "batch"]),
+    ("q_sort", ["window", "sort", "slow"]),
+]
+
+
+@spec(
+    "t_bm25_topk",
+    T.bm25_topk_oracle_sql(BM25_QUERIES, k=10),
+    ("ext", "text", "retrieval"),
+)
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 lexical retrieval (`llm/text.py::bm25_topk`): the
+    keyword-search baseline next to the ANN family — inverted-index
+    join on broadcast query terms, candidate-proportional scoring,
+    micro-quantized BIGINT-summed scores (float-parity rule)."""
+    return T.bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERIES, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------

@@ -978,3 +978,60 @@ def test_update_algebraic_partials_touched_equals_full(spark_prop):
         merge_algebraic_partials(old, ["k"], {"n": "avg"})
     with pytest.raises(ValueError, match="schema mismatch"):
         update_algebraic_partials(old.drop("mx"), batch, ["k"], spec_map)
+
+
+def test_bm25_matches_python_model(spark_prop):
+    """bm25_topk == a direct Python BM25 with the same micro-quantized
+    summation, on a controlled corpus (multi-term beats single-term,
+    rarer term outscores common one, length normalization applied)."""
+    import math
+
+    from feature_store_spark.llm.text import BM25_B, BM25_K1, bm25_topk
+
+    corpus = [
+        (1, "spark shuffle join"),
+        (2, "spark spark spark table table scan scan scan scan"),
+        (3, "shuffle join shuffle join shuffle"),
+        (4, "table scan"),
+        (5, "unrelated words only here"),
+    ]
+    df = spark_prop.createDataFrame(corpus, "doc_id bigint, text string")
+    queries = [("qa", ["shuffle", "join"]), ("qb", ["table", "scan"])]
+    got = {
+        (r["query_id"], r["doc_id"]): (r["n_terms"], r["score"], r["rank"])
+        for r in bm25_topk(df, queries, k=3).collect()
+    }
+
+    toks = {d: t.split() for d, t in corpus}
+    N = len(corpus)
+    dfreq = {}
+    for t in {w for ws in toks.values() for w in ws}:
+        dfreq[t] = sum(1 for ws in toks.values() if t in ws)
+    avgdl = sum(len(ws) for ws in toks.values()) / N
+    want = {}
+    for qid, terms in queries:
+        scores = {}
+        for d, ws in toks.items():
+            micros = 0
+            n_terms = 0
+            for t in dict.fromkeys(terms):
+                tf = ws.count(t)
+                if tf == 0:
+                    continue
+                n_terms += 1
+                idf = math.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                s = idf * tf * (BM25_K1 + 1) / (
+                    tf + BM25_K1 * (1 - BM25_B + BM25_B * len(ws) / avgdl)
+                )
+                # Python banker's rounding != Spark HALF_UP; mirror
+                # Spark's round() exactly
+                micros += math.floor(s * 1_000_000 + 0.5)
+            if n_terms:
+                scores[d] = (n_terms, round(micros / 1_000_000, 6))
+        ranked = sorted(scores, key=lambda d: (-scores[d][1], d))[:3]
+        for i, d in enumerate(ranked, 1):
+            want[(qid, d)] = (*scores[d], i)
+    assert got == want
+    # semantic spot checks
+    assert got[("qa", 3)][2] == 1  # heavy shuffle/join doc wins qa
+    assert ("qa", 5) not in got  # no shared term -> never scored
