@@ -15,7 +15,7 @@ oracle query.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -50,3 +50,74 @@ def salted_join(
         salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return lefts.join(rights, [*on, salt_col], how).drop(salt_col)
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Join-key skew profile: the top-``top_n`` heaviest key values
+    with their row share and multiple-of-average — the diagnostic
+    that decides WHICH mitigation a 100 TB join needs (broadcast the
+    dim / AQE skew split / :func:`salted_join` / isolate the hot key).
+    A shuffle on ``key_cols`` is about to hash each of these keys to
+    ONE reducer; ``x_avg`` is how many average-keys'-worth of rows
+    that reducer eats.
+
+    Plan: one map-side-combined count per key (the only shuffle that
+    touches data rows), then the totals ride in as a broadcast 1-row
+    aggregate OF THE COUNTS frame (key-cardinality-sized, never a
+    second data scan) and the top-N is a single row_number window over
+    the counts. Output is deterministic: count-desc with key-asc
+    tie-break, doubles rounded before the cut.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").cast("double").alias("__total"),
+        F.count(F.lit(1)).cast("double").alias("__nkeys"),
+    )
+    w = Window.orderBy(
+        F.col("n_rows").desc(), *[F.col(c).asc() for c in key_cols]
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") * F.col("__nkeys") / F.col("__total"), 2
+            ).alias("x_avg"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
+def skew_report_oracle_sql(
+    table: str,
+    key_cols: list[str],
+    top_n: int = 10,
+) -> str:
+    """DuckDB twin of :func:`skew_report`."""
+    keys = ", ".join(key_cols)
+    order_keys = ", ".join(f"{c} ASC" for c in key_cols)
+    return f"""
+    WITH counts AS (
+      SELECT {keys}, count(*) AS n_rows FROM {table} GROUP BY {keys}
+    ),
+    totals AS (
+      SELECT CAST(sum(n_rows) AS DOUBLE) AS total,
+             CAST(count(*) AS DOUBLE) AS nkeys
+      FROM counts
+    )
+    SELECT {keys}, n_rows, share, x_avg, rank FROM (
+      SELECT {keys}, n_rows,
+             round(n_rows / t.total, 6) AS share,
+             round(n_rows * t.nkeys / t.total, 2) AS x_avg,
+             row_number() OVER (
+               ORDER BY n_rows DESC, {order_keys}) AS rank
+      FROM counts CROSS JOIN totals t
+    ) WHERE rank <= {top_n}
+    """

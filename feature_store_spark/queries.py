@@ -740,6 +740,26 @@ def q_s12_cdc_apply(spark, sf_dir):
     return apply_cdc(base, changes, key_cols=["o_orderkey"])
 
 
+from feature_store_spark.operators.skew import skew_report_oracle_sql
+
+
+@spec(
+    "a24_skew_report",
+    skew_report_oracle_sql("orders", ["o_custkey"], top_n=10),
+    ("ext", "A7", "skew", "diagnostics"),
+)
+def q_a24_skew_report(spark, sf_dir):
+    """Join-key skew profile (`operators/skew.py::skew_report`): the
+    top-10 heaviest o_custkey values with row share and
+    multiple-of-average — the measurement that picks a mitigation
+    (broadcast / AQE split / salted_join) BEFORE a 100 TB shuffle
+    hashes a hot key onto one reducer. One map-side-combined count
+    shuffle; totals broadcast from the counts frame, never a rescan."""
+    from feature_store_spark.operators.skew import skew_report
+
+    return skew_report(_t(spark, sf_dir, "orders"), ["o_custkey"], top_n=10)
+
+
 # ---------------------------------------------------------------------------
 # §2.2 Predicates / validation
 # ---------------------------------------------------------------------------

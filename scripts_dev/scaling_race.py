@@ -35,10 +35,22 @@ spark = get_spark(
 )
 spark.range(1000).selectExpr("sum(id)").collect()
 
+# RACE_ONLY=sf0.1|sf1.0 runs a single scale and RACE_QUERIES=a,b,c a
+# headline subset (the DuckDB side of the dedup family runs minutes
+# at sf~1 — chunked invocations keep each run inside a driver
+# timeout; totals are summed across chunks by the caller)
+_only = os.environ.get("RACE_ONLY")
+_subset = [
+    q for q in os.environ.get("RACE_QUERIES", "").split(",") if q
+] or None
+if _subset:
+    HEADLINE = [q for q in HEADLINE if q in _subset]
 for sf_dir, label, toy in (
     ("/root/testdata/sf0.1", "sf0.1", True),
     ("/tmp/sfbig", "sf1.0", False),
 ):
+    if _only and label != _only:
+        continue
     light = 2 if toy else CPUS
     heavy = min(16, CPUS) if toy else CPUS
     con = duckdb_connection(sf_dir)

@@ -1035,3 +1035,20 @@ def test_bm25_matches_python_model(spark_prop):
     # semantic spot checks
     assert got[("qa", 3)][2] == 1  # heavy shuffle/join doc wins qa
     assert ("qa", 5) not in got  # no shared term -> never scored
+
+
+def test_skew_report_flags_planted_hot_key(spark_prop):
+    """A planted 90%-hot key ranks #1 with the right share and x_avg;
+    ties at the cut break key-ascending (deterministic top-N)."""
+    from feature_store_spark.operators.skew import skew_report
+
+    rows = [(77, i) for i in range(90)] + [(k, 0) for k in range(10)]
+    df = spark_prop.createDataFrame(rows, "k int, payload int")
+    got = skew_report(df, ["k"], top_n=3).collect()
+    assert [r["k"] for r in got] == [77, 0, 1]
+    top = got[0]
+    assert top["n_rows"] == 90
+    assert top["share"] == 0.9
+    # 11 keys, 100 rows -> avg 100/11; 90 rows = 9.9x avg
+    assert top["x_avg"] == 9.9
+    assert got[1]["n_rows"] == 1 and got[1]["rank"] == 2
