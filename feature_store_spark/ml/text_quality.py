@@ -101,6 +101,28 @@ def text_quality_pipeline(num_features: int = 1 << 12) -> Pipeline:
     return Pipeline(stages=[tok, tf, idf, asm, lr])
 
 
+def _strip_training_summary(model: PipelineModel) -> None:
+    """Drop the fitted LR stage's trainingSummary before transform:
+    the summary pins the TRAINING DataFrame and therefore the
+    SparkSession, and Spark 4.1's ``observationManager`` is not
+    serializable once any ``Observation`` has run on the session
+    (`pipelines/sinks.py` uses one per upsert/export) — so an unstripped
+    ``model.transform`` closure dies with Task-not-serializable in any
+    process that mixed sinks and scoring. Same trap `ml/pipeline.py`
+    documents; there the model is folded into the plan as literals,
+    here the 4096-dim hashed-TF stage makes the summary strip the
+    practical form. A save/load roundtrip would also shed the summary
+    at the cost of a tmp dir."""
+    lr = model.stages[-1]
+    try:
+        lr._call_java("setSummary", None)
+    except Exception:
+        # private API moved — scoring still works in sessions that
+        # never ran an Observation; the plan-literal path (see
+        # ml/pipeline.py) is the fallback shape if this ever breaks
+        pass
+
+
 def score_text_quality(
     model: PipelineModel, frame: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -109,6 +131,8 @@ def score_text_quality(
     ``quality_prob`` is P(label=1) rounded to 6 digits; the flag is
     the 0.5-threshold decision."""
     from pyspark.ml.functions import vector_to_array
+
+    _strip_training_summary(model)
 
     p1 = F.element_at(vector_to_array(F.col("probability")), 2).cast(
         "double"
