@@ -254,3 +254,131 @@ def dataset_split_oracle_sql(
       FROM {table}
     ) t
     """
+
+
+def _hash60_expr(key_sql: str) -> str:
+    """Pre-modulo 60-bit md5 prefix (Spark SQL form) — the same
+    primitive as ``_hash_expr`` with the range reduction left to the
+    caller (negative sampling reduces mod the CATALOG size, a runtime
+    column, not the fixed ``HASH_SCALE``)."""
+    return (
+        f"cast(conv(substring(md5({key_sql}), 1, 15), 16, 10) as bigint)"
+    )
+
+
+def negative_samples(
+    users: DataFrame,
+    items: DataFrame,
+    k: int,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    positives: DataFrame | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive / two-tower
+    training: ``k`` pseudo-random catalog items per user — slot ``s``
+    of user ``u`` draws item index md5(u|s|seed) mod |catalog|, so the
+    sample is reproducible on any engine/partitioning and stable
+    under re-runs (the md5-uniform rule every sampler here follows).
+    Draws are with replacement across slots; rows colliding with
+    ``positives`` (user, item) pairs are dropped, so callers needing
+    exactly-k oversample slots and re-cut.
+
+    Scale shape: the catalog gets a dense index from ONE global
+    row_number window — a dimension-sided sort (items are the small
+    side of every real two-tower setup; the user side never sorts).
+    Slots explode users ×k (narrow rows), join the indexed catalog on
+    the computed index (broadcastable dim), and the positives check is
+    a left-anti join on (user, item) — the only fact-sized shuffle,
+    and skippable when ``positives`` is None.
+    """
+    if k < 1:
+        raise ValueError("negative_samples: k must be >= 1")
+    idx = F.row_number().over(Window.orderBy(item_col)) - 1
+    items_idx = items.select(
+        F.col(item_col), idx.alias("__idx").cast("bigint")
+    )
+    n_items = items_idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    key_sql = (
+        f"concat(cast({user_col} as string), '|', "
+        f"cast(__slot as string), '|', '{seed}')"
+    )
+    slots = (
+        users.select(user_col)
+        .distinct()
+        .select(
+            user_col,
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__slot"),
+        )
+        .crossJoin(F.broadcast(n_items))
+        .select(
+            user_col,
+            F.col("__slot").alias("slot"),
+            F.expr(f"pmod({_hash60_expr(key_sql)}, __n)").alias("__idx"),
+        )
+    )
+    out = slots.join(F.broadcast(items_idx), "__idx").select(
+        user_col, "slot", item_col
+    )
+    if positives is not None:
+        out = out.join(
+            positives.select(user_col, item_col).distinct(),
+            [user_col, item_col],
+            "left_anti",
+        )
+    return out
+
+
+def negative_samples_oracle_sql(
+    users_sql: str,
+    items_sql: str,
+    k: int,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    positives_sql: str | None = None,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin: same dense catalog index, same 60-bit md5 slot
+    draw (nibble-sum form — DuckDB has no conv), same anti-join."""
+    key_sql = (
+        f"CAST({user_col} AS VARCHAR) || '|' || "
+        f"CAST(slot AS VARCHAR) || '|' || '{seed}'"
+    )
+    anti = ""
+    if positives_sql is not None:
+        anti = f"""
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ({positives_sql}) p
+      WHERE p.{user_col} = s.{user_col} AND p.{item_col} = s.{item_col})"""
+    return f"""
+    WITH items_idx AS (
+      SELECT {item_col},
+             row_number() OVER (ORDER BY {item_col}) - 1 AS idx
+      FROM ({items_sql})
+    ),
+    n AS (SELECT count(*) AS n FROM items_idx),
+    slots AS (
+      SELECT u.{user_col}, s.slot,
+             ({_nibble_sql_raw(key_sql)}) % n.n AS idx
+      FROM (SELECT DISTINCT {user_col} FROM ({users_sql})) u
+      CROSS JOIN (SELECT unnest(range({k})) AS slot) s
+      CROSS JOIN n
+    ),
+    sampled AS (
+      SELECT s.{user_col}, s.slot, i.{item_col}
+      FROM slots s JOIN items_idx i USING (idx)
+    )
+    SELECT {user_col}, slot, {item_col} FROM sampled s{anti}
+    """
+
+
+def _nibble_sql_raw(key_sql: str) -> str:
+    """``_nibble_sql`` over an arbitrary VARCHAR expression (the
+    shared 60-bit md5 prefix, pre-modulo)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({key_sql}),"
+        f" {j + 1}, 1)) - 1) * {16 ** (14 - j)}"
+        for j in range(15)
+    )

@@ -34,6 +34,7 @@ from feature_store_spark.operators.joins import band_join
 from feature_store_spark.operators.sampling import (
     dataset_split,
     dataset_split_oracle_sql,
+    negative_samples_oracle_sql,
     priority_sample,
     priority_sample_oracle_sql,
     stratified_sample,
@@ -904,6 +905,49 @@ def q_o8(spark, sf_dir):
     return dataset_split(
         _t(spark, sf_dir, "documents"), "doc_id"
     ).select("doc_id", "split")
+
+
+_O9_POSITIVES_SQL = """SELECT o.o_custkey AS user_id,
+       l.l_partkey AS item_id
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+
+
+@spec(
+    "o9_negative_samples",
+    negative_samples_oracle_sql(
+        "SELECT c_custkey AS user_id FROM customer",
+        "SELECT p_partkey AS item_id FROM part",
+        k=3,
+        positives_sql=_O9_POSITIVES_SQL,
+    ),
+    ("ext", "O3", "sampling", "contrastive"),
+)
+def q_o9(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training
+    (`operators/sampling.py::negative_samples`): 3 md5-drawn catalog
+    parts per customer, purchased (user, part) pairs anti-joined out.
+    Identical sample on any engine/partitioning; catalog indexed once
+    (dimension-sided window), user side never sorts."""
+    from feature_store_spark.operators.sampling import negative_samples
+
+    users = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    items = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("item_id")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    positives = lineitem.join(
+        orders.select("o_orderkey", "o_custkey"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+    )
+    return negative_samples(
+        users, items, k=3, positives=positives
+    )
 
 
 @spec(

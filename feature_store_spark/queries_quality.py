@@ -620,6 +620,63 @@ def q_w8_scd2(spark, sf_dir):
     )
 
 
+_W9_MAXLEN = 50
+
+
+@spec(
+    "w9_event_sequences",
+    f"""SELECT user_id,
+              CAST(count(*) AS BIGINT) AS n_events,
+              array_to_string(
+                (array_agg(event_type ORDER BY ts, event_id))
+                  [1:{_W9_MAXLEN}], '>') AS seq,
+              CAST(least(count(*), {_W9_MAXLEN}) AS BIGINT) AS seq_len,
+              date_trunc('second', min(ts)) AS first_ts,
+              date_trunc('second', max(ts)) AS last_ts
+       FROM events GROUP BY user_id""",
+    ("ext", "W1", "sequence"),
+)
+def q_w9_event_sequences(spark, sf_dir):
+    """Per-user ordered behavior sequences — the construction step for
+    sequential-recommendation / user-LM training data: each user's
+    event-type string in (ts, event_id) order, truncated to the first
+    50. One map-side-combined groupBy carrying (ts, event_id, type)
+    structs; ordering comes from sort_array on the aggregated structs
+    (deterministic tiebreak on event_id — the w1 rule), never a
+    separate window pass, so the sequence build is one shuffle. At
+    100 TB per-user histories are bounded by the truncation cap
+    BEFORE the string join — the aggregate state is capped too in the
+    production form (slice-on-merge); here the full per-user struct
+    list is collected, which the fixture's per-user cardinality
+    bounds."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.col("ts"), F.col("event_id"), F.col("event_type")
+        ).alias("__e"),
+        F.date_trunc("second", F.col("ts")).alias("__ts_s"),
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sort_array(F.collect_list("__e")).alias("__seq"),
+        F.min("__ts_s").alias("first_ts"),
+        F.max("__ts_s").alias("last_ts"),
+    )
+    head = F.slice(F.col("__seq"), 1, _W9_MAXLEN)
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.array_join(
+            F.transform(head, lambda e: e.getField("event_type")), ">"
+        ).alias("seq"),
+        F.least(F.col("n_events"), F.lit(_W9_MAXLEN))
+        .cast("bigint")
+        .alias("seq_len"),
+        "first_ts",
+        "last_ts",
+    )
+
+
 @spec(
     "w7_rolling_spend",
     f"""SELECT o_custkey AS user_id, o_orderkey,
@@ -1233,6 +1290,124 @@ def q_a19_quantile_rollup(spark, sf_dir):
             / F.col("exact_p50")
             < 0.10
         ).alias("est_within_10pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A25 — mergeable heavy-hitter (SpaceSaving-style) rollup
+# ---------------------------------------------------------------------------
+
+_A25_M = 20  # keys kept per daily summary
+_A25_TOPK = 10  # reported per week
+
+
+@spec(
+    "a25_heavy_hitter_rollup",
+    f"""WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day, user_id, count(*) AS n
+         FROM events GROUP BY 1, 2
+       ),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY day
+                    ORDER BY n DESC, user_id ASC) AS rk
+         FROM daily
+       ),
+       kept AS (SELECT day, user_id, n FROM ranked WHERE rk <= {_A25_M}),
+       thr AS (
+         SELECT day,
+                COALESCE(max(CASE WHEN rk > {_A25_M} THEN n END), 0) AS thr
+         FROM ranked GROUP BY day
+       ),
+       week_thr AS (
+         SELECT date_trunc('week', day) AS week,
+                CAST(sum(thr) AS BIGINT) AS bound
+         FROM thr GROUP BY 1
+       ),
+       est AS (
+         SELECT date_trunc('week', day) AS week, user_id,
+                CAST(sum(n) AS BIGINT) AS est
+         FROM kept GROUP BY 1, 2
+       ),
+       truth AS (
+         SELECT date_trunc('week', CAST(ts AS DATE)) AS week, user_id,
+                CAST(count(*) AS BIGINT) AS true_n
+         FROM events GROUP BY 1, 2
+       )
+       SELECT week, user_id, est, true_n,
+              true_n - est AS underestimate, bound,
+              (true_n - est) <= bound AS within_bound, rank
+       FROM (
+         SELECT e.week, e.user_id, e.est, t.true_n, w.bound,
+                row_number() OVER (PARTITION BY e.week
+                  ORDER BY e.est DESC, e.user_id ASC) AS rank
+         FROM est e
+         JOIN truth t ON e.week = t.week AND e.user_id = t.user_id
+         JOIN week_thr w ON e.week = w.week
+       ) WHERE rank <= {_A25_TOPK}""",
+    ("A11", "A16", "A19", "ext", "heavy-hitters"),
+)
+def q_a25_heavy_hitter_rollup(spark, sf_dir):
+    """Mergeable heavy-hitter rollup — the third classic sketch beside
+    a16 (HLL distinct) and a19 (quantile histogram): each day stores
+    only its top-{M} (user, count) pairs plus ONE threshold (the
+    largest dropped count — the SpaceSaving error certificate), and
+    the weekly top-10 is answered from those fixed-size daily
+    summaries. The undercount of any reported key is provably ≤ the
+    sum of thresholds of the days it missed, surfaced here as
+    (underestimate, bound, within_bound) against the raw truth — every
+    column integer-exact and window-deterministic, so the oracle
+    hash-compares the whole certificate, not a tolerance band. At
+    100 TB the daily summaries are KB-sized; the rollup never rescans
+    events (the truth join here exists only to exhibit the bound)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_day = Window.partitionBy("day").orderBy(
+        F.col("n").desc(), F.col("user_id").asc()
+    )
+    ranked = daily.withColumn("rk", F.row_number().over(w_day))
+    kept = ranked.filter(F.col("rk") <= _A25_M)
+    thr = ranked.groupBy("day").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") > _A25_M, F.col("n"))), F.lit(0)
+        ).alias("thr")
+    )
+    week = lambda c: F.to_date(F.date_trunc("week", F.col(c)))  # noqa: E731
+    week_thr = thr.groupBy(week("day").alias("week")).agg(
+        F.sum("thr").cast("bigint").alias("bound")
+    )
+    est = kept.groupBy(week("day").alias("week"), F.col("user_id")).agg(
+        F.sum("n").cast("bigint").alias("est")
+    )
+    truth = (
+        _t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy(week("day").alias("week"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+    )
+    w_week = Window.partitionBy("week").orderBy(
+        F.col("est").desc(), F.col("user_id").asc()
+    )
+    return (
+        est.join(truth, ["week", "user_id"])
+        .join(week_thr, "week")
+        .withColumn("rank", F.row_number().over(w_week))
+        .filter(F.col("rank") <= _A25_TOPK)
+        .select(
+            "week",
+            "user_id",
+            "est",
+            "true_n",
+            (F.col("true_n") - F.col("est")).alias("underestimate"),
+            "bound",
+            ((F.col("true_n") - F.col("est")) <= F.col("bound")).alias(
+                "within_bound"
+            ),
+            "rank",
+        )
     )
 
 
