@@ -718,6 +718,7 @@ def bm25_topk(
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-``k`` documents per query (Robertson & Walker
     1994 — the lexical-retrieval baseline every RAG/eval pipeline
@@ -725,13 +726,19 @@ def bm25_topk(
     (query_id, [terms]); scores use the standard k1/b formulation with
     idf = ln(1 + (N - df + .5)/(df + .5)).
 
-    Plan: ONE tokenize pass feeds both the (doc, term) tf counts and —
-    re-aggregated from those counts, never a second scan — the doc
+    Plan: the (doc, term, tf) postings feed everything — the doc
     lengths, document frequencies, and the (N, avgdl) 1-row stats
-    frame (broadcast). The query-term table is a broadcast literal, so
-    only postings for query terms survive the semi-ish join: scoring
-    cost is candidate-proportional (docs sharing ≥1 term), the
-    inverted-index shape, never corpus × queries.
+    frame (broadcast) all re-aggregate the counts, never raw text.
+    The query-term table is a broadcast literal, so only postings for
+    query terms survive the semi-ish join: scoring cost is
+    candidate-proportional (docs sharing ≥1 term), the inverted-index
+    shape, never corpus × queries. When ``postings`` is None the
+    index is derived inline, and Spark's lack of subtree sharing
+    re-runs the tokenize per consumer — fine for one-shot analytics;
+    the serving shape is INDEX ONCE, QUERY MANY: materialize the
+    (id, tok, tf) table and pass it as ``postings`` (then no query
+    ever touches ``text_col`` — each run reads the narrow postings
+    parquet a handful of times).
 
     Float parity: each per-term score is quantized to integer micros
     and per-(query, doc) totals are BIGINT sums — grouping-order-free
@@ -746,13 +753,16 @@ def bm25_topk(
     spark = df.sparkSession
     qdf = spark.createDataFrame(terms, "query_id string, tok string")
 
-    tf = (
-        df.select(
-            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    tf = postings
+    if tf is None:
+        tf = (
+            df.select(
+                F.col(id_col),
+                F.explode(tokens(F.col(text_col))).alias("tok"),
+            )
+            .groupBy(id_col, "tok")
+            .agg(F.count(F.lit(1)).alias("tf"))
         )
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
     dlen = tf.groupBy(id_col).agg(F.sum("tf").alias("__dl"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))

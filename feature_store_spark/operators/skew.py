@@ -67,10 +67,14 @@ def skew_report(
 
     Plan: one map-side-combined count per key (the only shuffle that
     touches data rows), then the totals ride in as a broadcast 1-row
-    aggregate OF THE COUNTS frame (key-cardinality-sized, never a
-    second data scan) and the top-N is a single row_number window over
-    the counts. Output is deterministic: count-desc with key-asc
-    tie-break, doubles rounded before the cut.
+    aggregate of the counts frame and the top-N is a single row_number
+    window over the counts. The totals subtree re-derives the counts
+    (Spark shares no uncached subtrees), so the scan runs twice —
+    both passes narrow, both map-side-combined; at corpus scale
+    checkpoint/cache the counts frame (key-cardinality-sized) or feed
+    this operator a materialized counts table. Output is
+    deterministic: count-desc with key-asc tie-break, doubles rounded
+    before the cut.
     """
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
     totals = counts.agg(

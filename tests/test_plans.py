@@ -444,3 +444,44 @@ def test_window_scan_prunes_month_partitions(spark, sf_dir, tmp_path):
     h_flat = value_hash(flat.columns, [tuple(r) for r in flat.collect()])
     h_part = value_hash(part.columns, [tuple(r) for r in part.collect()])
     assert h_flat == h_part
+
+
+def test_cdc_apply_feed_windowed_base_anti_joined(spark, sf_dir):
+    # the change feed pays the latest-wins window; the base is touched
+    # by a single LeftAnti join (broadcast here — the batch's key set
+    # is small); no cartesian anywhere ("Window [" counts exec nodes,
+    # not WindowGroupLimit helpers; the feed-union fixture derives
+    # 4 branches so the window subtree appears once per consumer)
+    plan = _plan(spark, sf_dir, "s12_cdc_apply")
+    assert plan.count("LeftAnti") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_skew_report_broadcasts_totals(spark, sf_dir):
+    # per-key counts are map-side combined (partial_count under the
+    # key exchange); the 1-row totals frame is BROADCAST back — the
+    # data never shuffles a second time on a different key
+    plan = _plan(spark, sf_dir, "a24_skew_report")
+    assert "partial_count" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_broadcasts_query_terms_and_prunes_postings(spark, sf_dir):
+    # the literal query-term table is broadcast into the postings
+    # join, so only matching postings reach the scoring joins; no
+    # cartesian, no sort-merge join anywhere
+    plan = _plan(spark, sf_dir, "t_bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_negative_samples_dimension_sided_sort_only(spark, sf_dir):
+    # the catalog index is the only global sort; the user side
+    # explodes narrow slot rows and joins the broadcast catalog
+    plan = _plan(spark, sf_dir, "o9_negative_samples")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

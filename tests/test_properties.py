@@ -1052,3 +1052,29 @@ def test_skew_report_flags_planted_hot_key(spark_prop):
     # 11 keys, 100 rows -> avg 100/11; 90 rows = 9.9x avg
     assert top["x_avg"] == 9.9
     assert got[1]["n_rows"] == 1 and got[1]["rank"] == 2
+
+
+def test_bm25_precomputed_postings_matches_inline(spark_prop):
+    """Index-once-query-many parity: scoring from a materialized
+    (id, tok, tf) postings table equals deriving it inline."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.llm.text import bm25_topk, tokens
+
+    corpus = [
+        (1, "spark shuffle join"),
+        (2, "table scan table"),
+        (3, "shuffle join shuffle"),
+    ]
+    df = spark_prop.createDataFrame(corpus, "doc_id bigint, text string")
+    postings = (
+        df.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    queries = [("q", ["shuffle", "scan"])]
+    inline = sorted(map(tuple, bm25_topk(df, queries, k=3).collect()))
+    indexed = sorted(
+        map(tuple, bm25_topk(df, queries, k=3, postings=postings).collect())
+    )
+    assert inline == indexed and len(inline) == 3
