@@ -274,6 +274,7 @@ def negative_samples(
     item_col: str = "item_id",
     positives: DataFrame | None = None,
     seed: int = 7,
+    broadcast_catalog: bool = True,
 ) -> DataFrame:
     """Deterministic negative sampling for contrastive / two-tower
     training: ``k`` pseudo-random catalog items per user — slot ``s``
@@ -288,9 +289,13 @@ def negative_samples(
     row_number window — a dimension-sided sort (items are the small
     side of every real two-tower setup; the user side never sorts).
     Slots explode users ×k (narrow rows), join the indexed catalog on
-    the computed index (broadcastable dim), and the positives check is
-    a left-anti join on (user, item) — the only fact-sized shuffle,
-    and skippable when ``positives`` is None.
+    the computed index, and the positives check is a left-anti join
+    on (user, item) — the only fact-sized shuffle, and skippable when
+    ``positives`` is None. ``broadcast_catalog`` pins the index join
+    to a broadcast (the windowed subtree has no size estimate, so the
+    static planner won't pick it alone); set it False for a catalog
+    too big for the driver — the join falls back to a shuffle on the
+    index, still never a cross product.
     """
     if k < 1:
         raise ValueError("negative_samples: k must be >= 1")
@@ -319,9 +324,8 @@ def negative_samples(
             F.expr(f"pmod({_hash60_expr(key_sql)}, __n)").alias("__idx"),
         )
     )
-    out = slots.join(F.broadcast(items_idx), "__idx").select(
-        user_col, "slot", item_col
-    )
+    catalog = F.broadcast(items_idx) if broadcast_catalog else items_idx
+    out = slots.join(catalog, "__idx").select(user_col, "slot", item_col)
     if positives is not None:
         out = out.join(
             positives.select(user_col, item_col).distinct(),

@@ -131,3 +131,32 @@ def test_multimodal_native_matches_arrow_kernel(spark, sf_dir):
     # worker-side NotImplementedError surfaces as a PythonException
     with pytest.raises(Exception, match="PIL/ffmpeg"):
         decode_media(media, real_decode=True).collect()
+
+
+def test_csv_source_roundtrip_with_types(spark, sf_dir, tmp_path):
+    """CSV round-trip keeps values AND types when read back with the
+    writer's schema (the header-only read would stringify everything —
+    the documented CSV trap); timestamps survive via the default
+    ISO format."""
+    path = str(tmp_path / "orders_csv")
+    orders = load_table(spark, sf_dir, "orders").limit(300)
+    orders.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(orders.schema).option("header", True).csv(path)
+    assert back.schema == orders.schema
+    a = sorted(map(tuple, orders.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_orc_source_roundtrip(spark, sf_dir, tmp_path):
+    """ORC round-trip is schema- and value-exact (columnar twin of the
+    parquet path — the warehouse interchange format choice is a config
+    knob, not a code path)."""
+    path = str(tmp_path / "events_orc")
+    ev = load_table(spark, sf_dir, "events").limit(300)
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == ev.schema
+    a = sorted(map(tuple, ev.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
