@@ -741,6 +741,42 @@ def q_s12_cdc_apply(spark, sf_dir):
     return apply_cdc(base, changes, key_cols=["o_orderkey"])
 
 
+@spec(
+    "j12_supplier_geo_rollup",
+    """SELECT r.r_name AS region, n.n_name AS nation,
+              CAST(count(*) AS BIGINT) AS n_suppliers,
+              CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT))
+                   AS BIGINT) AS acctbal_cents
+       FROM supplier s
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY 1, 2""",
+    ("ext", "J2", "A1", "geo"),
+)
+def q_j12_supplier_geo(spark, sf_dir):
+    """Supplier geography rollup through the full dimension chain
+    (supplier ⋈ nation ⋈ region — the last two fixture tables without
+    a dedicated query): both dims broadcast (25 / 5 rows — the
+    canonical star-join), integer-cents exact balances, one
+    map-side-combined aggregate on (region, nation)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cents = F.round(F.col("s_acctbal") * 100).cast("bigint")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum(cents).cast("bigint").alias("acctbal_cents"),
+        )
+    )
+
+
 from feature_store_spark.operators.skew import skew_report_oracle_sql
 
 
