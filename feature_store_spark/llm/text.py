@@ -764,7 +764,14 @@ def bm25_topk(
             .agg(F.count(F.lit(1)).alias("tf"))
         )
     dlen = tf.groupBy(id_col).agg(F.sum("tf").alias("__dl"))
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    # document frequencies only matter for the query terms — filter
+    # the postings by the broadcast term set BEFORE the df aggregate,
+    # shrinking it from |vocabulary| to |query terms| rows (dlen/avgdl
+    # genuinely need the full postings; df does not)
+    tf_q = tf.join(
+        F.broadcast(qdf.select("tok").distinct()), "tok", "left_semi"
+    )
+    dfreq = tf_q.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     stats = dlen.agg(
         (F.sum("__dl") / F.count(F.lit(1))).alias("__avgdl")

@@ -112,10 +112,19 @@ def _strip_training_summary(model: PipelineModel) -> None:
     documents; there the model is folded into the plan as literals,
     here the 4096-dim hashed-TF stage makes the summary strip the
     practical form. A save/load roundtrip would also shed the summary
-    at the cost of a tmp dir."""
+    at the cost of a tmp dir.
+
+    The strip mutates the fitted model (the summary is gone for every
+    later caller — deliberate: the stale summary is exactly what must
+    not ride into task closures), and it sets scala ``Option.empty``,
+    not null, so ``hasSummary`` afterwards is a clean ``False`` rather
+    than an NPE."""
     lr = model.stages[-1]
     try:
-        lr._call_java("setSummary", None)
+        from pyspark import SparkContext
+
+        empty = SparkContext._active_spark_context._jvm.scala.Option.empty()
+        lr._java_obj.setSummary(empty)
     except Exception:
         # private API moved — scoring still works in sessions that
         # never ran an Observation; the plan-literal path (see

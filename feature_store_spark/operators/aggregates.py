@@ -462,6 +462,18 @@ def merge_algebraic_partials(
         raise ValueError(
             f"merge_algebraic_partials: partials lack columns {missing}"
         )
+    # a column outside key_cols ∪ agg_spec would silently VANISH from
+    # the merged output ("the full next-version partial table") — make
+    # the caller say what to do with it instead
+    extra = [
+        c for c in parts.columns
+        if c not in agg_spec and c not in list(key_cols)
+    ]
+    if extra:
+        raise ValueError(
+            "merge_algebraic_partials: columns neither keys nor "
+            f"aggregated would be dropped: {extra}"
+        )
     aggs = [
         getattr(F, kind)(c).cast(dict(parts.dtypes)[c]).alias(c)
         for c, kind in agg_spec.items()

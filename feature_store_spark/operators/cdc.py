@@ -33,8 +33,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from feature_store_spark.operators.windows import latest_per_key
 
 
 def latest_changes(
@@ -63,20 +65,14 @@ def latest_changes(
             )
         )
     )
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.col("__seq").desc(), F.col("__op").desc()
+    projected = changes.select(
+        *key_cols,
+        *payload,
+        F.col(seq_col).alias("__seq"),
+        op_checked.alias("__op"),
     )
-    return (
-        changes.select(
-            *key_cols,
-            *payload,
-            F.col(seq_col).alias("__seq"),
-            op_checked.alias("__op"),
-        )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    # the desc-order + desc-tiebreak dedup is the shared W1 primitive
+    return latest_per_key(projected, key_cols, "__seq", tiebreak_col="__op")
 
 
 def apply_cdc(

@@ -606,7 +606,15 @@ def run_streaming_cdc(
         upsert_parquet,
     )
 
+    # driver-side batch tally: len(q.recentProgress) is capped by
+    # spark.sql.streaming.numRecentProgressUpdates (100) and would
+    # under-report a long backlog drained at maxFilesPerTrigger=1; a
+    # foreachBatch retry re-counts, which matches the merge actually
+    # re-running (informational counter, merge itself is idempotent)
+    executed: list[int] = []
+
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        executed.append(batch_id)
         latest = latest_changes(batch_df, key_cols, seq_col, op_col)
         rows = latest.select(
             *[c for c in latest.columns if c != "__op"],
@@ -627,10 +635,10 @@ def run_streaming_cdc(
     q.awaitTermination()
     store = _read_store(spark, state_dir)
     if store is None:
-        return {"batches": len(q.recentProgress), "live_keys": 0,
+        return {"batches": len(executed), "live_keys": 0,
                 "tombstones": 0}
     return {
-        "batches": len(q.recentProgress),
+        "batches": len(executed),
         "live_keys": int(store.filter(~F.col("__deleted")).count()),
         "tombstones": int(store.filter(F.col("__deleted")).count()),
     }

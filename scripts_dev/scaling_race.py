@@ -40,10 +40,16 @@ spark.range(1000).selectExpr("sum(id)").collect()
 # at sf~1 — chunked invocations keep each run inside a driver
 # timeout; totals are summed across chunks by the caller)
 _only = os.environ.get("RACE_ONLY")
+if _only and _only not in ("sf0.1", "sf1.0"):
+    sys.exit(f"RACE_ONLY must be sf0.1 or sf1.0, got {_only!r}")
 _subset = [
     q for q in os.environ.get("RACE_QUERIES", "").split(",") if q
 ] or None
 if _subset:
+    unknown = sorted(set(_subset) - set(HEADLINE))
+    if unknown:
+        # a silently-dropped typo would corrupt cross-chunk totals
+        sys.exit(f"RACE_QUERIES not in HEADLINE: {unknown}")
     HEADLINE = [q for q in HEADLINE if q in _subset]
 for sf_dir, label, toy in (
     ("/root/testdata/sf0.1", "sf0.1", True),
