@@ -395,7 +395,16 @@ def knn_graph(
     pairs candidate-proportional) and union multiple hyperplane
     tables for recall (multi-probe). Vectors alone in their bucket
     emit no rows — the standard ANN recall trade, same as
-    lsh_ann_topk returning < k."""
+    lsh_ann_topk returning < k.
+
+    Maintenance note: :func:`knn_graph_multiprobe` restates this
+    pairing block with an (table, bucket) key and adds a per-pair
+    max-dedup; it is kept separate ON PURPOSE — the single-table path
+    skips the dedup exchange and the posexplode (this op is a bench
+    headline), and ``test_knn_multiprobe_amplifies_recall`` pins
+    ``multiprobe(n_tables=1) == knn_graph`` bit-for-bit, so a
+    semantics change to either body trips the equivalence test rather
+    than drifting silently."""
     sig = df.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
