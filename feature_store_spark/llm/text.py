@@ -832,7 +832,11 @@ def bm25_topk_oracle_sql(
     terms = [
         (qid, t) for qid, ts in queries for t in dict.fromkeys(ts)
     ]
-    values = ", ".join(f"('{q}', '{t}')" for q, t in terms)
+    # SQL-escape the literals: a query id/term containing an apostrophe
+    # would otherwise produce malformed VALUES SQL while the Spark side
+    # still ran — a silent spec-build-time divergence of the twin.
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    values = ", ".join(f"('{esc(q)}', '{esc(t)}')" for q, t in terms)
     return f"""
     WITH qterms(query_id, tok) AS (VALUES {values}),
     tok AS (

@@ -53,8 +53,18 @@ def _quantize(col_name: str, bits: int) -> Column:
     m = (1 << bits) - 1
     safe = ((1 << 63) - 1) >> bits  # range cap keeps the numerator < 2^63
     c, lo, hi = col_name, f"__lo_{col_name}", f"__hi_{col_name}"
+    # The cap comparison itself must not overflow: `hi - lo` wraps when a
+    # signed column spans more than int64 (hi>0, lo<0, |hi|+|lo| >= 2^63),
+    # which under ANSI mode raises the very ARITHMETIC_OVERFLOW this guard
+    # exists to replace. `hi > try_add(lo, safe)` never overflows in the
+    # direction that matters: try_add only returns NULL when lo is so large
+    # positive that lo+safe exceeds int64 — and then hi-lo < safe by
+    # construction (hi <= int64max), so the NULL comparison correctly
+    # falls through to the quantize branch. When lo is negative (the only
+    # way the old subtraction could wrap), lo+safe is always in range and
+    # the guard fires as intended.
     return F.expr(
-        f"CASE WHEN {hi} - {lo} > {safe} THEN "
+        f"CASE WHEN {hi} > try_add({lo}, {safe}) THEN "
         f"CAST(raise_error('zorder_key: range of column {c} exceeds the "
         f"exact-arithmetic cap {safe} at bits={bits}; coarsen the unit "
         f"(e.g. epoch seconds, not micros) or lower bits') AS BIGINT) "

@@ -321,7 +321,19 @@ def negative_samples(
         .select(
             user_col,
             F.col("__slot").alias("slot"),
-            F.expr(f"pmod({_hash60_expr(key_sql)}, __n)").alias("__idx"),
+            # Empty-catalog guard: pmod(h, 0) raises an opaque
+            # DIVIDE_BY_ZERO under ANSI mode, while the DuckDB twin's
+            # `% n` yields NULL and returns no rows. Short-circuit the
+            # index to NULL so an empty catalog yields an empty result
+            # on BOTH engines regardless of plan shape (AQE's
+            # empty-relation propagation already empties the join when
+            # it fires, but a non-propagated plan would still evaluate
+            # this projection). Rides the existing 1-row broadcast —
+            # no extra driver-side count job.
+            F.expr(
+                "CASE WHEN __n = 0 THEN CAST(NULL AS BIGINT) ELSE "
+                f"pmod({_hash60_expr(key_sql)}, __n) END"
+            ).alias("__idx"),
         )
     )
     catalog = F.broadcast(items_idx) if broadcast_catalog else items_idx

@@ -67,12 +67,17 @@ def skew_report(
 
     Plan: one map-side-combined count per key (the only shuffle that
     touches data rows), then the totals ride in as a broadcast 1-row
-    aggregate of the counts frame and the top-N is a single row_number
-    window over the counts. The totals subtree re-derives the counts
-    (Spark shares no uncached subtrees), so the scan runs twice —
-    both passes narrow, both map-side-combined; at corpus scale
-    checkpoint/cache the counts frame (key-cardinality-sized) or feed
-    this operator a materialized counts table. Output is
+    aggregate of the counts frame. The top-N cut is
+    ``orderBy(...).limit(top_n)`` — Spark plans it as
+    TakeOrderedAndProject (per-partition heap + driver merge of
+    ``top_n``-row heaps), so the billion-key counts frame is never
+    funneled through a single-task global window; ``rank`` is then a
+    row_number over the already-cut ≤``top_n``-row frame, where a
+    one-partition window costs nothing. The totals subtree re-derives
+    the counts (Spark shares no uncached subtrees), so the scan runs
+    twice — both passes narrow, both map-side-combined; at corpus
+    scale checkpoint/cache the counts frame (key-cardinality-sized)
+    or feed this operator a materialized counts table. Output is
     deterministic: count-desc with key-asc tie-break, doubles rounded
     before the cut.
     """
@@ -81,10 +86,8 @@ def skew_report(
         F.sum("n_rows").cast("double").alias("__total"),
         F.count(F.lit(1)).cast("double").alias("__nkeys"),
     )
-    w = Window.orderBy(
-        F.col("n_rows").desc(), *[F.col(c).asc() for c in key_cols]
-    )
-    return (
+    order = [F.col("n_rows").desc(), *[F.col(c).asc() for c in key_cols]]
+    top = (
         counts.crossJoin(F.broadcast(totals))
         .select(
             *key_cols,
@@ -94,9 +97,10 @@ def skew_report(
                 F.col("n_rows") * F.col("__nkeys") / F.col("__total"), 2
             ).alias("x_avg"),
         )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_n)
+        .orderBy(*order)
+        .limit(top_n)
     )
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
 
 
 def skew_report_oracle_sql(

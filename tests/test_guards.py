@@ -261,6 +261,48 @@ def test_token_report_bpe_parity_on_planted_punctuation(spark):
     assert compare(out, con, token_report_oracle_sql())["ok"]
 
 
+def test_negative_samples_empty_catalog_yields_empty_not_error(spark):
+    """pmod(h, 0) on an empty catalog used to raise an opaque ANSI
+    DIVIDE_BY_ZERO while the DuckDB twin's `% n` yields NULL and
+    returns no rows — the guard short-circuits the index to NULL so
+    both engines agree on an empty result. Exercised both with AQE
+    empty-relation propagation (default) and with it disabled, where
+    the projection actually evaluates."""
+    from feature_store_spark.operators.sampling import negative_samples
+
+    users = spark.createDataFrame([(1,), (2,)], "user_id bigint")
+    items = spark.createDataFrame([], "item_id bigint")
+    assert negative_samples(users, items, k=2).count() == 0
+    prop = "spark.sql.optimizer.propagateEmptyRelation.enabled"
+    old = spark.conf.get(prop, "true")
+    try:
+        spark.conf.set(prop, "false")
+        assert negative_samples(users, items, k=2).count() == 0
+    finally:
+        spark.conf.set(prop, old)
+
+
+def test_bm25_oracle_sql_escapes_quoted_terms():
+    """A query id/term containing an apostrophe must produce valid
+    (escaped) VALUES SQL — previously it silently built malformed
+    oracle SQL while the Spark side still ran."""
+    import duckdb
+
+    from feature_store_spark.llm.text import bm25_topk_oracle_sql
+
+    sql = bm25_topk_oracle_sql(
+        [("q'1", ["o'brien", "shuffle"])], table="docs", k=3
+    )
+    assert "'q''1'" in sql and "'o''brien'" in sql
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW docs AS SELECT * FROM (VALUES "
+        "(1, 'shuffle join'), (2, 'table scan')) t(doc_id, text)"
+    )
+    rows = con.execute(sql).fetchall()  # parses and runs
+    assert {r[0] for r in rows} == {"q'1"}
+
+
 def test_temperature_mixture_quota_exact_at_equal_counts(spark):
     """20 equal-count sources put every true quota exactly ON the
     floor boundary (budget * w / (20w) = budget/20). The float form

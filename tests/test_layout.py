@@ -85,6 +85,27 @@ def test_zorder_key_overflow_range_raises_targeted_error(spark):
     assert out[0] == 0 and out[1] == (1 << DEFAULT_BITS) - 1
 
 
+def test_zorder_key_signed_span_guard_does_not_itself_overflow(spark):
+    """A signed column spanning more than int64 (hi>0, lo<0,
+    |hi|+|lo| >= 2^63) used to make the guard's own `hi - lo`
+    subtraction raise ANSI ARITHMETIC_OVERFLOW — the exact opaque
+    failure the guard was added to replace. It must fire the targeted
+    message instead, and a negative-lo column *inside* the cap must
+    still quantize exactly."""
+    df = spark.createDataFrame(
+        [(0, -(1 << 62)), (1, (1 << 62))], "rid long, t long"
+    )
+    with pytest.raises(Exception, match="zorder_key: range of column t"):
+        zorder_key(df, ["t"]).collect()
+    # negative lo, range inside the cap: exact rank-space quantization
+    ok = spark.createDataFrame(
+        [(0, -1000), (1, 0), (2, 1000)], "rid long, t long"
+    )
+    out = {r["rid"]: r["zkey"] for r in zorder_key(ok, ["t"]).collect()}
+    m = (1 << DEFAULT_BITS) - 1
+    assert out == {0: 0, 1: (1000 * m) // 2000, 2: m}
+
+
 def test_cluster_by_zorder_preserves_rows_and_prunes_groups(spark):
     """The whole point of the layout: same rows, but a stats-driven
     scan of a 2-D box filter reads strictly fewer row groups than the

@@ -467,6 +467,10 @@ def test_skew_report_broadcasts_totals(spark, sf_dir):
     assert "partial_count" in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+    # the top-N cut is a distributed heap (TakeOrderedAndProject), NOT a
+    # single-task global window over the full key-cardinality counts frame;
+    # the rank window only ever sees the <= top_n cut rows
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_bm25_broadcasts_query_terms_and_prunes_postings(spark, sf_dir):
