@@ -1,0 +1,153 @@
+"""Co-bucketed FACT-table layout — the write-once static
+co-partitioning contract for the raw fact tables, the same lever
+:mod:`feature_store_spark.pipelines.store` pulls for the derived
+feature tables and the reference pulls with clustered warehouse
+tables (`sql/bigquery_schema.sql:22,45,68` CLUSTER BY; clustered
+PostgreSQL PKs in `sql/migration_queries.sql:143-166`).
+
+Each fact table is bucketed (and sorted) on ITS hot key:
+
+- ``orders``   → ``o_orderkey``: the build/probe key of every
+  lineitem⋈orders join (payment-delay and merchant feeds) — the
+  widest shuffle in the three feature pipelines. The per-user
+  aggregates over orders still shuffle, but those move map-side
+  combined partials (|users|-sized), not fact rows.
+- ``lineitem`` → ``l_orderkey``: co-bucketed with orders, so the join
+  is a zero-Exchange map-side merge on both sides.
+- ``events``   → ``user_id``: every events consumer aggregates or
+  windows per user (risk behavior feed, W1 latest-per-key, velocity
+  replay) — a user_id-bucketed scan already satisfies the hash
+  distribution those operators require.
+
+Measured (scripts_dev/fact_bucket_probe.py, sf≈1, broadcast off to
+model the 100 TB non-broadcastable regime): payment-delay feed 2.7×
+faster, zero exchanges below the aggregate; the one-time bucketed
+write is ONE shuffle per table, amortized over every later join,
+backfill, and daily run.
+
+Wiring: this layout is opt-in via ``SPARK_GRAFT_BUCKETED_FACTS=1``,
+which makes :func:`feature_store_spark.tables.load_table` serve
+orders/lineitem/events from the materialized bucketed tables
+(building them on first touch, then reusing — idempotent per fixture
+dir + bucket count). The benchmark and scaling-race paths enable it
+(the daily-batch posture: facts land bucketed once per day); the
+driver-correctness and default pytest paths keep reading flat parquet
+so layout and logic are verified independently. Results are
+layout-independent — pinned by tests/test_facts_layout.py.
+
+Bucket count: ``SPARK_GRAFT_FACT_BUCKETS`` (default 16) locally; on a
+cluster size ~1 bucket per 100-200 MB per table. Joined tables MUST
+share the count — mismatched bucketing reintroduces the shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FACT_BUCKET_KEYS = {
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "user_id",
+}
+
+
+def default_fact_buckets() -> int:
+    return int(os.environ.get("SPARK_GRAFT_FACT_BUCKETS", "16"))
+
+
+def bucketed_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_BUCKETED_FACTS", "0") not in (
+        "0",
+        "",
+        "false",
+    )
+
+
+def _table_name(name: str, sf_dir: str, n_buckets: int) -> str:
+    # injective naming per (fixture dir, bucket count) — same rationale
+    # and shape as pipelines/store.py::_table_name: the readable slug
+    # is for humans, the md5 of the raw tuple prevents collisions
+    # between e.g. 'data/sf0.1' and 'data_sf0_1'.
+    raw = f"{os.path.abspath(sf_dir)}|{n_buckets}"
+    digest = hashlib.md5(raw.encode()).hexdigest()[:10]
+    slug = "".join(
+        c if c.isalnum() else "_"
+        for c in f"{os.path.basename(sf_dir.strip('/'))}_{n_buckets}"
+    )
+    return f"fs_fact_{name}_{slug}_{digest}"
+
+
+def write_bucketed_fact(
+    spark: SparkSession,
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    n_buckets: int,
+) -> None:
+    """Write ``df`` as a parquet table bucketed AND sorted by ``key``,
+    one file per bucket (repartition first hashes with the same
+    Murmur3 the bucketing spec uses, so Spark honors the sortBy order
+    at read time under
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering``). External
+    path under the session warehouse — restart-safe against the
+    in-memory catalog forgetting managed tables (see
+    pipelines/store.py for the LOCATION_ALREADY_EXISTS trap)."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    (
+        df.repartition(n_buckets, F.col(key))
+        .write.format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", f"{warehouse.rstrip('/')}/{table_name}__data")
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+
+
+def bucketed_fact(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """The bucketed form of fact table ``name``, materialized from the
+    flat fixture on first touch (idempotent per fixture dir + bucket
+    count) and read from the catalog afterwards."""
+    if name not in FACT_BUCKET_KEYS:
+        raise ValueError(
+            f"no bucketing key declared for table {name!r}; "
+            f"known facts: {sorted(FACT_BUCKET_KEYS)}"
+        )
+    n = n_buckets or default_fact_buckets()
+    table = _table_name(name, sf_dir, n)
+    if not spark.catalog.tableExists(table):
+        # load the FLAT fixture explicitly (never through load_table,
+        # which under SPARK_GRAFT_BUCKETED_FACTS=1 would recurse here)
+        from feature_store_spark.tables import load_flat_table
+
+        write_bucketed_fact(
+            spark,
+            load_flat_table(spark, sf_dir, name),
+            table,
+            FACT_BUCKET_KEYS[name],
+            n,
+        )
+    return spark.table(table)
+
+
+def materialize_bucketed_facts(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int | None = None,
+) -> dict[str, DataFrame]:
+    """Materialize + return all declared fact tables bucketed — the
+    once-per-day layout job a production deployment schedules right
+    after fact ingestion."""
+    return {
+        name: bucketed_fact(spark, sf_dir, name, n_buckets)
+        for name in FACT_BUCKET_KEYS
+    }

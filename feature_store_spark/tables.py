@@ -49,35 +49,55 @@ EVENTS_NOW = "2024-01-31 00:00:00"  # anchor for event-stream windows
 _CACHE_ATTR = "_feature_store_table_cache"
 
 
+def load_flat_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The flat-parquet fixture read, always — bypasses the bucketed
+    redirect (the bucketed materializer itself reads through this)."""
+    import os
+
+    # a directory `{sf_dir}/{name}/` is a partitioned table root
+    # (write_month_partitioned layout) — partition discovery gives
+    # the scan its partition column; the flat fixture stays the
+    # single-file read
+    root = f"{sf_dir}/{name}"
+    path = root if os.path.isdir(root) else f"{root}.parquet"
+    df = spark.read.parquet(path)
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # the fixture events.ts is parquet TIMESTAMP(NANOS) —
+        # surfaced as long nanos under
+        # spark.sql.legacy.parquet.nanosAsLong; truncate to
+        # microseconds exactly like DuckDB's ns→us read-time cast.
+        # (A µs-typed events file — e.g., rewritten by another
+        # engine — loads as a plain timestamp and is left alone.)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fixture loader every query goes through. Under
+    ``SPARK_GRAFT_BUCKETED_FACTS=1`` the declared fact tables
+    (orders/lineitem/events) are served from their co-bucketed
+    catalog layout (pipelines/facts.py — materialized on first
+    touch), so every orderkey join and user-keyed events operator
+    reads pre-co-partitioned data; otherwise the flat parquet read.
+    Results are layout-independent (tests/test_facts_layout.py)."""
+    from feature_store_spark.pipelines.facts import (
+        FACT_BUCKET_KEYS,
+        bucketed_enabled,
+        bucketed_fact,
+    )
+
     cache = getattr(spark, _CACHE_ATTR, None)
     if cache is None:
         cache = {}
         setattr(spark, _CACHE_ATTR, cache)
-    key = (sf_dir, name)
+    bucketed = bucketed_enabled() and name in FACT_BUCKET_KEYS
+    key = (sf_dir, name, bucketed)
     if key not in cache:
-        import os
-
-        # a directory `{sf_dir}/{name}/` is a partitioned table root
-        # (write_month_partitioned layout) — partition discovery gives
-        # the scan its partition column; the flat fixture stays the
-        # single-file read
-        root = f"{sf_dir}/{name}"
-        path = root if os.path.isdir(root) else f"{root}.parquet"
-        df = spark.read.parquet(path)
-        if name == "events" and isinstance(
-            df.schema["ts"].dataType, LongType
-        ):
-            # the fixture events.ts is parquet TIMESTAMP(NANOS) —
-            # surfaced as long nanos under
-            # spark.sql.legacy.parquet.nanosAsLong; truncate to
-            # microseconds exactly like DuckDB's ns→us read-time cast.
-            # (A µs-typed events file — e.g., rewritten by another
-            # engine — loads as a plain timestamp and is left alone.)
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        cache[key] = df
+        cache[key] = (
+            bucketed_fact(spark, sf_dir, name)
+            if bucketed
+            else load_flat_table(spark, sf_dir, name)
+        )
     return cache[key]
 
 

@@ -10,6 +10,8 @@ import time
 
 sys.path.insert(0, "/root/repo")
 os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+# same daily-batch bucketed-fact layout posture as bench.py
+os.environ.setdefault("SPARK_GRAFT_BUCKETED_FACTS", "1")
 
 from bench import HEADLINE, HEAVY_SHUFFLE  # noqa: E402
 
@@ -57,7 +59,7 @@ for sf_dir, label, toy in (
 ):
     if _only and label != _only:
         continue
-    light = 2 if toy else CPUS
+    light = 2 if toy else min(8, CPUS)
     heavy = min(16, CPUS) if toy else CPUS
     con = duckdb_connection(sf_dir)
     s_tot = d_tot = 0.0

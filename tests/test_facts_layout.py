@@ -1,0 +1,75 @@
+"""Co-bucketed fact-table layout (pipelines/facts.py): results must be
+layout-independent, and the layout must actually deliver its contract —
+zero Exchange on the orderkey join path and a bucketed events scan
+feeding the user-keyed aggregate. Reference intent: CLUSTER BY in
+`sql/bigquery_schema.sql:22,45,68`."""
+
+from __future__ import annotations
+
+from feature_store_spark.pipelines.facts import (
+    FACT_BUCKET_KEYS,
+    bucketed_fact,
+    materialize_bucketed_facts,
+)
+from feature_store_spark.pipelines.features import serving_features
+from feature_store_spark.tables import load_flat_table
+
+
+def _serving(spark, sf_dir, frames):
+    return serving_features(
+        load_flat_table(spark, sf_dir, "customer"),
+        frames["orders"],
+        frames["lineitem"],
+        frames["events"],
+    )
+
+
+def test_bucketed_facts_results_are_layout_independent(spark, sf_dir):
+    """The full serving derivation (touches every bucketed fact) must
+    produce identical rows from the flat and bucketed layouts."""
+    flat = {n: load_flat_table(spark, sf_dir, n) for n in FACT_BUCKET_KEYS}
+    bucketed = materialize_bucketed_facts(spark, sf_dir)
+    for name, df in bucketed.items():
+        assert [f.name for f in df.schema.fields] == [
+            f.name for f in flat[name].schema.fields
+        ], name
+    a = _serving(spark, sf_dir, flat)
+    b = _serving(spark, sf_dir, bucketed)
+    n = a.count()
+    assert n > 0 and b.count() == n
+    assert a.exceptAll(b).union(b.exceptAll(a)).count() == 0
+
+
+def test_bucketed_serving_join_has_no_orderkey_exchange(
+    spark, sf_dir, monkeypatch
+):
+    """With SPARK_GRAFT_BUCKETED_FACTS=1 the registry query reads the
+    bucketed layout through load_table and the lineitem⋈orders join is
+    a map-side merge: no Exchange hashpartitioning on an orderkey
+    anywhere in the plan (broadcast disabled to model the 100 TB
+    non-broadcastable regime, as in scripts_dev/fact_bucket_probe.py)."""
+    from feature_store_spark.queries import SPECS, all_queries
+
+    all_queries()
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_FACTS", "1")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = SPECS["pipeline_serving_join"].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "orderkey" in ln.lower()
+    ]
+    assert not bad, bad
+    assert "Bucketed: true" in plan
+
+
+def test_bucketed_fact_rejects_undeclared_table(spark, sf_dir):
+    import pytest
+
+    with pytest.raises(ValueError, match="no bucketing key"):
+        bucketed_fact(spark, sf_dir, "customer")
