@@ -75,7 +75,7 @@ HEADLINE = [
     "d_simhash_near_dup",
     "d_lsh_incremental",
     "sim_cosine_topk",
-    "sim_cosine_topk_vectorized",
+    "sim_cosine_topk_int8",
     "sim_knn_graph",
     "pt_repetition_stats",
     "pt_dup_span_stats",

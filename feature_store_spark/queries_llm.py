@@ -205,16 +205,18 @@ def _query_vecs(spark, sf_dir):
     ("ext", "similarity"),
 )
 def q_cosine_topk(spark, sf_dir):
-    """Exact cosine top-k, pure-JVM kernel (kernel="jvm"): the
-    correctness baseline the ANN variants rerank against, and the
-    name-stable bench entry for the scalar path. The API DEFAULT
-    (``cosine_topk`` without kernel=) routes to the numpy-batched
-    kernel — benched as sim_cosine_topk_vectorized."""
+    """Exact cosine top-k through the API DEFAULT kernel (auto → the
+    BLAS-batched numpy matmul with the compensated boundary pass) —
+    what a user gets calling ``cosine_topk`` with no kernel argument,
+    so this is the entry the bench races. The pure-JVM scalar kernel
+    (kernel="jvm") stays the lazily-planned correctness baseline the
+    ANN variants rerank against (equivalence pinned in
+    tests/test_ann_quality.py); sim_cosine_topk_vectorized pins this
+    same plan under its round-3 name for cross-round comparability."""
     return S.cosine_topk(
         _t(spark, sf_dir, "embeddings"),
         _query_vecs(spark, sf_dir),
         k=10,
-        kernel="jvm",
     )
 
 
@@ -727,9 +729,11 @@ def q_knn_graph_multiprobe(spark, sf_dir):
     ("ext", "similarity", "vectorized"),
 )
 def q_cosine_topk_vectorized(spark, sf_dir):
-    """Same contract (and oracle) as sim_cosine_topk with the scoring
-    kernel as one numpy matmul per Arrow batch — the dense-embedding
-    scale path (measured ~3x at sf~1, flat with corpus growth)."""
+    """Same contract (and oracle) as sim_cosine_topk — since round 4
+    the base entry routes to this same kernel (zero-copy Arrow batches,
+    BLAS dgemm, per-batch exact top-k), so this name exists for
+    cross-round bench comparability; the headline slot it held now
+    races sim_cosine_topk_int8 instead."""
     return S.cosine_topk_vectorized(
         _t(spark, sf_dir, "embeddings"), _query_vecs(spark, sf_dir), k=10
     )

@@ -74,8 +74,12 @@ for sf_dir, label, toy in (
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         s_best = 1e9
         for _ in range(2):
+            # fresh plan per run, built OUTSIDE the timed window —
+            # bench.py's exact protocol (py4j plan construction and
+            # any plan-build-time driver work are not engine time)
+            df = fn(spark, sf_dir)
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            df.write.format("noop").mode("overwrite").save()
             s_best = min(s_best, time.perf_counter() - t0)
         con.execute(sql).fetchall()  # warm
         t0 = time.perf_counter()
