@@ -219,10 +219,36 @@ def ngram_jaccard_oracle_sql(table: str = "documents", n: int = 3,
     """
 
 
-def _bucket_pairs(postings: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def _bucket_pairs(
+    postings: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from band postings via
     in-bucket collect_list + double explode — the ONE definition of
-    in-bucket pairing shared by the batch and incremental LSH ops."""
+    in-bucket pairing shared by the batch and incremental LSH ops.
+    ``max_bucket_size`` tiles a duplicate-dense band bucket into exact
+    sub-tasks (``similarity.bucket_pairs``) with identical output —
+    the hot-bucket bound for corpora where thousands of near-identical
+    docs share every band."""
+    if max_bucket_size is not None:
+        from feature_store_spark.llm.similarity import bucket_pairs
+
+        return (
+            bucket_pairs(
+                postings.select("band_idx", "band_hash", id_col),
+                ["band_idx", "band_hash"],
+                [id_col],
+                id_col,
+                max_bucket_size,
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .distinct()
+        )
     return (
         postings.groupBy("band_idx", "band_hash")
         .agg(F.collect_list(F.col(id_col)).alias("mem"))
@@ -422,8 +448,11 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     materialize_sets: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH banding, verified exactly.
+    ``max_bucket_size`` bounds the worst band-bucket pairing task by
+    exact tiling (see :func:`_bucket_pairs`) — output identical.
 
     Candidate generation: documents agreeing on any band (md5 of r
     concatenated signature slots) — grouped per (band_idx, band_hash)
@@ -487,7 +516,9 @@ def minhash_lsh_pairs(
             df, n=n, k=k, id_col=id_col, text_col=text_col
         )
     bands_df = _band_postings(sig, k=k, bands=bands, id_col=id_col)
-    cand = _bucket_pairs(bands_df, id_col=id_col)
+    cand = _bucket_pairs(
+        bands_df, id_col=id_col, max_bucket_size=max_bucket_size
+    )
     # Exact verification restricted to candidates. shingles() emits
     # distinct (id, shingle) rows, so the collected array is a set.
     return _verify_pairs(cand, sets, threshold, id_col=id_col)
@@ -874,6 +905,7 @@ def semantic_dedup(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -902,11 +934,16 @@ def semantic_dedup(
     min per id. ``planes`` is the dial: each extra plane halves the
     expected bucket population, so in-bucket pair work stays bounded
     as the corpus grows (same dial as ``lsh_ann_topk``/``knn_graph``).
+    ``planes`` only controls the EXPECTED bucket, though — a
+    duplicate-dense slice lands in ONE bucket regardless;
+    ``max_bucket_size`` tiles such a bucket into exact sub-tasks
+    (``similarity.bucket_pairs``) with identical output, bounding the
+    worst task at ~max² pairs (tests/test_hot_bucket.py).
 
     Output: one row per input vector — (id, bucket, keep, dup_of) —
     so the driver hash covers keeps and drops alike.
     """
-    from feature_store_spark.llm.similarity import lsh_bucket
+    from feature_store_spark.llm.similarity import bucket_pairs, lsh_bucket
 
     sig = df.select(
         F.col(id_col),
@@ -914,14 +951,10 @@ def semantic_dedup(
         _norm(F.col(vec_col)).alias("__n"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    pairs = (
-        sig.groupBy("bucket")
-        .agg(F.collect_list(F.struct(id_col, "__v", "__n")).alias("mem"))
-        .select("bucket", F.explode("mem").alias("a"), "mem")
-        .select("bucket", "a", F.explode("mem").alias("b"))
+    pairs = bucket_pairs(
+        sig, ["bucket"], [id_col, "__v", "__n"], id_col, max_bucket_size
         # keep a == b: the self-pair is each vector's carrier row
-        .filter(F.col(f"a.{id_col}") <= F.col(f"b.{id_col}"))
-    )
+    ).filter(F.col(f"a.{id_col}") <= F.col(f"b.{id_col}"))
     cos = _cosine(
         F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n")
     )

@@ -428,11 +428,108 @@ def lsh_ann_oracle_sql(
     """
 
 
+def _tiled_tasks(
+    sig: DataFrame,
+    bucket_cols: list[str],
+    member_cols: list[str],
+    id_col: str,
+    max_bucket_size: int,
+) -> DataFrame:
+    """The bounded pairing's task frame: each LSH bucket of m members
+    is tiled into s = ceil(m / max_bucket_size) hash-assigned
+    sub-groups, and every (i, j) tile pair becomes ONE aggregation
+    task carrying side-a members (tile i) and side-b members (tile j).
+    Every ordered in-bucket pair lands in exactly one task, so pairing
+    over these tasks is EXACT — no recall loss — while the largest
+    task processes ~max_bucket_size² pairs instead of m² (tile
+    membership is xxhash64-uniform, so side lists concentrate tightly
+    around m/s ≤ max_bucket_size).
+
+    Costs vs the unbounded single-task shape (pay only when bounding):
+    one extra narrow counts pass over the signature subtree (broadcast
+    back — the skew_report double-scan pattern), and each row shuffles
+    2s−1 copies instead of 1. Exposed as its own function so the
+    hot-bucket test can assert the per-task bound directly."""
+    sizes = sig.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__m"))
+    sized = sig.join(F.broadcast(sizes), list(bucket_cols)).withColumn(
+        "__s",
+        F.ceil(F.col("__m") / F.lit(max_bucket_size)).cast("int"),
+    )
+    payload = F.struct(*member_cols)
+    own = F.pmod(F.xxhash64(F.col(id_col)), F.col("__s")).cast("int")
+    tiles = F.sequence(F.lit(0), F.col("__s") - F.lit(1))
+    a = sized.select(
+        *bucket_cols,
+        payload.alias("__p"),
+        own.alias("__ti"),
+        F.explode(tiles).alias("__tj"),
+        F.lit(1).alias("__sd"),
+    )
+    b = sized.select(
+        *bucket_cols,
+        payload.alias("__p"),
+        F.explode(tiles).alias("__ti"),
+        own.alias("__tj"),
+        F.lit(0).alias("__sd"),
+    )
+    # collect_list skips NULLs, so the two conditional collects split
+    # the union back into per-side member lists in one aggregate
+    return (
+        a.unionByName(b)
+        .groupBy(*bucket_cols, "__ti", "__tj")
+        .agg(
+            F.collect_list(
+                F.when(F.col("__sd") == 1, F.col("__p"))
+            ).alias("__am"),
+            F.collect_list(
+                F.when(F.col("__sd") == 0, F.col("__p"))
+            ).alias("__bm"),
+        )
+    )
+
+
+def bucket_pairs(
+    sig: DataFrame,
+    bucket_cols: list[str],
+    member_cols: list[str],
+    id_col: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """ALL ordered in-bucket pairs (a, b) — self-pairs included, the
+    caller applies its own (!=, <=, <) pair filter. Output columns:
+    ``*bucket_cols, a, b`` where a/b are structs of ``member_cols``.
+
+    ``max_bucket_size=None`` (default) is the single-aggregation shape
+    (collect_list + double explode, one shuffle, one signature scan).
+    Setting it bounds the quadratic hot-bucket task by exact tiling
+    (see :func:`_tiled_tasks`) — the 100 TB guard against one
+    duplicate-dense bucket (a crawl slice of near-identical pages)
+    becoming a single m² task. Identical output either way — pinned in
+    tests/test_hot_bucket.py."""
+    if max_bucket_size is None:
+        mem = F.struct(*member_cols)
+        return (
+            sig.groupBy(*bucket_cols)
+            .agg(F.collect_list(mem).alias("mem"))
+            .select(*bucket_cols, F.explode("mem").alias("a"), "mem")
+            .select(*bucket_cols, "a", F.explode("mem").alias("b"))
+        )
+    if max_bucket_size < 1:
+        raise ValueError("max_bucket_size must be >= 1")
+    tasks = _tiled_tasks(
+        sig, bucket_cols, member_cols, id_col, max_bucket_size
+    )
+    return tasks.select(
+        *bucket_cols, F.explode("__am").alias("a"), "__bm"
+    ).select(*bucket_cols, "a", F.explode("__bm").alias("b"))
+
+
 def knn_graph(
     df: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Corpus-wide approximate k-nearest-neighbor graph: for EVERY
     vector, its top-k cosine neighbors among vectors sharing its LSH
@@ -452,6 +549,16 @@ def knn_graph(
     emit no rows — the standard ANN recall trade, same as
     lsh_ann_topk returning < k.
 
+    ``max_bucket_size`` bounds the HOT-bucket task: raising N_PLANES
+    shrinks the EXPECTED bucket, but a duplicate-dense corpus slice
+    (near-identical crawl pages share a direction, hence a bucket)
+    still collapses into one m² task. Setting the bound tiles
+    oversized buckets into exact (i, j) sub-tasks of
+    ≲max_bucket_size² pairs each — identical output, no recall loss
+    (:func:`bucket_pairs`; planted-hot-bucket pin in
+    tests/test_hot_bucket.py), at the cost of a narrow counts pass
+    and 2s−1 shuffle copies for tiled rows only.
+
     Maintenance note: :func:`knn_graph_multiprobe` restates this
     pairing block with an (table, bucket) key and adds a per-pair
     max-dedup; it is kept separate ON PURPOSE — the single-table path
@@ -466,15 +573,9 @@ def knn_graph(
         _norm(F.col(vec_col)).alias("__n"),
         lsh_bucket(F.col(vec_col)).alias("__bucket"),
     )
-    pairs = (
-        sig.groupBy("__bucket")
-        .agg(
-            F.collect_list(F.struct(id_col, "__v", "__n")).alias("mem")
-        )
-        .select(F.explode("mem").alias("a"), "mem")
-        .select("a", F.explode("mem").alias("b"))
-        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
-    )
+    pairs = bucket_pairs(
+        sig, ["__bucket"], [id_col, "__v", "__n"], id_col, max_bucket_size
+    ).filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
     cos = _cosine(
         F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n")
     )
