@@ -10,6 +10,12 @@ tmp→store overwrite is still a non-atomic delete-then-write window
 with the full merge recoverable from ``<path>__tmp``. On a
 Delta/Iceberg lake both writes collapse into an atomic ``MERGE INTO``
 — the call sites don't change.
+
+For MULTI-WRITER safety (two concurrent upserts must not lose each
+other's keys — the reference's ``INSERT … ON CONFLICT`` is atomic per
+statement), use ``pipelines/txn.upsert_manifest``: the same merge
+semantics behind an atomic manifest-commit protocol with optimistic
+retry, snapshot-isolated readers, and crash-invisible partial writes.
 """
 
 from __future__ import annotations

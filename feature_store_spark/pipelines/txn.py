@@ -1,0 +1,206 @@
+"""Transactional multi-writer upsert: manifest-commit parquet tables.
+
+``upsert_parquet`` (pipelines/sinks.py) is crash-safe via its staged
+tmp-path rename, but two CONCURRENT writers can still interleave
+read-merge-overwrite and silently lose one writer's keys — the
+reference never has this problem because its merge is an atomic
+per-statement ``INSERT … ON CONFLICT (user_id) DO UPDATE``
+(`src/pipelines/batch_pipeline.py:221-310`). This module closes the
+gap with the standard lake-format answer re-implemented minimally
+(the Delta/Iceberg commit protocol, public in both projects' specs):
+
+- **Immutable data, versioned manifests.** Every commit writes its
+  full merged snapshot to a fresh ``data/<uuid>/`` directory, then
+  publishes it by creating ``_manifests/v{N+1}.json``. Data files are
+  never mutated or deleted by writers.
+- **Atomic publish.** The manifest file is created with
+  ``O_CREAT|O_EXCL`` — on a POSIX filesystem exactly ONE writer can
+  create a given version file; the loser sees ``FileExistsError``,
+  discards its orphan data directory, re-reads the new snapshot,
+  re-merges, and retries (optimistic concurrency — exactly Delta's
+  loop). On an object store the same protocol rides a conditional
+  put (S3 If-None-Match / GCS x-goog-if-generation-match); the
+  POSIX create is the local-filesystem instance of it.
+- **Snapshot-isolated readers.** A reader resolves the newest
+  committed manifest once and reads ONLY that manifest's data
+  directory — a crash mid-write (data written, manifest not) is
+  invisible, and concurrent commits never tear a read.
+
+Scale posture: the protocol adds no Spark-side work — one manifest
+file per commit, the same full-snapshot merge cost as
+``upsert_parquet`` (at 100 TB, pair it with the partition-scoped
+merge so each commit's data dir holds only touched partitions, or
+swap the whole module for Delta — the call-site contract is
+identical). ``vacuum`` reclaims data directories no retained
+manifest references.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from feature_store_spark.operators.windows import latest_per_key
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+_MANIFEST_RE = re.compile(r"v(\d{8})\.json")
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def latest_version(root: str) -> int:
+    """Newest committed version; 0 means no committed table."""
+    d = os.path.join(root, MANIFEST_DIR)
+    if not os.path.isdir(d):
+        return 0
+    versions = [
+        int(m.group(1))
+        for f in os.listdir(d)
+        if (m := _MANIFEST_RE.fullmatch(f))
+    ]
+    return max(versions, default=0)
+
+
+def read_manifest(root: str, version: int) -> dict:
+    with open(_manifest_path(root, version)) as f:
+        return json.load(f)
+
+
+def read_table(
+    spark: SparkSession, root: str, version: int | None = None
+) -> tuple[DataFrame | None, int]:
+    """(snapshot, version) pinned to ONE committed manifest — or
+    (None, 0) for a table with no commits. Passing ``version`` time-
+    travels to that commit (manifests are retained until vacuumed)."""
+    v = latest_version(root) if version is None else version
+    if v == 0:
+        return None, 0
+    m = read_manifest(root, v)
+    schema = StructType.fromJson(m["schema"])
+    df = spark.read.schema(schema).parquet(
+        os.path.join(root, m["data_dir"])
+    )
+    return df, v
+
+
+def _try_commit(
+    root: str,
+    version: int,
+    data_dir: str,
+    rows: int,
+    schema: StructType,
+    base_version: int,
+) -> bool:
+    """Atomically publish ``version``; False when another writer won
+    the race for this version number (the optimistic-retry signal)."""
+    os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
+    payload = json.dumps(
+        {
+            "version": version,
+            "base_version": base_version,
+            "data_dir": data_dir,
+            "rows": rows,
+            "schema": schema.jsonValue(),
+        }
+    )
+    try:
+        fd = os.open(
+            _manifest_path(root, version),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    return True
+
+
+def upsert_manifest(
+    updates: DataFrame,
+    root: str,
+    key_cols: Sequence[str],
+    order_col: str,
+    max_retries: int = 20,
+) -> int:
+    """``upsert_parquet`` semantics (last-writer-wins per key on
+    ``order_col``, update beats store on ties) with SERIALIZABLE
+    multi-writer safety: concurrent upserts cannot lose each other's
+    keys — the loser of a version race re-merges against the winner's
+    snapshot and commits on top (pytest: two interleaved writers, no
+    lost update; crash mid-write leaves the old snapshot readable).
+    Returns the committed snapshot's row count."""
+    spark = updates.sparkSession
+    for _ in range(max_retries):
+        base, v = read_table(spark, root)
+        if base is not None:
+            merged = latest_per_key(
+                base.withColumn("__src", F.lit(0)).unionByName(
+                    updates.withColumn("__src", F.lit(1))
+                ),
+                list(key_cols),
+                order_col,
+                tiebreak_col="__src",
+            ).drop("__src")
+        else:
+            merged = latest_per_key(updates, list(key_cols), order_col)
+        data_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+        data_path = os.path.join(root, data_rel)
+        obs = Observation()
+        merged.observe(obs, F.count(F.lit(1)).alias("rows")).write.parquet(
+            data_path
+        )
+        n = int(obs.get["rows"])
+        if _try_commit(root, v + 1, data_rel, n, merged.schema, v):
+            return n
+        # another writer published v+1 first: our snapshot is stale.
+        # Drop the orphan data dir and re-merge against the new tip.
+        shutil.rmtree(data_path, ignore_errors=True)
+    raise RuntimeError(
+        f"upsert_manifest: gave up after {max_retries} version races "
+        f"at {root!r} — contention this hot needs a coordinator or a "
+        "real lake format"
+    )
+
+
+def vacuum(root: str, keep_last: int = 1) -> list[str]:
+    """Delete data directories referenced by no retained manifest
+    (retention: the newest ``keep_last`` versions). Never touches the
+    newest manifest. Returns the removed data dirs. Safe against
+    in-flight writers: their uncommitted data dirs are unreferenced
+    but also unlisted here (only dirs referenced by PRUNED manifests
+    are removed), so a racing commit never loses data files."""
+    if keep_last < 1:
+        raise ValueError("vacuum must keep at least the newest version")
+    tip = latest_version(root)
+    if tip == 0:
+        return []
+    keep_versions = set(range(max(1, tip - keep_last + 1), tip + 1))
+    all_versions = set()
+    d = os.path.join(root, MANIFEST_DIR)
+    for f in os.listdir(d):
+        if m := _MANIFEST_RE.fullmatch(f):
+            all_versions.add(int(m.group(1)))
+    kept_dirs = {
+        read_manifest(root, v)["data_dir"] for v in keep_versions
+    }
+    removed = []
+    for v in sorted(all_versions - keep_versions):
+        data_dir = read_manifest(root, v)["data_dir"]
+        if data_dir not in kept_dirs:
+            shutil.rmtree(os.path.join(root, data_dir), ignore_errors=True)
+            removed.append(data_dir)
+        os.remove(_manifest_path(root, v))
+    return removed

@@ -1,0 +1,140 @@
+"""Manifest-commit transactional upsert (pipelines/txn.py): the
+multi-writer and crash-safety contracts upsert_parquet cannot give
+(reference parity: atomic INSERT … ON CONFLICT,
+`src/pipelines/batch_pipeline.py:221-310`)."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_spark.pipelines.txn import (
+    _try_commit,
+    latest_version,
+    read_table,
+    upsert_manifest,
+    vacuum,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "user_id bigint, v string, ts bigint")
+
+
+def _snap(spark, root):
+    df, _ = read_table(spark, root)
+    return {r["user_id"]: (r["v"], r["ts"]) for r in df.collect()}
+
+
+def test_upsert_manifest_semantics(spark, tmp_path):
+    root = str(tmp_path / "t")
+    n = upsert_manifest(
+        _df(spark, [(1, "a", 10), (2, "b", 10)]), root, ["user_id"], "ts"
+    )
+    assert n == 2 and latest_version(root) == 1
+    # newer ts wins; tie goes to the update; stale ts loses
+    upsert_manifest(
+        _df(spark, [(1, "a2", 11), (2, "b2", 10), (3, "c", 5)]),
+        root,
+        ["user_id"],
+        "ts",
+    )
+    assert _snap(spark, root) == {
+        1: ("a2", 11),
+        2: ("b2", 10),
+        3: ("c", 5),
+    }
+    upsert_manifest(_df(spark, [(1, "stale", 9)]), root, ["user_id"], "ts")
+    assert _snap(spark, root)[1] == ("a2", 11)
+    assert latest_version(root) == 3
+
+
+def test_version_race_loser_remerges_not_clobbers(spark, tmp_path):
+    """Deterministic interleave: writer B's commit is built against a
+    snapshot that writer A supersedes mid-flight. B's stale publish
+    MUST fail (O_EXCL), and B's public-API retry must land ON TOP of
+    A's commit — both writers' keys survive."""
+    root = str(tmp_path / "t")
+    upsert_manifest(_df(spark, [(1, "base", 1)]), root, ["user_id"], "ts")
+
+    # B prepares a stale commit against v1 (simulating the read side)
+    b_merged = _df(spark, [(1, "base", 1), (2, "from_b", 2)])
+    b_dir = "data/stale_b"
+    b_merged.write.parquet(os.path.join(root, b_dir))
+
+    # A commits v2 first
+    upsert_manifest(_df(spark, [(3, "from_a", 2)]), root, ["user_id"], "ts")
+    assert latest_version(root) == 2
+
+    # B's stale publish of v2 must lose the race...
+    assert not _try_commit(root, 2, b_dir, 2, b_merged.schema, 1)
+    # ...and the real API retry merges against A's tip: nothing lost
+    upsert_manifest(_df(spark, [(2, "from_b", 2)]), root, ["user_id"], "ts")
+    assert _snap(spark, root) == {
+        1: ("base", 1),
+        2: ("from_b", 2),
+        3: ("from_a", 2),
+    }
+
+
+def test_concurrent_writers_lose_no_update(spark, tmp_path):
+    """Two live threads interleaving upserts over disjoint keys: every
+    key from both writers must be present at the end — the exact
+    failure mode read-modify-overwrite cannot exclude."""
+    root = str(tmp_path / "t")
+    errors = []
+
+    def writer(offset):
+        try:
+            for i in range(4):
+                upsert_manifest(
+                    _df(spark, [(offset + i, f"w{offset}", i)]),
+                    root,
+                    ["user_id"],
+                    "ts",
+                )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=(100,))
+    t2 = threading.Thread(target=writer, args=(200,))
+    t1.start()
+    t2.start()
+    t1.join()
+    t2.join()
+    assert not errors
+    got = _snap(spark, root)
+    assert set(got) == {100, 101, 102, 103, 200, 201, 202, 203}
+    assert latest_version(root) == 8  # every commit landed
+
+
+def test_crash_mid_write_keeps_old_snapshot(spark, tmp_path):
+    """Data written but manifest never published (crash between the
+    two steps): readers keep seeing the committed snapshot."""
+    root = str(tmp_path / "t")
+    upsert_manifest(_df(spark, [(1, "a", 1)]), root, ["user_id"], "ts")
+    # simulated crash: orphan data directory, no manifest
+    _df(spark, [(1, "torn", 9), (9, "torn", 9)]).write.parquet(
+        os.path.join(root, "data/orphan_crashed")
+    )
+    assert latest_version(root) == 1
+    assert _snap(spark, root) == {1: ("a", 1)}
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    root = str(tmp_path / "t")
+    upsert_manifest(_df(spark, [(1, "v1", 1)]), root, ["user_id"], "ts")
+    upsert_manifest(_df(spark, [(1, "v2", 2)]), root, ["user_id"], "ts")
+    upsert_manifest(_df(spark, [(1, "v3", 3)]), root, ["user_id"], "ts")
+    old, v = read_table(spark, root, version=1)
+    assert v == 1 and old.collect()[0]["v"] == "v1"
+    removed = vacuum(root, keep_last=1)
+    assert len(removed) == 2
+    assert _snap(spark, root) == {1: ("v3", 3)}
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, root, version=1)
+    with pytest.raises(ValueError, match="keep at least"):
+        vacuum(root, keep_last=0)
