@@ -849,12 +849,30 @@ from feature_store_spark.llm.similarity import _cosine, _norm  # noqa: E402
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.4,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             max_rows: int | None = 100_000) -> DataFrame:
     """Vector pairs with cosine ≥ threshold — exact all-pairs
     (correctness baseline; the LSH-bucketed path in similarity.py is
     the scale variant). Cosine is a sequential double fold on both
     engines, rounded to 6 digits before the threshold cut so the cut
-    itself is reproducible."""
+    itself is reproducible.
+
+    ``max_rows`` guards against shipping the O(n²) baseline at corpus
+    scale by accident: inputs larger than it raise with a pointer to
+    the bucketed variants (one count job — this op is a verification
+    tool, not a hot path). ``max_rows=None`` forces the full product.
+    """
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_near_dup_pairs: {n} input vectors exceed "
+                f"max_rows={max_rows}; this exact all-pairs baseline "
+                f"materializes {n * (n - 1) // 2} pairs. Use the "
+                "bucketed scale paths (semantic_dedup, "
+                "similarity.knn_graph, similarity.lsh_ann_topk) or "
+                "pass a higher max_rows / max_rows=None to force."
+            )
     norm = df.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),

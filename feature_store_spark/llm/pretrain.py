@@ -177,14 +177,17 @@ def repetition_stats(
     repeats of an earlier trigram in the same document. ``repetitive``
     applies the published-style thresholds to the 2-/3-gram metrics.
 
-    One scan: uni/bi/tri grams are emitted from a single tagged
-    explode (gram size rides along as a literal), counted per (doc,
-    size, gram), then folded to per-(doc, size) {max count, total,
-    distinct} in a second map-combined aggregate and pivoted by the
-    three known sizes. Both shuffles hash on {id_col} (+gram) — no
-    skew beyond document length itself, no joins except the final
-    thin per-doc assembly against the doc spine (docs with < 3 tokens
-    keep a row with NULL ratios).
+    One scan, ONE shuffle (plan-pinned): uni/bi/tri grams are emitted
+    from a single tagged explode (gram size rides along as a literal)
+    plus a size-0 SENTINEL element per document — the sentinel keeps
+    empty/short documents alive through the aggregates, replacing the
+    former doc-spine join (which cost a second scan and a second
+    exchange). The token arrays are repartitioned by {id_col} once;
+    every downstream aggregate ((doc, size, gram) counts → per-(doc,
+    size) folds → per-doc pivot) groups on supersets of {id_col}, so
+    Spark satisfies them all from that single exchange. No skew beyond
+    document length itself; docs with < 3 tokens keep a row with NULL
+    ratios.
     """
     toks = df.select(
         F.col(id_col),
@@ -197,6 +200,9 @@ def repetition_stats(
         F.explode(
             F.expr(
                 "flatten(array("
+                # sentinel: guarantees >=1 row per doc (n=0 is
+                # ignored by the pivot, it only carries the doc key)
+                + "array(struct(0 AS n, '' AS gram)), "
                 + ", ".join(
                     f"transform({gram_expr(k)}, g -> struct({k} AS n, g AS gram))"
                     for k in (1, 2, 3)
@@ -230,18 +236,15 @@ def repetition_stats(
     def ratio(num, den):
         return F.round(num / F.when(den == 0, None).otherwise(den), 6)
 
-    out = (
-        df.select(F.col(id_col))
-        .join(pivoted, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("__tot1", F.lit(0)).cast("bigint").alias("n_tokens"),
-            ratio(F.col("__max1"), F.col("__tot1")).alias("top_unigram_frac"),
-            ratio(F.col("__max2"), F.col("__tot2")).alias("top_bigram_frac"),
-            ratio(
-                F.col("__tot3") - F.col("__dis3"), F.col("__tot3")
-            ).alias("dup_trigram_frac"),
-        )
+    # the sentinel made `pivoted` a full per-doc spine — no join back
+    out = pivoted.select(
+        id_col,
+        F.coalesce("__tot1", F.lit(0)).cast("bigint").alias("n_tokens"),
+        ratio(F.col("__max1"), F.col("__tot1")).alias("top_unigram_frac"),
+        ratio(F.col("__max2"), F.col("__tot2")).alias("top_bigram_frac"),
+        ratio(
+            F.col("__tot3") - F.col("__dis3"), F.col("__tot3")
+        ).alias("dup_trigram_frac"),
     )
     return out.withColumn(
         "repetitive",

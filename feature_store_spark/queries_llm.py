@@ -365,18 +365,22 @@ def q_extract_features(spark, sf_dir):
 # against its own exact result and hash-compares the DETERMINISTIC
 # summary (ids, exact counts, within-band booleans) with an oracle that
 # computes the exact side in SQL. Raw ANN outputs + recall are further
-# pinned in tests/test_ann_quality.py. Thresholds sit well under the
+# pinned in tests/test_ann_quality.py. Thresholds sit under the
 # measured minima (seeded → deterministic per dataset): IVF n_probe=5/8
-# per-query recall ≥0.8 at sf0.001/0.01/0.1, PQ shortlist_factor=25
-# ≥0.6, MLlib-MinHash pair recall 1.0, risk-model accuracy 0.96.
+# per-query recall ≥0.8 at sf0.001/0.01/0.1, PQ shortlist_factor=50 +
+# n_codes=32 ≥0.9 (round-4 sweep: 0.9/1.0/0.9 across the three SFs),
+# MLlib-MinHash pair recall 1.0, risk-model accuracy 0.96.
 # ---------------------------------------------------------------------------
 
-ANN_RECALL_MIN = 0.5  # per-query floor for the IVF/PQ driver bands
+ANN_RECALL_MIN = 0.65  # IVF per-query floor (measured minimum 0.8)
+PQ_RECALL_MIN = 0.8  # PQ per-query floor (measured minimum 0.9)
 
 
-def _ann_recall_band(exact: DataFrame, ann: DataFrame) -> DataFrame:
+def _ann_recall_band(
+    exact: DataFrame, ann: DataFrame, floor: float = ANN_RECALL_MIN
+) -> DataFrame:
     """Per-query (query_id, n_exact, recall_ok): the ANN result must
-    recover ≥ ANN_RECALL_MIN of the exact top-k for every query."""
+    recover ≥ ``floor`` of the exact top-k for every query."""
     hits = exact.join(ann, ["query_id", "vec_id"], "left_semi").groupBy(
         "query_id"
     ).agg(F.count(F.lit(1)).alias("__n_hit"))
@@ -389,7 +393,7 @@ def _ann_recall_band(exact: DataFrame, ann: DataFrame) -> DataFrame:
             "n_exact",
             (
                 F.coalesce(F.col("__n_hit"), F.lit(0)) / F.col("n_exact")
-                >= ANN_RECALL_MIN
+                >= floor
             ).alias("recall_ok"),
         )
     )
@@ -762,18 +766,19 @@ def q_knn_graph_vectorized(spark, sf_dir):
 def q_pq_ann_topk(spark, sf_dir):
     """Product-quantization ANN tolerance band (the KMeans codebook
     trainer has no SQL twin, so the band is per-query recall of the
-    32x-compressed ADC shortlist + exact rerank against the exact
-    top-10 — the same a11 pattern as IVF). shortlist_factor=25:
-    measured per-query recall ≥0.6 at every fixture SF; band at 0.5.
+    compressed ADC shortlist + exact rerank against the exact top-10 —
+    the same a11 pattern as IVF). shortlist_factor=50 + n_codes=32
+    (still 1 byte/code, 16× compression at m=8): measured per-query
+    recall ≥0.9 at every fixture SF; band at 0.8 (PQ_RECALL_MIN).
     Full-shortlist == exact is pinned in tests/test_ann_quality.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    ann = S.pq_ann_topk(emb, queries, k=10, shortlist_factor=25).select(
-        "query_id", "vec_id"
-    )
+    ann = S.pq_ann_topk(
+        emb, queries, k=10, shortlist_factor=50, n_codes=32
+    ).select("query_id", "vec_id")
     exact = S.cosine_topk(emb, queries, k=10, kernel="jvm").select(
         "query_id", "vec_id"
     )
-    return _ann_recall_band(exact, ann)
+    return _ann_recall_band(exact, ann, floor=PQ_RECALL_MIN)

@@ -261,6 +261,42 @@ def test_token_report_bpe_parity_on_planted_punctuation(spark):
     assert compare(out, con, token_report_oracle_sql())["ok"]
 
 
+def test_embedding_near_dup_all_pairs_guard(spark):
+    """The exact all-pairs baseline must refuse oversized inputs with
+    a pointer to the bucketed variants — nobody ships O(n²) at corpus
+    scale by accident — and still run when forced or under the cap."""
+    from feature_store_spark.llm.dedup import embedding_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(10)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="bucketed scale paths"):
+        embedding_near_dup_pairs(df, max_rows=5)
+    assert embedding_near_dup_pairs(df, max_rows=10).count() > 0
+    assert embedding_near_dup_pairs(df, max_rows=None).count() > 0
+
+
+def test_repetition_stats_sentinel_keeps_degenerate_docs(spark):
+    """The round-4 sentinel (replacing the doc-spine join) must keep
+    empty/NULL/short documents with zero tokens and NULL ratios —
+    exactly what the join used to guarantee."""
+    from feature_store_spark.llm.pretrain import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, ""), (2, None), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    for d in (1, 2):
+        assert got[d]["n_tokens"] == 0
+        assert got[d]["top_unigram_frac"] is None
+        assert got[d]["repetitive"] is False
+    assert got[3]["n_tokens"] == 1 and got[3]["top_bigram_frac"] is None
+    assert got[0]["n_tokens"] == 6 and got[0]["repetitive"] is True
+
+
 def test_negative_samples_empty_catalog_yields_empty_not_error(spark):
     """pmod(h, 0) on an empty catalog used to raise an opaque ANSI
     DIVIDE_BY_ZERO while the DuckDB twin's `% n` yields NULL and

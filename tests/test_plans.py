@@ -374,6 +374,17 @@ def test_vocab_coverage_take_ordered_top_n(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_repetition_stats_single_shuffle_single_scan(spark, sf_dir):
+    # one doc-keyed repartition of the token arrays feeds EVERY
+    # aggregate (all group on supersets of doc_id); the per-doc
+    # sentinel replaced the doc-spine join, so there is exactly one
+    # Exchange and one scan in the whole plan
+    plan = _plan(spark, sf_dir, "pt_repetition_stats")
+    assert plan.count("Exchange") == 1
+    assert plan.count("Scan ") + plan.count("FileScan") <= 2  # 1 scan node
+    assert "Join" not in plan
+
+
 def test_dup_span_single_gram_shuffle(spark, sf_dir):
     # posting stream must be shuffled ONCE on the gram key (window
     # count), not twice (groupBy + join back); remaining exchanges are
