@@ -1246,6 +1246,8 @@ def cosine_topk_int8(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    kernel: str = "auto",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`cosine_topk` over int8-quantized vectors. Cosine is
     scale-invariant, so the per-vector quantization scales cancel and
@@ -1256,30 +1258,86 @@ def cosine_topk_int8(
     float kernels. Recall vs the float top-k is pinned in
     tests/test_ann_quality.py.
 
-    Cost profile: the in-plan JVM dot is the CORRECTNESS/oracle shape;
-    at true scale the win of int8 is the 4-8x smaller MATERIALIZED
-    codes table (quantize once, write, scan codes not vectors), with
-    scoring either here or via the numpy kernel pattern of
-    :func:`cosine_topk_vectorized` over the codes column. The bigint
-    cast and the norm each get their own projection step (same
-    project-collapse trap as the quantizer).
+    ``index`` — a prebuilt (id, codes) frame from
+    :func:`quantize_embeddings_int8` — skips corpus quantization: the
+    DEPLOYED shape (same contract as ``pq_ann_topk``'s index), where
+    codes are written once at ingest and every query batch scans the
+    4-8× smaller codes table, never the float vectors. Queries are
+    always quantized inline (small by the broadcast contract).
+
+    ``kernel="auto"`` scores through an Arrow-batched integer matmul
+    (the :func:`cosine_topk_vectorized` pattern, ~4× at sf≈1): dots
+    stay EXACT int64 in numpy, the raw double ``dot/sqrt(den²)`` is
+    bit-identical to the JVM's (exact int→double conversions + IEEE
+    sqrt/divide), and the kernel never rounds — it emits every
+    candidate within 1.5e-6 of its batch's k-th raw score (rounding
+    can move a value by at most 0.5e-6, so the final rounded top-k is
+    provably inside that band) and Spark's own ``round`` + window do
+    the ranking, keeping engine rounding semantics out of Python
+    entirely. ``kernel="jvm"`` is the fully-lazy in-plan fold — the
+    correctness/oracle shape, bit-equal to auto (pinned in
+    tests/test_ann_quality.py).
+
+    Cost profile: at true scale the win of int8 is the 4-8x smaller
+    MATERIALIZED codes table (quantize once, write, scan codes not
+    vectors); both kernels score from codes alone.
     """
-    def q(df, out_id):
-        qz = quantize_embeddings_int8(df, id_col=out_id, vec_col=vec_col)
+    if kernel not in ("auto", "arrow", "jvm"):
+        raise ValueError(
+            f"cosine_topk_int8: unknown kernel {kernel!r} "
+            "(expected 'auto', 'arrow', or 'jvm')"
+        )
+
+    def codes_only(df, out_id, as_bigint=True, prebuilt=None):
+        qz = (
+            prebuilt.select(F.col(out_id), F.col("codes"))
+            if prebuilt is not None
+            else quantize_embeddings_int8(df, id_col=out_id, vec_col=vec_col)
+        )
+        if not as_bigint:
+            # the arrow kernel widens tinyint codes to int64 in numpy —
+            # skipping the per-element JVM cast transform (1 lambda
+            # eval per element, interpreted) entirely
+            return qz.select(out_id, F.col("codes").alias("c"))
         codes = F.transform(F.col("codes"), lambda c: c.cast("bigint"))
-        staged = qz.select(out_id, codes.alias("c"))
+        return qz.select(out_id, codes.alias("c"))
+
+    def q(df, out_id, prebuilt=None):
+        staged = codes_only(df, out_id, prebuilt=prebuilt)
         n2 = F.aggregate(
             F.col("c"), F.lit(0).cast("bigint"), lambda acc, c: acc + c * c
         )
         return staged.select(out_id, "c", n2.alias("n2"))
 
-    c = q(corpus, id_col).withColumnRenamed("c", "__cc").withColumnRenamed(
-        "n2", "__cn2"
-    )
+    if kernel != "jvm":
+        # the arrow kernel derives both norms itself (exact int64
+        # numpy sums) — quantization stays JVM-side so codes match
+        # the oracle's round-half-up bit-for-bit, but the interpreted
+        # per-element n² fold never runs
+        return _cosine_topk_int8_arrow(
+            codes_only(
+                corpus, id_col, as_bigint=False, prebuilt=index
+            ).withColumnRenamed("c", "__cc"),
+            codes_only(
+                queries.select(
+                    F.col(query_id_col).alias(query_id_col), vec_col
+                ),
+                query_id_col,
+                as_bigint=False,
+            ).withColumnRenamed("c", "__qc"),
+            k,
+            id_col,
+            query_id_col,
+        )
+
+    c = q(corpus, id_col, prebuilt=index).withColumnRenamed(
+        "c", "__cc"
+    ).withColumnRenamed("n2", "__cn2")
     qs = q(
         queries.select(F.col(query_id_col).alias(query_id_col), vec_col),
         query_id_col,
     ).withColumnRenamed("c", "__qc").withColumnRenamed("n2", "__qn2")
+
     dot = F.aggregate(
         F.zip_with(F.col("__qc"), F.col("__cc"), lambda a, b: a * b),
         F.lit(0).cast("bigint"),
@@ -1293,6 +1351,111 @@ def cosine_topk_int8(
         c.crossJoin(F.broadcast(qs))
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(query_id_col, id_col, cos.alias("cosine_q"))
+    )
+    return _rank_topk(scored, query_id_col, "cosine_q", id_col, k)
+
+
+def _cosine_topk_int8_arrow(
+    c: DataFrame,
+    qs: DataFrame,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Arrow scoring kernel for :func:`cosine_topk_int8` — see its
+    docstring for the exactness argument. Inputs are the quantized
+    (id, __cc codes) / (qid, __qc) frames; both n² norms are derived
+    in-kernel (exact int64)."""
+    import numpy as _np
+
+    q_rows = qs.collect()
+    if not q_rows:
+        return _rank_topk(
+            c.select(
+                F.lit(None).cast("bigint").alias(query_id_col),
+                F.col(id_col),
+                F.lit(None).cast("double").alias("cosine_q"),
+            ).limit(0),
+            query_id_col,
+            "cosine_q",
+            id_col,
+            k,
+        )
+    q_ids = _np.array([r[0] for r in q_rows])
+    q_mat = _np.array([r["__qc"] for r in q_rows], dtype=_np.int64)
+    q_n2 = (q_mat * q_mat).sum(axis=1)
+
+    qid_t = qs.schema[query_id_col].dataType.simpleString()
+    cid_t = c.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{query_id_col} {qid_t}, {id_col} {cid_t}, __raw double"
+    )
+
+    def _score(batches):
+        import pyarrow as _pa
+
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            flat = _np.asarray(batch.column(1).flatten(), dtype=_np.int64)
+            n = len(batch)
+            codes = flat.reshape(n, len(flat) // n)
+            cn2 = (codes * codes).sum(axis=1)
+            dots = codes @ q_mat.T  # exact int64
+            den2 = _np.outer(cn2, q_n2).astype(_np.float64)
+            with _np.errstate(divide="ignore", invalid="ignore"):
+                raw = dots.astype(_np.float64) / _np.sqrt(den2)
+            raw[den2 <= 0] = _np.nan
+            out_q, out_i, out_r = [], [], []
+            for j in range(len(q_ids)):
+                keep = ids != q_ids[j]
+                col = raw[keep, j]
+                idk = ids[keep]
+                finite = ~_np.isnan(col)
+                nf = int(finite.sum())
+                sel = _np.zeros(len(col), dtype=bool)
+                if nf:
+                    vals = col[finite]
+                    kth = (
+                        _np.partition(vals, nf - min(k, nf))[nf - min(k, nf)]
+                    )
+                    # the rounded top-k lives within 1.5e-6 of the raw
+                    # k-th value (round moves scores by <= 0.5e-6)
+                    sel = finite & (col >= kth - 1.5e-6)
+                if nf < k:
+                    # too few finite scores: NULL rows can reach the
+                    # top-k — forward the k smallest-id null rows
+                    null_idx = _np.nonzero(~finite)[0]
+                    order = _np.argsort(idk[null_idx])[:k]
+                    sel[null_idx[order]] = True
+                out_q.append(_np.full(int(sel.sum()), q_ids[j]))
+                out_i.append(idk[sel])
+                out_r.append(col[sel])
+            flat_r = (
+                _np.concatenate(out_r) if out_r else _np.array([])
+            )
+            yield _pa.RecordBatch.from_arrays(
+                [
+                    _pa.array(
+                        _np.concatenate(out_q) if out_q else _np.array([])
+                    ),
+                    _pa.array(
+                        _np.concatenate(out_i)
+                        if out_i
+                        else _np.array([], dtype=ids.dtype)
+                    ),
+                    _pa.array(flat_r, mask=_np.isnan(flat_r)),
+                ],
+                names=[query_id_col, id_col, "__raw"],
+            )
+
+    scored = (
+        c.select(id_col, "__cc")
+        .mapInArrow(_score, schema=out_schema)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(F.col("__raw"), 6).alias("cosine_q"),
+        )
     )
     return _rank_topk(scored, query_id_col, "cosine_q", id_col, k)
 

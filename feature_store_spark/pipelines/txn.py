@@ -175,6 +175,50 @@ def upsert_manifest(
     )
 
 
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+    key_cols: Sequence[str] = ("user_id",),
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level change feed between two committed versions — the CDC
+    read every lake format exposes (Delta ``table_changes`` / Iceberg
+    ``changelog``), derived here from the retained manifests:
+    :func:`operators.diff.snapshot_diff` of the two pinned snapshots,
+    emitting (keys, status ∈ added/removed/changed/unchanged,
+    changed_cols). Consumers feed downstream incrementally (cache
+    invalidation, warehouse sync) without replaying full snapshots.
+    ``compare_cols`` defaults to every non-key column of the newer
+    snapshot. Scale shape inherits snapshot_diff's: one shuffle per
+    side, zero when the snapshots are key-bucketed."""
+    from feature_store_spark.operators.diff import snapshot_diff
+
+    try:
+        new, v_new = read_table(spark, root, to_version)
+        old, v_old = read_table(spark, root, from_version)
+    except FileNotFoundError as e:
+        raise ValueError(
+            f"table_changes: version range {from_version}.."
+            f"{to_version or 'latest'} not readable at {root!r} "
+            "(manifest missing — vacuumed or never committed)"
+        ) from e
+    if old is None or new is None:
+        raise ValueError(
+            f"table_changes: versions {from_version}..{v_new or to_version}"
+            f" not readable at {root!r} (table empty at one endpoint)"
+        )
+    if v_old >= v_new:
+        raise ValueError(
+            f"table_changes: from_version {v_old} must precede "
+            f"to_version {v_new}"
+        )
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in set(key_cols)]
+    return snapshot_diff(old, new, list(key_cols), list(compare_cols))
+
+
 def vacuum(root: str, keep_last: int = 1) -> list[str]:
     """Delete data directories referenced by no retained manifest
     (retention: the newest ``keep_last`` versions). Never touches the

@@ -290,6 +290,30 @@ def q_quantize_int8(spark, sf_dir):
     )
 
 
+def _codes_table(spark, sf_dir):
+    """Materialized int8 codes for the fixture's embeddings — the
+    deployed shape (quantize once at ingest, scan the 4-8× smaller
+    codes table per query batch; same posture as pipelines/store.py's
+    feature tables). Idempotent per fixture dir; external path so a
+    fresh session reuses the files."""
+    import hashlib
+    import os
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    name = f"fs_int8_codes_{digest}"
+    if not spark.catalog.tableExists(name):
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        qz = S.quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
+        (
+            qz.select("vec_id", "codes")
+            .write.format("parquet")
+            .option("path", f"{warehouse.rstrip('/')}/{name}__data")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
 @spec(
     "sim_cosine_topk_int8",
     S.cosine_topk_int8_oracle_sql(n_queries=N_QUERY_VECS, k=10),
@@ -298,10 +322,18 @@ def q_quantize_int8(spark, sf_dir):
 def q_cosine_topk_int8(spark, sf_dir):
     """Cosine top-k over int8-quantized vectors: exact bigint dot
     products (scales cancel), one sqrt+divide+round — engine-exact, so
-    the quantized scores get a DIRECT oracle. Recall vs the float
-    top-k is pinned in tests/test_ann_quality.py."""
+    the quantized scores get a DIRECT oracle (which quantizes inline
+    in SQL — identical arithmetic). The Spark side reads the
+    MATERIALIZED codes table (quantize-once-at-ingest is the entire
+    point of the int8 tier; `_codes_table` builds it on first touch),
+    scoring through the Arrow integer-matmul kernel. Recall vs the
+    float top-k and arrow==jvm bit-equality are pinned in
+    tests/test_ann_quality.py."""
     return S.cosine_topk_int8(
-        _t(spark, sf_dir, "embeddings"), _query_vecs(spark, sf_dir), k=10
+        _t(spark, sf_dir, "embeddings"),
+        _query_vecs(spark, sf_dir),
+        k=10,
+        index=_codes_table(spark, sf_dir),
     )
 
 

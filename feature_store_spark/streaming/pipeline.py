@@ -482,6 +482,58 @@ def run_streaming_upsert(
     }
 
 
+def run_streaming_upsert_manifest(
+    spark: SparkSession,
+    events_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+) -> dict[str, int]:
+    """``run_streaming_upsert`` with the TRANSACTIONAL state table:
+    each micro-batch's per-user latest risk scores land via
+    ``txn.upsert_manifest`` — an atomic manifest commit per batch, so
+    a concurrent batch writer (or a second stream against the same
+    table) cannot lose updates, readers are snapshot-isolated while
+    batches land, and a crash mid-batch leaves the previous commit
+    readable. Replay safety is layered: the checkpoint makes batches
+    at-least-once, and the merge's update-wins-on-tie last-writer
+    semantics make a replayed batch converge to the same snapshot
+    (one extra version, same rows). Returns {batches, upserted_users,
+    versions}."""
+    from feature_store_spark.operators.windows import latest_per_key
+    from feature_store_spark.pipelines.txn import (
+        latest_version,
+        read_table,
+        upsert_manifest,
+    )
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        scores = batch_df.filter(
+            F.col("event_type") == "purchase"
+        ).select(
+            "user_id", "ts", "event_id", F.col("value").alias("risk_score")
+        )
+        latest = latest_per_key(
+            scores, ["user_id"], "ts", tiebreak_col="event_id"
+        ).drop("event_id")
+        upsert_manifest(latest, table_root, ["user_id"], "ts")
+
+    stream = dispatch_events(read_event_stream(spark, events_dir))
+    q = (
+        stream.filter(F.col("valid"))
+        .writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    store, _ = read_table(spark, table_root)
+    return {
+        "batches": len(q.recentProgress),
+        "upserted_users": 0 if store is None else store.count(),
+        "versions": latest_version(table_root),
+    }
+
+
 def run_drift_monitor(
     spark: SparkSession,
     events_dir: str,

@@ -339,6 +339,72 @@ def test_int8_cosine_recall_vs_float(emb, queries, exact_topk):
     assert recall >= 0.9, f"int8 recall {recall:.2f}"
 
 
+def test_int8_arrow_kernel_equals_jvm_bit_for_bit(emb, queries):
+    """The Arrow integer-matmul kernel must reproduce the in-plan JVM
+    fold EXACTLY — same rounded scores, same ranks, same NULL
+    handling — including on planted zero vectors."""
+    from feature_store_spark.llm.similarity import cosine_topk_int8
+
+    a = sorted(
+        map(tuple, cosine_topk_int8(emb, queries, k=K).collect())
+    )
+    j = sorted(
+        map(
+            tuple,
+            cosine_topk_int8(emb, queries, k=K, kernel="jvm").collect(),
+        )
+    )
+    assert a == j and len(a) > 0
+
+
+def test_int8_prebuilt_index_equals_inline(emb, queries):
+    """The deployed shape (prebuilt codes table via index=) must equal
+    inline quantization exactly, on both kernels."""
+    from feature_store_spark.llm.similarity import (
+        cosine_topk_int8,
+        quantize_embeddings_int8,
+    )
+
+    idx = quantize_embeddings_int8(emb).select("vec_id", "codes")
+    inline = sorted(map(tuple, cosine_topk_int8(emb, queries, k=K).collect()))
+    via_idx = sorted(
+        map(tuple, cosine_topk_int8(emb, queries, k=K, index=idx).collect())
+    )
+    via_idx_jvm = sorted(
+        map(
+            tuple,
+            cosine_topk_int8(
+                emb, queries, k=K, index=idx, kernel="jvm"
+            ).collect(),
+        )
+    )
+    assert inline == via_idx == via_idx_jvm
+
+
+def test_int8_arrow_kernel_zero_vectors_and_tiny_corpus(spark):
+    """Degenerate shapes through the Arrow kernel: zero vectors score
+    NULL and rank last; a corpus smaller than k still returns every
+    candidate (the nf < k null-forwarding branch)."""
+    from feature_store_spark.llm.similarity import cosine_topk_int8
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 0.0]),  # zero vector -> NULL cosine
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = cosine_topk_int8(emb, q, k=5).orderBy("rank").collect()
+    assert [r["vec_id"] for r in rows] == [1, 2]
+    assert rows[0]["cosine_q"] is not None and rows[1]["cosine_q"] is None
+    jvm = cosine_topk_int8(emb, q, k=5, kernel="jvm").orderBy("rank").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in jvm]
+
+
 def test_int8_quantization_roundtrip_error_bound(spark):
     """Dequantized codes reconstruct each component within scale/2 =
     max|x|/254 (symmetric rounding bound); zero vectors quantize to

@@ -114,6 +114,32 @@ def test_streaming_upsert_state(spark, events_dir, tmp_path):
     assert final.count() > 0
 
 
+def test_streaming_upsert_manifest_matches_parquet_state(
+    spark, events_dir, tmp_path
+):
+    """The transactional streaming sink commits one manifest version
+    per micro-batch and lands the SAME final state as the parquet
+    foreachBatch sink (identical merge semantics, atomic publish)."""
+    from feature_store_spark.pipelines.txn import read_table
+    from feature_store_spark.streaming.pipeline import (
+        run_streaming_upsert_manifest,
+    )
+
+    state = str(tmp_path / "risk_state_pq")
+    root = str(tmp_path / "risk_state_txn")
+    a = run_streaming_upsert(spark, events_dir, state, str(tmp_path / "c1"))
+    b = run_streaming_upsert_manifest(
+        spark, events_dir, root, str(tmp_path / "c2")
+    )
+    assert b["versions"] >= b["batches"] >= 1
+    assert b["upserted_users"] == a["upserted_users"] > 0
+    txn_df, _ = read_table(spark, root)
+    pq = spark.read.parquet(state)
+    assert sorted(map(tuple, txn_df.collect())) == sorted(
+        map(tuple, pq.collect())
+    )
+
+
 def test_running_profile_state_across_batches(spark, sf_dir, tmp_path):
     """applyInPandasWithState profile replayed over 3 forced
     micro-batches == one batch groupBy over the same events: proves

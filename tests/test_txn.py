@@ -124,6 +124,34 @@ def test_crash_mid_write_keeps_old_snapshot(spark, tmp_path):
     assert _snap(spark, root) == {1: ("a", 1)}
 
 
+def test_table_changes_between_versions(spark, tmp_path):
+    """CDC read off the manifest history: the diff of two pinned
+    versions classifies adds/changes/unchanged rows and refuses
+    reversed or unreadable ranges."""
+    from feature_store_spark.pipelines.txn import table_changes
+
+    root = str(tmp_path / "t")
+    upsert_manifest(
+        _df(spark, [(1, "a", 1), (2, "b", 1)]), root, ["user_id"], "ts"
+    )
+    upsert_manifest(
+        _df(spark, [(2, "b2", 2), (3, "c", 2)]), root, ["user_id"], "ts"
+    )
+    got = {
+        r["user_id"]: (r["status"], r["changed_cols"])
+        for r in table_changes(spark, root, 1, 2).collect()
+    }
+    assert got == {
+        1: ("unchanged", None),
+        2: ("changed", "ts,v"),
+        3: ("added", None),
+    }
+    with pytest.raises(ValueError, match="must precede"):
+        table_changes(spark, root, 2, 1)
+    with pytest.raises(ValueError, match="not readable"):
+        table_changes(spark, str(tmp_path / "empty"), 1, 2)
+
+
 def test_time_travel_and_vacuum(spark, tmp_path):
     root = str(tmp_path / "t")
     upsert_manifest(_df(spark, [(1, "v1", 1)]), root, ["user_id"], "ts")
