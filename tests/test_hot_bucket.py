@@ -130,6 +130,28 @@ def test_tiled_tasks_bound_the_quadratic_task(spark):
             assert pair_sum.get(b, 0) == m * m, (b, m)
 
 
+def test_bucket_pairs_tiling_property_random_buckets(spark):
+    """Property over adversarial bucket layouts: for ANY membership
+    (hot, singleton, empty-ish) and ANY bound, the tiled pair set
+    equals the unbounded pair set exactly — self-pairs included."""
+    import random
+
+    rnd = random.Random(7)
+    for trial in range(3):
+        n = rnd.randint(5, 40)
+        rows = [(i, rnd.choice([0, 0, 0, 1, 2])) for i in range(n)]
+        sig = spark.createDataFrame(rows, "vec_id bigint, __bucket int")
+        base = bucket_pairs(sig, ["__bucket"], ["vec_id"], "vec_id")
+        bound = rnd.randint(1, 6)
+        tiled = bucket_pairs(
+            sig, ["__bucket"], ["vec_id"], "vec_id", max_bucket_size=bound
+        )
+        k = lambda r: (r["__bucket"], r["a"]["vec_id"], r["b"]["vec_id"])  # noqa: E731
+        assert sorted(map(k, tiled.collect())) == sorted(
+            map(k, base.collect())
+        ), (trial, bound)
+
+
 def test_bucket_pairs_validates_bound(spark):
     df = _planted_vectors(spark, n_hot=4, n_cold=0)
     sig = df.select("vec_id", F.lit(0).alias("__bucket"))
