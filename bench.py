@@ -111,13 +111,20 @@ HEAVY_SHUFFLE = {
 }
 
 
-def _prior_timings(sf: float | None) -> dict[str, float]:
-    """Per-query timings from the newest BENCH_r*.json next to this
-    script (written by the round driver) whose recorded scale factor
-    matches this run's — cross-scale comparisons would false-flag
-    every query (or mask real regressions). {} if none match."""
+def _prior_timings(
+    sf: float | None,
+) -> tuple[dict[str, float], float | None]:
+    """(per-query timings, floor_sec) from the newest BENCH_r*.json
+    next to this script (written by the round driver) whose recorded
+    scale factor matches this run's — cross-scale comparisons would
+    false-flag every query (or mask real regressions). ({}, None) if
+    none match. The prior floor lets the regression guard normalize
+    for machine drift: this box's absolute timings swing up to ~2×
+    between rounds (floor_sec 0.05 ↔ 0.084 measured within one day),
+    and the scheduling floor — measured with the identical protocol —
+    is the available same-file proxy for that drift."""
     here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, dict[str, float]] | None = None
+    best: tuple[int, dict[str, float], float | None] | None = None
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
@@ -128,14 +135,15 @@ def _prior_timings(sf: float | None) -> dict[str, float]:
             parsed = doc.get("parsed", doc)
             queries = parsed.get("queries", {})
             prior_sf = parsed.get("sf")
+            prior_floor = parsed.get("floor_sec")
         except (OSError, json.JSONDecodeError, AttributeError):
             continue
         if prior_sf != sf:
             continue
         rnd = int(m.group(1))
         if queries and (best is None or rnd > best[0]):
-            best = (rnd, queries)
-    return best[1] if best else {}
+            best = (rnd, queries, prior_floor)
+    return (best[1], best[2]) if best else ({}, None)
 
 
 def main() -> None:
@@ -245,15 +253,25 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
-    prior = _prior_timings(sf)
+    prior, prior_floor = _prior_timings(sf)
+    # machine-drift normalization: both floors are measured with the
+    # identical 1-row protocol, so their ratio is a same-file proxy
+    # for how much slower/faster the box is than the prior round —
+    # without it, a 1.7× ambient slowdown false-flags every query
+    # (and a 1.7× speedup masks real regressions). Clamped to [1, 2]:
+    # drift beyond 2× means the rounds aren't comparable at all.
+    drift = 1.0
+    if prior_floor and floor:
+        drift = min(2.0, max(1.0, floor / prior_floor))
     regressions = {}
     for name, t in timings.items():
         p = prior.get(name)
-        if p and t > REGRESSION_FACTOR * p:
-            regressions[name] = {"prev": p, "now": t}
+        if p and t > REGRESSION_FACTOR * drift * p:
+            regressions[name] = {"prev": p, "now": t, "drift": round(drift, 2)}
             print(
                 f"WARNING: {name} regressed {t / p:.2f}x "
-                f"({p}s -> {t}s)",
+                f"({p}s -> {t}s, drift-normalized threshold "
+                f"{REGRESSION_FACTOR * drift:.2f}x)",
                 file=sys.stderr,
             )
 

@@ -595,63 +595,93 @@ def knn_graph_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """:func:`knn_graph` with the in-bucket scoring as one numpy
-    longdouble matmul per bucket (``applyInPandas`` over the bucket
+    """:func:`knn_graph` with the in-bucket scoring as one BLAS
+    float64 matmul per bucket (``applyInArrow`` over the bucket
     grouping — each bucket IS the candidate set under a single hash
     table, so per-bucket top-k is the final answer and no window pass
-    is needed afterward). One signature projection, one shuffle on the
-    bucket key, batch-vectorized C inside (longdouble never hits BLAS;
-    the win over the interpreted pairing is still ~3× at sf≈1 and
-    grows with bucket size); same extended-precision-rounding argument
-    as :func:`cosine_topk_vectorized`, so the exact op's oracle
-    applies unchanged. Zero-norm vectors rank last with NULL cosine
-    (matching the exact op's x/0 → NULL under desc NULLS LAST) — a
-    raw NaN would sort first in Spark and arbitrarily in Python.
+    is needed afterward). One signature projection, one shuffle on
+    the bucket key; the bucket's vectors arrive as ONE contiguous
+    Arrow buffer (zero-copy reshape, no per-row boxing), scoring is a
+    dgemm with the same compensated-longdouble boundary pass as
+    :func:`cosine_topk_vectorized` (so the exact op's oracle applies
+    unchanged), and the per-row top-k is a vectorized stable argsort —
+    no Python-level row loop. Zero-norm vectors rank last with NULL
+    cosine (matching the exact op's x/0 → NULL under desc NULLS LAST)
+    — a raw NaN would sort first in Spark and arbitrarily in Python.
     Bucket skew bounds the kernel: a bucket of m vectors costs an m×m
-    matmul — at corpus scale raise N_PLANES so m stays batch-sized."""
-    import math as _math
-
+    matmul — at corpus scale raise N_PLANES so m stays batch-sized
+    (or route through :func:`knn_graph` with ``max_bucket_size``,
+    whose tiling bounds the task exactly)."""
     import numpy as _np
-    import pandas as _pd
 
     out_schema = (
         f"{id_col} long, neighbor_id long, cosine double, rank int"
     )
 
-    def _bucket_topk(pdf: _pd.DataFrame) -> _pd.DataFrame:
-        ids = pdf[id_col].to_numpy()
-        if len(ids) < 2:
-            return _pd.DataFrame(
-                columns=[id_col, "neighbor_id", "cosine", "rank"]
-            )
-        v = _np.array(list(pdf[vec_col]), dtype=_np.longdouble)
+    def _bucket_topk(table):
+        import pyarrow as _pa
+
+        ids = table.column(id_col).to_numpy(zero_copy_only=False)
+        m = len(ids)
+        empty = _pa.table(
+            {
+                id_col: _pa.array([], type=_pa.int64()),
+                "neighbor_id": _pa.array([], type=_pa.int64()),
+                "cosine": _pa.array([], type=_pa.float64()),
+                "rank": _pa.array([], type=_pa.int32()),
+            }
+        )
+        if m < 2:
+            return empty
+        flat = _np.asarray(
+            table.column(vec_col).combine_chunks().flatten(),
+            dtype=_np.float64,
+        )
+        v = flat.reshape(m, len(flat) // m)
         nrm = _np.sqrt((v * v).sum(axis=1))
         with _np.errstate(divide="ignore", invalid="ignore"):
-            cos = _np.round(
-                ((v @ v.T) / _np.outer(nrm, nrm)).astype(_np.float64), 6
-            )
-        rows = []
-        for i in range(len(ids)):
-            order = sorted(
-                (j for j in range(len(ids)) if j != i),
-                # NaN (zero-norm pair) sorts LAST: key -inf on the
-                # score axis, like Spark's desc NULLS LAST
-                key=lambda j: (
-                    -cos[i, j] if not _math.isnan(cos[i, j]) else _math.inf,
-                    ids[j],
+            cos = (v @ v.T) / _np.outer(nrm, nrm)
+            scaled = cos * 1e6
+            near = _np.abs(scaled - _np.rint(scaled)) < 1e-6
+        if near.any():
+            ai, bi = _np.nonzero(near)
+            al = v[ai].astype(_np.longdouble)
+            bl = v[bi].astype(_np.longdouble)
+            dots = (al * bl).sum(axis=1)
+            an = _np.sqrt((al * al).sum(axis=1))
+            bn = _np.sqrt((bl * bl).sum(axis=1))
+            with _np.errstate(divide="ignore", invalid="ignore"):
+                cos[ai, bi] = (dots / (an * bn)).astype(_np.float64)
+        cos = _np.round(cos, 6)
+        # self-pairs compete as NaN (sorted last) and are dropped by
+        # the cumulative-keep mask below — NOT merely sliced off, so
+        # a bucket of exact ties never lets 'self' steal a slot
+        _np.fill_diagonal(cos, _np.nan)
+        perm = _np.argsort(ids, kind="stable")
+        inv = _np.empty(m, dtype=_np.int64)
+        inv[perm] = _np.arange(m)
+        cosp = cos[:, perm]
+        idp = ids[perm]
+        kk = min(k, m - 1)
+        w = min(kk + 1, m)
+        # stable ascending argsort of -cos over id-permuted columns =
+        # (cosine desc NULLS LAST, id asc) — the window's exact order
+        order = _np.argsort(-cosp, axis=1, kind="stable")[:, :w]
+        keep = order != inv[:, None]  # drop the self column per row
+        sel = keep & (_np.cumsum(keep, axis=1) <= kk)
+        ri, ci = _np.nonzero(sel)  # row-major: rank order preserved
+        vals = cosp[ri, order[ri, ci]]
+        return _pa.table(
+            {
+                id_col: _pa.array(ids[ri], type=_pa.int64()),
+                "neighbor_id": _pa.array(
+                    idp[order[ri, ci]], type=_pa.int64()
                 ),
-            )[:k]
-            rows += [
-                (
-                    int(ids[i]),
-                    int(ids[j]),
-                    None if _math.isnan(cos[i, j]) else float(cos[i, j]),
-                    r + 1,
-                )
-                for r, j in enumerate(order)
-            ]
-        return _pd.DataFrame(
-            rows, columns=[id_col, "neighbor_id", "cosine", "rank"]
+                "cosine": _pa.array(vals, mask=_np.isnan(vals)),
+                "rank": _pa.array(
+                    _np.cumsum(sel, axis=1)[ri, ci].astype(_np.int32)
+                ),
+            }
         )
 
     sig = df.select(
@@ -659,7 +689,7 @@ def knn_graph_vectorized(
         F.col(vec_col),
         lsh_bucket(F.col(vec_col)).alias("__bucket"),
     )
-    return sig.groupBy("__bucket").applyInPandas(
+    return sig.groupBy("__bucket").applyInArrow(
         _bucket_topk, schema=out_schema
     )
 
