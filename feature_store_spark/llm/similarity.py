@@ -844,6 +844,44 @@ def knn_graph_multiprobe_oracle_sql(
     """
 
 
+def ivf_encode(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """The one-off IVF ingest job: train seeded MLlib KMeans and
+    return ``(assignments, centroids)`` — assignments is
+    (id, vec, cell), the frame a deployment writes CELL-PARTITIONED
+    to storage (a query then scans n_probe/n_centroids of the data
+    via partition pruning); centroids is the tiny driver-side
+    (cell, vector) list a query batch broadcasts. Feed both back via
+    ``ivf_ann_topk(index=...)`` — the deployed shape, same contract
+    as ``pq_ann_topk``'s / ``cosine_topk_int8``'s prebuilt index."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="features"
+    ).fit(train)
+    assigned = model.transform(train).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("prediction").alias("cell"),
+    )
+    cents = [
+        (i, [float(x) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    return assigned, cents
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -854,6 +892,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    index: tuple[DataFrame, list] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into Voronoi
     cells with MLlib KMeans, then search only the ``n_probe`` cells
@@ -863,35 +902,34 @@ def ivf_ann_topk(
 
     The cell assignment is a one-off batch job whose output would be
     the partition key of the stored corpus at scale (cell-partitioned
-    parquet → a query touches n_probe/n_centroids of the data).
+    parquet → a query touches n_probe/n_centroids of the data);
+    pass it prebuilt via ``index=(assignments, centroids)`` from
+    :func:`ivf_encode` to skip training — the deployed shape.
     Rerank inside the probed cells is exact rounded cosine with the
     same determinism contract as :func:`cosine_topk`. KMeans is
     seeded, so results are reproducible; no SQL oracle exists for the
     trainer, so this op is covered by recall tests against
     :func:`cosine_topk` instead (tests/test_ann_quality.py).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = corpus.select(
+    raw_assigned, cent_rows = (
+        index
+        if index is not None
+        else ivf_encode(
+            corpus, n_centroids, seed, id_col=id_col, vec_col=vec_col
+        )
+    )
+    assigned = raw_assigned.select(
         F.col(id_col),
         F.col(vec_col).alias("__arr"),
-        array_to_vector(F.col(vec_col)).alias("features"),
-    )
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
-    assigned = model.transform(train).select(
-        F.col(id_col),
-        F.col("__arr"),
-        _norm(F.col("__arr")).alias("__cn"),
-        F.col("prediction").alias("cell"),
+        _norm(F.col(vec_col)).alias("__cn"),
+        F.col("cell"),
     )
 
     # n_probe nearest centroids per query, via a broadcast centroid table.
     spark = corpus.sparkSession
-    cent_rows = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    cents = spark.createDataFrame(cent_rows, f"cell int, centroid array<double>")
+    cents = spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    )
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
     d2 = F.aggregate(
         F.zip_with(

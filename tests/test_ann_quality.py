@@ -357,6 +357,29 @@ def test_int8_arrow_kernel_equals_jvm_bit_for_bit(emb, queries):
     assert a == j and len(a) > 0
 
 
+def test_ivf_prebuilt_index_equals_inline(emb, queries):
+    """The deployed IVF shape (ivf_encode once, probe many) must equal
+    inline training exactly — seeded KMeans makes both reproducible."""
+    from feature_store_spark.llm.similarity import ivf_ann_topk, ivf_encode
+
+    idx = ivf_encode(emb, n_centroids=8, seed=42)
+    inline = sorted(
+        map(
+            tuple,
+            ivf_ann_topk(
+                emb, queries, k=K, n_centroids=8, n_probe=3
+            ).collect(),
+        )
+    )
+    via_idx = sorted(
+        map(
+            tuple,
+            ivf_ann_topk(emb, queries, k=K, n_probe=3, index=idx).collect(),
+        )
+    )
+    assert inline == via_idx and len(inline) > 0
+
+
 def test_int8_prebuilt_index_equals_inline(emb, queries):
     """The deployed shape (prebuilt codes table via index=) must equal
     inline quantization exactly, on both kernels."""
