@@ -203,11 +203,13 @@ def cosine_topk_vectorized(
         import pyarrow as _pa
 
         for batch in batches:
+            if len(batch) == 0:
+                continue
             ids = batch.column(0).to_numpy(zero_copy_only=False)
             emb = batch.column(1)
             flat_vals = _np.asarray(emb.flatten(), dtype=_np.float64)
             n_rows = len(batch)
-            c64 = flat_vals.reshape(n_rows, len(flat_vals) // n_rows)
+            c64 = _reshape_vectors(flat_vals, n_rows, emb)
             c_norm64 = _np.sqrt((c64 * c64).sum(axis=1))
             with _np.errstate(divide="ignore", invalid="ignore"):
                 # BLAS dgemm — the hot loop
@@ -428,6 +430,25 @@ def lsh_ann_oracle_sql(
     """
 
 
+def _reshape_vectors(flat, n_rows, arrow_col):
+    """Rectangular (n_rows × dim) view of a flattened Arrow list
+    column. ``flatten()`` silently DROPS null/empty lists, so a ragged
+    input would reshape into garbage rows scored against the wrong
+    ids — fail loudly instead (the Arrow kernels' vector contract:
+    non-null, fixed dimension; route nullable inputs through
+    kernel=\"jvm\", whose NULL → NULL-cosine semantics are defined)."""
+    if n_rows == 0:
+        return flat.reshape(0, 0)
+    if arrow_col.null_count or len(flat) % n_rows:
+        raise ValueError(
+            "vectorized kernel requires non-null fixed-dimension "
+            f"vectors: {n_rows} rows flattened to {len(flat)} values "
+            f"({arrow_col.null_count} null rows); use kernel='jvm' "
+            "for nullable/ragged embeddings"
+        )
+    return flat.reshape(n_rows, len(flat) // n_rows)
+
+
 def _tiled_tasks(
     sig: DataFrame,
     bucket_cols: list[str],
@@ -633,11 +654,9 @@ def knn_graph_vectorized(
         )
         if m < 2:
             return empty
-        flat = _np.asarray(
-            table.column(vec_col).combine_chunks().flatten(),
-            dtype=_np.float64,
-        )
-        v = flat.reshape(m, len(flat) // m)
+        col = table.column(vec_col).combine_chunks()
+        flat = _np.asarray(col.flatten(), dtype=_np.float64)
+        v = _reshape_vectors(flat, m, col)
         nrm = _np.sqrt((v * v).sum(axis=1))
         with _np.errstate(divide="ignore", invalid="ignore"):
             cos = (v @ v.T) / _np.outer(nrm, nrm)
@@ -1463,10 +1482,11 @@ def _cosine_topk_int8_arrow(
         import pyarrow as _pa
 
         for batch in batches:
+            if len(batch) == 0:
+                continue
             ids = batch.column(0).to_numpy(zero_copy_only=False)
             flat = _np.asarray(batch.column(1).flatten(), dtype=_np.int64)
-            n = len(batch)
-            codes = flat.reshape(n, len(flat) // n)
+            codes = _reshape_vectors(flat, len(batch), batch.column(1))
             cn2 = (codes * codes).sum(axis=1)
             dots = codes @ q_mat.T  # exact int64
             den2 = _np.outer(cn2, q_n2).astype(_np.float64)

@@ -73,3 +73,17 @@ def test_bucketed_fact_rejects_undeclared_table(spark, sf_dir):
 
     with pytest.raises(ValueError, match="no bucketing key"):
         bucketed_fact(spark, sf_dir, "customer")
+
+
+def test_bucketed_serving_derivation_hash_matches_oracle(spark, sf_dir, duck):
+    """Direct DuckDB-oracle check of the serving derivation READ FROM
+    THE BUCKETED LAYOUT (the driver row runs the flat path; this is
+    the same rows+schema+hash compare against SERVING_SQL, so the
+    layout is oracle-evidenced, not just parity-evidenced)."""
+    from feature_store_spark.oracle import compare
+    from feature_store_spark.queries import SPECS, all_queries
+
+    all_queries()
+    bucketed = materialize_bucketed_facts(spark, sf_dir)
+    out = _serving(spark, sf_dir, bucketed)
+    assert compare(out, duck, SPECS["pipeline_serving_join"].sql)["ok"]

@@ -261,6 +261,29 @@ def test_token_report_bpe_parity_on_planted_punctuation(spark):
     assert compare(out, con, token_report_oracle_sql())["ok"]
 
 
+def test_arrow_kernels_reject_null_vectors_loudly(spark):
+    """Arrow's flatten() silently drops NULL lists, so a nullable
+    embedding column would reshape into garbage scored against the
+    wrong ids — the kernels must fail with the targeted contract
+    error instead (the JVM kernels keep defined NULL semantics)."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.llm.similarity import cosine_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [3.0, 4.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(Exception, match="non-null fixed-dimension"):
+        cosine_topk(emb, q, k=2).collect()
+    # the documented fallback handles NULLs with defined semantics
+    rows = cosine_topk(emb, q, k=2, kernel="jvm").collect()
+    assert {r["vec_id"] for r in rows} == {1, 2}
+
+
 def test_embedding_near_dup_all_pairs_guard(spark):
     """The exact all-pairs baseline must refuse oversized inputs with
     a pointer to the bucketed variants — nobody ships O(n²) at corpus
