@@ -520,6 +520,11 @@ def bucket_pairs(
     caller applies its own (!=, <=, <) pair filter. Output columns:
     ``*bucket_cols, a, b`` where a/b are structs of ``member_cols``.
 
+    Bucket columns must be NON-NULL (true of every in-repo caller —
+    all are hash-derived): the tiled path's size join is an equi-join,
+    which would silently drop a NULL bucket that the unbounded
+    groupBy shape keeps as its own group.
+
     ``max_bucket_size=None`` (default) is the single-aggregation shape
     (collect_list + double explode, one shuffle, one signature scan).
     Setting it bounds the quadratic hot-bucket task by exact tiling

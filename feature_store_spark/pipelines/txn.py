@@ -103,7 +103,16 @@ def _try_commit(
     base_version: int,
 ) -> bool:
     """Atomically publish ``version``; False when another writer won
-    the race for this version number (the optimistic-retry signal)."""
+    the race for this version number (the optimistic-retry signal).
+
+    Publish is link-based, not O_EXCL+write: an exclusive create
+    followed by the payload write would expose an EMPTY manifest to a
+    concurrent reader between the two syscalls. Writing the full
+    payload to a private temp file first and then hard-linking it to
+    the version name makes the manifest appear with its content
+    already durable — link() is the POSIX atomic
+    create-if-absent-with-content; on an object store the same step
+    is a conditional put of the complete object."""
     os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
     payload = json.dumps(
         {
@@ -114,18 +123,19 @@ def _try_commit(
             "schema": schema.jsonValue(),
         }
     )
-    try:
-        fd = os.open(
-            _manifest_path(root, version),
-            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-        )
-    except FileExistsError:
-        return False
-    with os.fdopen(fd, "w") as f:
+    target = _manifest_path(root, version)
+    tmp = f"{target}.w{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
         f.write(payload)
         f.flush()
         os.fsync(f.fileno())
-    return True
+    try:
+        os.link(tmp, target)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
 
 
 def upsert_manifest(

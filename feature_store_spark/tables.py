@@ -91,7 +91,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         cache = {}
         setattr(spark, _CACHE_ATTR, cache)
     bucketed = bucketed_enabled() and name in FACT_BUCKET_KEYS
-    key = (sf_dir, name, bucketed)
+    # bucket count in the key: a mid-session SPARK_GRAFT_FACT_BUCKETS
+    # change must not serve a frame built for the old layout
+    from feature_store_spark.pipelines.facts import default_fact_buckets
+
+    key = (sf_dir, name, bucketed and default_fact_buckets())
     if key not in cache:
         cache[key] = (
             bucketed_fact(spark, sf_dir, name)
