@@ -258,11 +258,12 @@ def main() -> None:
     # identical 1-row protocol, so their ratio is a same-file proxy
     # for how much slower/faster the box is than the prior round —
     # without it, a 1.7× ambient slowdown false-flags every query
-    # (and a 1.7× speedup masks real regressions). Clamped to [1, 2]:
-    # drift beyond 2× means the rounds aren't comparable at all.
+    # and a 1.7× ambient SPEEDUP masks real regressions (the < 1
+    # side tightens the threshold). Clamped to [0.5, 2]: drift beyond
+    # 2× either way means the rounds aren't comparable at all.
     drift = 1.0
     if prior_floor and floor:
-        drift = min(2.0, max(1.0, floor / prior_floor))
+        drift = min(2.0, max(0.5, floor / prior_floor))
     regressions = {}
     for name, t in timings.items():
         p = prior.get(name)

@@ -249,6 +249,12 @@ def _bucket_pairs(
             .filter(F.col("id_a") < F.col("id_b"))
             .distinct()
         )
+    # deliberately NOT routed through similarity.bucket_pairs(None):
+    # that shape wraps members in a struct, and shuffling bare ids
+    # (not 1-field structs) through this bench-headline aggregate is
+    # measurably narrower. Divergence between the two shapes is
+    # pinned by tests/test_hot_bucket.py::
+    # test_minhash_hot_bucket_tiling_is_exact (tiled == this, always).
     return (
         postings.groupBy("band_idx", "band_hash")
         .agg(F.collect_list(F.col(id_col)).alias("mem"))

@@ -209,15 +209,18 @@ def cosine_topk_vectorized(
             emb = batch.column(1)
             flat_vals = _np.asarray(emb.flatten(), dtype=_np.float64)
             n_rows = len(batch)
-            c64 = _reshape_vectors(flat_vals, n_rows, emb)
+            c64 = _reshape_vectors(
+                flat_vals, n_rows, emb, expect_dim=q_mat64.shape[1]
+            )
             c_norm64 = _np.sqrt((c64 * c64).sum(axis=1))
             with _np.errstate(divide="ignore", invalid="ignore"):
                 # BLAS dgemm — the hot loop
                 cos = (c64 @ q_mat64.T) / _np.outer(c_norm64, q_norm64)
                 # compensated pass: scores within 1e-12 of a 6th-digit
-                # rounding boundary re-run in longdouble (see docstring)
-                scaled = cos * 1e6
-                near = _np.abs(scaled - _np.rint(scaled)) < 1e-6
+                # HALF-point (x.5·1e-6 — where round-to-nearest can
+                # flip; grid points are the STABLE spots) re-run in
+                # longdouble (see docstring)
+                near = _near_rounding_boundary(cos * 1e6)
             if near.any():
                 ci, qi = _np.nonzero(near)
                 cl = c64[ci].astype(_np.longdouble)
@@ -430,23 +433,60 @@ def lsh_ann_oracle_sql(
     """
 
 
-def _reshape_vectors(flat, n_rows, arrow_col):
+def _near_rounding_boundary(scaled):
+    """True where a 1e6-scaled score sits within 1e-6 of a HALF-point
+    (x.5), i.e. where round-to-nearest could flip between the float64
+    BLAS value and the longdouble/JVM reference. Grid points (x.0)
+    are the STABLE spots — flagging those instead (the round-4 bug
+    this helper pins) recomputes only harmless scores and misses
+    every actual knife-edge. NaN → False (zero-norm pairs are
+    NULL-handled separately)."""
+    import numpy as _np
+
+    with _np.errstate(invalid="ignore"):
+        return (0.5 - _np.abs(scaled - _np.rint(scaled))) < 1e-6
+
+
+def _reshape_vectors(flat, n_rows, arrow_col, expect_dim=None):
     """Rectangular (n_rows × dim) view of a flattened Arrow list
     column. ``flatten()`` silently DROPS null/empty lists, so a ragged
     input would reshape into garbage rows scored against the wrong
     ids — fail loudly instead (the Arrow kernels' vector contract:
     non-null, fixed dimension; route nullable inputs through
-    kernel=\"jvm\", whose NULL → NULL-cosine semantics are defined)."""
+    kernel=\"jvm\", whose NULL → NULL-cosine semantics are defined).
+    ``expect_dim`` additionally pins the dimension to the query side's
+    — a one-row batch is internally consistent at ANY length, so
+    cross-batch raggedness is only catchable against that anchor."""
     if n_rows == 0:
         return flat.reshape(0, 0)
-    if arrow_col.null_count or len(flat) % n_rows:
+    ragged = False
+    lengths = getattr(arrow_col, "value_lengths", None)
+    if lengths is not None:
+        # variable-size list: every row must have the same length —
+        # a ragged input whose TOTAL happens to divide n_rows would
+        # otherwise reshape into silently-wrong rows
+        ln = lengths().to_numpy(zero_copy_only=False)
+        ragged = len(ln) > 0 and (ln.min() != ln.max())
+    dim = len(flat) // n_rows
+    if (
+        arrow_col.null_count
+        or ragged
+        or len(flat) % n_rows
+        or (expect_dim is not None and dim != expect_dim)
+    ):
         raise ValueError(
             "vectorized kernel requires non-null fixed-dimension "
             f"vectors: {n_rows} rows flattened to {len(flat)} values "
-            f"({arrow_col.null_count} null rows); use kernel='jvm' "
-            "for nullable/ragged embeddings"
+            f"({arrow_col.null_count} null rows"
+            f"{', ragged lengths' if ragged else ''}"
+            + (
+                f", dimension {dim} != query dimension {expect_dim}"
+                if expect_dim is not None and dim != expect_dim
+                else ""
+            )
+            + "); use kernel='jvm' for nullable/ragged embeddings"
         )
-    return flat.reshape(n_rows, len(flat) // n_rows)
+    return flat.reshape(n_rows, dim)
 
 
 def _tiled_tasks(
@@ -467,12 +507,17 @@ def _tiled_tasks(
     around m/s ≤ max_bucket_size).
 
     Costs vs the unbounded single-task shape (pay only when bounding):
-    one extra narrow counts pass over the signature subtree (broadcast
-    back — the skew_report double-scan pattern), and each row shuffles
-    2s−1 copies instead of 1. Exposed as its own function so the
-    hot-bucket test can assert the per-task bound directly."""
+    one extra narrow counts pass over the signature subtree joined
+    back on the bucket key (no broadcast hint — the counts frame is
+    KEY-CARDINALITY-sized, one row per bucket, which at web scale is
+    far too big to ship to every executor; the equi-join shuffles on
+    the same bucket key the pairing aggregate needs anyway, and the
+    planner may still broadcast a genuinely small counts frame on its
+    own), and each row shuffles 2s−1 copies instead of 1. Exposed as
+    its own function so the hot-bucket test can assert the per-task
+    bound directly."""
     sizes = sig.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__m"))
-    sized = sig.join(F.broadcast(sizes), list(bucket_cols)).withColumn(
+    sized = sig.join(sizes, list(bucket_cols)).withColumn(
         "__s",
         F.ceil(F.col("__m") / F.lit(max_bucket_size)).cast("int"),
     )
@@ -665,8 +710,7 @@ def knn_graph_vectorized(
         nrm = _np.sqrt((v * v).sum(axis=1))
         with _np.errstate(divide="ignore", invalid="ignore"):
             cos = (v @ v.T) / _np.outer(nrm, nrm)
-            scaled = cos * 1e6
-            near = _np.abs(scaled - _np.rint(scaled)) < 1e-6
+            near = _near_rounding_boundary(cos * 1e6)
         if near.any():
             ai, bi = _np.nonzero(near)
             al = v[ai].astype(_np.longdouble)
@@ -1462,9 +1506,15 @@ def _cosine_topk_int8_arrow(
 
     q_rows = qs.collect()
     if not q_rows:
+        # preserve the INPUT query-id type (string ids etc.), exactly
+        # like the non-empty path and the jvm kernel — a hardcoded
+        # bigint here would desynchronize the kernels' schemas on the
+        # empty-input case only
         return _rank_topk(
             c.select(
-                F.lit(None).cast("bigint").alias(query_id_col),
+                F.lit(None)
+                .cast(qs.schema[query_id_col].dataType)
+                .alias(query_id_col),
                 F.col(id_col),
                 F.lit(None).cast("double").alias("cosine_q"),
             ).limit(0),
@@ -1491,7 +1541,10 @@ def _cosine_topk_int8_arrow(
                 continue
             ids = batch.column(0).to_numpy(zero_copy_only=False)
             flat = _np.asarray(batch.column(1).flatten(), dtype=_np.int64)
-            codes = _reshape_vectors(flat, len(batch), batch.column(1))
+            codes = _reshape_vectors(
+                flat, len(batch), batch.column(1),
+                expect_dim=q_mat.shape[1],
+            )
             cn2 = (codes * codes).sum(axis=1)
             dots = codes @ q_mat.T  # exact int64
             den2 = _np.outer(cn2, q_n2).astype(_np.float64)

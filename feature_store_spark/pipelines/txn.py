@@ -31,8 +31,9 @@ file per commit, the same full-snapshot merge cost as
 ``upsert_parquet`` (at 100 TB, pair it with the partition-scoped
 merge so each commit's data dir holds only touched partitions, or
 swap the whole module for Delta — the call-site contract is
-identical). ``vacuum`` reclaims data directories no retained
-manifest references.
+identical). ``vacuum`` reclaims data directories referenced only by
+pruned manifests, plus — behind an explicit grace window —
+crash-orphaned dirs no manifest ever referenced.
 """
 
 from __future__ import annotations
@@ -229,13 +230,29 @@ def table_changes(
     return snapshot_diff(old, new, list(key_cols), list(compare_cols))
 
 
-def vacuum(root: str, keep_last: int = 1) -> list[str]:
+def vacuum(
+    root: str,
+    keep_last: int = 1,
+    orphan_grace_seconds: float | None = None,
+) -> list[str]:
     """Delete data directories referenced by no retained manifest
-    (retention: the newest ``keep_last`` versions). Never touches the
-    newest manifest. Returns the removed data dirs. Safe against
-    in-flight writers: their uncommitted data dirs are unreferenced
-    but also unlisted here (only dirs referenced by PRUNED manifests
-    are removed), so a racing commit never loses data files."""
+    (retention: the newest ``keep_last`` versions). Returns the
+    removed data dirs. Concurrency: the tip is snapshotted once and
+    only versions ≤ that tip are ever pruned, so a commit landing
+    mid-vacuum (which is necessarily newer than the snapshotted tip)
+    can never have its manifest or data deleted; in-flight writers'
+    uncommitted data dirs are likewise untouched by the
+    manifest-driven prune.
+
+    Crash-orphaned data dirs (written, never published — a writer
+    died between data write and manifest link) are reclaimed only
+    when ``orphan_grace_seconds`` is set: any ``data/`` subdirectory
+    referenced by NO manifest whose mtime is older than the grace
+    window is removed. The grace window is what makes this safe —
+    an in-flight writer's dir is also unreferenced, so pick a grace
+    comfortably above the longest plausible commit (Delta's
+    tombstone-retention rule); ``None`` (default) leaves orphans
+    alone."""
     if keep_last < 1:
         raise ValueError("vacuum must keep at least the newest version")
     tip = latest_version(root)
@@ -246,7 +263,12 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
     d = os.path.join(root, MANIFEST_DIR)
     for f in os.listdir(d):
         if m := _MANIFEST_RE.fullmatch(f):
-            all_versions.add(int(m.group(1)))
+            v = int(m.group(1))
+            # a version published AFTER the tip snapshot is a live
+            # concurrent commit — pruning it would destroy committed
+            # data; leave everything newer than the snapshot alone
+            if v <= tip:
+                all_versions.add(v)
     kept_dirs = {
         read_manifest(root, v)["data_dir"] for v in keep_versions
     }
@@ -257,4 +279,19 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
             shutil.rmtree(os.path.join(root, data_dir), ignore_errors=True)
             removed.append(data_dir)
         os.remove(_manifest_path(root, v))
+    if orphan_grace_seconds is not None:
+        import time
+
+        referenced = set()
+        for f in os.listdir(d):
+            if m := _MANIFEST_RE.fullmatch(f):
+                referenced.add(read_manifest(root, int(m.group(1)))["data_dir"])
+        data_root = os.path.join(root, DATA_DIR)
+        cutoff = time.time() - orphan_grace_seconds
+        for sub in sorted(os.listdir(data_root) if os.path.isdir(data_root) else []):
+            rel = f"{DATA_DIR}/{sub}"
+            path = os.path.join(data_root, sub)
+            if rel not in referenced and os.path.getmtime(path) <= cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(rel)
     return removed

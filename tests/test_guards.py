@@ -261,6 +261,68 @@ def test_token_report_bpe_parity_on_planted_punctuation(spark):
     assert compare(out, con, token_report_oracle_sql())["ok"]
 
 
+def test_near_rounding_boundary_flags_half_points_not_grid():
+    """Round-4 review regression: the compensated-precision mask must
+    flag scores near HALF-points (x.5 — where round-to-nearest can
+    flip between float64 and longdouble) and ignore grid points (x.0
+    — stable under both)."""
+    import numpy as np
+
+    from feature_store_spark.llm.similarity import _near_rounding_boundary
+
+    scaled = np.array(
+        [
+            123456.4999999,  # knife-edge: must be flagged
+            123456.5000001,  # knife-edge: must be flagged
+            123456.0000001,  # grid point: stable, must NOT be flagged
+            123455.9999999,  # grid point: stable, must NOT be flagged
+            123456.25,  # mid-cell: must NOT be flagged
+            np.nan,  # zero-norm pair: handled separately
+        ]
+    )
+    assert _near_rounding_boundary(scaled).tolist() == [
+        True,
+        True,
+        False,
+        False,
+        False,
+        False,
+    ]
+
+
+def test_arrow_kernels_reject_ragged_vectors_even_when_divisible(spark):
+    """Ragged lists whose TOTAL element count divides the row count
+    used to slip past the reshape guard and score garbage rows — they
+    must fail with the same targeted contract error."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.llm.similarity import cosine_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0, 4.0, 5.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(9, [1.0, 2.0, 3.0, 4.0])], "query_id bigint, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="ragged|non-null fixed-dimension"):
+        cosine_topk(emb, q, k=2).collect()
+
+
+def test_int8_empty_queries_preserve_query_id_type(spark):
+    """The arrow kernel's empty-queries short-circuit must keep the
+    INPUT query-id type (here: string), like the non-empty path."""
+    from feature_store_spark.llm.similarity import cosine_topk_int8
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id bigint, embedding array<double>"
+    )
+    q = spark.createDataFrame([], "query_id string, embedding array<double>")
+    out = cosine_topk_int8(emb, q, k=3)
+    assert out.schema["query_id"].dataType.simpleString() == "string"
+    assert out.count() == 0
+
+
 def test_arrow_kernels_reject_null_vectors_loudly(spark):
     """Arrow's flatten() silently drops NULL lists, so a nullable
     embedding column would reshape into garbage scored against the

@@ -152,6 +152,33 @@ def test_table_changes_between_versions(spark, tmp_path):
         table_changes(spark, str(tmp_path / "empty"), 1, 2)
 
 
+def test_vacuum_reclaims_aged_orphans_behind_grace(spark, tmp_path):
+    """A crash-orphaned data dir (written, never published) is left
+    alone by default and by a zero-aged grace miss, and reclaimed once
+    older than the grace window; referenced dirs are never touched."""
+    import os
+
+    from feature_store_spark.pipelines.txn import vacuum
+
+    root = str(tmp_path / "t")
+    upsert_manifest(_df(spark, [(1, "a", 1)]), root, ["user_id"], "ts")
+    orphan = os.path.join(root, "data/orphan_crashed")
+    _df(spark, [(9, "torn", 9)]).write.parquet(orphan)
+    # default: orphans untouched
+    assert vacuum(root, keep_last=1) == []
+    assert os.path.isdir(orphan)
+    # inside the grace window: still untouched
+    assert vacuum(root, keep_last=1, orphan_grace_seconds=3600) == []
+    assert os.path.isdir(orphan)
+    # aged past the grace window: reclaimed; live data untouched
+    old = 10_000
+    os.utime(orphan, (os.path.getmtime(orphan) - old,) * 2)
+    removed = vacuum(root, keep_last=1, orphan_grace_seconds=3600)
+    assert removed == ["data/orphan_crashed"]
+    assert not os.path.isdir(orphan)
+    assert _snap(spark, root) == {1: ("a", 1)}
+
+
 def test_time_travel_and_vacuum(spark, tmp_path):
     root = str(tmp_path / "t")
     upsert_manifest(_df(spark, [(1, "v1", 1)]), root, ["user_id"], "ts")
