@@ -60,17 +60,22 @@ def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, MANIFEST_DIR, f"v{version:08d}.json")
 
 
-def latest_version(root: str) -> int:
-    """Newest committed version; 0 means no committed table."""
+def _list_versions(root: str) -> list[int]:
+    """All committed version numbers on disk, ascending — the ONE
+    manifest-scan used by latest_version and both vacuum passes."""
     d = os.path.join(root, MANIFEST_DIR)
     if not os.path.isdir(d):
-        return 0
-    versions = [
+        return []
+    return sorted(
         int(m.group(1))
         for f in os.listdir(d)
         if (m := _MANIFEST_RE.fullmatch(f))
-    ]
-    return max(versions, default=0)
+    )
+
+
+def latest_version(root: str) -> int:
+    """Newest committed version; 0 means no committed table."""
+    return max(_list_versions(root), default=0)
 
 
 def read_manifest(root: str, version: int) -> dict:
@@ -255,43 +260,59 @@ def vacuum(
     alone."""
     if keep_last < 1:
         raise ValueError("vacuum must keep at least the newest version")
-    tip = latest_version(root)
-    if tip == 0:
-        return []
-    keep_versions = set(range(max(1, tip - keep_last + 1), tip + 1))
-    all_versions = set()
-    d = os.path.join(root, MANIFEST_DIR)
-    for f in os.listdir(d):
-        if m := _MANIFEST_RE.fullmatch(f):
-            v = int(m.group(1))
-            # a version published AFTER the tip snapshot is a live
-            # concurrent commit — pruning it would destroy committed
-            # data; leave everything newer than the snapshot alone
-            if v <= tip:
-                all_versions.add(v)
-    kept_dirs = {
-        read_manifest(root, v)["data_dir"] for v in keep_versions
-    }
-    removed = []
-    for v in sorted(all_versions - keep_versions):
-        data_dir = read_manifest(root, v)["data_dir"]
-        if data_dir not in kept_dirs:
-            shutil.rmtree(os.path.join(root, data_dir), ignore_errors=True)
-            removed.append(data_dir)
-        os.remove(_manifest_path(root, v))
+    removed: list[str] = []
+    on_disk = _list_versions(root)
+    tip = max(on_disk, default=0)
+    if tip:
+        # only versions that actually exist can be kept or pruned —
+        # an earlier, more aggressive vacuum may have removed part of
+        # the keep window already (keep_last grew between runs)
+        keep_versions = {
+            v for v in on_disk if v > tip - keep_last
+        }
+        # a version published AFTER the tip snapshot is a live
+        # concurrent commit — pruning it would destroy committed
+        # data; everything newer than the snapshot is left alone
+        prunable = [v for v in on_disk if v <= tip and v not in keep_versions]
+        kept_dirs = {
+            read_manifest(root, v)["data_dir"] for v in keep_versions
+        }
+        for v in prunable:
+            data_dir = read_manifest(root, v)["data_dir"]
+            if data_dir not in kept_dirs:
+                path = os.path.join(root, data_dir)
+                shutil.rmtree(path, ignore_errors=True)
+                if not os.path.exists(path):  # report only real removals
+                    removed.append(data_dir)
+            os.remove(_manifest_path(root, v))
     if orphan_grace_seconds is not None:
+        # runs even on a zero-commit table: a writer that crashed
+        # before its FIRST publish is exactly the 'no manifest ever
+        # referenced it' case
         import time
 
         referenced = set()
-        for f in os.listdir(d):
-            if m := _MANIFEST_RE.fullmatch(f):
-                referenced.add(read_manifest(root, int(m.group(1)))["data_dir"])
+        for v in _list_versions(root):
+            try:
+                referenced.add(read_manifest(root, v)["data_dir"])
+            except FileNotFoundError:  # concurrent vacuum pruned it
+                continue
         data_root = os.path.join(root, DATA_DIR)
         cutoff = time.time() - orphan_grace_seconds
-        for sub in sorted(os.listdir(data_root) if os.path.isdir(data_root) else []):
+        subs = sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []
+        for sub in subs:
             rel = f"{DATA_DIR}/{sub}"
             path = os.path.join(data_root, sub)
-            if rel not in referenced and os.path.getmtime(path) <= cutoff:
+            if rel in referenced:
+                continue
+            try:
+                mtime = os.path.getmtime(path)
+            except FileNotFoundError:
+                # a losing writer's own cleanup (or a concurrent
+                # vacuum) removed it between listdir and stat
+                continue
+            if mtime <= cutoff:
                 shutil.rmtree(path, ignore_errors=True)
-                removed.append(rel)
+                if not os.path.exists(path):
+                    removed.append(rel)
     return removed

@@ -294,8 +294,6 @@ def test_arrow_kernels_reject_ragged_vectors_even_when_divisible(spark):
     """Ragged lists whose TOTAL element count divides the row count
     used to slip past the reshape guard and score garbage rows — they
     must fail with the same targeted contract error."""
-    from pyspark.sql import functions as F
-
     from feature_store_spark.llm.similarity import cosine_topk
 
     emb = spark.createDataFrame(

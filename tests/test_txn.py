@@ -152,6 +152,35 @@ def test_table_changes_between_versions(spark, tmp_path):
         table_changes(spark, str(tmp_path / "empty"), 1, 2)
 
 
+def test_vacuum_survives_grown_keep_window_and_empty_table(spark, tmp_path):
+    """Review regressions: (a) vacuum(keep_last=3) after an earlier
+    vacuum(keep_last=1) pruned most history must not crash reading
+    already-pruned manifests; (b) orphan reclamation must work on a
+    table with ZERO commits (a writer that crashed before its first
+    publish)."""
+    import os
+
+    from feature_store_spark.pipelines.txn import vacuum
+
+    root = str(tmp_path / "t")
+    for i in range(5):
+        upsert_manifest(
+            _df(spark, [(1, f"v{i}", i)]), root, ["user_id"], "ts"
+        )
+    vacuum(root, keep_last=1)
+    assert vacuum(root, keep_last=3) == []  # no crash, nothing to do
+    assert _snap(spark, root) == {1: ("v4", 4)}
+
+    empty_root = str(tmp_path / "never_committed")
+    orphan = os.path.join(empty_root, "data/orphan")
+    _df(spark, [(9, "torn", 9)]).write.parquet(orphan)
+    os.utime(orphan, (os.path.getmtime(orphan) - 10_000,) * 2)
+    assert vacuum(empty_root, keep_last=1, orphan_grace_seconds=3600) == [
+        "data/orphan"
+    ]
+    assert not os.path.isdir(orphan)
+
+
 def test_vacuum_reclaims_aged_orphans_behind_grace(spark, tmp_path):
     """A crash-orphaned data dir (written, never published) is left
     alone by default and by a zero-aged grace miss, and reclaimed once
