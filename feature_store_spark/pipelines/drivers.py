@@ -42,6 +42,7 @@ def run_daily_pipeline(
     sf_dir: str,
     out_dir: str,
     ref_date: str = REF_DATE,
+    transactional: bool = False,
 ) -> PipelineResult:
     """Daily batch feature derivation (reference
     `src/pipelines/batch_pipeline.py:63-125`): derive user →
@@ -61,7 +62,25 @@ def run_daily_pipeline(
     keeps only last-writer rows, so a repair re-run of an OLDER date
     could never regenerate that date's partition from it. The frames
     are cached across upsert + export, so each derivation computes
-    once."""
+    once.
+
+    ``transactional=True`` routes the three feature-store merges
+    through ``txn.upsert_manifest`` (atomic manifest commits) instead
+    of ``upsert_parquet`` — the multi-writer-safe posture when two
+    schedulers can race a repair run against the daily run. Same
+    paths, same merge semantics; reads go through ``txn.read_table``.
+    """
+    if transactional:
+        from feature_store_spark.pipelines.txn import upsert_manifest
+
+        def _merge(df, path):
+            return upsert_manifest(df, path, ["user_id"], "updated_at")
+
+    else:
+
+        def _merge(df, path):
+            return upsert_parquet(df, path, ["user_id"], "updated_at")
+
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -74,23 +93,19 @@ def run_daily_pipeline(
         customer, orders, ref_date=ref_date
     ).withColumn("updated_at", stamp).cache()
     counts["user_features"] = uf.count()
-    store_counts["user_features"] = upsert_parquet(
-        uf, f"{out_dir}/user_features", ["user_id"], "updated_at"
-    )
+    store_counts["user_features"] = _merge(uf, f"{out_dir}/user_features")
     tf = derive_transaction_features(
         orders, lineitem, ref_date=ref_date
     ).withColumn("updated_at", stamp).cache()
     counts["transaction_features"] = tf.count()
-    store_counts["transaction_features"] = upsert_parquet(
-        tf, f"{out_dir}/transaction_features", ["user_id"], "updated_at"
+    store_counts["transaction_features"] = _merge(
+        tf, f"{out_dir}/transaction_features"
     )
     rf = derive_risk_features(
         customer, orders, lineitem, events, ref_date=ref_date
     ).withColumn("updated_at", stamp).cache()
     counts["risk_features"] = rf.count()
-    store_counts["risk_features"] = upsert_parquet(
-        rf, f"{out_dir}/risk_features", ["user_id"], "updated_at"
-    )
+    store_counts["risk_features"] = _merge(rf, f"{out_dir}/risk_features")
 
     serving = uf.join(
         tf.drop("updated_at"), "user_id", "left"

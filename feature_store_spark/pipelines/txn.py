@@ -150,6 +150,7 @@ def upsert_manifest(
     key_cols: Sequence[str],
     order_col: str,
     max_retries: int = 20,
+    allow_schema_evolution: bool = False,
 ) -> int:
     """``upsert_parquet`` semantics (last-writer-wins per key on
     ``order_col``, update beats store on ties) with SERIALIZABLE
@@ -157,14 +158,24 @@ def upsert_manifest(
     keys — the loser of a version race re-merges against the winner's
     snapshot and commits on top (pytest: two interleaved writers, no
     lost update; crash mid-write leaves the old snapshot readable).
-    Returns the committed snapshot's row count."""
+    Returns the committed snapshot's row count.
+
+    ``allow_schema_evolution=True`` is the Delta ``mergeSchema``
+    analogue: the merge unions by name with missing columns allowed,
+    so a NEW update column lands with NULLs on pre-existing rows and
+    a column the update dropped survives with NULLs on its rows; the
+    evolved schema is pinned in the new manifest, and every prior
+    version still time-travels under its own schema. Off by default —
+    an accidental column rename silently forking into two NULL-y
+    columns is the failure mode the flag gates."""
     spark = updates.sparkSession
     for _ in range(max_retries):
         base, v = read_table(spark, root)
         if base is not None:
             merged = latest_per_key(
                 base.withColumn("__src", F.lit(0)).unionByName(
-                    updates.withColumn("__src", F.lit(1))
+                    updates.withColumn("__src", F.lit(1)),
+                    allowMissingColumns=allow_schema_evolution,
                 ),
                 list(key_cols),
                 order_col,

@@ -124,6 +124,52 @@ def test_crash_mid_write_keeps_old_snapshot(spark, tmp_path):
     assert _snap(spark, root) == {1: ("a", 1)}
 
 
+def test_upsert_manifest_schema_evolution(spark, tmp_path):
+    """mergeSchema analogue: a new column lands with NULLs on old
+    rows, a dropped column survives with NULLs on new rows, and prior
+    versions still time-travel under their own schema; without the
+    flag a schema change fails loudly."""
+    from feature_store_spark.pipelines.txn import read_table
+
+    root = str(tmp_path / "t")
+    upsert_manifest(_df(spark, [(1, "a", 1)]), root, ["user_id"], "ts")
+    widened = spark.createDataFrame(
+        [(2, "b", 2, 0.5)], "user_id bigint, v string, ts bigint, score double"
+    )
+    with pytest.raises(Exception):
+        upsert_manifest(widened, root, ["user_id"], "ts")
+    n = upsert_manifest(
+        widened, root, ["user_id"], "ts", allow_schema_evolution=True
+    )
+    assert n == 2
+    cur, _ = read_table(spark, root)
+    got = {r["user_id"]: r for r in cur.collect()}
+    assert got[1]["score"] is None and got[2]["score"] == 0.5
+    old, _ = read_table(spark, root, version=1)
+    assert "score" not in old.columns  # time travel keeps old schema
+
+
+def test_daily_pipeline_transactional_matches_parquet(spark, sf_dir, tmp_path):
+    """run_daily_pipeline(transactional=True) lands the same feature
+    stores through atomic manifest commits."""
+    from feature_store_spark.pipelines.drivers import run_daily_pipeline
+    from feature_store_spark.pipelines.txn import latest_version, read_table
+
+    pq_out = str(tmp_path / "pq")
+    tx_out = str(tmp_path / "tx")
+    a = run_daily_pipeline(spark, sf_dir, pq_out)
+    b = run_daily_pipeline(spark, sf_dir, tx_out, transactional=True)
+    assert a.status == b.status == "SUCCESS"
+    assert a.counts == b.counts
+    for kind in ("user_features", "transaction_features", "risk_features"):
+        tx_df, _ = read_table(spark, f"{tx_out}/{kind}")
+        pq_df = spark.read.parquet(f"{pq_out}/{kind}")
+        assert sorted(map(tuple, tx_df.collect())) == sorted(
+            map(tuple, pq_df.collect())
+        ), kind
+        assert latest_version(f"{tx_out}/{kind}") == 1
+
+
 def test_table_changes_between_versions(spark, tmp_path):
     """CDC read off the manifest history: the diff of two pinned
     versions classifies adds/changes/unchanged rows and refuses
