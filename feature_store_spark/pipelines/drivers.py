@@ -67,8 +67,12 @@ def run_daily_pipeline(
     ``transactional=True`` routes the three feature-store merges
     through ``txn.upsert_manifest`` (atomic manifest commits) instead
     of ``upsert_parquet`` — the multi-writer-safe posture when two
-    schedulers can race a repair run against the daily run. Same
-    paths, same merge semantics; reads go through ``txn.read_table``.
+    schedulers can race a repair run against the daily run. The merge
+    semantics match, but the ON-DISK LAYOUTS are incompatible: pick
+    one mode per ``out_dir`` and stay on it. Toggling the flag against
+    an existing store raises (txn ``_guard_foreign_store`` / sinks
+    ``_read_store``) rather than silently wiping keys; migrating means
+    reading the old store and upserting it into a fresh root.
     """
     if transactional:
         from feature_store_spark.pipelines.txn import upsert_manifest

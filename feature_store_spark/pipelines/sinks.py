@@ -34,7 +34,24 @@ def _read_store(spark: SparkSession, path: str) -> DataFrame | None:
     """Existing store, or None ONLY for first-write (path absent).
     Any other read failure (permissions, corrupt footer) propagates —
     treating it as 'no table' would make the subsequent overwrite
-    silently drop every previously upserted key."""
+    silently drop every previously upserted key. A root committed by
+    ``txn.upsert_manifest`` (has ``_manifests/``) is refused outright:
+    a recursive parquet read over its data/ dirs would union EVERY
+    retained version's snapshot, and the following overwrite would
+    destroy the manifest history — the reverse of txn.py's
+    ``_guard_foreign_store`` toggle trap."""
+    import os
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file") and os.path.isdir(
+        os.path.join(parsed.path or path, "_manifests")
+    ):
+        raise ValueError(
+            f"{path!r} is a transactional (manifest-commit) table; "
+            "use txn.upsert_manifest / txn.read_table on it instead "
+            "of the plain parquet sink"
+        )
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:

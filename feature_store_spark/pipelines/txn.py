@@ -53,7 +53,10 @@ from feature_store_spark.operators.windows import latest_per_key
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
-_MANIFEST_RE = re.compile(r"v(\d{8})\.json")
+# \d{8,}: _manifest_path zero-pads to 8 digits but versions past
+# 99,999,999 format wider — an exact {8} would make them invisible to
+# _list_versions and wedge every later writer on the same version
+_MANIFEST_RE = re.compile(r"v(\d{8,})\.json")
 
 
 def _manifest_path(root: str, version: int) -> str:
@@ -83,6 +86,33 @@ def read_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
+def _manifest_dirs(m: dict) -> list[str]:
+    """Every data directory a manifest references: the single
+    snapshot dir (unpartitioned, format 1) or one leaf dir per live
+    partition (partitioned, format 2)."""
+    if "partitions" in m:
+        return [e["dir"] for e in m["partitions"].values()]
+    return [m["data_dir"]]
+
+
+def _rmdir_if_no_live_children(path: str, root: str, kept: set[str]) -> None:
+    """Reclaim a format-2 commit directory once vacuum has pruned its
+    last referenced partition leaf: when no SUBDIRECTORY remains (only
+    write markers like _SUCCESS) and nothing under it is in ``kept``,
+    the whole dir is dead weight. No-ops for format-1 dirs (their
+    parent is data/ itself, which always has live siblings kept)."""
+    rel = os.path.relpath(path, root)
+    if rel in (DATA_DIR, ".", "") or rel in kept:
+        return
+    try:
+        entries = os.listdir(path)
+    except FileNotFoundError:
+        return
+    if any(os.path.isdir(os.path.join(path, e)) for e in entries):
+        return
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def read_table(
     spark: SparkSession, root: str, version: int | None = None
 ) -> tuple[DataFrame | None, int]:
@@ -98,6 +128,31 @@ def read_table(
         os.path.join(root, m["data_dir"])
     )
     return df, v
+
+
+def _guard_foreign_store(root: str) -> None:
+    """Refuse to treat a plain ``upsert_parquet`` store as an empty
+    transactional table. A root previously written by the non-txn sink
+    has part files directly under it but no ``_manifests/``; silently
+    committing a first manifest there would publish a snapshot that
+    drops every previously upserted key (and pollute the plain store
+    with data/ + _manifests/ subdirs for the reverse toggle). The
+    mirror guard lives in ``sinks.upsert_parquet``."""
+    if not os.path.isdir(root):
+        return
+    for e in os.listdir(root):
+        if (
+            e.startswith("part-")
+            or e.endswith(".parquet")
+            or e == "_SUCCESS"
+        ):
+            raise ValueError(
+                f"{root!r} holds a non-transactional parquet store "
+                f"(found {e!r}); committing a manifest on top would "
+                "silently drop its keys. Migrate explicitly: read the "
+                "old store, upsert_manifest it into a FRESH root, then "
+                "retire the old path"
+            )
 
 
 def _try_commit(
@@ -169,6 +224,8 @@ def upsert_manifest(
     an accidental column rename silently forking into two NULL-y
     columns is the failure mode the flag gates."""
     spark = updates.sparkSession
+    if latest_version(root) == 0:
+        _guard_foreign_store(root)
     for _ in range(max_retries):
         base, v = read_table(spark, root)
         if base is not None:
@@ -285,17 +342,35 @@ def vacuum(
         # concurrent commit — pruning it would destroy committed
         # data; everything newer than the snapshot is left alone
         prunable = [v for v in on_disk if v <= tip and v not in keep_versions]
-        kept_dirs = {
-            read_manifest(root, v)["data_dir"] for v in keep_versions
-        }
+        # every read/remove in the prune pass tolerates a CONCURRENT
+        # vacuum having already deleted the manifest between our
+        # _list_versions snapshot and the access — mirroring the
+        # orphan pass below; without it two simultaneous vacuums crash
+        # one with FileNotFoundError
+        kept_dirs = set()
+        for v in keep_versions:
+            try:
+                kept_dirs.update(_manifest_dirs(read_manifest(root, v)))
+            except FileNotFoundError:
+                continue
         for v in prunable:
-            data_dir = read_manifest(root, v)["data_dir"]
-            if data_dir not in kept_dirs:
-                path = os.path.join(root, data_dir)
-                shutil.rmtree(path, ignore_errors=True)
-                if not os.path.exists(path):  # report only real removals
-                    removed.append(data_dir)
-            os.remove(_manifest_path(root, v))
+            try:
+                data_dirs = _manifest_dirs(read_manifest(root, v))
+            except FileNotFoundError:
+                continue
+            for data_dir in data_dirs:
+                if data_dir not in kept_dirs:
+                    path = os.path.join(root, data_dir)
+                    shutil.rmtree(path, ignore_errors=True)
+                    if not os.path.exists(path):  # report real removals
+                        removed.append(data_dir)
+                    _rmdir_if_no_live_children(
+                        os.path.dirname(path), root, kept_dirs
+                    )
+            try:
+                os.remove(_manifest_path(root, v))
+            except FileNotFoundError:
+                continue
     if orphan_grace_seconds is not None:
         # runs even on a zero-commit table: a writer that crashed
         # before its FIRST publish is exactly the 'no manifest ever
@@ -305,9 +380,13 @@ def vacuum(
         referenced = set()
         for v in _list_versions(root):
             try:
-                referenced.add(read_manifest(root, v)["data_dir"])
+                dirs = _manifest_dirs(read_manifest(root, v))
             except FileNotFoundError:  # concurrent vacuum pruned it
                 continue
+            for d in dirs:
+                # a format-2 leaf (data/<uuid>/__part=x) keeps its
+                # whole commit dir (data/<uuid>) off the orphan list
+                referenced.add("/".join(d.split("/")[:2]))
         data_root = os.path.join(root, DATA_DIR)
         cutoff = time.time() - orphan_grace_seconds
         subs = sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []

@@ -254,6 +254,86 @@ def test_vacuum_reclaims_aged_orphans_behind_grace(spark, tmp_path):
     assert _snap(spark, root) == {1: ("a", 1)}
 
 
+def test_concurrent_vacuums_dont_crash(spark, tmp_path):
+    """Two simultaneous vacuums racing over the same history: both
+    must finish (the prune pass tolerates manifests a concurrent
+    vacuum already deleted), the union of their removals covers the
+    pruned versions exactly once per dir, and the tip stays readable
+    throughout."""
+    root = str(tmp_path / "t")
+    for i in range(8):
+        upsert_manifest(
+            _df(spark, [(1, f"v{i}", i)]), root, ["user_id"], "ts"
+        )
+    results: dict[int, list[str]] = {}
+    errors: list[Exception] = []
+
+    def run(slot):
+        try:
+            results[slot] = vacuum(root, keep_last=1)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    t1 = threading.Thread(target=run, args=(1,))
+    t2 = threading.Thread(target=run, args=(2,))
+    t1.start()
+    t2.start()
+    t1.join()
+    t2.join()
+    assert not errors
+    # both racers may observe the same dir vanish (rmtree is
+    # idempotent) — the invariant is the UNION: exactly the 7 pruned
+    # snapshots' dirs, never the kept tip's
+    assert len(set(results[1] + results[2])) == 7
+    assert _snap(spark, root) == {1: ("v7", 7)}
+    assert latest_version(root) == 8
+
+
+def test_manifest_versions_beyond_8_digits_stay_visible(tmp_path):
+    """_manifest_path zero-pads to 8 digits but formats wider past
+    99,999,999 — _list_versions must still discover such manifests or
+    every later writer wedges retrying a 'free' taken version."""
+    import json as _json
+    import os as _os
+
+    from feature_store_spark.pipelines.txn import (
+        _manifest_path,
+        latest_version,
+    )
+
+    root = str(tmp_path / "t")
+    _os.makedirs(_os.path.join(root, "_manifests"))
+    big = 100_000_000
+    with open(_manifest_path(root, big), "w") as f:
+        _json.dump({"version": big, "data_dir": "data/x"}, f)
+    assert latest_version(root) == big
+
+
+def test_mode_toggle_raises_instead_of_wiping(spark, tmp_path):
+    """ADVICE r4 (medium): flipping run_daily_pipeline/upsert between
+    plain-parquet and transactional modes on an EXISTING store must
+    raise with a migration hint, not silently commit a snapshot that
+    drops every previously upserted key."""
+    from feature_store_spark.pipelines.sinks import upsert_parquet
+
+    # plain store first, then a transactional upsert at the same root
+    plain = str(tmp_path / "plain")
+    upsert_parquet(_df(spark, [(1, "a", 1)]), plain, ["user_id"], "ts")
+    with pytest.raises(ValueError, match="non-transactional"):
+        upsert_manifest(_df(spark, [(2, "b", 2)]), plain, ["user_id"], "ts")
+    # the plain store is untouched by the refused commit
+    assert {
+        r["user_id"] for r in spark.read.parquet(plain).collect()
+    } == {1}
+
+    # transactional store first, then a plain upsert at the same root
+    tx = str(tmp_path / "tx")
+    upsert_manifest(_df(spark, [(1, "a", 1)]), tx, ["user_id"], "ts")
+    with pytest.raises(ValueError, match="transactional"):
+        upsert_parquet(_df(spark, [(2, "b", 2)]), tx, ["user_id"], "ts")
+    assert _snap(spark, tx) == {1: ("a", 1)}
+
+
 def test_time_travel_and_vacuum(spark, tmp_path):
     root = str(tmp_path / "t")
     upsert_manifest(_df(spark, [(1, "v1", 1)]), root, ["user_id"], "ts")
