@@ -124,8 +124,13 @@ def read_table(
         return None, 0
     m = read_manifest(root, v)
     schema = StructType.fromJson(m["schema"])
+    # format 1 manifests reference one snapshot dir; format 2
+    # (partitioned) one immutable leaf dir per live partition — either
+    # way the read is a union of dirs under the version's pinned
+    # schema (older leaves with narrower/missing columns widen/null-
+    # fill natively in the parquet reader)
     df = spark.read.schema(schema).parquet(
-        os.path.join(root, m["data_dir"])
+        *(os.path.join(root, d) for d in _manifest_dirs(m))
     )
     return df, v
 
@@ -155,48 +160,145 @@ def _guard_foreign_store(root: str) -> None:
             )
 
 
+class LocalLinkBackend:
+    """Default commit backend: POSIX atomic create-if-absent-with-
+    content. The payload is written to a private temp file first and
+    then hard-linked to the version name, so the manifest appears with
+    its content already durable — an O_EXCL create followed by the
+    payload write would expose an EMPTY manifest to a concurrent
+    reader between the two syscalls.
+
+    This class is the SEAM for object stores: the whole commit
+    protocol needs exactly one primitive, ``put_if_absent(path,
+    payload) -> bool`` — True iff this call created the object. On S3
+    that is a conditional put with ``If-None-Match: *`` (412 → False);
+    on GCS ``x-goog-if-generation-match: 0``. The optimistic loop in
+    :func:`upsert_manifest` is proven against a lossy backend in
+    ``tests/test_txn.py`` (fault-injection fake failing N puts)."""
+
+    def put_if_absent(self, target: str, payload: str) -> bool:
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        tmp = f"{target}.w{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+
+_DEFAULT_BACKEND = LocalLinkBackend()
+
+
 def _try_commit(
     root: str,
     version: int,
-    data_dir: str,
-    rows: int,
-    schema: StructType,
-    base_version: int,
+    manifest: dict,
+    backend: LocalLinkBackend | None = None,
 ) -> bool:
     """Atomically publish ``version``; False when another writer won
-    the race for this version number (the optimistic-retry signal).
-
-    Publish is link-based, not O_EXCL+write: an exclusive create
-    followed by the payload write would expose an EMPTY manifest to a
-    concurrent reader between the two syscalls. Writing the full
-    payload to a private temp file first and then hard-linking it to
-    the version name makes the manifest appear with its content
-    already durable — link() is the POSIX atomic
-    create-if-absent-with-content; on an object store the same step
-    is a conditional put of the complete object."""
-    os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
-    payload = json.dumps(
-        {
-            "version": version,
-            "base_version": base_version,
-            "data_dir": data_dir,
-            "rows": rows,
-            "schema": schema.jsonValue(),
-        }
+    the race for this version number (the optimistic-retry signal) —
+    or when the backend's conditional put failed transiently, which
+    the caller handles identically: re-read the tip, re-reconcile,
+    retry."""
+    payload = json.dumps({"version": version, **manifest})
+    return (backend or _DEFAULT_BACKEND).put_if_absent(
+        _manifest_path(root, version), payload
     )
-    target = _manifest_path(root, version)
-    tmp = f"{target}.w{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(payload)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, target)
-        return True
-    except FileExistsError:
-        return False
-    finally:
-        os.unlink(tmp)
+
+
+_INTEGRAL_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+
+
+def _widen_type(a, b):
+    """Widened common type for two non-equal atomic types, or None
+    when the pair is not safely widenable (the caller raises). The
+    lattice is the lossless-promotion one every lake format's
+    type-widening feature uses: byte<short<int<long, float<double,
+    byte/short/int→double (long→double is lossy past 2^53 — refused),
+    decimal(p,s) pairs grow to cover both precisions and scales."""
+    from pyspark.sql.types import DecimalType, DoubleType, LongType
+
+    na, nb = a.typeName(), b.typeName()
+    if na in _INTEGRAL_RANK and nb in _INTEGRAL_RANK:
+        return a if _INTEGRAL_RANK[na] >= _INTEGRAL_RANK[nb] else b
+    if {na, nb} == {"float", "double"}:
+        return DoubleType()
+    if {na, nb} <= {"byte", "short", "integer", "double", "float"}:
+        return DoubleType()
+    if na == "decimal" and nb == "decimal":
+        scale = max(a.scale, b.scale)
+        prec = max(a.precision - a.scale, b.precision - b.scale) + scale
+        if prec <= 38:
+            return DecimalType(prec, scale)
+        return None
+    if {na, nb} <= {"decimal", *(_INTEGRAL_RANK)}:
+        d = a if na == "decimal" else b
+        i = b if na == "decimal" else a
+        digits = {"byte": 3, "short": 5, "integer": 10, "long": 19}[
+            i.typeName()
+        ]
+        prec = max(d.precision - d.scale, digits) + d.scale
+        if prec <= 38:
+            return DecimalType(prec, d.scale)
+        return None
+    if {na, nb} == {"date", "timestamp"}:
+        from pyspark.sql.types import TimestampType
+
+        return TimestampType()
+    return None
+
+
+def _reconcile_schemas(
+    base: DataFrame, updates: DataFrame, allow_evolution: bool
+) -> tuple[DataFrame, DataFrame]:
+    """Pre-union schema reconciliation with EXPLICIT widening.
+    Without this, Spark's set-operation coercion silently resolves
+    int-vs-string to string (exactly the accidental-retype failure the
+    evolution flag gates); with it, a widenable pair (int→long,
+    float→double, decimal growth) is cast on BOTH sides before the
+    union when evolution is on, and every other mismatch — or any
+    mismatch with evolution off — raises a targeted error naming the
+    column and types."""
+    bt = {f.name: f.dataType for f in base.schema.fields}
+    ut = {f.name: f.dataType for f in updates.schema.fields}
+    casts: dict[str, object] = {}
+    for name in bt.keys() & ut.keys():
+        if bt[name] == ut[name]:
+            continue
+        widened = _widen_type(bt[name], ut[name]) if allow_evolution else None
+        if widened is None:
+            raise ValueError(
+                f"upsert_manifest: column {name!r} is "
+                f"{bt[name].simpleString()} in the table but "
+                f"{ut[name].simpleString()} in the updates — "
+                + (
+                    "not a safe widening; cast explicitly"
+                    if allow_evolution
+                    else "pass allow_schema_evolution=True to widen"
+                )
+            )
+        casts[name] = widened
+    if not allow_evolution and bt.keys() != ut.keys():
+        missing = sorted(bt.keys() ^ ut.keys())
+        raise ValueError(
+            f"upsert_manifest: column sets differ ({missing}); pass "
+            "allow_schema_evolution=True to add/drop columns"
+        )
+
+    def apply(df, types):
+        out = df
+        for name, t in casts.items():
+            if types[name] != t:
+                out = out.withColumn(name, F.col(name).cast(t))
+        return out
+
+    return apply(base, bt), apply(updates, ut)
 
 
 def upsert_manifest(
@@ -206,6 +308,7 @@ def upsert_manifest(
     order_col: str,
     max_retries: int = 20,
     allow_schema_evolution: bool = False,
+    backend: LocalLinkBackend | None = None,
 ) -> int:
     """``upsert_parquet`` semantics (last-writer-wins per key on
     ``order_col``, update beats store on ties) with SERIALIZABLE
@@ -228,10 +331,19 @@ def upsert_manifest(
         _guard_foreign_store(root)
     for _ in range(max_retries):
         base, v = read_table(spark, root)
+        if v and "partitions" in read_manifest(root, v):
+            raise ValueError(
+                f"{root!r} is a PARTITION-SCOPED manifest table; a "
+                "full-snapshot commit on top would collapse its layout "
+                "— use upsert_manifest_partitioned"
+            )
         if base is not None:
+            base2, upd2 = _reconcile_schemas(
+                base, updates, allow_schema_evolution
+            )
             merged = latest_per_key(
-                base.withColumn("__src", F.lit(0)).unionByName(
-                    updates.withColumn("__src", F.lit(1)),
+                base2.withColumn("__src", F.lit(0)).unionByName(
+                    upd2.withColumn("__src", F.lit(1)),
                     allowMissingColumns=allow_schema_evolution,
                 ),
                 list(key_cols),
@@ -247,7 +359,13 @@ def upsert_manifest(
             data_path
         )
         n = int(obs.get["rows"])
-        if _try_commit(root, v + 1, data_rel, n, merged.schema, v):
+        manifest = {
+            "base_version": v,
+            "data_dir": data_rel,
+            "rows": n,
+            "schema": merged.schema.jsonValue(),
+        }
+        if _try_commit(root, v + 1, manifest, backend):
             return n
         # another writer published v+1 first: our snapshot is stale.
         # Drop the orphan data dir and re-merge against the new tip.
@@ -256,6 +374,199 @@ def upsert_manifest(
         f"upsert_manifest: gave up after {max_retries} version races "
         f"at {root!r} — contention this hot needs a coordinator or a "
         "real lake format"
+    )
+
+
+def _pkey(v) -> str:
+    """Stable JSON-object key for a partition value. One partition
+    column has one type per table, so str() is injective within a
+    table; dates/datetimes pin ISO format so the key never depends on
+    locale."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _ptoken(pkey: str) -> str:
+    """Filesystem-safe leaf-dir token for a partition key. Hashing
+    sidesteps Hive path-escaping entirely: the manifest maps key →
+    token, so leaf dirs never need to be PARSED back into values (the
+    real partition column stays inside the data files)."""
+    import hashlib
+
+    return hashlib.sha1(pkey.encode("utf-8")).hexdigest()[:16]
+
+
+def upsert_manifest_partitioned(
+    updates: DataFrame,
+    root: str,
+    key_cols: Sequence[str],
+    order_col: str,
+    partition_col: str,
+    max_retries: int = 20,
+    allow_schema_evolution: bool = False,
+    backend: LocalLinkBackend | None = None,
+) -> int:
+    """Partition-scoped transactional upsert: ``upsert_manifest``'s
+    multi-writer safety at ``upsert_parquet_partitioned``'s cost.
+    A commit READS and WRITES only the partitions the updates touch —
+    the manifest maps partition → immutable leaf directory, and a new
+    version's map carries every untouched partition's entry forward
+    verbatim (its files are never re-read, re-written, or moved). The
+    commit cost is O(updated partitions), matching the reference's
+    per-row ``INSERT … ON CONFLICT`` merge footprint
+    (`src/pipelines/batch_pipeline.py:221-310`) instead of the
+    O(table) full-snapshot rewrite of the unpartitioned form.
+
+    Layout: each commit writes its touched partitions in ONE Spark job
+    to ``data/<uuid>/__ptok=<token>/`` (``__ptok`` is a synthetic
+    hash of the partition key used purely for file layout — the real
+    partition column stays inside the data files, so readers just
+    union leaf dirs with the pinned schema, no Hive-path parsing).
+
+    Concurrency: the same optimistic manifest race as
+    ``upsert_manifest``, plus Delta-style conflict resolution — a
+    writer that loses the version race checks whether the winner
+    touched any of ITS partitions; if not (disjoint writers), it
+    re-publishes the SAME already-written data dirs on top of the new
+    tip with zero additional Spark work, else it re-merges only the
+    touched partitions against the new tip. Returns the committed
+    table's total row count."""
+    spark = updates.sparkSession
+    if latest_version(root) == 0:
+        _guard_foreign_store(root)
+    touched = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    if not touched:
+        return 0  # a zero-row batch is a harmless no-op, no commit
+    if any(t is None for t in touched):
+        raise ValueError(
+            f"updates contain NULL {partition_col!r} values; NULL "
+            "partitions cannot be merged safely — fill or drop them "
+            "before upserting"
+        )
+    keys = {_pkey(t): t for t in touched}
+    tok_expr = None
+    for pk, val in keys.items():
+        cond = F.col(partition_col) == F.lit(val)
+        tok = _ptoken(pk)
+        tok_expr = (
+            F.when(cond, tok) if tok_expr is None else tok_expr.when(cond, tok)
+        )
+    written: dict | None = None  # reusable commit from a lost race
+    for _ in range(max_retries):
+        v = latest_version(root)
+        tip = read_manifest(root, v) if v else None
+        if tip is not None:
+            if "partitions" not in tip:
+                raise ValueError(
+                    f"{root!r} is an UNPARTITIONED manifest table; "
+                    "mixing layouts would orphan its snapshot — keep "
+                    "using upsert_manifest, or migrate to a fresh root"
+                )
+            if tip["partition_col"] != partition_col:
+                raise ValueError(
+                    f"table is partitioned by {tip['partition_col']!r}, "
+                    f"not {partition_col!r}"
+                )
+        tip_parts: dict = dict(tip["partitions"]) if tip else {}
+        tip_touched = {
+            pk: (tip_parts[pk]["dir"] if pk in tip_parts else None)
+            for pk in keys
+        }
+        if written is not None and written["base_touched"] != tip_touched:
+            # the race winner touched one of OUR partitions — the
+            # prepared commit is stale; drop it and re-merge below
+            shutil.rmtree(
+                os.path.join(root, written["commit_rel"]), ignore_errors=True
+            )
+            written = None
+        if written is None:
+            base_dirs = [
+                os.path.join(root, tip_parts[pk]["dir"])
+                for pk in keys
+                if pk in tip_parts
+            ]
+            if tip is not None:
+                # reconcile against the TABLE schema even when every
+                # touched partition is new: the committed manifest's
+                # schema covers the untouched partitions too, so an
+                # updates frame with missing/narrower columns must
+                # widen (or fail) exactly as if rows overlapped
+                tip_schema = StructType.fromJson(tip["schema"])
+                existing = (
+                    spark.read.schema(tip_schema).parquet(*base_dirs)
+                    if base_dirs
+                    else spark.createDataFrame([], tip_schema)
+                )
+                base2, upd2 = _reconcile_schemas(
+                    existing, updates, allow_schema_evolution
+                )
+                merged = latest_per_key(
+                    base2.withColumn("__src", F.lit(0)).unionByName(
+                        upd2.withColumn("__src", F.lit(1)),
+                        allowMissingColumns=allow_schema_evolution,
+                    ),
+                    [*key_cols, partition_col],
+                    order_col,
+                    tiebreak_col="__src",
+                ).drop("__src")
+            else:
+                merged = latest_per_key(
+                    updates, [*key_cols, partition_col], order_col
+                )
+            commit_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+            merged.withColumn("__ptok", tok_expr).write.partitionBy(
+                "__ptok"
+            ).parquet(os.path.join(root, commit_rel))
+            # per-partition row counts off the freshly written leaves
+            # (columnar scan of ONE column; merged itself is not
+            # recomputed) — they make every version's total composable
+            # from its map without touching untouched partitions
+            leaf = {
+                pk: f"{commit_rel}/__ptok={_ptoken(pk)}" for pk in keys
+            }
+            counts = {
+                _pkey(r[0]): r[1]
+                for r in spark.read.schema(merged.schema)
+                .parquet(*(os.path.join(root, d) for d in leaf.values()))
+                .groupBy(partition_col)
+                .count()
+                .collect()
+            }
+            written = {
+                "base_touched": tip_touched,
+                "commit_rel": commit_rel,
+                "schema": merged.schema.jsonValue(),
+                "entries": {
+                    pk: {"dir": d, "rows": counts.get(pk, 0)}
+                    for pk, d in leaf.items()
+                },
+            }
+        new_parts = {**tip_parts, **written["entries"]}
+        total = sum(e["rows"] for e in new_parts.values())
+        manifest = {
+            "base_version": v,
+            "rows": total,
+            "schema": written["schema"],
+            "partition_col": partition_col,
+            "partitions": new_parts,
+        }
+        if _try_commit(root, v + 1, manifest, backend):
+            return total
+    if written is not None:  # don't leave the last attempt as an orphan
+        shutil.rmtree(
+            os.path.join(root, written["commit_rel"]), ignore_errors=True
+        )
+    raise RuntimeError(
+        f"upsert_manifest_partitioned: gave up after {max_retries} "
+        f"version races at {root!r} — contention this hot needs a "
+        "coordinator or a real lake format"
     )
 
 

@@ -70,7 +70,16 @@ def test_version_race_loser_remerges_not_clobbers(spark, tmp_path):
     assert latest_version(root) == 2
 
     # B's stale publish of v2 must lose the race...
-    assert not _try_commit(root, 2, b_dir, 2, b_merged.schema, 1)
+    assert not _try_commit(
+        root,
+        2,
+        {
+            "base_version": 1,
+            "data_dir": b_dir,
+            "rows": 2,
+            "schema": b_merged.schema.jsonValue(),
+        },
+    )
     # ...and the real API retry merges against A's tip: nothing lost
     upsert_manifest(_df(spark, [(2, "from_b", 2)]), root, ["user_id"], "ts")
     assert _snap(spark, root) == {
@@ -252,6 +261,111 @@ def test_vacuum_reclaims_aged_orphans_behind_grace(spark, tmp_path):
     assert removed == ["data/orphan_crashed"]
     assert not os.path.isdir(orphan)
     assert _snap(spark, root) == {1: ("a", 1)}
+
+
+class FlakyBackend:
+    """Object-store simulator: the first ``fail_puts`` conditional
+    puts are lost (returns False without creating the object — an S3
+    412/transient-retry shape), then delegates to the real local
+    backend. Counts attempts so tests can pin the retry budget."""
+
+    def __init__(self, fail_puts):
+        from feature_store_spark.pipelines.txn import LocalLinkBackend
+
+        self.fail_puts = fail_puts
+        self.attempts = 0
+        self._real = LocalLinkBackend()
+
+    def put_if_absent(self, target, payload):
+        self.attempts += 1
+        if self.attempts <= self.fail_puts:
+            return False
+        return self._real.put_if_absent(target, payload)
+
+
+def test_commit_survives_lossy_conditional_put(spark, tmp_path):
+    """The optimistic loop against a simulated object store whose
+    conditional put fails 3 times: the upsert still lands exactly one
+    committed version with the right rows, and a backend that never
+    succeeds exhausts the retry budget loudly."""
+    root = str(tmp_path / "t")
+    flaky = FlakyBackend(fail_puts=3)
+    n = upsert_manifest(
+        _df(spark, [(1, "a", 1)]), root, ["user_id"], "ts", backend=flaky
+    )
+    assert n == 1 and flaky.attempts == 4
+    assert latest_version(root) == 1
+    assert _snap(spark, root) == {1: ("a", 1)}
+    # a second upsert through a fresh flaky backend merges correctly
+    upsert_manifest(
+        _df(spark, [(2, "b", 2)]),
+        root,
+        ["user_id"],
+        "ts",
+        backend=FlakyBackend(fail_puts=2),
+    )
+    assert _snap(spark, root) == {1: ("a", 1), 2: ("b", 2)}
+    assert latest_version(root) == 2
+
+    dead = FlakyBackend(fail_puts=10**9)
+    with pytest.raises(RuntimeError, match="gave up"):
+        upsert_manifest(
+            _df(spark, [(3, "c", 3)]),
+            root,
+            ["user_id"],
+            "ts",
+            max_retries=3,
+            backend=dead,
+        )
+    assert dead.attempts == 3
+    assert latest_version(root) == 2  # nothing half-published
+
+
+def test_schema_evolution_type_widening(spark, tmp_path):
+    """Widening matrix: int->long, float->double, decimal precision
+    growth all merge under allow_schema_evolution with both sides cast
+    to the widened type; incompatible pairs (string vs int) raise a
+    targeted error instead of Spark's silent set-op coercion; a type
+    change WITHOUT the flag raises too; prior versions still
+    time-travel under their own narrower schema."""
+    root = str(tmp_path / "t")
+    narrow = spark.createDataFrame(
+        [(1, 10, 1.5, "9.99", 1)],
+        "user_id bigint, n int, x float, d string, ts bigint",
+    ).withColumn("d", F.col("d").cast("decimal(10,2)"))
+    upsert_manifest(narrow, root, ["user_id"], "ts")
+
+    wide = spark.createDataFrame(
+        [(2, 20, 2.5, "12345678901.999", 2)],
+        "user_id bigint, n bigint, x double, d string, ts bigint",
+    ).withColumn("d", F.col("d").cast("decimal(14,3)"))
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        upsert_manifest(wide, root, ["user_id"], "ts")
+    upsert_manifest(
+        wide, root, ["user_id"], "ts", allow_schema_evolution=True
+    )
+    cur, _ = read_table(spark, root)
+    types = dict(cur.dtypes)
+    assert types["n"] == "bigint"
+    assert types["x"] == "double"
+    assert types["d"] == "decimal(14,3)"
+    got = {r["user_id"]: r for r in cur.collect()}
+    assert got[1]["n"] == 10 and got[2]["n"] == 20
+    assert str(got[1]["d"]) == "9.990"  # rescaled, value preserved
+    old, _ = read_table(spark, root, version=1)
+    assert dict(old.dtypes)["n"] == "int"  # time travel keeps schema
+
+    incompatible = spark.createDataFrame(
+        [(3, "not_an_int", 3)], "user_id bigint, n string, ts bigint"
+    )
+    with pytest.raises(ValueError, match="not a safe widening"):
+        upsert_manifest(
+            incompatible,
+            root,
+            ["user_id"],
+            "ts",
+            allow_schema_evolution=True,
+        )
 
 
 def test_concurrent_vacuums_dont_crash(spark, tmp_path):

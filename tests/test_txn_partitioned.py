@@ -1,0 +1,368 @@
+"""Partition-scoped transactional commits (txn.upsert_manifest_
+partitioned): O(updated partitions) commit cost with multi-writer
+safety — the round-5 close of the last 100×-scale-up gap (the
+reference's merge is O(updated rows), `src/pipelines/batch_pipeline.py:221-310`;
+the unpartitioned manifest path rewrites the full snapshot)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import feature_store_spark.pipelines.txn as txn
+from feature_store_spark.pipelines.txn import (
+    LocalLinkBackend,
+    latest_version,
+    read_manifest,
+    read_table,
+    upsert_manifest,
+    upsert_manifest_partitioned,
+    vacuum,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, v string, ts bigint, p string"
+    )
+
+
+def _snap(spark, root, version=None):
+    df, _ = read_table(spark, root, version)
+    return {
+        (r["user_id"], r["p"]): (r["v"], r["ts"]) for r in df.collect()
+    }
+
+
+def _up(spark, root, rows, **kw):
+    return upsert_manifest_partitioned(
+        _df(spark, rows), root, ["user_id"], "ts", "p", **kw
+    )
+
+
+def _dir_fingerprint(path):
+    out = {}
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            fp = os.path.join(dirpath, f)
+            with open(fp, "rb") as fh:
+                out[os.path.relpath(fp, path)] = hashlib.sha1(
+                    fh.read()
+                ).hexdigest()
+    return out
+
+
+def test_partitioned_upsert_semantics(spark, tmp_path):
+    root = str(tmp_path / "t")
+    n = _up(spark, root, [(1, "a", 1, "d1"), (2, "b", 1, "d2")])
+    assert n == 2 and latest_version(root) == 1
+    # LWW within a partition; same key recurs across partitions
+    # (snapshot-history layout); stale ts loses
+    n = _up(
+        spark,
+        root,
+        [(1, "a2", 2, "d1"), (1, "x", 1, "d2"), (3, "c", 1, "d2")],
+    )
+    assert n == 4
+    assert _snap(spark, root) == {
+        (1, "d1"): ("a2", 2),
+        (1, "d2"): ("x", 1),
+        (2, "d2"): ("b", 1),
+        (3, "d2"): ("c", 1),
+    }
+    _up(spark, root, [(1, "stale", 1, "d1")])
+    assert _snap(spark, root)[(1, "d1")] == ("a2", 2)
+    # zero-row batch: harmless no-op, no commit
+    assert _up(spark, root, []) == 0
+    assert latest_version(root) == 3
+    with pytest.raises(ValueError, match="NULL"):
+        _up(spark, root, [(9, "z", 9, None)])
+
+
+def test_untouched_partition_files_carried_forward_byte_identical(
+    spark, tmp_path
+):
+    """The headline invariant: a commit touching d2 must not read,
+    rewrite, or move d1's files — the new manifest carries d1's entry
+    verbatim and the bytes on disk are identical."""
+    root = str(tmp_path / "t")
+    _up(spark, root, [(1, "a", 1, "d1"), (2, "b", 1, "d2")])
+    m1 = read_manifest(root, 1)
+    d1_entry = m1["partitions"][txn._pkey("d1")]
+    before = _dir_fingerprint(os.path.join(root, d1_entry["dir"]))
+    assert before  # the leaf actually holds files
+
+    _up(spark, root, [(2, "b2", 2, "d2")])
+    m2 = read_manifest(root, 2)
+    assert m2["partitions"][txn._pkey("d1")] == d1_entry
+    after = _dir_fingerprint(os.path.join(root, d1_entry["dir"]))
+    assert after == before
+    # and d2's entry moved to a new immutable leaf
+    assert (
+        m2["partitions"][txn._pkey("d2")]["dir"]
+        != m1["partitions"][txn._pkey("d2")]["dir"]
+    )
+    assert _snap(spark, root) == {
+        (1, "d1"): ("a", 1),
+        (2, "d2"): ("b2", 2),
+    }
+    # rows compose from the map without scanning untouched partitions
+    assert m2["rows"] == 2
+
+
+class _InterleavingBackend(LocalLinkBackend):
+    """Lets a competing writer commit between our merge and our
+    conditional put — the deterministic version race."""
+
+    def __init__(self, compete):
+        self.compete = compete
+        self.puts = 0
+
+    def put_if_absent(self, target, payload):
+        self.puts += 1
+        if self.puts == 1:
+            self.compete()
+            return False  # we lost the conditional put
+        return super().put_if_absent(target, payload)
+
+
+def _count_merges(monkeypatch):
+    calls = {"n": 0}
+    real = txn.latest_per_key
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(txn, "latest_per_key", counting)
+    return calls
+
+
+def test_disjoint_writers_commit_without_remerge(
+    spark, tmp_path, monkeypatch
+):
+    """Delta-style conflict resolution: writer B loses the version
+    race to writer A, but A touched a DISJOINT partition — B must
+    re-publish its already-written leaf dirs on the new tip with ZERO
+    additional Spark merge work."""
+    root = str(tmp_path / "t")
+    _up(spark, root, [(1, "a", 1, "d1"), (2, "b", 1, "d2")])
+    calls = _count_merges(monkeypatch)
+
+    def compete():  # A commits to d1 while B (targeting d2) is racing
+        _up(spark, root, [(1, "a2", 2, "d1")])
+
+    _up(
+        spark,
+        root,
+        [(2, "b2", 2, "d2")],
+        backend=_InterleavingBackend(compete),
+    )
+    # exactly two merges ran: B's one merge + A's one merge — B's
+    # retry after the lost race reused its written leaves
+    assert calls["n"] == 2
+    assert latest_version(root) == 3
+    assert _snap(spark, root) == {
+        (1, "d1"): ("a2", 2),
+        (2, "d2"): ("b2", 2),
+    }
+    # B's carried-forward entry for d1 is A's commit, not the stale tip
+    m3 = read_manifest(root, 3)
+    m2 = read_manifest(root, 2)
+    assert m3["partitions"][txn._pkey("d1")] == m2["partitions"][
+        txn._pkey("d1")
+    ]
+
+
+def test_overlapping_writers_remerge_and_lose_nothing(
+    spark, tmp_path, monkeypatch
+):
+    """When the race winner touched the SAME partition, the loser must
+    discard its prepared commit and re-merge against the new tip —
+    last-writer-wins ordering decides the overlapping key."""
+    root = str(tmp_path / "t")
+    _up(spark, root, [(1, "a", 1, "d1")])
+    calls = _count_merges(monkeypatch)
+
+    def compete():  # A writes the SAME partition d1, key 3
+        _up(spark, root, [(3, "from_a", 2, "d1")])
+
+    _up(
+        spark,
+        root,
+        [(2, "from_b", 2, "d1")],
+        backend=_InterleavingBackend(compete),
+    )
+    # three merges: B's first, A's, B's re-merge after the conflict
+    assert calls["n"] == 3
+    assert _snap(spark, root) == {
+        (1, "d1"): ("a", 1),
+        (2, "d1"): ("from_b", 2),
+        (3, "d1"): ("from_a", 2),
+    }
+
+
+def test_concurrent_threads_disjoint_partitions(spark, tmp_path):
+    """Live two-thread race over disjoint partitions: every key from
+    both writers survives and every commit landed."""
+    import threading
+
+    root = str(tmp_path / "t")
+    errors = []
+
+    def writer(part, offset):
+        try:
+            for i in range(3):
+                _up(spark, root, [(offset + i, f"w{part}", i, part)])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=("d1", 100))
+    t2 = threading.Thread(target=writer, args=("d2", 200))
+    t1.start()
+    t2.start()
+    t1.join()
+    t2.join()
+    assert not errors
+    got = _snap(spark, root)
+    assert {k for k, _ in got} == {100, 101, 102, 200, 201, 202}
+    assert latest_version(root) == 6
+
+
+def test_time_travel_and_vacuum_prune_leaf_scoped(spark, tmp_path):
+    """Vacuum removes only superseded leaves: a carried-forward
+    partition's leaf survives pruning of the version that wrote it,
+    and a commit dir is reclaimed once its last live leaf dies."""
+    root = str(tmp_path / "t")
+    _up(spark, root, [(1, "a", 1, "d1"), (2, "b", 1, "d2")])
+    _up(spark, root, [(2, "b2", 2, "d2")])
+    m1 = read_manifest(root, 1)
+    v1_commit_dir = os.path.join(
+        root,
+        os.path.dirname(m1["partitions"][txn._pkey("d1")]["dir"]),
+    )
+    # time travel before vacuum
+    assert _snap(spark, root, version=1) == {
+        (1, "d1"): ("a", 1),
+        (2, "d2"): ("b", 1),
+    }
+    removed = vacuum(root, keep_last=1)
+    # only d2's superseded v1 leaf dies; d1's (carried forward) lives
+    assert removed == [m1["partitions"][txn._pkey("d2")]["dir"]]
+    assert os.path.isdir(v1_commit_dir)  # still holds d1's live leaf
+    assert _snap(spark, root) == {
+        (1, "d1"): ("a", 1),
+        (2, "d2"): ("b2", 2),
+    }
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, root, version=1)
+    # supersede d1 too, vacuum again: v1's commit dir is now dead
+    _up(spark, root, [(1, "a3", 3, "d1")])
+    vacuum(root, keep_last=1)
+    assert not os.path.isdir(v1_commit_dir)
+    assert _snap(spark, root) == {
+        (1, "d1"): ("a3", 3),
+        (2, "d2"): ("b2", 2),
+    }
+
+
+def test_partitioned_schema_evolution_widens_untouched_partitions(
+    spark, tmp_path
+):
+    """A widening commit touching only d2 leaves d1's narrow files in
+    place; the new manifest schema widens/null-fills them on read, and
+    new-partition-only commits still reconcile against the TABLE
+    schema (missing column without the flag raises)."""
+    root = str(tmp_path / "t")
+    narrow = spark.createDataFrame(
+        [(1, 10, 1, "d1"), (2, 20, 1, "d2")],
+        "user_id bigint, n int, ts bigint, p string",
+    )
+    upsert_manifest_partitioned(narrow, root, ["user_id"], "ts", "p")
+    wide = spark.createDataFrame(
+        [(2, 30, 2, "d2", 0.5)],
+        "user_id bigint, n bigint, ts bigint, p string, score double",
+    )
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        upsert_manifest_partitioned(wide, root, ["user_id"], "ts", "p")
+    upsert_manifest_partitioned(
+        wide, root, ["user_id"], "ts", "p", allow_schema_evolution=True
+    )
+    cur, _ = read_table(spark, root)
+    assert dict(cur.dtypes)["n"] == "bigint"
+    got = {r["user_id"]: r for r in cur.collect()}
+    assert got[1]["n"] == 10 and got[1]["score"] is None  # old files
+    assert got[2]["n"] == 30 and got[2]["score"] == 0.5
+    # a commit creating a brand-new partition with a MISSING column
+    # must still reconcile against the table schema
+    fresh = spark.createDataFrame(
+        [(4, 4, "d3")], "user_id bigint, ts bigint, p string"
+    )
+    with pytest.raises(ValueError, match="column sets differ"):
+        upsert_manifest_partitioned(fresh, root, ["user_id"], "ts", "p")
+
+
+def test_layout_mixing_guards(spark, tmp_path):
+    """Partitioned and unpartitioned manifest layouts refuse each
+    other's roots instead of silently collapsing the layout."""
+    root_flat = str(tmp_path / "flat")
+    upsert_manifest(
+        spark.createDataFrame([(1, "a", 1)], "user_id bigint, v string, ts bigint"),
+        root_flat,
+        ["user_id"],
+        "ts",
+    )
+    with pytest.raises(ValueError, match="UNPARTITIONED"):
+        _up(spark, root_flat, [(1, "a", 1, "d1")])
+
+    root_part = str(tmp_path / "part")
+    _up(spark, root_part, [(1, "a", 1, "d1")])
+    with pytest.raises(ValueError, match="PARTITION-SCOPED"):
+        upsert_manifest(
+            spark.createDataFrame(
+                [(2, "b", 2)], "user_id bigint, v string, ts bigint"
+            ),
+            root_part,
+            ["user_id"],
+            "ts",
+        )
+    with pytest.raises(ValueError, match="partitioned by"):
+        upsert_manifest_partitioned(
+            _df(spark, [(1, "a", 1, "d1")]).withColumnRenamed("p", "q"),
+            root_part,
+            ["user_id"],
+            "ts",
+            "q",
+        )
+
+
+def test_partitioned_cdc_and_date_partitions(spark, tmp_path):
+    """table_changes rides the partitioned layout unchanged, and DATE
+    partition values key stably through _pkey."""
+    import datetime
+
+    from feature_store_spark.pipelines.txn import table_changes
+
+    root = str(tmp_path / "t")
+    d1 = datetime.date(2024, 1, 1)
+    d2 = datetime.date(2024, 1, 2)
+    df = spark.createDataFrame(
+        [(1, "a", 1, d1), (2, "b", 1, d2)],
+        "user_id bigint, v string, ts bigint, p date",
+    )
+    upsert_manifest_partitioned(df, root, ["user_id"], "ts", "p")
+    df2 = spark.createDataFrame(
+        [(2, "b2", 2, d2), (3, "c", 2, d2)],
+        "user_id bigint, v string, ts bigint, p date",
+    )
+    upsert_manifest_partitioned(df2, root, ["user_id"], "ts", "p")
+    m2 = read_manifest(root, 2)
+    assert set(m2["partitions"]) == {"2024-01-01", "2024-01-02"}
+    got = {
+        r["user_id"]: r["status"]
+        for r in table_changes(spark, root, 1, 2).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "added"}
