@@ -286,6 +286,24 @@ def main() -> None:
         "sf": sf,
         "floor_sec": round(floor, 3),
         "regressions": regressions,
+        # per-query runtime posture (VERDICT r4 item 9): the shuffle
+        # widths are box-tuned bench config, not engine defaults —
+        # emitting them per entry keeps cross-round comparisons and
+        # the cluster story auditable (get_spark defaults: AQE on,
+        # cluster-shaped widths)
+        "conf": {
+            name: {
+                "width": heavy_shuffle
+                if name in HEAVY_SHUFFLE
+                else light_shuffle,
+                "aqe": False,
+                "bucketed_facts": os.environ.get(
+                    "SPARK_GRAFT_BUCKETED_FACTS"
+                )
+                == "1",
+            }
+            for name in timings
+        },
     }
 
     # Self-contained oracle companion (default on; SPARK_GRAFT_BENCH_ORACLE=0
@@ -301,7 +319,13 @@ def main() -> None:
         for name in HEADLINE:
             if name not in SPECS or SPECS[name].sql is None:
                 continue
-            sql = SPECS[name].sql
+            s = SPECS[name]
+            # a deployed-artifact query (e.g. the int8 codes table)
+            # gets its artifact built UNTIMED on the DuckDB side too,
+            # so both engines' timed regions do the same work
+            if s.bench_setup is not None:
+                con.execute(s.bench_setup)
+            sql = s.bench_sql or s.sql
             con.execute(sql).fetchall()  # warm
             best = None
             for _ in range(n_runs):

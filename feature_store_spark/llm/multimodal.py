@@ -138,14 +138,61 @@ def decode_media(
     )
 
 
+def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Importable-optional real codec: image payloads decode through
+    PIL when it is installed (width/height/format from the actual
+    bytes); audio/video still need ffmpeg and raise. Executor-side
+    import — workers without PIL raise the same targeted error."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "real media decoding requires PIL (images) / ffmpeg "
+            "(audio/video), not importable on this executor; run with "
+            "real_decode=False for the deterministic stub"
+        ) from e
+
+    rows = []
+    for doc_id, mt, payload in zip(
+        pdf["doc_id"], pdf["media_type"], pdf["payload"]
+    ):
+        if payload is None:
+            rows.append((doc_id, mt, None, None, None, None))
+            continue
+        if mt != "image":
+            raise NotImplementedError(
+                f"real decode of media_type={mt!r} requires ffmpeg, "
+                "not present; only 'image' decodes via PIL"
+            )
+        with Image.open(io.BytesIO(bytes(payload))) as im:
+            rows.append(
+                (doc_id, mt, len(payload), im.width, im.height, im.format)
+            )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id",
+            "media_type",
+            "n_bytes",
+            "width",
+            "height",
+            "format",
+        ],
+    )
+    out["n_bytes"] = out["n_bytes"].astype("Int64")
+    out["width"] = out["width"].astype("Int32")
+    out["height"] = out["height"].astype("Int32")
+    return out
+
+
 def _decode_media_arrow(media: DataFrame, real_decode: bool) -> DataFrame:
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if real_decode:
-            raise NotImplementedError(
-                "real media decoding requires PIL/ffmpeg, not present in "
-                "this environment; run with real_decode=False for the "
-                "deterministic stub"
-            )
+            for pdf in batches:
+                yield _real_decode_batch(pdf)
+            return
         for pdf in batches:
             # NULL payload (NULL source text) -> NULL metadata, like
             # the oracle's octet_length(NULL); format still derives

@@ -1631,6 +1631,69 @@ def quantize_embeddings_oracle_sql(
     """
 
 
+def cosine_topk_int8_codes_setup_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Untimed bench setup: materialize the int8 codes (+ squared
+    norms) as a DuckDB temp table, mirroring the Spark side's
+    quantize-once-at-ingest codes table — so the TIMED regions of the
+    int8 race do the same work on both engines (ADVICE r4: the inline
+    oracle was quantizing inside its timed window while Spark scored a
+    deployed codes table)."""
+    return f"""
+    CREATE OR REPLACE TEMP TABLE __int8_codes AS
+    WITH v AS (
+      SELECT {id_col},
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS fv,
+             list_max(list_transform({vec_col},
+                      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM {table}
+    ),
+    qz AS (
+      SELECT {id_col},
+             list_transform(fv, x -> CAST(CASE WHEN maxabs > 0
+               THEN round(x * 127.0 / maxabs) ELSE 0 END AS BIGINT)) AS c
+      FROM v
+    )
+    SELECT {id_col}, c,
+           list_sum(list_transform(c, x -> x * x)) AS n2
+    FROM qz
+    """
+
+
+def cosine_topk_int8_from_codes_oracle_sql(
+    n_queries: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> str:
+    """Timed bench twin of ``cosine_topk_int8``: score from the
+    pre-materialized ``__int8_codes`` temp table (see
+    ``cosine_topk_int8_codes_setup_sql``) — identical arithmetic and
+    output to the inline oracle, minus the quantization pass."""
+    return f"""
+    WITH q AS (SELECT {id_col} AS query_id, c AS qc, n2 AS qn2
+          FROM __int8_codes WHERE {id_col} < {n_queries}),
+    scored AS (
+      SELECT q.query_id, cc.{id_col},
+             CASE WHEN q.qn2 * cc.n2 > 0 THEN
+               round(list_sum(list_transform(range(1, len(cc.c) + 1),
+                     i -> q.qc[i] * cc.c[i])) * 1.0
+                     / sqrt(CAST(q.qn2 * cc.n2 AS DOUBLE)), 6)
+             END AS cosine_q
+      FROM __int8_codes cc CROSS JOIN q
+      WHERE cc.{id_col} <> q.query_id
+    )
+    SELECT query_id, {id_col}, cosine_q,
+           CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine_q DESC, {id_col} ASC) AS rank
+      FROM scored
+    ) t WHERE rank <= {k}
+    """
+
+
 def cosine_topk_int8_oracle_sql(
     table: str = "embeddings",
     n_queries: int = 5,

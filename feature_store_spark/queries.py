@@ -57,14 +57,27 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     sql: str | None  # None → non-SQL-expressible, rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Bench-only oracle twins for queries whose Spark side reads a
+    # deployed (pre-materialized) artifact: ``bench_setup`` runs
+    # UNTIMED once to build the DuckDB equivalent, ``bench_sql`` is
+    # the timed query over it — keeping the two engines' timed
+    # regions symmetric. Correctness always uses ``sql``.
+    bench_setup: str | None = None
+    bench_sql: str | None = None
 
 
 SPECS: dict[str, QuerySpec] = {}
 
 
-def spec(name: str, sql: str | None, tags: tuple[str, ...] = ()):
+def spec(
+    name: str,
+    sql: str | None,
+    tags: tuple[str, ...] = (),
+    bench_setup: str | None = None,
+    bench_sql: str | None = None,
+):
     def deco(fn):
-        SPECS[name] = QuerySpec(name, fn, sql, tags)
+        SPECS[name] = QuerySpec(name, fn, sql, tags, bench_setup, bench_sql)
         return fn
 
     return deco

@@ -318,6 +318,13 @@ def _codes_table(spark, sf_dir):
     "sim_cosine_topk_int8",
     S.cosine_topk_int8_oracle_sql(n_queries=N_QUERY_VECS, k=10),
     ("ext", "similarity", "quantization"),
+    # bench symmetry (ADVICE r4): Spark scores a deployed codes table,
+    # so the timed DuckDB twin must too — quantization runs in the
+    # untimed setup, identical arithmetic and output either way
+    bench_setup=S.cosine_topk_int8_codes_setup_sql(),
+    bench_sql=S.cosine_topk_int8_from_codes_oracle_sql(
+        n_queries=N_QUERY_VECS, k=10
+    ),
 )
 def q_cosine_topk_int8(spark, sf_dir):
     """Cosine top-k over int8-quantized vectors: exact bigint dot

@@ -458,12 +458,14 @@ def test_window_scan_prunes_month_partitions(spark, sf_dir, tmp_path):
 
 
 def test_cdc_apply_feed_windowed_base_anti_joined(spark, sf_dir):
-    # the change feed pays the latest-wins window; the base is touched
-    # by a single LeftAnti join (broadcast here — the batch's key set
-    # is small); no cartesian anywhere ("Window [" counts exec nodes,
-    # not WindowGroupLimit helpers; the feed-union fixture derives
-    # 4 branches so the window subtree appears once per consumer)
+    # the change feed pays the latest-wins window EXACTLY ONCE (the
+    # anti-join side takes the feed's distinct keys from a partial-agg
+    # distinct, not a second window pass — r5); the base is touched by
+    # a single LeftAnti join (broadcast here — the batch's key set is
+    # small); no cartesian anywhere ("Window [" counts exec nodes, not
+    # WindowGroupLimit helpers)
     plan = _plan(spark, sf_dir, "s12_cdc_apply")
+    assert plan.count("Window [") == 1
     assert plan.count("LeftAnti") == 1
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
