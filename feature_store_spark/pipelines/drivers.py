@@ -120,6 +120,9 @@ def run_daily_pipeline(
         date_col="updated_at",
         cluster_col="user_id",
         ref_date=ref_date,
+        # the warehouse history gets the PARTITION-SCOPED commit: each
+        # daily run touches one date, untouched history carries forward
+        transactional=transactional,
     )
     for frame in (uf, tf, rf):
         frame.unpersist()
@@ -138,18 +141,23 @@ def run_backfill(
     sf_dir: str,
     out_dir: str,
     ref_dates: list[str],
+    transactional: bool = False,
 ) -> list[PipelineResult]:
     """Historical backfill: run the daily pipeline once per date, in
     order (the reference's Airflow catchup over `batch_pipeline_dag`).
     Each run anchors every time window at ITS ref_date (forwarded into
     the derivations) and lands one dated snapshot in the warehouse —
-    dynamic partition overwrite means re-running a date replaces only
-    that date's partition, so backfills are idempotent per date and
-    never clobber neighboring snapshots. The resulting snapshot
-    history is exactly what `serving/training.py::build_training_set`
-    as-of joins against."""
+    dynamic partition overwrite (or, ``transactional=True``, a
+    partition-scoped manifest commit) means re-running a date replaces
+    only that date's partition, so backfills are idempotent per date
+    and never clobber neighboring snapshots; the transactional form is
+    additionally safe against a backfill racing the daily run. The
+    resulting snapshot history is exactly what
+    `serving/training.py::build_training_set` as-of joins against."""
     return [
-        run_daily_pipeline(spark, sf_dir, out_dir, ref_date=d)
+        run_daily_pipeline(
+            spark, sf_dir, out_dir, ref_date=d, transactional=transactional
+        )
         for d in ref_dates
     ]
 

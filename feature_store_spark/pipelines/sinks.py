@@ -250,6 +250,7 @@ def export_warehouse(
     cluster_col: str = "user_id",
     retention_days: int | None = 730,
     ref_date: str | None = None,
+    transactional: bool = False,
 ) -> int:
     """Warehouse export mirroring the reference's BigQuery layout
     (`sql/bigquery_schema.sql:18-26`): partitioned by the date of
@@ -262,6 +263,15 @@ def export_warehouse(
 
     Partition pruning on read is free: any query filtering
     ``partition_date`` skips files entirely.
+
+    ``transactional=True`` lands the same partitions through
+    ``txn.upsert_manifest_partitioned`` — one atomic manifest commit
+    touching ONLY this run's dates (untouched history partitions carry
+    forward untouched), multi-writer safe when a backfill races the
+    daily run. Readers use ``txn.read_table``; the commit's key-window
+    shuffle replaces the explicit cluster repartition (rows land
+    key-hashed within each date partition). Returns THIS RUN's
+    exported row count either way.
     """
     out = df.withColumn("partition_date", F.to_date(F.col(date_col)))
     # same NULL-partition refusal as upsert_parquet_partitioned: a NULL
@@ -278,6 +288,23 @@ def export_warehouse(
             F.col("partition_date")
             >= F.date_sub(F.to_date(F.lit(ref_date)), retention_days)
         )
+    if transactional:
+        from feature_store_spark.pipelines.txn import (
+            upsert_manifest_partitioned,
+        )
+
+        obs = Observation()
+        upsert_manifest_partitioned(
+            out.observe(obs, F.count(F.lit(1)).alias("rows")),
+            path,
+            [cluster_col],
+            order_col=date_col,
+            partition_col="partition_date",
+        )
+        # this RUN's rows (observed on the commit's own scan), matching
+        # the non-transactional return — the table total would mask a
+        # zero-row derivation day behind the merged history
+        return int(obs.get["rows"])
     obs = Observation()
     (
         out.observe(obs, F.count(F.lit(1)).alias("rows"))

@@ -479,9 +479,17 @@ def upsert_manifest_partitioned(
             pk: (tip_parts[pk]["dir"] if pk in tip_parts else None)
             for pk in keys
         }
-        if written is not None and written["base_touched"] != tip_touched:
-            # the race winner touched one of OUR partitions — the
-            # prepared commit is stale; drop it and re-merge below
+        if written is not None and (
+            written["base_touched"] != tip_touched
+            # a schema CHANGE by the race winner also invalidates the
+            # prepared commit: re-publishing our pre-evolution schema
+            # would silently drop the winner's new/widened columns
+            # from the table schema
+            or written["base_schema"] != (tip["schema"] if tip else None)
+        ):
+            # the race winner touched one of OUR partitions (or the
+            # schema) — the prepared commit is stale; drop it and
+            # re-merge below
             shutil.rmtree(
                 os.path.join(root, written["commit_rel"]), ignore_errors=True
             )
@@ -541,6 +549,7 @@ def upsert_manifest_partitioned(
             }
             written = {
                 "base_touched": tip_touched,
+                "base_schema": tip["schema"] if tip else None,
                 "commit_rel": commit_rel,
                 "schema": merged.schema.jsonValue(),
                 "entries": {

@@ -184,3 +184,32 @@ def test_backfill_accumulates_dated_snapshots(spark, sf_dir, tmp_path):
     run_backfill(spark, sf_dir, out, [dates[0]])
     wh2 = spark.read.parquet(f"{out}/warehouse/serving_features")
     assert wh2.count() == n_before
+
+
+def test_backfill_transactional_matches_parquet_history(
+    spark, sf_dir, tmp_path
+):
+    """transactional=True backfill: the warehouse history accretes
+    through partition-scoped manifest commits — same snapshot set and
+    rows as the dynamic-overwrite layout, one committed version per
+    daily run, idempotent per date."""
+    from feature_store_spark.pipelines.drivers import run_backfill
+    from feature_store_spark.pipelines.txn import latest_version, read_table
+
+    out = str(tmp_path / "bftx")
+    dates = ["2001-06-01", "2001-07-01"]
+    results = run_backfill(spark, sf_dir, out, dates, transactional=True)
+    assert [r.status for r in results] == ["SUCCESS", "SUCCESS"]
+    wh_path = f"{out}/warehouse/serving_features"
+    wh, v = read_table(spark, wh_path)
+    assert v == 2  # one commit per run
+    snaps = {
+        r["partition_date"].isoformat()
+        for r in wh.select("partition_date").distinct().collect()
+    }
+    assert snaps == set(dates)
+    n_before = wh.count()
+    run_backfill(spark, sf_dir, out, [dates[0]], transactional=True)
+    wh2, _ = read_table(spark, wh_path)
+    assert wh2.count() == n_before
+    assert latest_version(wh_path) == 3

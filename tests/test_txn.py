@@ -177,6 +177,17 @@ def test_daily_pipeline_transactional_matches_parquet(spark, sf_dir, tmp_path):
             map(tuple, pq_df.collect())
         ), kind
         assert latest_version(f"{tx_out}/{kind}") == 1
+    # the warehouse history lands through the PARTITION-SCOPED commit
+    # and carries the same rows as the dynamic-overwrite layout
+    wh = "warehouse/serving_features"
+    tx_wh, _ = read_table(spark, f"{tx_out}/{wh}")
+    pq_wh = spark.read.parquet(f"{pq_out}/{wh}")
+    assert sorted(tx_wh.columns) == sorted(pq_wh.columns)
+    cols = sorted(tx_wh.columns)
+    assert sorted(
+        map(tuple, tx_wh.select(*cols).collect())
+    ) == sorted(map(tuple, pq_wh.select(*cols).collect()))
+    assert latest_version(f"{tx_out}/{wh}") == 1
 
 
 def test_table_changes_between_versions(spark, tmp_path):

@@ -205,6 +205,44 @@ def test_overlapping_writers_remerge_and_lose_nothing(
     }
 
 
+def test_schema_evolving_winner_invalidates_fast_path(
+    spark, tmp_path, monkeypatch
+):
+    """A race winner that EVOLVED the table schema (even on a disjoint
+    partition) must force the loser to re-merge: republishing the
+    loser's pre-evolution schema would silently drop the winner's new
+    column from the table schema."""
+    root = str(tmp_path / "t")
+    _up(spark, root, [(1, "a", 1, "d1"), (2, "b", 1, "d2")])
+    calls = _count_merges(monkeypatch)
+
+    def compete():  # A widens the schema on DISJOINT partition d1
+        wide = spark.createDataFrame(
+            [(1, "a2", 2, "d1", 0.9)],
+            "user_id bigint, v string, ts bigint, p string, score double",
+        )
+        upsert_manifest_partitioned(
+            wide, root, ["user_id"], "ts", "p", allow_schema_evolution=True
+        )
+
+    upsert_manifest_partitioned(
+        _df(spark, [(2, "b2", 2, "d2")]),
+        root,
+        ["user_id"],
+        "ts",
+        "p",
+        allow_schema_evolution=True,
+        backend=_InterleavingBackend(compete),
+    )
+    # three merges: B's first, A's, B's re-merge (fast path refused)
+    assert calls["n"] == 3
+    cur, _ = read_table(spark, root)
+    assert "score" in cur.columns  # the winner's column survived
+    got = {(r["user_id"], r["p"]): r for r in cur.collect()}
+    assert got[(1, "d1")]["score"] == 0.9
+    assert got[(2, "d2")]["v"] == "b2" and got[(2, "d2")]["score"] is None
+
+
 def test_concurrent_threads_disjoint_partitions(spark, tmp_path):
     """Live two-thread race over disjoint partitions: every key from
     both writers survives and every commit landed."""
@@ -337,6 +375,41 @@ def test_layout_mixing_guards(spark, tmp_path):
             "ts",
             "q",
         )
+
+
+def test_transactional_warehouse_export_is_partition_scoped(
+    spark, tmp_path
+):
+    """export_warehouse(transactional=True): each day's export commits
+    only its own date partition — day 1's leaf files stay byte-
+    identical after day 2 lands — and the return value is THIS RUN's
+    rows, not the table total."""
+    from feature_store_spark.pipelines.sinks import export_warehouse
+
+    path = str(tmp_path / "wh")
+    d1 = spark.createDataFrame(
+        [(1, 10.0, "2024-06-01 00:00:00"), (2, 20.0, "2024-06-01 00:00:00")],
+        "user_id bigint, score double, updated_at string",
+    ).withColumn("updated_at", F.to_timestamp("updated_at"))
+    assert export_warehouse(d1, path, transactional=True) == 2
+    m1 = read_manifest(path, 1)
+    leaf1 = m1["partitions"]["2024-06-01"]
+    before = _dir_fingerprint(os.path.join(path, leaf1["dir"]))
+
+    d2 = spark.createDataFrame(
+        [(1, 11.0, "2024-06-02 00:00:00")],
+        "user_id bigint, score double, updated_at string",
+    ).withColumn("updated_at", F.to_timestamp("updated_at"))
+    assert export_warehouse(d2, path, transactional=True) == 1  # run rows
+    m2 = read_manifest(path, 2)
+    assert m2["partitions"]["2024-06-01"] == leaf1
+    assert _dir_fingerprint(os.path.join(path, leaf1["dir"])) == before
+    df, _ = read_table(spark, path)
+    assert df.count() == 3  # history accretes across dates
+    # re-running day 2 is idempotent (LWW tie -> update wins)
+    assert export_warehouse(d2, path, transactional=True) == 1
+    df, _ = read_table(spark, path)
+    assert df.count() == 3
 
 
 def test_partitioned_cdc_and_date_partitions(spark, tmp_path):
