@@ -219,6 +219,88 @@ def ngram_jaccard_oracle_sql(table: str = "documents", n: int = 3,
     """
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs with word-n-gram CONTAINMENT ≥ threshold:
+    ``C = shared / min(|A|, |B|)`` — the asymmetric cousin of Jaccard
+    that catches quote/subset duplication (a short doc fully embedded
+    in a long one scores C=1.0 but a tiny Jaccard, so a Jaccard gate
+    never fires). This is the Broder containment measure every
+    dedup-for-pretraining pipeline pairs with resemblance; same
+    exact inverted-index shape as :func:`ngram_jaccard_pairs` — one
+    shingle pass (per-doc set size as a window count over it), one
+    postings self-join, one pair aggregation.
+
+    Scale: identical posture to the Jaccard op (candidate volume is
+    shared-shingle-proportional); compose with ``max_df``-style hub
+    pruning upstream or LSH banding when the corpus needs it.
+    """
+    sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
+    sh = sh.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
+    a = sh.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("__n").alias("n_a")
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("__n").alias("n_b")
+    )
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    cont = F.round(
+        F.col("shared") / F.least(F.col("n_a"), F.col("n_b")), 6
+    )
+    return shared.select(
+        "id_a",
+        "id_b",
+        F.col("shared").alias("shared_shingles"),
+        F.least(F.col("n_a"), F.col("n_b")).alias("smaller_set"),
+        cont.alias("containment"),
+    ).filter(F.col("containment") >= threshold)
+
+
+def ngram_containment_oracle_sql(
+    table: str = "documents",
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin: same shingles, same self-join, same
+    shared/min(|A|,|B|) with the same 6-digit round."""
+    sh = shingles_oracle_sql(table, n, id_col, text_col)
+    return f"""
+    WITH sh AS ({sh}),
+    sizes AS (SELECT {id_col}, count(*) AS n FROM sh GROUP BY {id_col}),
+    shared AS (
+      SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+        AND a.{id_col} < b.{id_col}
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared AS shared_shingles,
+           least(x.n, y.n) AS smaller_set,
+           round(shared * 1.0 / least(x.n, y.n), 6) AS containment
+    FROM shared
+    JOIN sizes x ON id_a = x.{id_col}
+    JOIN sizes y ON id_b = y.{id_col}
+    WHERE round(shared * 1.0 / least(x.n, y.n), 6) >= {threshold}
+    """
+
+
 def _bucket_pairs(
     postings: DataFrame,
     id_col: str = "doc_id",

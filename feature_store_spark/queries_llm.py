@@ -116,6 +116,21 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 @spec(
+    "d_containment_pairs",
+    D.ngram_containment_oracle_sql(n=3, threshold=0.8),
+    ("ext", "dedup", "containment"),
+)
+def q_ngram_containment(spark, sf_dir):
+    """Broder containment C = shared/min(|A|,|B|) ≥ 0.8 — catches a
+    short doc embedded verbatim in a longer one, which a Jaccard gate
+    structurally misses (see llm/dedup.py::ngram_containment_pairs).
+    Deterministic arithmetic → DIRECT oracle."""
+    return D.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
+@spec(
     "d_minhash_lsh_pairs",
     D.minhash_lsh_oracle_sql(n=3, threshold=0.5),
     ("ext", "dedup"),

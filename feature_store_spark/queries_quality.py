@@ -678,6 +678,92 @@ def q_w9_event_sequences(spark, sf_dir):
 
 
 @spec(
+    "w10_funnel_conversion",
+    """WITH ev AS (SELECT user_id, date_trunc('second', ts) AS tss,
+                          event_type
+                   FROM events),
+    v AS (SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN tss END) AS t_view
+          FROM ev GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.tss) AS t_click
+          FROM ev e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.tss >= v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.tss) AS t_purchase
+          FROM ev e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.tss >= c.t_click
+          GROUP BY e.user_id)
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.t_view IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_depth
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id""",
+    ("ext", "W3", "funnel"),
+)
+def q_w10_funnel_conversion(spark, sf_dir):
+    """Ordered funnel conversion (beyond the reference surface): per
+    user, the first view, the first click AT-OR-AFTER that view, and
+    the first purchase at-or-after that click — the stage-progression
+    query behind every product-analytics funnel (and the
+    label-construction step for conversion models). Sequential
+    dependence (each stage anchors on the previous stage's timestamp)
+    is expressed as three chained conditional window-mins over ONE
+    user partitioning: a single Exchange, zero joins, zero re-scans —
+    the plan a cluster wants (the oracle's join-per-stage formulation
+    would re-shuffle the events table per stage). Timestamps truncate
+    to seconds BEFORE anchoring on both engines (the time-boundary
+    parity rule)."""
+    w = Window.partitionBy("user_id")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("second", F.col("ts")).alias("tss"),
+        "event_type",
+    )
+    staged = (
+        ev.withColumn(
+            "t_view",
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("tss"))
+            ).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("tss") >= F.col("t_view")),
+                    F.col("tss"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("tss") >= F.col("t_click")),
+                    F.col("tss"),
+                )
+            ).over(w),
+        )
+    )
+    return staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+        F.when(F.max("t_purchase").isNotNull(), 3)
+        .when(F.max("t_click").isNotNull(), 2)
+        .when(F.max("t_view").isNotNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("funnel_depth"),
+    )
+
+
+@spec(
     "w7_rolling_spend",
     f"""SELECT o_custkey AS user_id, o_orderkey,
               CAST(o_orderdate AS DATE) AS order_date,

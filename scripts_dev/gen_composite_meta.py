@@ -37,7 +37,7 @@ PARTS = [
     "a19_quantile_sketch_rollup",
     "a20_decayed_features", "a21_value_drift", "a22_feature_scaling",
     "w3_lag_lead_gaps", "w4_topk_orders_per_customer", "w6_ntile_buckets",
-    "w7_rolling_spend",
+    "w7_rolling_spend", "w10_funnel_conversion",
     "w1_latest_event_per_user", "w2_topk_customers",
     "o3_deterministic_sample", "o6_stratified_sample", "o7_priority_sample",
     "s9_ordered_export",
@@ -47,7 +47,7 @@ PARTS = [
     "t_fingerprint",
     "t_ngram_lm_score", "t_tfidf_topk", "t_vocab_coverage",
     "d_simhash_signatures", "d_simhash_near_dup",
-    "d_ngram_jaccard_pairs", "d_embedding_near_dup",
+    "d_ngram_jaccard_pairs", "d_embedding_near_dup", "d_containment_pairs",
     "sim_cosine_topk", "sim_cosine_topk_vectorized",
     "sim_knn_graph", "sim_knn_graph_vectorized",
     "mm_decode_media", "mm_frame_sample", "mm_resize_media",

@@ -454,3 +454,28 @@ def test_temperature_mixture_quota_exact_at_equal_counts(spark):
     assert compare(
         out, con, temperature_mixture_oracle_sql(alpha=0.5, budget=200)
     )["ok"]
+
+
+def test_containment_catches_subset_that_jaccard_misses(spark):
+    """The reason containment exists next to Jaccard: a short doc
+    embedded VERBATIM in a long one scores C=1.0 but a Jaccard far
+    below any useful gate — a resemblance-only dedup pass ships the
+    duplicated content."""
+    from feature_store_spark.llm.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_doc = " ".join(f"w{i}" for i in range(25))  # 23 3-grams
+    short_doc = " ".join(f"w{i}" for i in range(5))  # 3 3-grams, subset
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, "x y z q r s")],
+        "doc_id bigint, text string",
+    )
+    cont = ngram_containment_pairs(docs, n=3, threshold=0.8).collect()
+    assert len(cont) == 1
+    assert (cont[0]["id_a"], cont[0]["id_b"]) == (1, 2)
+    assert cont[0]["containment"] == 1.0
+    assert cont[0]["smaller_set"] == 3
+    # the same pair is invisible to a 0.5-Jaccard gate (J = 3/23)
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect() == []

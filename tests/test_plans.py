@@ -472,6 +472,17 @@ def test_cdc_apply_feed_windowed_base_anti_joined(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_funnel_single_exchange_no_joins(spark, sf_dir):
+    # the three stage anchors are chained conditional window-mins over
+    # ONE user partitioning: a single Exchange, zero joins, zero
+    # re-scans of events (the oracle's join-per-stage formulation
+    # would shuffle the fact table once per stage)
+    plan = _plan(spark, sf_dir, "w10_funnel_conversion")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert plan.count("FileScan") <= 1  # bucketed-catalog scan or flat
+
+
 def test_skew_report_broadcasts_totals(spark, sf_dir):
     # per-key counts are map-side combined (partial_count under the
     # key exchange); the 1-row totals frame is BROADCAST back — the
