@@ -223,6 +223,7 @@ def ngram_containment_pairs(
     df: DataFrame,
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -236,11 +237,51 @@ def ngram_containment_pairs(
     shingle pass (per-doc set size as a window count over it), one
     postings self-join, one pair aggregation.
 
-    Scale: identical posture to the Jaccard op (candidate volume is
-    shared-shingle-proportional); compose with ``max_df``-style hub
-    pruning upstream or LSH banding when the corpus needs it.
+    Scale: identical posture to the Jaccard op. ``max_df`` applies
+    the same hub-shingle pruning to CANDIDATE GENERATION only (the
+    emitted containment is always exact over the full shingle sets;
+    the recall trade is pairs overlapping ONLY in hub shingles) — at
+    corpus scale run with it, or band the postings with LSH upstream.
     """
     sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+        )
+        pruned = sh.join(keep.select("shingle"), "shingle")
+        cand = (
+            pruned.select(F.col(id_col).alias("id_a"), "shingle")
+            .join(
+                pruned.select(F.col(id_col).alias("id_b"), "shingle"),
+                "shingle",
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("sh"))
+        sa = sets.select(
+            F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+        )
+        sb = sets.select(
+            F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+        )
+        shared = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        smaller = F.least(F.size("sh_a"), F.size("sh_b"))
+        return (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                shared.alias("shared_shingles"),
+                smaller.alias("smaller_set"),
+                F.round(shared / smaller, 6).alias("containment"),
+            )
+            .filter(F.col("containment") >= threshold)
+        )
     sh = sh.withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
     )

@@ -539,6 +539,26 @@ def upsert_manifest_partitioned(
             leaf = {
                 pk: f"{commit_rel}/__ptok={_ptoken(pk)}" for pk in keys
             }
+            missing = [
+                pk
+                for pk, d in leaf.items()
+                if not os.path.isdir(os.path.join(root, d))
+            ]
+            if missing:
+                # a partition value that fails lit()-equality round-trip
+                # (e.g. a NaN in a float partition column) routes its
+                # rows into the null-token leaf instead of its own —
+                # surface it as the modeling error it is rather than a
+                # bare PATH_NOT_FOUND from the counts read-back
+                shutil.rmtree(
+                    os.path.join(root, commit_rel), ignore_errors=True
+                )
+                raise ValueError(
+                    f"partition values {sorted(missing)!r} produced no "
+                    f"leaf directory — {partition_col!r} values must "
+                    "compare equal to themselves (floats with NaN and "
+                    "other non-reflexive values cannot key partitions)"
+                )
             counts = {
                 _pkey(r[0]): r[1]
                 for r in spark.read.schema(merged.schema)

@@ -479,3 +479,34 @@ def test_containment_catches_subset_that_jaccard_misses(spark):
     assert cont[0]["smaller_set"] == 3
     # the same pair is invisible to a 0.5-Jaccard gate (J = 3/23)
     assert ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect() == []
+
+
+def test_containment_max_df_prunes_candidates_not_values(spark):
+    """Hub pruning changes candidate GENERATION only: with a generous
+    max_df the output equals the unpruned op exactly; with max_df=1
+    the planted subset pair (whose overlap shingles all appear in 2
+    docs) produces no candidate — pruned recall, never wrong values."""
+    from feature_store_spark.llm.dedup import ngram_containment_pairs
+
+    long_doc = " ".join(f"w{i}" for i in range(25))
+    short_doc = " ".join(f"w{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, "x y z q r s")],
+        "doc_id bigint, text string",
+    )
+    full = sorted(
+        map(tuple, ngram_containment_pairs(docs, n=3, threshold=0.8).collect())
+    )
+    pruned_hi = sorted(
+        map(
+            tuple,
+            ngram_containment_pairs(
+                docs, n=3, threshold=0.8, max_df=100
+            ).collect(),
+        )
+    )
+    assert full == pruned_hi and len(full) == 1
+    assert (
+        ngram_containment_pairs(docs, n=3, threshold=0.8, max_df=1).collect()
+        == []
+    )
