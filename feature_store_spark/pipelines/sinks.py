@@ -265,14 +265,33 @@ def export_warehouse(
     ``partition_date`` skips files entirely.
 
     ``transactional=True`` lands the same partitions through
-    ``txn.upsert_manifest_partitioned`` — one atomic manifest commit
-    touching ONLY this run's dates (untouched history partitions carry
+    ``txn.upsert_manifest_partitioned(mode="replace")`` — one atomic
+    manifest commit REPLACING only this run's dates (identical
+    semantics to the dynamic overwrite: a repair re-run that dropped
+    keys actually drops them; untouched history partitions carry
     forward untouched), multi-writer safe when a backfill races the
     daily run. Readers use ``txn.read_table``; the commit's key-window
     shuffle replaces the explicit cluster repartition (rows land
     key-hashed within each date partition). Returns THIS RUN's
-    exported row count either way.
+    exported row count either way. Layouts are incompatible — the
+    toggle raises in both directions instead of forking one root.
     """
+    import os
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    if (
+        not transactional
+        and parsed.scheme in ("", "file")
+        and os.path.isdir(os.path.join(parsed.path or path, "_manifests"))
+    ):
+        # the write path never reads the store, so without this check a
+        # True->False toggle would silently write a parallel hive
+        # layout that txn.read_table readers never see
+        raise ValueError(
+            f"{path!r} is a transactional (manifest-commit) warehouse; "
+            "export with transactional=True or migrate to a fresh root"
+        )
     out = df.withColumn("partition_date", F.to_date(F.col(date_col)))
     # same NULL-partition refusal as upsert_parquet_partitioned: a NULL
     # (or unparseable) date would either vanish through the retention
@@ -300,6 +319,7 @@ def export_warehouse(
             [cluster_col],
             order_col=date_col,
             partition_col="partition_date",
+            mode="replace",
         )
         # this RUN's rows (observed on the commit's own scan), matching
         # the non-transactional return — the table total would mask a

@@ -150,6 +150,14 @@ def _guard_foreign_store(root: str) -> None:
             e.startswith("part-")
             or e.endswith(".parquet")
             or e == "_SUCCESS"
+            # a hive-partitioned plain store (upsert_parquet_partitioned
+            # / export_warehouse) whose _SUCCESS marker is absent still
+            # announces itself through its col=value partition dirs
+            or (
+                "=" in e
+                and not e.startswith(".")
+                and os.path.isdir(os.path.join(root, e))
+            )
         ):
             raise ValueError(
                 f"{root!r} holds a non-transactional parquet store "
@@ -215,6 +223,40 @@ def _try_commit(
 _INTEGRAL_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
 
 
+def _normalize_nullability(dt):
+    """The same type modulo nullability flags (array containsNull,
+    struct field nullable, map valueContainsNull). Two columns that
+    differ ONLY in these must not be treated as a schema change — the
+    union coerces them losslessly, and raising here would break
+    upserts (e.g. F.array() of non-null columns produces
+    containsNull=false against a pinned containsNull=true schema)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructField,
+        StructType,
+    )
+
+    if isinstance(dt, ArrayType):
+        return ArrayType(_normalize_nullability(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _normalize_nullability(dt.keyType),
+            _normalize_nullability(dt.valueType),
+            True,
+        )
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(
+                    f.name, _normalize_nullability(f.dataType), True
+                )
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
 def _widen_type(a, b):
     """Widened common type for two non-equal atomic types, or None
     when the pair is not safely widenable (the caller raises). The
@@ -269,7 +311,9 @@ def _reconcile_schemas(
     ut = {f.name: f.dataType for f in updates.schema.fields}
     casts: dict[str, object] = {}
     for name in bt.keys() & ut.keys():
-        if bt[name] == ut[name]:
+        if _normalize_nullability(bt[name]) == _normalize_nullability(
+            ut[name]
+        ):
             continue
         widened = _widen_type(bt[name], ut[name]) if allow_evolution else None
         if widened is None:
@@ -330,8 +374,15 @@ def upsert_manifest(
     if latest_version(root) == 0:
         _guard_foreign_store(root)
     for _ in range(max_retries):
-        base, v = read_table(spark, root)
-        if v and "partitions" in read_manifest(root, v):
+        try:
+            base, v = read_table(spark, root)
+            tip_manifest = read_manifest(root, v) if v else None
+        except FileNotFoundError:
+            # a concurrent vacuum pruned the version between
+            # latest_version and the manifest read — the tip moved;
+            # loop to re-resolve it (the optimistic-retry recovery)
+            continue
+        if tip_manifest is not None and "partitions" in tip_manifest:
             raise ValueError(
                 f"{root!r} is a PARTITION-SCOPED manifest table; a "
                 "full-snapshot commit on top would collapse its layout "
@@ -410,6 +461,7 @@ def upsert_manifest_partitioned(
     max_retries: int = 20,
     allow_schema_evolution: bool = False,
     backend: LocalLinkBackend | None = None,
+    mode: str = "merge",
 ) -> int:
     """Partition-scoped transactional upsert: ``upsert_manifest``'s
     multi-writer safety at ``upsert_parquet_partitioned``'s cost.
@@ -435,7 +487,22 @@ def upsert_manifest_partitioned(
     re-publishes the SAME already-written data dirs on top of the new
     tip with zero additional Spark work, else it re-merges only the
     touched partitions against the new tip. Returns the committed
-    table's total row count."""
+    table's total row count.
+
+    ``mode``: ``"merge"`` (default) last-writer-wins rows INTO each
+    touched partition (keys absent from the updates survive);
+    ``"replace"`` REPLACES each touched partition's contents with the
+    updates' rows — dynamic-partition-overwrite semantics under the
+    same atomic commit (a repair re-run that dropped keys actually
+    drops them). Replace never reads base partition data, so its
+    commit is cheaper still; the table schema is still reconciled."""
+    if mode not in ("merge", "replace"):
+        raise ValueError(f"mode must be 'merge' or 'replace', got {mode!r}")
+    if "__ptok" in updates.columns:
+        raise ValueError(
+            "'__ptok' is reserved for the partition-leaf layout; "
+            "rename the column"
+        )
     spark = updates.sparkSession
     if latest_version(root) == 0:
         _guard_foreign_store(root)
@@ -451,17 +518,31 @@ def upsert_manifest_partitioned(
             "before upserting"
         )
     keys = {_pkey(t): t for t in touched}
-    tok_expr = None
-    for pk, val in keys.items():
-        cond = F.col(partition_col) == F.lit(val)
-        tok = _ptoken(pk)
-        tok_expr = (
-            F.when(cond, tok) if tok_expr is None else tok_expr.when(cond, tok)
-        )
+    # value → leaf-token mapping as a tiny broadcast frame, not a
+    # CASE WHEN chain: a bulk load touching thousands of partitions
+    # would otherwise build an O(P)-deep Catalyst expression
+    # (superlinear analysis, StackOverflow risk); the join stays flat
+    # at any P and costs one broadcast of P rows
+    from pyspark.sql.types import StringType, StructField
+
+    tok_map = spark.createDataFrame(
+        [(val, _ptoken(pk)) for pk, val in keys.items()],
+        StructType(
+            [
+                updates.schema[partition_col],
+                StructField("__ptok", StringType(), False),
+            ]
+        ),
+    )
     written: dict | None = None  # reusable commit from a lost race
     for _ in range(max_retries):
         v = latest_version(root)
-        tip = read_manifest(root, v) if v else None
+        try:
+            tip = read_manifest(root, v) if v else None
+        except FileNotFoundError:
+            # concurrent vacuum pruned v between the listing and the
+            # read — the tip moved; re-resolve and retry
+            continue
         if tip is not None:
             if "partitions" not in tip:
                 raise ValueError(
@@ -502,14 +583,15 @@ def upsert_manifest_partitioned(
             ]
             if tip is not None:
                 # reconcile against the TABLE schema even when every
-                # touched partition is new: the committed manifest's
-                # schema covers the untouched partitions too, so an
-                # updates frame with missing/narrower columns must
-                # widen (or fail) exactly as if rows overlapped
+                # touched partition is new (or mode="replace" never
+                # reads base rows): the committed manifest's schema
+                # covers the untouched partitions too, so an updates
+                # frame with missing/narrower columns must widen (or
+                # fail) exactly as if rows overlapped
                 tip_schema = StructType.fromJson(tip["schema"])
                 existing = (
                     spark.read.schema(tip_schema).parquet(*base_dirs)
-                    if base_dirs
+                    if base_dirs and mode == "merge"
                     else spark.createDataFrame([], tip_schema)
                 )
                 base2, upd2 = _reconcile_schemas(
@@ -529,7 +611,7 @@ def upsert_manifest_partitioned(
                     updates, [*key_cols, partition_col], order_col
                 )
             commit_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
-            merged.withColumn("__ptok", tok_expr).write.partitionBy(
+            merged.join(F.broadcast(tok_map), partition_col).write.partitionBy(
                 "__ptok"
             ).parquet(os.path.join(root, commit_rel))
             # per-partition row counts off the freshly written leaves

@@ -412,6 +412,170 @@ def test_transactional_warehouse_export_is_partition_scoped(
     assert df.count() == 3
 
 
+def test_replace_mode_drops_absent_keys(spark, tmp_path):
+    """mode='replace' is dynamic-partition-overwrite under an atomic
+    commit: a repair re-run that dropped a key actually drops it from
+    the touched partition, while untouched partitions keep theirs —
+    the review finding that merge semantics silently resurrected
+    deleted warehouse rows."""
+    root = str(tmp_path / "t")
+    _up(spark, root, [(1, "a", 1, "d1"), (2, "b", 1, "d1"), (3, "c", 1, "d2")])
+    upsert_manifest_partitioned(
+        _df(spark, [(1, "a2", 0, "d1")]),  # key 2 absent, stale ts
+        root,
+        ["user_id"],
+        "ts",
+        "p",
+        mode="replace",
+    )
+    # replace ignores base rows AND base ordering: the partition IS
+    # the new batch; d2 untouched
+    assert _snap(spark, root) == {
+        (1, "d1"): ("a2", 0),
+        (3, "d2"): ("c", 1),
+    }
+    with pytest.raises(ValueError, match="merge.*replace|replace.*merge"):
+        _up(spark, root, [(1, "x", 1, "d1")], mode="nope")
+
+
+def test_warehouse_rerun_with_dropped_key_removes_it(spark, tmp_path):
+    """export_warehouse(transactional=True) re-run for the same date
+    with a key removed upstream must drop that key — identical
+    semantics to the non-transactional dynamic overwrite."""
+    from feature_store_spark.pipelines.sinks import export_warehouse
+
+    path = str(tmp_path / "wh")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "user_id bigint, score double, updated_at string"
+    ).withColumn("updated_at", F.to_timestamp("updated_at"))
+    export_warehouse(
+        mk([(1, 10.0, "2024-06-01 00:00:00"), (2, 20.0, "2024-06-01 00:00:00")]),
+        path,
+        transactional=True,
+    )
+    export_warehouse(
+        mk([(1, 11.0, "2024-06-01 00:00:00")]), path, transactional=True
+    )
+    df, _ = read_table(spark, path)
+    got = {r["user_id"]: r["score"] for r in df.collect()}
+    assert got == {1: 11.0}  # user 2's stale row is GONE
+    # and the toggle raises instead of forking the root
+    with pytest.raises(ValueError, match="transactional"):
+        export_warehouse(
+            mk([(3, 1.0, "2024-06-02 00:00:00")]), path, transactional=False
+        )
+
+
+def test_nullability_only_difference_is_not_a_schema_change(spark, tmp_path):
+    """array containsNull / struct field nullability differences must
+    merge WITHOUT the evolution flag — F.array() of non-null columns
+    produces containsNull=false against a pinned containsNull=true
+    schema (review finding: the widening matrix over-raised here)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    root = str(tmp_path / "t")
+    loose = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("tags", ArrayType(StringType(), True)),
+            StructField("ts", LongType()),
+        ]
+    )
+    upsert_manifest(
+        spark.createDataFrame([(1, ["a"], 1)], loose), root, ["user_id"], "ts"
+    )
+    tight = spark.createDataFrame(
+        [(2, 2)], "user_id bigint, ts bigint"
+    ).withColumn("tags", F.array(F.lit("b"))).select("user_id", "tags", "ts")
+    assert dict(tight.schema["tags"].dataType.jsonValue().items())[
+        "containsNull"
+    ] is False
+    n = upsert_manifest(tight, root, ["user_id"], "ts")  # no flag needed
+    assert n == 2
+    cur, _ = read_table(spark, root)
+    assert {tuple(r["tags"]) for r in cur.collect()} == {("a",), ("b",)}
+
+
+def test_writer_survives_concurrent_vacuum_prune(
+    spark, tmp_path, monkeypatch
+):
+    """A vacuum pruning the version a writer just resolved (between
+    latest_version and the manifest read) must push the writer around
+    its retry loop, not crash it — both manifest paths."""
+    root = str(tmp_path / "t")
+    _up(spark, root, [(1, "a", 1, "d1")])
+    real = txn.read_manifest
+    calls = {"n": 0}
+
+    def flaky(r, v):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError(f"vacuumed v{v}")
+        return real(r, v)
+
+    monkeypatch.setattr(txn, "read_manifest", flaky)
+    _up(spark, root, [(2, "b", 2, "d1")])
+    assert _snap(spark, root) == {(1, "d1"): ("a", 1), (2, "d1"): ("b", 2)}
+
+    flat = str(tmp_path / "flat")
+    upsert_manifest(
+        spark.createDataFrame([(1, "a", 1)], "user_id bigint, v string, ts bigint"),
+        flat,
+        ["user_id"],
+        "ts",
+    )
+    calls["n"] = 0
+    monkeypatch.setattr(txn, "read_manifest", flaky)
+    upsert_manifest(
+        spark.createDataFrame([(2, "b", 2)], "user_id bigint, v string, ts bigint"),
+        flat,
+        ["user_id"],
+        "ts",
+    )
+    df, _ = read_table(spark, flat)
+    assert df.count() == 2
+
+
+def test_foreign_store_guard_catches_hive_layout_without_marker(
+    spark, tmp_path
+):
+    """A hive-partitioned plain store with no _SUCCESS marker still
+    announces itself through its col=value dirs — the guard must
+    refuse it (review finding: marker-less stores slipped through)."""
+    import shutil as _shutil
+
+    root = str(tmp_path / "plainpart")
+    spark.createDataFrame(
+        [(1, "a", 1, "d1")], "user_id bigint, v string, ts bigint, p string"
+    ).write.partitionBy("p").parquet(root)
+    os.remove(os.path.join(root, "_SUCCESS"))
+    with pytest.raises(ValueError, match="non-transactional"):
+        _up(spark, root, [(2, "b", 2, "d1")])
+    _shutil.rmtree(root)
+
+
+def test_many_partitions_single_commit(spark, tmp_path):
+    """Bulk load touching 64 partitions in ONE commit: the token
+    mapping rides a broadcast join (flat at any partition count — the
+    CASE-chain formulation the review flagged was O(P)-deep), every
+    leaf lands, totals compose."""
+    root = str(tmp_path / "t")
+    rows = [(i, f"v{i}", 1, f"d{i % 64}") for i in range(256)]
+    n = _up(spark, root, rows)
+    assert n == 256
+    m = read_manifest(root, 1)
+    assert len(m["partitions"]) == 64
+    assert sum(e["rows"] for e in m["partitions"].values()) == 256
+    df, _ = read_table(spark, root)
+    assert df.count() == 256
+
+
 def test_partitioned_cdc_and_date_partitions(spark, tmp_path):
     """table_changes rides the partitioned layout unchanged, and DATE
     partition values key stably through _pkey."""
