@@ -534,6 +534,69 @@ def run_streaming_upsert_manifest(
     }
 
 
+def run_streaming_warehouse_append(
+    spark: SparkSession,
+    events_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+) -> dict[str, int]:
+    """ST13: streaming appends into a DATE-PARTITIONED transactional
+    table — each micro-batch's per-(user, event-date) latest purchase
+    lands via ``txn.upsert_manifest_partitioned``, so a batch's commit
+    touches only the dates it carries (O(batch) commit cost — the
+    partition-scoped posture the daily warehouse uses), is atomic
+    against concurrent batch/backfill writers, and leaves readers
+    snapshot-isolated. Replay-convergent like ST12: a replayed batch
+    recomputes the same per-key rows and the keyed merge lands them as
+    one extra version with identical contents. Returns
+    {batches, rows, versions, partitions}."""
+    from feature_store_spark.operators.windows import latest_per_key
+    from feature_store_spark.pipelines.txn import (
+        latest_version,
+        read_manifest,
+        read_table,
+        upsert_manifest_partitioned,
+    )
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        scores = batch_df.filter(
+            F.col("event_type") == "purchase"
+        ).select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("value").alias("risk_score"),
+            F.to_date("ts").alias("event_date"),
+        )
+        latest = latest_per_key(
+            scores, ["user_id", "event_date"], "ts", tiebreak_col="event_id"
+        ).drop("event_id")
+        upsert_manifest_partitioned(
+            latest,
+            table_root,
+            ["user_id"],
+            "ts",
+            partition_col="event_date",
+        )
+
+    stream = dispatch_events(read_event_stream(spark, events_dir))
+    q = (
+        stream.filter(F.col("valid"))
+        .writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    store, v = read_table(spark, table_root)
+    return {
+        "batches": len(q.recentProgress),
+        "rows": 0 if store is None else store.count(),
+        "versions": latest_version(table_root),
+        "partitions": 0 if v == 0 else len(read_manifest(table_root, v)["partitions"]),
+    }
+
+
 def run_drift_monitor(
     spark: SparkSession,
     events_dir: str,

@@ -140,6 +140,48 @@ def test_streaming_upsert_manifest_matches_parquet_state(
     )
 
 
+def test_streaming_warehouse_append_partition_scoped(
+    spark, sf_dir, events_dir, tmp_path
+):
+    """ST13: the streaming date-partitioned transactional sink lands
+    the same rows as a batch latest-per-(user, date) over all purchase
+    events, with one atomic partition-scoped commit per micro-batch
+    and the event dates as manifest partitions."""
+    from feature_store_spark.operators.windows import latest_per_key
+    from feature_store_spark.pipelines.txn import read_table
+    from feature_store_spark.streaming.pipeline import (
+        run_streaming_warehouse_append,
+    )
+
+    root = str(tmp_path / "wh_stream")
+    stats = run_streaming_warehouse_append(
+        spark, events_dir, root, str(tmp_path / "c_wh")
+    )
+    assert stats["versions"] >= stats["batches"] >= 1
+    assert stats["partitions"] >= 1
+
+    ev = load_table(spark, sf_dir, "events")
+    expected = latest_per_key(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("value").alias("risk_score"),
+            F.to_date("ts").alias("event_date"),
+        ),
+        ["user_id", "event_date"],
+        "ts",
+        tiebreak_col="event_id",
+    ).drop("event_id")
+    got, _ = read_table(spark, root)
+    assert stats["rows"] == expected.count() > 0
+    cols = sorted(got.columns)
+    assert sorted(expected.columns) == cols
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, expected.select(*cols).collect())
+    )
+
+
 def test_running_profile_state_across_batches(spark, sf_dir, tmp_path):
     """applyInPandasWithState profile replayed over 3 forced
     micro-batches == one batch groupBy over the same events: proves
