@@ -63,6 +63,7 @@ HEADLINE = [
     "st7_session_features",
     "w7_rolling_spend",
     "w8_scd2_history",
+    "w10_funnel_conversion",
     "s12_cdc_apply",
     "a16_hll_sketch_rollup",
     "a20_decayed_features",

@@ -30,6 +30,20 @@ from pyspark.errors import AnalysisException
 from feature_store_spark.operators.windows import latest_per_key
 
 
+def _local_fs_path(path: str) -> str | None:
+    """Local filesystem path for a store root, or None for remote
+    URIs. A path WITHOUT '://' is local verbatim — running it through
+    urlparse would mis-split '#' (fragment), '?' (query), and a
+    first-segment ':' (scheme) out of plain filenames, silently
+    skipping guards that must fire on those roots."""
+    if "://" not in path:
+        return path
+    from urllib.parse import urlparse
+
+    p = urlparse(path)
+    return p.path if p.scheme in ("", "file") else None
+
+
 def _read_store(spark: SparkSession, path: str) -> DataFrame | None:
     """Existing store, or None ONLY for first-write (path absent).
     Any other read failure (permissions, corrupt footer) propagates —
@@ -41,11 +55,10 @@ def _read_store(spark: SparkSession, path: str) -> DataFrame | None:
     destroy the manifest history — the reverse of txn.py's
     ``_guard_foreign_store`` toggle trap."""
     import os
-    from urllib.parse import urlparse
 
-    parsed = urlparse(path)
-    if parsed.scheme in ("", "file") and os.path.isdir(
-        os.path.join(parsed.path or path, "_manifests")
+    local = _local_fs_path(path)
+    if local is not None and os.path.isdir(
+        os.path.join(local, "_manifests")
     ):
         raise ValueError(
             f"{path!r} is a transactional (manifest-commit) table; "
@@ -126,11 +139,10 @@ def _staged_overwrite(
         fs.delete(jpath, True)
     else:
         import shutil
-        from urllib.parse import urlparse
 
-        parsed = urlparse(tmp)
-        if parsed.scheme in ("", "file"):
-            shutil.rmtree(parsed.path or tmp, ignore_errors=True)
+        local_tmp = _local_fs_path(tmp)
+        if local_tmp is not None:
+            shutil.rmtree(local_tmp, ignore_errors=True)
         else:
             import warnings
 
@@ -277,13 +289,12 @@ def export_warehouse(
     toggle raises in both directions instead of forking one root.
     """
     import os
-    from urllib.parse import urlparse
 
-    parsed = urlparse(path)
+    local = _local_fs_path(path)
     if (
         not transactional
-        and parsed.scheme in ("", "file")
-        and os.path.isdir(os.path.join(parsed.path or path, "_manifests"))
+        and local is not None
+        and os.path.isdir(os.path.join(local, "_manifests"))
     ):
         # the write path never reads the store, so without this check a
         # True->False toggle would silently write a parallel hive

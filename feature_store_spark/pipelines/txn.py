@@ -135,6 +135,24 @@ def read_table(
     return df, v
 
 
+def _is_path_not_found(e: Exception) -> bool:
+    """Spark surfaces a vanished data directory as AnalysisException
+    PATH_NOT_FOUND at read-analysis time — the vacuum-race signal for
+    the writer retry loops (vacuum deletes a pruned version's data
+    dirs BEFORE its manifest, so a writer can resolve a manifest and
+    then lose the dirs underneath it)."""
+    condition = (
+        e.getCondition()
+        if hasattr(e, "getCondition")
+        else e.getErrorClass()
+        if hasattr(e, "getErrorClass")
+        else None
+    )
+    return condition == "PATH_NOT_FOUND" or (
+        condition is None and "PATH_NOT_FOUND" in str(e)
+    )
+
+
 def _guard_foreign_store(root: str) -> None:
     """Refuse to treat a plain ``upsert_parquet`` store as an empty
     transactional table. A root previously written by the non-txn sink
@@ -373,6 +391,8 @@ def upsert_manifest(
     spark = updates.sparkSession
     if latest_version(root) == 0:
         _guard_foreign_store(root)
+    from pyspark.errors import AnalysisException
+
     for _ in range(max_retries):
         try:
             base, v = read_table(spark, root)
@@ -382,6 +402,10 @@ def upsert_manifest(
             # latest_version and the manifest read — the tip moved;
             # loop to re-resolve it (the optimistic-retry recovery)
             continue
+        except AnalysisException as e:
+            if _is_path_not_found(e):
+                continue  # vacuum deleted the version's data dirs
+            raise
         if tip_manifest is not None and "partitions" in tip_manifest:
             raise ValueError(
                 f"{root!r} is a PARTITION-SCOPED manifest table; a "
@@ -561,7 +585,11 @@ def upsert_manifest_partitioned(
             for pk in keys
         }
         if written is not None and (
-            written["base_touched"] != tip_touched
+            # replace-mode output is independent of base partition
+            # CONTENTS, so a winner touching the same partitions does
+            # not stale the prepared commit — only a schema change
+            # does; merge-mode output depends on both
+            (mode == "merge" and written["base_touched"] != tip_touched)
             # a schema CHANGE by the race winner also invalidates the
             # prepared commit: re-publishing our pre-evolution schema
             # would silently drop the winner's new/widened columns
@@ -588,12 +616,22 @@ def upsert_manifest_partitioned(
                 # covers the untouched partitions too, so an updates
                 # frame with missing/narrower columns must widen (or
                 # fail) exactly as if rows overlapped
+                from pyspark.errors import AnalysisException
+
                 tip_schema = StructType.fromJson(tip["schema"])
-                existing = (
-                    spark.read.schema(tip_schema).parquet(*base_dirs)
-                    if base_dirs and mode == "merge"
-                    else spark.createDataFrame([], tip_schema)
-                )
+                try:
+                    existing = (
+                        spark.read.schema(tip_schema).parquet(*base_dirs)
+                        if base_dirs and mode == "merge"
+                        else spark.createDataFrame([], tip_schema)
+                    )
+                except AnalysisException as e:
+                    if _is_path_not_found(e):
+                        # concurrent vacuum deleted the resolved
+                        # version's data dirs (it removes dirs BEFORE
+                        # the manifest) — re-resolve the tip and retry
+                        continue
+                    raise
                 base2, upd2 = _reconcile_schemas(
                     existing, updates, allow_schema_evolution
                 )

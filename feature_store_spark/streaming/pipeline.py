@@ -424,6 +424,63 @@ def running_user_profile(events: DataFrame) -> DataFrame:
     )
 
 
+def _drain_valid_events(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    merge_batch,
+) -> int:
+    """Shared scaffold of the ST4/ST12/ST13 sinks: read → dispatch →
+    filter(valid) → foreachBatch(merge_batch) → availableNow drain.
+    Returns the executed-batch count, tallied in the foreachBatch body
+    — ``len(q.recentProgress)`` is capped by
+    spark.sql.streaming.numRecentProgressUpdates (100) and would
+    under-report a long backlog; a retry re-counts, which matches the
+    merge actually re-running (informational counter, the merges are
+    replay-convergent)."""
+    executed: list[int] = []
+
+    def _body(batch_df: DataFrame, batch_id: int) -> None:
+        executed.append(batch_id)
+        merge_batch(batch_df, batch_id)
+
+    stream = dispatch_events(read_event_stream(spark, events_dir))
+    q = (
+        stream.filter(F.col("valid"))
+        .writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return len(executed)
+
+
+def _latest_purchase_scores(batch_df: DataFrame, with_date: bool) -> DataFrame:
+    """Per-batch reduction shared by the streaming upsert sinks: one
+    row per user (ST4/ST12) or per (user, event-date) (ST13), carrying
+    ``__seq = struct(ts, event_id)`` — a UNIQUE total order, so ties
+    resolve identically whether two equal-ts purchases land in one
+    micro-batch or are split across batches/replays (order-by-ts alone
+    would let cross-batch ties fall to arrival order, diverging from
+    the batch twin)."""
+    keys = ["user_id", "event_date"] if with_date else ["user_id"]
+    scores = batch_df.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").alias("risk_score"),
+        *([F.to_date("ts").alias("event_date")] if with_date else []),
+    )
+    from feature_store_spark.operators.windows import latest_per_key
+
+    return latest_per_key(
+        scores.withColumn("__seq", F.struct("ts", "event_id")),
+        keys,
+        "__seq",
+    ).drop("event_id")
+
+
 def run_streaming_upsert(
     spark: SparkSession,
     events_dir: str,
@@ -441,43 +498,28 @@ def run_streaming_upsert(
     state table — merge cost scales with the batch's key set, the
     Delta-MERGE shape. The merge itself IS ``sinks.upsert_parquet``:
     its update-wins tie-break makes a checkpoint-replayed batch (same
-    ts as the stored row) deterministic, and its staged write cleans
-    up after itself. Within a batch, same-timestamp purchases break
-    ties on event_id (``latest_per_key`` tiebreak) so the stored
-    risk_score is replay-deterministic too. Counters are derived from
-    the engine's progress reports and the materialized store — not
-    from in-memory increments an at-least-once batch retry would
-    double-count (the run_drift_monitor rule)."""
-    from feature_store_spark.operators.windows import latest_per_key
+    __seq as the stored row) deterministic, and its staged write
+    cleans up after itself. The merge orders on ``__seq = struct(ts,
+    event_id)`` — a UNIQUE total order, so same-timestamp purchases
+    resolve identically whether they share a micro-batch or are split
+    across batches/replays (ordering on ts alone would let cross-batch
+    ties fall to arrival order, diverging from the batch twin).
+    Counters are derived from the executed-batch tally and the
+    materialized store — not from in-memory increments an
+    at-least-once batch retry would double-count (the
+    run_drift_monitor rule)."""
     from feature_store_spark.pipelines.sinks import _read_store, upsert_parquet
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        scores = (
-            batch_df.filter(F.col("event_type") == "purchase")
-            .select(
-                "user_id",
-                "ts",
-                "event_id",
-                F.col("value").alias("risk_score"),
-            )
-        )
-        latest = latest_per_key(
-            scores, ["user_id"], "ts", tiebreak_col="event_id"
-        ).drop("event_id")
-        upsert_parquet(latest, state_dir, ["user_id"], "ts")
+        latest = _latest_purchase_scores(batch_df, with_date=False)
+        upsert_parquet(latest, state_dir, ["user_id"], "__seq")
 
-    stream = dispatch_events(read_event_stream(spark, events_dir))
-    q = (
-        stream.filter(F.col("valid"))
-        .writeStream.foreachBatch(_merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    batches = _drain_valid_events(
+        spark, events_dir, checkpoint_dir, _merge_batch
     )
-    q.awaitTermination()
     store = _read_store(spark, state_dir)
     return {
-        "batches": len(q.recentProgress),
+        "batches": batches,
         "upserted_users": 0 if store is None else store.count(),
     }
 
@@ -499,7 +541,6 @@ def run_streaming_upsert_manifest(
     semantics make a replayed batch converge to the same snapshot
     (one extra version, same rows). Returns {batches, upserted_users,
     versions}."""
-    from feature_store_spark.operators.windows import latest_per_key
     from feature_store_spark.pipelines.txn import (
         latest_version,
         read_table,
@@ -507,28 +548,15 @@ def run_streaming_upsert_manifest(
     )
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        scores = batch_df.filter(
-            F.col("event_type") == "purchase"
-        ).select(
-            "user_id", "ts", "event_id", F.col("value").alias("risk_score")
-        )
-        latest = latest_per_key(
-            scores, ["user_id"], "ts", tiebreak_col="event_id"
-        ).drop("event_id")
-        upsert_manifest(latest, table_root, ["user_id"], "ts")
+        latest = _latest_purchase_scores(batch_df, with_date=False)
+        upsert_manifest(latest, table_root, ["user_id"], "__seq")
 
-    stream = dispatch_events(read_event_stream(spark, events_dir))
-    q = (
-        stream.filter(F.col("valid"))
-        .writeStream.foreachBatch(_merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    batches = _drain_valid_events(
+        spark, events_dir, checkpoint_dir, _merge_batch
     )
-    q.awaitTermination()
     store, _ = read_table(spark, table_root)
     return {
-        "batches": len(q.recentProgress),
+        "batches": batches,
         "upserted_users": 0 if store is None else store.count(),
         "versions": latest_version(table_root),
     }
@@ -550,7 +578,6 @@ def run_streaming_warehouse_append(
     recomputes the same per-key rows and the keyed merge lands them as
     one extra version with identical contents. Returns
     {batches, rows, versions, partitions}."""
-    from feature_store_spark.operators.windows import latest_per_key
     from feature_store_spark.pipelines.txn import (
         latest_version,
         read_manifest,
@@ -559,41 +586,26 @@ def run_streaming_warehouse_append(
     )
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        scores = batch_df.filter(
-            F.col("event_type") == "purchase"
-        ).select(
-            "user_id",
-            "ts",
-            "event_id",
-            F.col("value").alias("risk_score"),
-            F.to_date("ts").alias("event_date"),
-        )
-        latest = latest_per_key(
-            scores, ["user_id", "event_date"], "ts", tiebreak_col="event_id"
-        ).drop("event_id")
+        latest = _latest_purchase_scores(batch_df, with_date=True)
         upsert_manifest_partitioned(
             latest,
             table_root,
             ["user_id"],
-            "ts",
+            "__seq",
             partition_col="event_date",
         )
 
-    stream = dispatch_events(read_event_stream(spark, events_dir))
-    q = (
-        stream.filter(F.col("valid"))
-        .writeStream.foreachBatch(_merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    batches = _drain_valid_events(
+        spark, events_dir, checkpoint_dir, _merge_batch
     )
-    q.awaitTermination()
     store, v = read_table(spark, table_root)
     return {
-        "batches": len(q.recentProgress),
+        "batches": batches,
         "rows": 0 if store is None else store.count(),
         "versions": latest_version(table_root),
-        "partitions": 0 if v == 0 else len(read_manifest(table_root, v)["partitions"]),
+        "partitions": 0
+        if v == 0
+        else len(read_manifest(table_root, v)["partitions"]),
     }
 
 

@@ -162,16 +162,17 @@ def test_streaming_warehouse_append_partition_scoped(
 
     ev = load_table(spark, sf_dir, "events")
     expected = latest_per_key(
-        ev.filter(F.col("event_type") == "purchase").select(
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
             "user_id",
             "ts",
             "event_id",
             F.col("value").alias("risk_score"),
             F.to_date("ts").alias("event_date"),
-        ),
+        )
+        .withColumn("__seq", F.struct("ts", "event_id")),
         ["user_id", "event_date"],
-        "ts",
-        tiebreak_col="event_id",
+        "__seq",
     ).drop("event_id")
     got, _ = read_table(spark, root)
     assert stats["rows"] == expected.count() > 0

@@ -438,6 +438,46 @@ def test_replace_mode_drops_absent_keys(spark, tmp_path):
         _up(spark, root, [(1, "x", 1, "d1")], mode="nope")
 
 
+def test_replace_mode_race_reuses_commit_even_on_same_partition(
+    spark, tmp_path, monkeypatch
+):
+    """Replace-mode output is independent of base partition contents,
+    so a race winner touching the SAME partition must not force the
+    loser to re-merge — the loser republishes its written leaves and,
+    committing last, wins the partition."""
+    root = str(tmp_path / "t")
+    _up(spark, root, [(1, "a", 1, "d1")])
+    calls = _count_merges(monkeypatch)
+
+    def compete():  # A replaces the SAME partition d1
+        _up(spark, root, [(8, "from_a", 2, "d1")], mode="replace")
+
+    _up(
+        spark,
+        root,
+        [(9, "from_b", 2, "d1")],
+        mode="replace",
+        backend=_InterleavingBackend(compete),
+    )
+    # two merges only: B's one write + A's one write — B reused its
+    # prepared commit despite the same-partition race
+    assert calls["n"] == 2
+    assert _snap(spark, root) == {(9, "d1"): ("from_b", 2)}
+
+
+def test_local_fs_path_is_not_fooled_by_url_chars(tmp_path):
+    """The toggle guards must fire on plain paths containing '#', '?'
+    or a first-segment ':' — urlparse would strip them into
+    fragment/query/scheme and silently skip the check."""
+    from feature_store_spark.pipelines.sinks import _local_fs_path
+
+    assert _local_fs_path("/data/wh#v2") == "/data/wh#v2"
+    assert _local_fs_path("/data/wh?x=1") == "/data/wh?x=1"
+    assert _local_fs_path("runs:2024/wh") == "runs:2024/wh"
+    assert _local_fs_path("file:///data/wh") == "/data/wh"
+    assert _local_fs_path("s3://bucket/wh") is None
+
+
 def test_warehouse_rerun_with_dropped_key_removes_it(spark, tmp_path):
     """export_warehouse(transactional=True) re-run for the same date
     with a key removed upstream must drop that key — identical
