@@ -719,6 +719,39 @@ def upsert_manifest_partitioned(
     )
 
 
+def migrate_to_manifest(
+    spark: SparkSession,
+    src_path: str,
+    dest_root: str,
+    key_cols: Sequence[str],
+    order_col: str,
+    partition_col: str | None = None,
+    backend: LocalLinkBackend | None = None,
+) -> int:
+    """The migration the toggle guards point at: read a plain-parquet
+    store (``upsert_parquet`` / ``upsert_parquet_partitioned`` /
+    ``export_warehouse`` layout) and commit it as version 1 of a FRESH
+    manifest table — unpartitioned, or partition-scoped when
+    ``partition_col`` is given. Refuses a non-empty destination (a
+    migration must never merge into existing history) and leaves the
+    source untouched (cut over readers, then retire it). Returns the
+    committed row count."""
+    if latest_version(dest_root) != 0:
+        raise ValueError(
+            f"{dest_root!r} already has committed versions; migrate "
+            "into a FRESH root"
+        )
+    src = spark.read.parquet(src_path)
+    if partition_col is not None:
+        return upsert_manifest_partitioned(
+            src, dest_root, key_cols, order_col, partition_col,
+            backend=backend,
+        )
+    return upsert_manifest(
+        src, dest_root, key_cols, order_col, backend=backend
+    )
+
+
 def table_changes(
     spark: SparkSession,
     root: str,

@@ -465,6 +465,49 @@ def test_replace_mode_race_reuses_commit_even_on_same_partition(
     assert _snap(spark, root) == {(9, "d1"): ("from_b", 2)}
 
 
+def test_migrate_to_manifest_both_layouts(spark, tmp_path):
+    """The migration path the toggle guards point at: a plain store
+    becomes version 1 of a fresh manifest table (flat or partition-
+    scoped), source untouched, non-empty destinations refused."""
+    from feature_store_spark.pipelines.sinks import (
+        upsert_parquet,
+        upsert_parquet_partitioned,
+    )
+    from feature_store_spark.pipelines.txn import migrate_to_manifest
+
+    flat_src = str(tmp_path / "flat_src")
+    rows = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2)], "user_id bigint, v string, ts bigint"
+    )
+    upsert_parquet(rows, flat_src, ["user_id"], "ts")
+    dest = str(tmp_path / "flat_dest")
+    assert migrate_to_manifest(spark, flat_src, dest, ["user_id"], "ts") == 2
+    df, v = read_table(spark, dest)
+    assert v == 1 and df.count() == 2
+    assert spark.read.parquet(flat_src).count() == 2  # source intact
+    with pytest.raises(ValueError, match="FRESH root"):
+        migrate_to_manifest(spark, flat_src, dest, ["user_id"], "ts")
+
+    part_src = str(tmp_path / "part_src")
+    upsert_parquet_partitioned(
+        _df(spark, [(1, "a", 1, "d1"), (2, "b", 1, "d2")]),
+        part_src,
+        ["user_id"],
+        "ts",
+        "p",
+    )
+    part_dest = str(tmp_path / "part_dest")
+    n = migrate_to_manifest(
+        spark, part_src, part_dest, ["user_id"], "ts", partition_col="p"
+    )
+    assert n == 2
+    m = read_manifest(part_dest, 1)
+    assert set(m["partitions"]) == {"d1", "d2"}
+    # migrated table takes partition-scoped commits from here on
+    _up(spark, part_dest, [(2, "b2", 2, "d2")])
+    assert _snap(spark, part_dest)[(2, "d2")] == ("b2", 2)
+
+
 def test_local_fs_path_is_not_fooled_by_url_chars(tmp_path):
     """The toggle guards must fire on plain paths containing '#', '?'
     or a first-segment ':' — urlparse would strip them into
