@@ -43,6 +43,7 @@ def run_daily_pipeline(
     out_dir: str,
     ref_date: str = REF_DATE,
     transactional: bool = False,
+    vacuum_keep_last: int | None = None,
 ) -> PipelineResult:
     """Daily batch feature derivation (reference
     `src/pipelines/batch_pipeline.py:63-125`): derive user →
@@ -126,6 +127,20 @@ def run_daily_pipeline(
     )
     for frame in (uf, tf, rf):
         frame.unpersist()
+    if transactional and vacuum_keep_last is not None:
+        # retention: a daily transactional run accretes one version
+        # per table per day forever without it; keep_last versions
+        # stay time-travelable, older data dirs are reclaimed (safe
+        # against the concurrent-writer races txn.vacuum documents)
+        from feature_store_spark.pipelines.txn import vacuum
+
+        for kind in (
+            "user_features",
+            "transaction_features",
+            "risk_features",
+            "warehouse/serving_features",
+        ):
+            vacuum(f"{out_dir}/{kind}", keep_last=vacuum_keep_last)
     status = (
         "SUCCESS"
         if all(v > 0 for v in counts.values())

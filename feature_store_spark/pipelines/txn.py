@@ -719,6 +719,178 @@ def upsert_manifest_partitioned(
     )
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except FileNotFoundError:
+                continue
+    return total
+
+
+def _leaf_file_count(path: str) -> int:
+    try:
+        return sum(
+            1 for f in os.listdir(path) if not f.startswith(("_", "."))
+        )
+    except FileNotFoundError:
+        return 0
+
+
+def compact_manifest(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_values: Sequence | None = None,
+    max_retries: int = 20,
+    backend: LocalLinkBackend | None = None,
+) -> dict:
+    """OPTIMIZE for manifest tables: rewrite the tip's data into
+    ~``target_file_bytes`` files and publish the result as a NEW
+    version with byte-identical rows — the compaction half of a lake's
+    OPTIMIZE for this layout (`compact_parquet` covers plain stores).
+    The streaming sinks (ST12/ST13) land one commit per micro-batch at
+    the session's shuffle width, so every hot leaf carries
+    width-many small files; at scale the file COUNT becomes the
+    bottleneck (listing, task-per-file scheduling, footer reads).
+
+    Partitioned tables compact only ``partition_values`` (default:
+    every live partition) — each selected partition gets a fresh
+    coalesced leaf, untouched entries carry forward verbatim.
+    Race-safe via the same optimistic loop as the upserts: every
+    attempt re-reads the CURRENT tip and rewrites from it, so a
+    writer landing mid-compaction just costs a retry, never a lost
+    update. Old leaves are reclaimed by the next ``vacuum``. Returns
+    {version, files_before, files_after, rows}.
+    """
+    for _ in range(max_retries):
+        v = latest_version(root)
+        if v == 0:
+            raise ValueError(f"{root!r} has no committed versions")
+        try:
+            tip = read_manifest(root, v)
+        except FileNotFoundError:
+            continue  # concurrent vacuum; re-resolve the tip
+        schema = StructType.fromJson(tip["schema"])
+        from pyspark.errors import AnalysisException
+
+        if "partitions" not in tip:
+            data_dir = os.path.join(root, tip["data_dir"])
+            before = _leaf_file_count(data_dir)
+            n_files = max(1, -(-_dir_bytes(data_dir) // target_file_bytes))
+            new_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+            try:
+                spark.read.schema(schema).parquet(data_dir).repartition(
+                    n_files
+                ).write.parquet(os.path.join(root, new_rel))
+            except AnalysisException as e:
+                if _is_path_not_found(e):
+                    continue
+                raise
+            manifest = {
+                "base_version": v,
+                "data_dir": new_rel,
+                "rows": tip["rows"],
+                "schema": tip["schema"],
+            }
+            if _try_commit(root, v + 1, manifest, backend):
+                return {
+                    "version": v + 1,
+                    "files_before": before,
+                    "files_after": _leaf_file_count(
+                        os.path.join(root, new_rel)
+                    ),
+                    "rows": tip["rows"],
+                }
+            shutil.rmtree(os.path.join(root, new_rel), ignore_errors=True)
+            continue
+
+        parts = dict(tip["partitions"])
+        if partition_values is None:
+            selected = list(parts)
+        else:
+            selected = [_pkey(p) for p in partition_values]
+            unknown = sorted(set(selected) - set(parts))
+            if unknown:
+                raise ValueError(
+                    f"partitions {unknown!r} not in the table"
+                )
+        if not selected:
+            return {"version": v, "files_before": 0, "files_after": 0,
+                    "rows": tip["rows"]}
+        sel_dirs = {
+            pk: os.path.join(root, parts[pk]["dir"]) for pk in selected
+        }
+        before = sum(_leaf_file_count(d) for d in sel_dirs.values())
+        total_bytes = sum(_dir_bytes(d) for d in sel_dirs.values())
+        n_files = max(
+            len(selected), -(-total_bytes // target_file_bytes)
+        )
+        commit_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+        # one job: union the selected leaves, re-key each row to its
+        # leaf token (matching on the string form of the partition
+        # value — _pkey mirrors Spark's cast-to-string for the
+        # supported partition types), hash-cluster by partition so
+        # each partition's rows coalesce into its own task(s), write
+        # per-leaf dirs. Coalescing is the goal; a single partition
+        # larger than target_file_bytes stays one file (hash
+        # clustering cannot split within a key).
+        token_map = {pk: _ptoken(pk) for pk in selected}
+        mapping = spark.createDataFrame(
+            [(pk, token_map[pk]) for pk in selected],
+            "partition_key string, __ptok string",
+        )
+        try:
+            df = spark.read.schema(schema).parquet(*sel_dirs.values())
+            pcol = tip["partition_col"]
+            (
+                df.withColumn(
+                    "partition_key", F.col(pcol).cast("string")
+                )
+                .join(F.broadcast(mapping), "partition_key")
+                .drop("partition_key")
+                .repartition(int(n_files), F.col(pcol))
+                .write.partitionBy("__ptok")
+                .parquet(os.path.join(root, commit_rel))
+            )
+        except AnalysisException as e:
+            if _is_path_not_found(e):
+                continue
+            raise
+        new_parts = dict(parts)
+        for pk in selected:
+            new_parts[pk] = {
+                "dir": f"{commit_rel}/__ptok={token_map[pk]}",
+                "rows": parts[pk]["rows"],
+            }
+        manifest = {
+            "base_version": v,
+            "rows": tip["rows"],
+            "schema": tip["schema"],
+            "partition_col": tip["partition_col"],
+            "partitions": new_parts,
+        }
+        if _try_commit(root, v + 1, manifest, backend):
+            return {
+                "version": v + 1,
+                "files_before": before,
+                "files_after": sum(
+                    _leaf_file_count(
+                        os.path.join(root, new_parts[pk]["dir"])
+                    )
+                    for pk in selected
+                ),
+                "rows": tip["rows"],
+            }
+        shutil.rmtree(os.path.join(root, commit_rel), ignore_errors=True)
+    raise RuntimeError(
+        f"compact_manifest: gave up after {max_retries} version races "
+        f"at {root!r}"
+    )
+
+
 def migrate_to_manifest(
     spark: SparkSession,
     src_path: str,

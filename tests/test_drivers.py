@@ -213,3 +213,33 @@ def test_backfill_transactional_matches_parquet_history(
     wh2, _ = read_table(spark, wh_path)
     assert wh2.count() == n_before
     assert latest_version(wh_path) == 3
+
+
+def test_daily_pipeline_vacuum_retention(spark, sf_dir, tmp_path):
+    """transactional + vacuum_keep_last: the daily run prunes each
+    store's history to the retention window after committing — results
+    identical, old versions unreadable, tip intact."""
+    import pytest
+
+    from feature_store_spark.pipelines.drivers import run_daily_pipeline
+    from feature_store_spark.pipelines.txn import read_table
+
+    out = str(tmp_path / "ret")
+    run_daily_pipeline(
+        spark, out_dir=out, sf_dir=sf_dir, ref_date="2001-06-01",
+        transactional=True, vacuum_keep_last=1,
+    )
+    r = run_daily_pipeline(
+        spark, out_dir=out, sf_dir=sf_dir, ref_date="2001-07-01",
+        transactional=True, vacuum_keep_last=1,
+    )
+    assert r.status == "SUCCESS"
+    for kind in ("user_features", "warehouse/serving_features"):
+        df, v = read_table(spark, f"{out}/{kind}")
+        assert v == 2 and df.count() > 0
+        with pytest.raises(FileNotFoundError):
+            read_table(spark, f"{out}/{kind}", version=1)
+    # the warehouse tip still holds BOTH dates (vacuum prunes
+    # versions, never live partitions)
+    wh, _ = read_table(spark, f"{out}/warehouse/serving_features")
+    assert wh.select("partition_date").distinct().count() == 2

@@ -465,6 +465,78 @@ def test_replace_mode_race_reuses_commit_even_on_same_partition(
     assert _snap(spark, root) == {(9, "d1"): ("from_b", 2)}
 
 
+def test_compact_manifest_both_layouts(spark, tmp_path):
+    """OPTIMIZE for manifest tables: compaction coalesces a leaf's
+    small files into ~target-size files as a NEW version with
+    byte-identical rows; selected-partition compaction leaves other
+    entries untouched; vacuum reclaims the old leaves after."""
+    from feature_store_spark.pipelines.txn import (
+        _leaf_file_count,
+        compact_manifest,
+    )
+
+    # force small-file leaves: static width-8 shuffles (AQE would
+    # coalesce the upsert writes down to one file and leave nothing
+    # to compact)
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    # flat table written wide -> many small files
+    flat = str(tmp_path / "flat")
+    wide = spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(64)],
+        "user_id bigint, v string, ts bigint",
+    ).repartition(16)
+    upsert_manifest(wide, flat, ["user_id"], "ts")
+    before, _ = read_table(spark, flat)
+    rows_before = sorted(map(tuple, before.collect()))
+    stats = compact_manifest(spark, flat)
+    assert stats["version"] == 2
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1  # tiny table -> one file
+    after, v = read_table(spark, flat)
+    assert v == 2 and sorted(map(tuple, after.collect())) == rows_before
+
+    # partitioned table: compact ONE partition, the other's leaf is
+    # carried forward verbatim
+    part = str(tmp_path / "part")
+    pdata = spark.createDataFrame(
+        [(i, f"v{i}", 1, f"d{i % 2}") for i in range(64)],
+        "user_id bigint, v string, ts bigint, p string",
+    ).repartition(16)
+    upsert_manifest_partitioned(pdata, part, ["user_id"], "ts", "p")
+    m1 = read_manifest(part, 1)
+    d1_entry = m1["partitions"]["d1"]
+    rows_before = sorted(map(tuple, read_table(spark, part)[0].collect()))
+    stats = compact_manifest(spark, part, partition_values=["d0"])
+    assert stats["version"] == 2 and stats["files_after"] == 1
+    m2 = read_manifest(part, 2)
+    assert m2["partitions"]["d1"] == d1_entry  # untouched
+    assert m2["partitions"]["d0"]["dir"] != m1["partitions"]["d0"]["dir"]
+    assert m2["rows"] == m1["rows"]
+    after, _ = read_table(spark, part)
+    assert sorted(map(tuple, after.collect())) == rows_before
+    new_leaf = os.path.join(part, m2["partitions"]["d0"]["dir"])
+    assert _leaf_file_count(new_leaf) == 1
+    # vacuum reclaims the superseded d0 leaf only
+    removed = vacuum(part, keep_last=1)
+    assert removed == [m1["partitions"]["d0"]["dir"]]
+    # a subsequent merge still works on the compacted table
+    _up(spark, part, [(999, "new", 2, "d0")])
+    got, _ = read_table(spark, part)
+    assert got.count() == 65
+
+    with pytest.raises(ValueError, match="not in the table"):
+        compact_manifest(spark, part, partition_values=["nope"])
+    with pytest.raises(ValueError, match="no committed versions"):
+        compact_manifest(spark, str(tmp_path / "empty"))
+
+    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+
+
 def test_migrate_to_manifest_both_layouts(spark, tmp_path):
     """The migration path the toggle guards point at: a plain store
     becomes version 1 of a fresh manifest table (flat or partition-
