@@ -277,14 +277,16 @@ def export_warehouse(
     ``partition_date`` skips files entirely.
 
     ``transactional=True`` lands the same partitions through
-    ``txn.upsert_manifest_partitioned(mode="replace")`` — one atomic
-    manifest commit REPLACING only this run's dates (identical
-    semantics to the dynamic overwrite: a repair re-run that dropped
-    keys actually drops them; untouched history partitions carry
-    forward untouched), multi-writer safe when a backfill races the
-    daily run. Readers use ``txn.read_table``; the commit's key-window
-    shuffle replaces the explicit cluster repartition (rows land
-    key-hashed within each date partition). Returns THIS RUN's
+    ``txn.upsert_manifest_partitioned(mode="replace",
+    key_cols=None)`` — one atomic manifest commit REPLACING only this
+    run's dates with EVERY input row, row-for-row identical to the
+    dynamic overwrite (no per-key dedupe: a multi-row-per-key-per-date
+    export keeps all its rows; a repair re-run that dropped keys
+    actually drops them; untouched history partitions carry forward
+    untouched) — multi-writer safe when a backfill races the daily
+    run. Readers use ``txn.read_table``; the same cluster
+    repartition+sort runs before the commit, so rows land key-sorted
+    within each date partition in both modes. Returns THIS RUN's
     exported row count either way. Layouts are incompatible — the
     toggle raises in both directions instead of forking one root.
     """
@@ -325,9 +327,11 @@ def export_warehouse(
 
         obs = Observation()
         upsert_manifest_partitioned(
-            out.observe(obs, F.count(F.lit(1)).alias("rows")),
+            out.observe(obs, F.count(F.lit(1)).alias("rows"))
+            .repartition(F.col(cluster_col))
+            .sortWithinPartitions(cluster_col),
             path,
-            [cluster_col],
+            key_cols=None,  # passthrough: every input row lands
             order_col=date_col,
             partition_col="partition_date",
             mode="replace",

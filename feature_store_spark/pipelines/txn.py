@@ -479,7 +479,7 @@ def _ptoken(pkey: str) -> str:
 def upsert_manifest_partitioned(
     updates: DataFrame,
     root: str,
-    key_cols: Sequence[str],
+    key_cols: Sequence[str] | None,
     order_col: str,
     partition_col: str,
     max_retries: int = 20,
@@ -519,9 +519,21 @@ def upsert_manifest_partitioned(
     updates' rows — dynamic-partition-overwrite semantics under the
     same atomic commit (a repair re-run that dropped keys actually
     drops them). Replace never reads base partition data, so its
-    commit is cheaper still; the table schema is still reconciled."""
+    commit is cheaper still; the table schema is still reconciled.
+
+    ``key_cols=None`` (replace mode only) skips the per-key
+    last-writer-wins dedupe entirely: every update row lands verbatim,
+    matching a plain dynamic partition overwrite row-for-row — the
+    passthrough a multi-row-per-key-per-partition export needs
+    (``export_warehouse(transactional=True)`` uses it so both its
+    modes write identical row sets)."""
     if mode not in ("merge", "replace"):
         raise ValueError(f"mode must be 'merge' or 'replace', got {mode!r}")
+    if key_cols is None and mode != "replace":
+        raise ValueError(
+            "key_cols=None (no-dedupe passthrough) requires "
+            "mode='replace'; merge needs keys to merge on"
+        )
     if "__ptok" in updates.columns:
         raise ValueError(
             "'__ptok' is reserved for the partition-leaf layout; "
@@ -635,15 +647,25 @@ def upsert_manifest_partitioned(
                 base2, upd2 = _reconcile_schemas(
                     existing, updates, allow_schema_evolution
                 )
-                merged = latest_per_key(
-                    base2.withColumn("__src", F.lit(0)).unionByName(
-                        upd2.withColumn("__src", F.lit(1)),
-                        allowMissingColumns=allow_schema_evolution,
-                    ),
-                    [*key_cols, partition_col],
-                    order_col,
-                    tiebreak_col="__src",
-                ).drop("__src")
+                if key_cols is None:
+                    # no-dedupe passthrough (replace mode): the union
+                    # with the empty reconciled base just widens the
+                    # updates to the evolved table schema
+                    merged = base2.unionByName(
+                        upd2, allowMissingColumns=allow_schema_evolution
+                    )
+                else:
+                    merged = latest_per_key(
+                        base2.withColumn("__src", F.lit(0)).unionByName(
+                            upd2.withColumn("__src", F.lit(1)),
+                            allowMissingColumns=allow_schema_evolution,
+                        ),
+                        [*key_cols, partition_col],
+                        order_col,
+                        tiebreak_col="__src",
+                    ).drop("__src")
+            elif key_cols is None:
+                merged = updates
             else:
                 merged = latest_per_key(
                     updates, [*key_cols, partition_col], order_col
@@ -830,27 +852,43 @@ def compact_manifest(
         )
         commit_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
         # one job: union the selected leaves, re-key each row to its
-        # leaf token (matching on the string form of the partition
-        # value — _pkey mirrors Spark's cast-to-string for the
-        # supported partition types), hash-cluster by partition so
-        # each partition's rows coalesce into its own task(s), write
-        # per-leaf dirs. Coalescing is the goal; a single partition
-        # larger than target_file_bytes stays one file (hash
-        # clustering cannot split within a key).
+        # leaf token by joining on the TYPED partition value (exactly
+        # how upsert_manifest_partitioned builds its tok_map) — a
+        # string-cast join would silently drop rows wherever Python's
+        # _pkey and Spark's cast-to-string disagree (boolean 'True'
+        # vs 'true', timestamps '…00.500000' vs '…00.5'). The typed
+        # values come from the leaves themselves (one distinct per
+        # selected partition, the same O(selected) collect the upsert
+        # pays for `touched`). Hash-cluster by partition so each
+        # partition's rows coalesce into its own task(s); a single
+        # partition larger than target_file_bytes stays one file
+        # (hash clustering cannot split within a key).
         token_map = {pk: _ptoken(pk) for pk in selected}
-        mapping = spark.createDataFrame(
-            [(pk, token_map[pk]) for pk in selected],
-            "partition_key string, __ptok string",
-        )
+        pcol = tip["partition_col"]
+        from pyspark.sql.types import StringType, StructField
+
         try:
             df = spark.read.schema(schema).parquet(*sel_dirs.values())
-            pcol = tip["partition_col"]
-            (
-                df.withColumn(
-                    "partition_key", F.col(pcol).cast("string")
+            vals = [r[0] for r in df.select(pcol).distinct().collect()]
+            val_keys = {_pkey(v): v for v in vals}
+            stray = sorted(set(val_keys) - set(selected))
+            if stray:
+                raise RuntimeError(
+                    f"compact_manifest: leaves of {sorted(selected)!r} "
+                    f"contain rows of foreign partitions {stray!r} — "
+                    f"the manifest at {root!r} is corrupt; not committing"
                 )
-                .join(F.broadcast(mapping), "partition_key")
-                .drop("partition_key")
+            mapping = spark.createDataFrame(
+                [(val, token_map[pk]) for pk, val in val_keys.items()],
+                StructType(
+                    [
+                        schema[pcol],
+                        StructField("__ptok", StringType(), False),
+                    ]
+                ),
+            )
+            (
+                df.join(F.broadcast(mapping), pcol)
                 .repartition(int(n_files), F.col(pcol))
                 .write.partitionBy("__ptok")
                 .parquet(os.path.join(root, commit_rel))
@@ -865,6 +903,57 @@ def compact_manifest(
                 "dir": f"{commit_rel}/__ptok={token_map[pk]}",
                 "rows": parts[pk]["rows"],
             }
+        # guard before publishing: every selected partition that holds
+        # rows must have produced its leaf, and the rewritten leaves
+        # must carry exactly the row counts the manifest records — a
+        # mapping bug (or a non-reflexive partition value) must surface
+        # here as an error, never as a silently thinner tip. Costs one
+        # columnar scan of the freshly written leaves.
+        live = [pk for pk in selected if parts[pk]["rows"] > 0]
+        missing = [
+            pk
+            for pk in live
+            if not os.path.isdir(
+                os.path.join(root, new_parts[pk]["dir"])
+            )
+        ]
+        if missing:
+            shutil.rmtree(
+                os.path.join(root, commit_rel), ignore_errors=True
+            )
+            raise RuntimeError(
+                f"compact_manifest: partitions {sorted(missing)!r} "
+                "produced no leaf directory — rows would be lost; "
+                "not committing"
+            )
+        if live:
+            recounts = {
+                _pkey(r[0]): r[1]
+                for r in spark.read.schema(schema)
+                .parquet(
+                    *(
+                        os.path.join(root, new_parts[pk]["dir"])
+                        for pk in live
+                    )
+                )
+                .groupBy(pcol)
+                .count()
+                .collect()
+            }
+            short = {
+                pk: (parts[pk]["rows"], recounts.get(pk, 0))
+                for pk in live
+                if recounts.get(pk, 0) != parts[pk]["rows"]
+            }
+            if short:
+                shutil.rmtree(
+                    os.path.join(root, commit_rel), ignore_errors=True
+                )
+                raise RuntimeError(
+                    "compact_manifest: rewritten row counts disagree "
+                    f"with the manifest (partition: (expected, got)) "
+                    f"{short!r} — not committing"
+                )
         manifest = {
             "base_version": v,
             "rows": tip["rows"],
