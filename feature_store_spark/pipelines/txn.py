@@ -53,6 +53,12 @@ from feature_store_spark.operators.windows import latest_per_key
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
+# Delta-style checkpointing: every CHECKPOINT_INTERVAL-th commit also
+# writes a full partition-map rollup, so delta manifests (which carry
+# only TOUCHED entries — commit payload flat in partition count) never
+# chain back more than the interval at read time.
+CHECKPOINT_INTERVAL = 16
+_POINTER = "_last_checkpoint"
 # \d{8,}: _manifest_path zero-pads to 8 digits but versions past
 # 99,999,999 format wider — an exact {8} would make them invisible to
 # _list_versions and wedge every later writer on the same version
@@ -63,9 +69,50 @@ def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, MANIFEST_DIR, f"v{version:08d}.json")
 
 
+def _ckpt_path(root: str, version: int) -> str:
+    return os.path.join(root, MANIFEST_DIR, f"ckpt-v{version:08d}.json")
+
+
+def _pointer_path(root: str) -> str:
+    return os.path.join(root, MANIFEST_DIR, _POINTER)
+
+
+def _read_pointer(root: str) -> int | None:
+    """Last tip a committer recorded, or None. Purely a HINT — it may
+    lag the true tip (writer crashed between manifest link and pointer
+    write); latest_version probes forward from it and falls back to a
+    full listing when the hinted manifest is gone."""
+    try:
+        with open(_pointer_path(root)) as f:
+            return int(json.load(f)["tip"])
+    except (FileNotFoundError, ValueError, KeyError):
+        return None
+    except json.JSONDecodeError:
+        return None
+
+
+def _write_pointer(root: str, tip: int) -> None:
+    """Best-effort monotonic tip hint, atomically replaced. Losing the
+    race (or the write) is harmless: the pointer is advisory and every
+    reader tolerates a stale or missing one."""
+    cur = _read_pointer(root)
+    if cur is not None and cur >= tip:
+        return
+    tmp = f"{_pointer_path(root)}.w{uuid.uuid4().hex}"
+    try:
+        with open(tmp, "w") as f:
+            json.dump({"tip": tip}, f)
+        os.replace(tmp, _pointer_path(root))
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
 def _list_versions(root: str) -> list[int]:
-    """All committed version numbers on disk, ascending — the ONE
-    manifest-scan used by latest_version and both vacuum passes."""
+    """All committed version numbers on disk, ascending — the full
+    manifest-scan used by vacuum and as latest_version's fallback."""
     d = os.path.join(root, MANIFEST_DIR)
     if not os.path.isdir(d):
         return []
@@ -77,7 +124,21 @@ def _list_versions(root: str) -> list[int]:
 
 
 def latest_version(root: str) -> int:
-    """Newest committed version; 0 means no committed table."""
+    """Newest committed version; 0 means no committed table.
+
+    O(1)-ish: reads the ``_last_checkpoint`` tip hint and probes
+    FORWARD until the first missing manifest (commits are contiguous
+    at creation, and vacuum's keep-newest rule means a version that
+    exists with its successor missing IS the tip — any hole sits
+    strictly below the kept window). Falls back to the full directory
+    listing only when the hinted manifest itself was vacuumed, i.e.
+    the hint predates every retained version."""
+    ptr = _read_pointer(root)
+    if ptr and os.path.exists(_manifest_path(root, ptr)):
+        v = ptr
+        while os.path.exists(_manifest_path(root, v + 1)):
+            v += 1
+        return v
     return max(_list_versions(root), default=0)
 
 
@@ -86,13 +147,74 @@ def read_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
-def _manifest_dirs(m: dict) -> list[str]:
-    """Every data directory a manifest references: the single
+def _is_partitioned(m: dict) -> bool:
+    """Partition-scoped layout in either encoding: format 2 (full
+    ``partitions`` map) or format 3 (delta ``updates``)."""
+    return "partitions" in m or "updates" in m
+
+
+def resolve_partitions(root: str, version: int) -> dict:
+    """The FULL partition → {dir, rows} map at ``version``. Format-2
+    manifests carry it verbatim; format-3 deltas carry only touched
+    entries, so resolution walks the base chain back to the nearest
+    full stop — a checkpoint rollup or a format-2 manifest — and
+    replays the deltas forward. The chain is bounded by
+    CHECKPOINT_INTERVAL (committers roll up every interval-th version;
+    vacuum checkpoints the oldest kept version before pruning its
+    ancestors)."""
+    deltas: list[dict] = []
+    v = version
+    base: dict = {}
+    while v > 0:
+        try:
+            with open(_ckpt_path(root, v)) as f:
+                base = json.load(f)["partitions"]
+                break
+        except FileNotFoundError:
+            pass
+        m = read_manifest(root, v)
+        if "partitions" in m:
+            base = m["partitions"]
+            break
+        deltas.append(m)
+        v = m["base_version"]
+    out = dict(base)
+    for m in reversed(deltas):
+        for pk in m.get("removed", []):
+            out.pop(pk, None)
+        out.update(m["updates"])
+    return out
+
+
+def _version_dirs(root: str, version: int, manifest: dict | None = None) -> list[str]:
+    """Every data directory version ``version`` references: the single
     snapshot dir (unpartitioned, format 1) or one leaf dir per live
-    partition (partitioned, format 2)."""
+    partition of the RESOLVED map (formats 2 and 3)."""
+    m = read_manifest(root, version) if manifest is None else manifest
+    if "data_dir" in m:
+        return [m["data_dir"]]
     if "partitions" in m:
         return [e["dir"] for e in m["partitions"].values()]
-    return [m["data_dir"]]
+    return [e["dir"] for e in resolve_partitions(root, version).values()]
+
+
+def _maybe_checkpoint(
+    root: str,
+    version: int,
+    partitions: dict,
+    backend: "LocalLinkBackend | None" = None,
+    force: bool = False,
+) -> None:
+    """Write the full-map rollup for ``version`` when it lands on the
+    checkpoint interval (or ``force``, vacuum's pre-prune invariant).
+    Idempotent — the content is deterministic for a committed version,
+    so the conditional put makes concurrent writers harmless."""
+    if version % CHECKPOINT_INTERVAL and not force:
+        return
+    (backend or _DEFAULT_BACKEND).put_if_absent(
+        _ckpt_path(root, version),
+        json.dumps({"version": version, "partitions": partitions}),
+    )
 
 
 def _rmdir_if_no_live_children(path: str, root: str, kept: set[str]) -> None:
@@ -124,13 +246,14 @@ def read_table(
         return None, 0
     m = read_manifest(root, v)
     schema = StructType.fromJson(m["schema"])
-    # format 1 manifests reference one snapshot dir; format 2
-    # (partitioned) one immutable leaf dir per live partition — either
-    # way the read is a union of dirs under the version's pinned
-    # schema (older leaves with narrower/missing columns widen/null-
-    # fill natively in the parquet reader)
+    # format 1 manifests reference one snapshot dir; formats 2/3
+    # (partitioned) one immutable leaf dir per live partition (deltas
+    # resolve through the checkpoint chain) — either way the read is a
+    # union of dirs under the version's pinned schema (older leaves
+    # with narrower/missing columns widen/null-fill natively in the
+    # parquet reader)
     df = spark.read.schema(schema).parquet(
-        *(os.path.join(root, d) for d in _manifest_dirs(m))
+        *(os.path.join(root, d) for d in _version_dirs(root, v, m))
     )
     return df, v
 
@@ -231,11 +354,15 @@ def _try_commit(
     the race for this version number (the optimistic-retry signal) —
     or when the backend's conditional put failed transiently, which
     the caller handles identically: re-read the tip, re-reconcile,
-    retry."""
+    retry. A successful publish also advances the tip hint (best
+    effort — readers tolerate a stale pointer)."""
     payload = json.dumps({"version": version, **manifest})
-    return (backend or _DEFAULT_BACKEND).put_if_absent(
+    ok = (backend or _DEFAULT_BACKEND).put_if_absent(
         _manifest_path(root, version), payload
     )
+    if ok:
+        _write_pointer(root, version)
+    return ok
 
 
 _INTEGRAL_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
@@ -406,7 +533,7 @@ def upsert_manifest(
             if _is_path_not_found(e):
                 continue  # vacuum deleted the version's data dirs
             raise
-        if tip_manifest is not None and "partitions" in tip_manifest:
+        if tip_manifest is not None and _is_partitioned(tip_manifest):
             raise ValueError(
                 f"{root!r} is a PARTITION-SCOPED manifest table; a "
                 "full-snapshot commit on top would collapse its layout "
@@ -580,7 +707,7 @@ def upsert_manifest_partitioned(
             # read — the tip moved; re-resolve and retry
             continue
         if tip is not None:
-            if "partitions" not in tip:
+            if not _is_partitioned(tip):
                 raise ValueError(
                     f"{root!r} is an UNPARTITIONED manifest table; "
                     "mixing layouts would orphan its snapshot — keep "
@@ -591,7 +718,7 @@ def upsert_manifest_partitioned(
                     f"table is partitioned by {tip['partition_col']!r}, "
                     f"not {partition_col!r}"
                 )
-        tip_parts: dict = dict(tip["partitions"]) if tip else {}
+        tip_parts: dict = resolve_partitions(root, v) if tip else {}
         tip_touched = {
             pk: (tip_parts[pk]["dir"] if pk in tip_parts else None)
             for pk in keys
@@ -721,14 +848,19 @@ def upsert_manifest_partitioned(
             }
         new_parts = {**tip_parts, **written["entries"]}
         total = sum(e["rows"] for e in new_parts.values())
+        # format 3: the manifest carries only the TOUCHED entries —
+        # commit payload is O(updated partitions), flat in table
+        # partition count; readers resolve through the checkpoint
+        # chain (rolled up every CHECKPOINT_INTERVAL commits below)
         manifest = {
             "base_version": v,
             "rows": total,
             "schema": written["schema"],
             "partition_col": partition_col,
-            "partitions": new_parts,
+            "updates": written["entries"],
         }
         if _try_commit(root, v + 1, manifest, backend):
+            _maybe_checkpoint(root, v + 1, new_parts, backend)
             return total
     if written is not None:  # don't leave the last attempt as an orphan
         shutil.rmtree(
@@ -798,7 +930,7 @@ def compact_manifest(
         schema = StructType.fromJson(tip["schema"])
         from pyspark.errors import AnalysisException
 
-        if "partitions" not in tip:
+        if not _is_partitioned(tip):
             data_dir = os.path.join(root, tip["data_dir"])
             before = _leaf_file_count(data_dir)
             n_files = max(1, -(-_dir_bytes(data_dir) // target_file_bytes))
@@ -829,7 +961,7 @@ def compact_manifest(
             shutil.rmtree(os.path.join(root, new_rel), ignore_errors=True)
             continue
 
-        parts = dict(tip["partitions"])
+        parts = resolve_partitions(root, v)
         if partition_values is None:
             selected = list(parts)
         else:
@@ -959,9 +1091,12 @@ def compact_manifest(
             "rows": tip["rows"],
             "schema": tip["schema"],
             "partition_col": tip["partition_col"],
-            "partitions": new_parts,
+            # format-3 delta: only the re-laid leaves; untouched
+            # entries carry forward through resolution
+            "updates": {pk: new_parts[pk] for pk in selected},
         }
         if _try_commit(root, v + 1, manifest, backend):
+            _maybe_checkpoint(root, v + 1, new_parts, backend)
             return {
                 "version": v + 1,
                 "files_before": before,
@@ -1020,6 +1155,7 @@ def table_changes(
     to_version: int | None = None,
     key_cols: Sequence[str] = ("user_id",),
     compare_cols: Sequence[str] | None = None,
+    skip_unchanged_partitions: bool = False,
 ) -> DataFrame:
     """Row-level change feed between two committed versions — the CDC
     read every lake format exposes (Delta ``table_changes`` / Iceberg
@@ -1030,12 +1166,70 @@ def table_changes(
     invalidation, warehouse sync) without replaying full snapshots.
     ``compare_cols`` defaults to every non-key column of the newer
     snapshot. Scale shape inherits snapshot_diff's: one shuffle per
-    side, zero when the snapshots are key-bucketed."""
+    side, zero when the snapshots are key-bucketed.
+
+    ``skip_unchanged_partitions=True`` (partitioned tables only) uses
+    the manifests' immutable-leaf identity to read ONLY partitions
+    whose leaf dir changed between the two versions — dir equality ⇒
+    byte-identity (the vacuum invariant), so a skipped partition's
+    rows are provably all 'unchanged' and are OMITTED from the output
+    instead of scanned. After a daily commit this reads one partition
+    instead of 730; after a compact_manifest it reads only the
+    compacted leaves. Requires the partition column in ``key_cols``
+    (keys that recur across partitions would otherwise pair across
+    the skip boundary and change statuses)."""
     from feature_store_spark.operators.diff import snapshot_diff
 
     try:
-        new, v_new = read_table(spark, root, to_version)
-        old, v_old = read_table(spark, root, from_version)
+        if skip_unchanged_partitions:
+            v_new = (
+                latest_version(root) if to_version is None else to_version
+            )
+            v_old = from_version
+            m_new = read_manifest(root, v_new) if v_new else None
+            m_old = read_manifest(root, v_old) if v_old else None
+            if (
+                m_old is None
+                or m_new is None
+                or not _is_partitioned(m_old)
+                or not _is_partitioned(m_new)
+            ):
+                raise ValueError(
+                    "table_changes: skip_unchanged_partitions needs a "
+                    "partition-scoped manifest table at both versions"
+                )
+            pcol = m_new["partition_col"]
+            if pcol != m_old["partition_col"] or pcol not in set(key_cols):
+                raise ValueError(
+                    "table_changes: skip_unchanged_partitions requires "
+                    f"the partition column {pcol!r} in key_cols — keys "
+                    "recurring across partitions would pair across the "
+                    "skip boundary and corrupt statuses"
+                )
+            po = resolve_partitions(root, v_old)
+            pn = resolve_partitions(root, v_new)
+            diff_pks = [
+                pk
+                for pk in set(po) | set(pn)
+                if (po.get(pk) or {}).get("dir")
+                != (pn.get(pk) or {}).get("dir")
+            ]
+
+            def side(m, pmap):
+                schema = StructType.fromJson(m["schema"])
+                dirs = [
+                    os.path.join(root, pmap[pk]["dir"])
+                    for pk in diff_pks
+                    if pk in pmap
+                ]
+                if not dirs:
+                    return spark.createDataFrame([], schema)
+                return spark.read.schema(schema).parquet(*dirs)
+
+            old, new = side(m_old, po), side(m_new, pn)
+        else:
+            new, v_new = read_table(spark, root, to_version)
+            old, v_old = read_table(spark, root, from_version)
     except FileNotFoundError as e:
         raise ValueError(
             f"table_changes: version range {from_version}.."
@@ -1061,6 +1255,7 @@ def vacuum(
     root: str,
     keep_last: int = 1,
     orphan_grace_seconds: float | None = None,
+    backend: LocalLinkBackend | None = None,
 ) -> list[str]:
     """Delete data directories referenced by no retained manifest
     (retention: the newest ``keep_last`` versions). Returns the
@@ -1100,31 +1295,65 @@ def vacuum(
         # vacuum having already deleted the manifest between our
         # _list_versions snapshot and the access — mirroring the
         # orphan pass below; without it two simultaneous vacuums crash
-        # one with FileNotFoundError
+        # one with FileNotFoundError.
+        # Delta manifests chain through EARLIER versions, so every
+        # version's dir set is resolved BEFORE anything is deleted.
+        dirs_by_v: dict[int, list[str]] = {}
+        for v in sorted(keep_versions | set(prunable)):
+            try:
+                dirs_by_v[v] = _version_dirs(root, v)
+            except FileNotFoundError:
+                continue
         kept_dirs = set()
         for v in keep_versions:
+            kept_dirs.update(dirs_by_v.get(v, []))
+        if prunable and keep_versions:
+            # invariant that keeps retained deltas resolvable after
+            # their ancestors' manifests are pruned: the OLDEST kept
+            # version gets a full-map checkpoint first (no-op for
+            # unpartitioned tables and for versions already rolled up)
+            ok = min(keep_versions)
             try:
-                kept_dirs.update(_manifest_dirs(read_manifest(root, v)))
+                m_ok = read_manifest(root, ok)
+                if _is_partitioned(m_ok) and not os.path.exists(
+                    _ckpt_path(root, ok)
+                ):
+                    _maybe_checkpoint(
+                        root,
+                        ok,
+                        resolve_partitions(root, ok),
+                        backend,
+                        force=True,
+                    )
             except FileNotFoundError:
-                continue
+                pass  # concurrent vacuum owns this window
+        reported = set()
         for v in prunable:
-            try:
-                data_dirs = _manifest_dirs(read_manifest(root, v))
-            except FileNotFoundError:
+            if v not in dirs_by_v:
                 continue
-            for data_dir in data_dirs:
-                if data_dir not in kept_dirs:
+            for data_dir in dirs_by_v[v]:
+                # resolved maps repeat carried-forward dirs across
+                # versions — delete/report each at most once
+                if data_dir not in kept_dirs and data_dir not in reported:
                     path = os.path.join(root, data_dir)
                     shutil.rmtree(path, ignore_errors=True)
                     if not os.path.exists(path):  # report real removals
                         removed.append(data_dir)
+                        reported.add(data_dir)
                     _rmdir_if_no_live_children(
                         os.path.dirname(path), root, kept_dirs
                     )
             try:
                 os.remove(_manifest_path(root, v))
             except FileNotFoundError:
-                continue
+                pass
+            # a pruned version's rollup is dead weight once its
+            # manifest is gone (kept versions resolve via the oldest-
+            # kept checkpoint written above)
+            try:
+                os.remove(_ckpt_path(root, v))
+            except FileNotFoundError:
+                pass
     if orphan_grace_seconds is not None:
         # runs even on a zero-commit table: a writer that crashed
         # before its FIRST publish is exactly the 'no manifest ever
@@ -1134,11 +1363,11 @@ def vacuum(
         referenced = set()
         for v in _list_versions(root):
             try:
-                dirs = _manifest_dirs(read_manifest(root, v))
+                dirs = _version_dirs(root, v)
             except FileNotFoundError:  # concurrent vacuum pruned it
                 continue
             for d in dirs:
-                # a format-2 leaf (data/<uuid>/__part=x) keeps its
+                # a partition leaf (data/<uuid>/__ptok=x) keeps its
                 # whole commit dir (data/<uuid>) off the orphan list
                 referenced.add("/".join(d.split("/")[:2]))
         data_root = os.path.join(root, DATA_DIR)

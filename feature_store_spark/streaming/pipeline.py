@@ -580,8 +580,8 @@ def run_streaming_warehouse_append(
     {batches, rows, versions, partitions}."""
     from feature_store_spark.pipelines.txn import (
         latest_version,
-        read_manifest,
         read_table,
+        resolve_partitions,
         upsert_manifest_partitioned,
     )
 
@@ -605,7 +605,7 @@ def run_streaming_warehouse_append(
         "versions": latest_version(table_root),
         "partitions": 0
         if v == 0
-        else len(read_manifest(table_root, v)["partitions"]),
+        else len(resolve_partitions(table_root, v)),
     }
 
 

@@ -1,0 +1,294 @@
+"""Manifest checkpointing (VERDICT r5 item 2): O(1)-ish tip
+resolution via the ``_last_checkpoint`` pointer, delta-encoded
+partitioned manifests (commit payload flat in partition count), and
+the periodic full-map rollups that bound the resolution chain — the
+local re-derivation of Delta's checkpoint mechanism, which a lake
+layout must amortize where the reference's Postgres never pays it
+(`src/pipelines/batch_pipeline.py:221-310` is a B-tree upsert).
+
+The thousand-version tests synthesize manifests directly through
+``_try_commit`` (the protocol layer is pure filesystem — no Spark
+needed to prove resolution complexity); the Spark tests pin the
+read/write integration at a shrunk CHECKPOINT_INTERVAL."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+import feature_store_spark.pipelines.txn as txn
+from feature_store_spark.pipelines.txn import (
+    latest_version,
+    read_manifest,
+    read_table,
+    resolve_partitions,
+    upsert_manifest_partitioned,
+    vacuum,
+)
+
+_SCHEMA = {"type": "struct", "fields": []}
+
+
+def _fake_table(root, n_versions, n_partitions=8):
+    """Synthesize a partitioned manifest table: version v touches
+    partition v % n_partitions. Returns the expected full map at tip.
+    Pure protocol — no data files, no Spark."""
+    full = {}
+    for v in range(1, n_versions + 1):
+        pk = f"d{v % n_partitions}"
+        entry = {"dir": f"data/c{v:05d}/__ptok=t{pk}", "rows": 1}
+        manifest = {
+            "base_version": v - 1,
+            "rows": len({**full, pk: entry}),
+            "schema": _SCHEMA,
+            "partition_col": "p",
+            "updates": {pk: entry},
+        }
+        assert txn._try_commit(root, v, manifest)
+        full[pk] = entry
+        txn._maybe_checkpoint(root, v, full)
+    return full
+
+
+def test_tip_resolution_needs_no_directory_listing(tmp_path):
+    root = str(tmp_path / "t")
+    _fake_table(root, 37)
+
+    def boom(_root):
+        raise AssertionError("latest_version listed the manifest dir")
+
+    real = txn._list_versions
+    txn._list_versions = boom
+    try:
+        assert latest_version(root) == 37
+    finally:
+        txn._list_versions = real
+    # pointer lost (crash, rsync, fresh clone) -> listing fallback
+    os.remove(txn._pointer_path(root))
+    assert latest_version(root) == 37
+    # corrupt pointer -> fallback too, never an exception
+    with open(txn._pointer_path(root), "w") as f:
+        f.write("{not json")
+    assert latest_version(root) == 37
+
+
+def test_pointer_lags_probe_forward_finds_tip(tmp_path):
+    """A writer that crashed between manifest link and pointer write
+    leaves a LAGGING pointer; resolution probes forward to the true
+    tip instead of trusting the hint."""
+    root = str(tmp_path / "t")
+    _fake_table(root, 10)
+    with open(txn._pointer_path(root), "w") as f:
+        json.dump({"tip": 7}, f)
+    assert latest_version(root) == 10
+    # and _write_pointer is monotonic: a stale advertise is ignored
+    txn._write_pointer(root, 3)
+    assert json.load(open(txn._pointer_path(root)))["tip"] == 7
+
+
+def test_thousand_versions_resolve_bounded(tmp_path):
+    """The VERDICT 'done' bar: 10^3 versions — tip resolution without
+    a directory listing, and the partition map at the tip resolved
+    through at most CHECKPOINT_INTERVAL manifest reads (the rollup
+    bound), not a 1000-manifest replay."""
+    root = str(tmp_path / "t")
+    full = _fake_table(root, 1000, n_partitions=16)
+
+    reads = {"n": 0}
+    real = txn.read_manifest
+
+    def counting(r, v):
+        reads["n"] += 1
+        return real(r, v)
+
+    txn.read_manifest = counting
+    real_list = txn._list_versions
+    txn._list_versions = lambda _r: pytest.fail("listed manifests")
+    try:
+        assert latest_version(root) == 1000
+        got = resolve_partitions(root, 1000)
+    finally:
+        txn.read_manifest = real
+        txn._list_versions = real_list
+    assert got == full
+    # 1000 % 16 == 8 deltas above the ckpt at 992, plus zero listing
+    assert reads["n"] <= txn.CHECKPOINT_INTERVAL
+    # commit payloads stayed flat in partition count: every manifest
+    # carries exactly its one touched entry
+    m = read_manifest(root, 1000)
+    assert "partitions" not in m and len(m["updates"]) == 1
+
+
+def test_checkpoint_rollup_and_reads(spark, tmp_path, monkeypatch):
+    """Spark integration at a shrunk interval: rollups land on the
+    interval, every version still reads correctly (deltas resolve
+    through the nearest rollup), time travel included."""
+    monkeypatch.setattr(txn, "CHECKPOINT_INTERVAL", 4)
+    root = str(tmp_path / "t")
+
+    def up(rows):
+        return upsert_manifest_partitioned(
+            spark.createDataFrame(
+                rows, "user_id bigint, v string, ts bigint, p string"
+            ),
+            root,
+            ["user_id"],
+            "ts",
+            "p",
+        )
+
+    up([(1, "a", 1, "d1"), (2, "b", 1, "d2")])
+    up([(2, "b2", 2, "d2")])
+    up([(3, "c", 1, "d3")])
+    up([(1, "a2", 2, "d1")])  # version 4 -> rollup
+    up([(4, "d", 1, "d4")])
+    assert os.path.exists(txn._ckpt_path(root, 4))
+    assert not os.path.exists(txn._ckpt_path(root, 3))
+    # the rollup equals the resolved map at its version
+    ck = json.load(open(txn._ckpt_path(root, 4)))
+    assert ck["partitions"] == resolve_partitions(root, 4)
+    # v5 resolves through the ckpt: its chain never reaches v1
+    df, v = read_table(spark, root)
+    assert v == 5 and df.count() == 4
+    got = {(r["user_id"], r["p"]): r["v"] for r in df.collect()}
+    assert got == {
+        (1, "d1"): "a2",
+        (2, "d2"): "b2",
+        (3, "d3"): "c",
+        (4, "d4"): "d",
+    }
+    # time travel below the rollup still resolves (chain to v1)
+    df1, _ = read_table(spark, root, version=2)
+    assert df1.count() == 2
+
+
+def test_vacuum_checkpoints_oldest_kept_version(
+    spark, tmp_path, monkeypatch
+):
+    """Pruning ancestors must not strand retained deltas: vacuum
+    rolls up the oldest kept version first, so every kept version
+    resolves afterwards and carried-forward leaves stay readable."""
+    monkeypatch.setattr(txn, "CHECKPOINT_INTERVAL", 100)  # no organic ckpts
+    root = str(tmp_path / "t")
+
+    def up(rows):
+        return upsert_manifest_partitioned(
+            spark.createDataFrame(
+                rows, "user_id bigint, v string, ts bigint, p string"
+            ),
+            root,
+            ["user_id"],
+            "ts",
+            "p",
+        )
+
+    up([(1, "a", 1, "d1")])
+    up([(2, "b", 1, "d2")])
+    up([(3, "c", 1, "d3")])
+    up([(2, "b2", 2, "d2")])
+    up([(4, "d", 1, "d4")])  # tip=5; d1's leaf written at v1
+    removed = vacuum(root, keep_last=2)
+    # versions 1-3 pruned, 4-5 kept; oldest kept (4) got the rollup
+    assert os.path.exists(txn._ckpt_path(root, 4))
+    assert not os.path.exists(txn._manifest_path(root, 1))
+    assert latest_version(root) == 5
+    # d1's v1 leaf is carried forward by kept versions -> NOT removed
+    d1_dir = resolve_partitions(root, 5)[txn._pkey("d1")]["dir"]
+    assert d1_dir not in removed
+    assert os.path.isdir(os.path.join(root, d1_dir))
+    # both kept versions fully readable after the prune (one row per
+    # partition: v4's (2,'b2') replaced v2's (2,'b') in place)
+    df5, _ = read_table(spark, root)
+    assert df5.count() == 4
+    df4, _ = read_table(spark, root, version=4)
+    assert df4.count() == 3
+    # superseded d2 v2 leaf DID die
+    assert any("__ptok" in d for d in removed)
+    # the table keeps taking commits afterwards
+    up([(9, "z", 1, "d1")])
+    assert read_table(spark, root)[0].count() == 5
+
+
+def test_table_changes_skips_byte_identical_partitions(spark, tmp_path):
+    """VERDICT r5 item 5: CDC over a partitioned table can use leaf-
+    dir identity (dir equality ⇒ byte-identity, the vacuum invariant)
+    to read ONLY partitions whose dirs differ. Proof is physical: the
+    unchanged partition's leaf is renamed away while the pruned diff
+    runs — a skipped read cannot crash."""
+    from feature_store_spark.pipelines.txn import (
+        compact_manifest,
+        table_changes,
+    )
+
+    root = str(tmp_path / "t")
+
+    def up(rows):
+        upsert_manifest_partitioned(
+            spark.createDataFrame(
+                rows, "user_id bigint, v string, ts bigint, p string"
+            ),
+            root,
+            ["user_id"],
+            "ts",
+            "p",
+        )
+
+    up([(1, "a", 1, "d1"), (2, "b", 1, "d1"), (3, "c", 1, "d2")])
+    up([(3, "c2", 2, "d2")])  # v2 touches only d2
+    keys = ["user_id", "p"]
+
+    got = {
+        (r["user_id"], r["p"]): r["status"]
+        for r in table_changes(
+            spark, root, 1, 2, key_cols=keys,
+            skip_unchanged_partitions=True,
+        ).collect()
+    }
+    # d1's two rows are OMITTED (provably unchanged), d2's reported
+    assert got == {(3, "d2"): "changed"}
+
+    # compact only d1 -> v3; CDC v2..v3 must read just d1's new leaf
+    compact_manifest(spark, root, partition_values=["d1"])
+    d2_dir = os.path.join(root, resolve_partitions(root, 3)["d2"]["dir"])
+    hidden = d2_dir + ".hidden"
+    os.rename(d2_dir, hidden)
+    try:
+        rows = table_changes(
+            spark, root, 2, 3, key_cols=keys,
+            skip_unchanged_partitions=True,
+        ).collect()
+    finally:
+        os.rename(hidden, d2_dir)
+    # the compacted partition's rows are all unchanged; d2 never read
+    assert {r["status"] for r in rows} == {"unchanged"}
+    assert {(r["user_id"], r["p"]) for r in rows} == {
+        (1, "d1"),
+        (2, "d1"),
+    }
+    # the exact diff (no skip) still reconciles to the full key set
+    full = table_changes(spark, root, 2, 3, key_cols=keys).collect()
+    assert len(full) == 3
+
+    with pytest.raises(ValueError, match="partition column"):
+        table_changes(
+            spark, root, 2, 3, key_cols=["user_id"],
+            skip_unchanged_partitions=True,
+        )
+
+
+def test_vacuum_prunes_stale_rollups(tmp_path):
+    """A pruned version's rollup file goes with its manifest — kept
+    versions resolve via the fresh oldest-kept rollup instead."""
+    root = str(tmp_path / "t")
+    _fake_table(root, 40, n_partitions=4)  # organic ckpts at 16, 32
+    assert os.path.exists(txn._ckpt_path(root, 16))
+    tip_map = resolve_partitions(root, 40)
+    vacuum(root, keep_last=3)  # keeps 38..40
+    assert not os.path.exists(txn._ckpt_path(root, 16))
+    assert not os.path.exists(txn._ckpt_path(root, 32))
+    assert os.path.exists(txn._ckpt_path(root, 38))
+    assert latest_version(root) == 40
+    assert resolve_partitions(root, 40) == tip_map
+    assert resolve_partitions(root, 38)  # oldest kept resolves too

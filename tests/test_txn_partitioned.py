@@ -90,20 +90,24 @@ def test_untouched_partition_files_carried_forward_byte_identical(
     verbatim and the bytes on disk are identical."""
     root = str(tmp_path / "t")
     _up(spark, root, [(1, "a", 1, "d1"), (2, "b", 1, "d2")])
-    m1 = read_manifest(root, 1)
-    d1_entry = m1["partitions"][txn._pkey("d1")]
+    p1 = txn.resolve_partitions(root, 1)
+    d1_entry = p1[txn._pkey("d1")]
     before = _dir_fingerprint(os.path.join(root, d1_entry["dir"]))
     assert before  # the leaf actually holds files
 
     _up(spark, root, [(2, "b2", 2, "d2")])
-    m2 = read_manifest(root, 2)
-    assert m2["partitions"][txn._pkey("d1")] == d1_entry
+    p2 = txn.resolve_partitions(root, 2)
+    assert p2[txn._pkey("d1")] == d1_entry
     after = _dir_fingerprint(os.path.join(root, d1_entry["dir"]))
     assert after == before
+    # format-3 deltas: the v2 manifest does not even MENTION d1 —
+    # the untouched entry rides the checkpoint chain (flat payload)
+    m2 = read_manifest(root, 2)
+    assert txn._pkey("d1") not in m2.get("updates", {})
     # and d2's entry moved to a new immutable leaf
     assert (
-        m2["partitions"][txn._pkey("d2")]["dir"]
-        != m1["partitions"][txn._pkey("d2")]["dir"]
+        p2[txn._pkey("d2")]["dir"]
+        != p1[txn._pkey("d2")]["dir"]
     )
     assert _snap(spark, root) == {
         (1, "d1"): ("a", 1),
@@ -170,11 +174,9 @@ def test_disjoint_writers_commit_without_remerge(
         (2, "d2"): ("b2", 2),
     }
     # B's carried-forward entry for d1 is A's commit, not the stale tip
-    m3 = read_manifest(root, 3)
-    m2 = read_manifest(root, 2)
-    assert m3["partitions"][txn._pkey("d1")] == m2["partitions"][
-        txn._pkey("d1")
-    ]
+    p3 = txn.resolve_partitions(root, 3)
+    p2 = txn.resolve_partitions(root, 2)
+    assert p3[txn._pkey("d1")] == p2[txn._pkey("d1")]
 
 
 def test_overlapping_writers_remerge_and_lose_nothing(
@@ -277,10 +279,10 @@ def test_time_travel_and_vacuum_prune_leaf_scoped(spark, tmp_path):
     root = str(tmp_path / "t")
     _up(spark, root, [(1, "a", 1, "d1"), (2, "b", 1, "d2")])
     _up(spark, root, [(2, "b2", 2, "d2")])
-    m1 = read_manifest(root, 1)
+    p1 = txn.resolve_partitions(root, 1)
     v1_commit_dir = os.path.join(
         root,
-        os.path.dirname(m1["partitions"][txn._pkey("d1")]["dir"]),
+        os.path.dirname(p1[txn._pkey("d1")]["dir"]),
     )
     # time travel before vacuum
     assert _snap(spark, root, version=1) == {
@@ -289,7 +291,7 @@ def test_time_travel_and_vacuum_prune_leaf_scoped(spark, tmp_path):
     }
     removed = vacuum(root, keep_last=1)
     # only d2's superseded v1 leaf dies; d1's (carried forward) lives
-    assert removed == [m1["partitions"][txn._pkey("d2")]["dir"]]
+    assert removed == [p1[txn._pkey("d2")]["dir"]]
     assert os.path.isdir(v1_commit_dir)  # still holds d1's live leaf
     assert _snap(spark, root) == {
         (1, "d1"): ("a", 1),
@@ -392,8 +394,7 @@ def test_transactional_warehouse_export_is_partition_scoped(
         "user_id bigint, score double, updated_at string",
     ).withColumn("updated_at", F.to_timestamp("updated_at"))
     assert export_warehouse(d1, path, transactional=True) == 2
-    m1 = read_manifest(path, 1)
-    leaf1 = m1["partitions"]["2024-06-01"]
+    leaf1 = txn.resolve_partitions(path, 1)["2024-06-01"]
     before = _dir_fingerprint(os.path.join(path, leaf1["dir"]))
 
     d2 = spark.createDataFrame(
@@ -401,8 +402,7 @@ def test_transactional_warehouse_export_is_partition_scoped(
         "user_id bigint, score double, updated_at string",
     ).withColumn("updated_at", F.to_timestamp("updated_at"))
     assert export_warehouse(d2, path, transactional=True) == 1  # run rows
-    m2 = read_manifest(path, 2)
-    assert m2["partitions"]["2024-06-01"] == leaf1
+    assert txn.resolve_partitions(path, 2)["2024-06-01"] == leaf1
     assert _dir_fingerprint(os.path.join(path, leaf1["dir"])) == before
     df, _ = read_table(spark, path)
     assert df.count() == 3  # history accretes across dates
@@ -545,21 +545,23 @@ def test_compact_manifest_both_layouts(spark, tmp_path):
     ).repartition(16)
     upsert_manifest_partitioned(pdata, part, ["user_id"], "ts", "p")
     m1 = read_manifest(part, 1)
-    d1_entry = m1["partitions"]["d1"]
+    p1 = txn.resolve_partitions(part, 1)
+    d1_entry = p1["d1"]
     rows_before = sorted(map(tuple, read_table(spark, part)[0].collect()))
     stats = compact_manifest(spark, part, partition_values=["d0"])
     assert stats["version"] == 2 and stats["files_after"] == 1
     m2 = read_manifest(part, 2)
-    assert m2["partitions"]["d1"] == d1_entry  # untouched
-    assert m2["partitions"]["d0"]["dir"] != m1["partitions"]["d0"]["dir"]
+    p2 = txn.resolve_partitions(part, 2)
+    assert p2["d1"] == d1_entry  # untouched
+    assert p2["d0"]["dir"] != p1["d0"]["dir"]
     assert m2["rows"] == m1["rows"]
     after, _ = read_table(spark, part)
     assert sorted(map(tuple, after.collect())) == rows_before
-    new_leaf = os.path.join(part, m2["partitions"]["d0"]["dir"])
+    new_leaf = os.path.join(part, p2["d0"]["dir"])
     assert _leaf_file_count(new_leaf) == 1
     # vacuum reclaims the superseded d0 leaf only
     removed = vacuum(part, keep_last=1)
-    assert removed == [m1["partitions"]["d0"]["dir"]]
+    assert removed == [p1["d0"]["dir"]]
     # a subsequent merge still works on the compacted table
     _up(spark, part, [(999, "new", 2, "d0")])
     got, _ = read_table(spark, part)
@@ -663,8 +665,7 @@ def test_migrate_to_manifest_both_layouts(spark, tmp_path):
         spark, part_src, part_dest, ["user_id"], "ts", partition_col="p"
     )
     assert n == 2
-    m = read_manifest(part_dest, 1)
-    assert set(m["partitions"]) == {"d1", "d2"}
+    assert set(txn.resolve_partitions(part_dest, 1)) == {"d1", "d2"}
     # migrated table takes partition-scoped commits from here on
     _up(spark, part_dest, [(2, "b2", 2, "d2")])
     assert _snap(spark, part_dest)[(2, "d2")] == ("b2", 2)
@@ -814,9 +815,10 @@ def test_many_partitions_single_commit(spark, tmp_path):
     rows = [(i, f"v{i}", 1, f"d{i % 64}") for i in range(256)]
     n = _up(spark, root, rows)
     assert n == 256
-    m = read_manifest(root, 1)
-    assert len(m["partitions"]) == 64
-    assert sum(e["rows"] for e in m["partitions"].values()) == 256
+    pmap = txn.resolve_partitions(root, 1)
+    assert len(pmap) == 64
+    assert sum(e["rows"] for e in pmap.values()) == 256
+    assert read_manifest(root, 1)["rows"] == 256
     df, _ = read_table(spark, root)
     assert df.count() == 256
 
@@ -841,8 +843,10 @@ def test_partitioned_cdc_and_date_partitions(spark, tmp_path):
         "user_id bigint, v string, ts bigint, p date",
     )
     upsert_manifest_partitioned(df2, root, ["user_id"], "ts", "p")
-    m2 = read_manifest(root, 2)
-    assert set(m2["partitions"]) == {"2024-01-01", "2024-01-02"}
+    assert set(txn.resolve_partitions(root, 2)) == {
+        "2024-01-01",
+        "2024-01-02",
+    }
     got = {
         r["user_id"]: r["status"]
         for r in table_changes(spark, root, 1, 2).collect()
