@@ -138,21 +138,37 @@ def decode_media(
     )
 
 
-def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Importable-optional real codec: image payloads decode through
-    PIL when it is installed (width/height/format from the actual
-    bytes); audio/video still need ffmpeg and raise. Executor-side
-    import — workers without PIL raise the same targeted error."""
+def _decode_wav(b: bytes) -> tuple[int, int, str]:
+    """Real audio-header decode via the stdlib ``wave`` module — no
+    ffmpeg needed for RIFF/WAVE payloads. Returns (framerate,
+    channels, 'PCM<bits>'); any other audio container still needs
+    ffmpeg and raises the same targeted error as before."""
     import io
+    import wave
 
-    try:
-        from PIL import Image
-    except ImportError as e:  # pragma: no cover - env-dependent
+    if not b.startswith(b"RIFF"):
         raise NotImplementedError(
-            "real media decoding requires PIL (images) / ffmpeg "
-            "(audio/video), not importable on this executor; run with "
-            "real_decode=False for the deterministic stub"
-        ) from e
+            "real decode of non-WAV audio requires ffmpeg, not "
+            "present; WAV decodes via the stdlib wave module"
+        )
+    with wave.open(io.BytesIO(b)) as w:
+        return (
+            w.getframerate(),
+            w.getnchannels(),
+            f"PCM{8 * w.getsampwidth()}",
+        )
+
+
+def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Importable-optional real codecs: image payloads decode through
+    PIL when it is installed (width/height/format from the actual
+    bytes); WAV audio decodes through the stdlib ``wave`` module
+    (width=sample rate, height=channels, format=PCM<bits> — the
+    schema's spatial slots carry the audio geometry, documented
+    here); non-WAV audio and video still need ffmpeg and raise.
+    Executor-side imports — workers without PIL raise the same
+    targeted error."""
+    import io
 
     rows = []
     for doc_id, mt, payload in zip(
@@ -161,11 +177,24 @@ def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         if payload is None:
             rows.append((doc_id, mt, None, None, None, None))
             continue
+        if mt == "audio":
+            rate, channels, fmt = _decode_wav(bytes(payload))
+            rows.append((doc_id, mt, len(payload), rate, channels, fmt))
+            continue
         if mt != "image":
             raise NotImplementedError(
                 f"real decode of media_type={mt!r} requires ffmpeg, "
-                "not present; only 'image' decodes via PIL"
+                "not present; 'image' decodes via PIL, WAV 'audio' "
+                "via the stdlib wave module"
             )
+        try:
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "real image decoding requires PIL, not importable on "
+                "this executor; run with real_decode=False for the "
+                "deterministic stub"
+            ) from e
         with Image.open(io.BytesIO(bytes(payload))) as im:
             rows.append(
                 (doc_id, mt, len(payload), im.width, im.height, im.format)

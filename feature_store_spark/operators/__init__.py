@@ -1,6 +1,7 @@
 from feature_store_spark.operators.aggregates import (
     completeness_report,
     decayed_aggregate,
+    evaluate_alerts,
     freshness_report,
     mode_deterministic,
     stats_with_outliers,
@@ -21,6 +22,7 @@ from feature_store_spark.operators.sampling import (
 from feature_store_spark.operators.skew import salted_join
 from feature_store_spark.operators.windows import (
     asof_join,
+    funnel,
     latest_per_key,
     scd2_history,
     sessionize,
@@ -34,7 +36,9 @@ __all__ = [
     "cluster_by_zorder",
     "completeness_report",
     "decayed_aggregate",
+    "evaluate_alerts",
     "freshness_report",
+    "funnel",
     "latest_per_key",
     "mode_deterministic",
     "priority_sample",

@@ -514,3 +514,61 @@ def update_algebraic_partials(
         existing = existing.join(touched, key_cols, "left_semi")
     merged = existing.unionByName(batch_partials)
     return merge_algebraic_partials(merged, key_cols, agg_spec)
+
+
+def evaluate_alerts(metrics: DataFrame, rules: Sequence[dict]) -> DataFrame:
+    """Alert-rule evaluation over metric rows — the queryable analogue
+    of the reference's PromQL alert rules
+    (`monitoring/alerts/api_alerts.yml:1-22`: warning/critical
+    threshold ladders over latency, error-rate, cache-hit and
+    liveness gauges). The engine's gauges are data-quality scalars
+    (freshness/completeness/count metrics), so the operator takes a
+    tiny (metric, value) frame plus declarative rules and emits one
+    verdict row per rule: (rule, severity, metric, value, threshold,
+    firing).
+
+    ``rules``: [{"rule", "metric", "op" (one of < <= > >= ==),
+    "threshold", "severity"}]. A rule whose metric is absent from the
+    frame reports value NULL and firing FALSE (PromQL's absent-metric
+    behavior) — alerting on absence itself is just a count metric.
+
+    Scale shape: ``metrics`` is the OUTPUT of aggregate jobs (a few
+    rows), so this is a broadcast join of two tiny frames — zero
+    shuffles of table data; the heavy lifting stays in whatever
+    aggregates produced the metrics."""
+    ops = {"<", "<=", ">", ">=", "=="}
+    bad = [r for r in rules if r.get("op") not in ops]
+    if bad or not rules:
+        raise ValueError(
+            f"evaluate_alerts: rules need op in {sorted(ops)}; "
+            f"got {bad!r}" if bad else "evaluate_alerts: no rules"
+        )
+    spark = metrics.sparkSession
+    rules_df = spark.createDataFrame(
+        [
+            (r["rule"], r["metric"], r["op"],
+             float(r["threshold"]), r["severity"])
+            for r in rules
+        ],
+        "rule string, metric string, op string, "
+        "threshold double, severity string",
+    )
+    m = metrics.select(
+        F.col("metric"), F.col("value").cast("double").alias("value")
+    )
+    v, t = F.col("value"), F.col("threshold")
+    fired = (
+        F.when(F.col("op") == "<", v < t)
+        .when(F.col("op") == "<=", v <= t)
+        .when(F.col("op") == ">", v > t)
+        .when(F.col("op") == ">=", v >= t)
+        .otherwise(v == t)
+    )
+    return rules_df.join(F.broadcast(m), "metric", "left").select(
+        "rule",
+        "severity",
+        "metric",
+        "value",
+        "threshold",
+        F.coalesce(fired, F.lit(False)).alias("firing"),
+    )

@@ -283,3 +283,59 @@ def scd2_history_oracle_sql(
     FROM points
     WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {tiebreak_col})
     """
+
+
+def funnel(
+    df: DataFrame,
+    stages: Sequence[tuple[str, Column]],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    depth_col: str = "funnel_depth",
+) -> DataFrame:
+    """N-stage ordered funnel conversion: per ``user_col``, the first
+    event matching stage 1, then the first event matching stage k
+    AT-OR-AFTER the stage-(k-1) timestamp — the stage-progression
+    query behind every product-analytics funnel (and the label-
+    construction step for conversion models). ``stages`` is an
+    ordered list of (name, row-predicate Column) pairs; the output is
+    one row per user with ``t_<name>`` per stage plus ``depth_col`` =
+    the deepest stage reached (0 = none).
+
+    Plan shape: the sequential dependence (each stage anchors on the
+    previous stage's timestamp) is expressed as N chained conditional
+    window-mins over ONE user partitioning followed by the final
+    group-by on the same key — a single Exchange, zero joins, zero
+    re-scans of the events table. A join-per-stage formulation would
+    re-shuffle the full events table N times; this shape is flat in
+    stage count, which is what survives a 100× scale-up. (W10's
+    3-stage driver row pins the fixed instance against exactly that
+    join-per-stage oracle; `tests/test_operators.py` pins a 4-stage
+    funnel against a join-per-stage model.)"""
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least 2 stages")
+    names = [n for n, _ in stages]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate stage names: {names!r}")
+    w = Window.partitionBy(user_col)
+    out = df
+    prev: str | None = None
+    for name, pred in stages:
+        cond = (
+            pred
+            if prev is None
+            else pred & (F.col(ts_col) >= F.col(prev))
+        )
+        out = out.withColumn(
+            f"t_{name}",
+            F.min(F.when(cond, F.col(ts_col))).over(w),
+        )
+        prev = f"t_{name}"
+    firsts = [F.max(f"t_{n}").alias(f"t_{n}") for n in names]
+    depth = F.lit(0)
+    for i, n in enumerate(names):
+        depth = F.when(
+            F.max(f"t_{n}").isNotNull(), F.lit(i + 1)
+        ).otherwise(depth)
+    return out.groupBy(user_col).agg(
+        *firsts, depth.cast("bigint").alias(depth_col)
+    )

@@ -710,56 +710,28 @@ def q_w10_funnel_conversion(spark, sf_dir):
     query behind every product-analytics funnel (and the
     label-construction step for conversion models). Sequential
     dependence (each stage anchors on the previous stage's timestamp)
-    is expressed as three chained conditional window-mins over ONE
-    user partitioning: a single Exchange, zero joins, zero re-scans —
-    the plan a cluster wants (the oracle's join-per-stage formulation
+    is expressed as chained conditional window-mins over ONE user
+    partitioning: a single Exchange, zero joins, zero re-scans — the
+    plan a cluster wants (the oracle's join-per-stage formulation
     would re-shuffle the events table per stage). Timestamps truncate
     to seconds BEFORE anchoring on both engines (the time-boundary
-    parity rule)."""
-    w = Window.partitionBy("user_id")
+    parity rule). This driver row pins the fixed 3-stage instance of
+    the general N-stage ``operators.windows.funnel``."""
+    from feature_store_spark.operators.windows import funnel
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.date_trunc("second", F.col("ts")).alias("tss"),
         "event_type",
     )
-    staged = (
-        ev.withColumn(
-            "t_view",
-            F.min(
-                F.when(F.col("event_type") == "view", F.col("tss"))
-            ).over(w),
-        )
-        .withColumn(
-            "t_click",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "click")
-                    & (F.col("tss") >= F.col("t_view")),
-                    F.col("tss"),
-                )
-            ).over(w),
-        )
-        .withColumn(
-            "t_purchase",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("tss") >= F.col("t_click")),
-                    F.col("tss"),
-                )
-            ).over(w),
-        )
-    )
-    return staged.groupBy("user_id").agg(
-        F.max("t_view").alias("t_view"),
-        F.max("t_click").alias("t_click"),
-        F.max("t_purchase").alias("t_purchase"),
-        F.when(F.max("t_purchase").isNotNull(), 3)
-        .when(F.max("t_click").isNotNull(), 2)
-        .when(F.max("t_view").isNotNull(), 1)
-        .otherwise(0)
-        .cast("bigint")
-        .alias("funnel_depth"),
+    return funnel(
+        ev,
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        ts_col="tss",
     )
 
 
@@ -1532,3 +1504,89 @@ def q_l1_zorder(spark, sf_dir):
         ),
     )
     return zorder_key(orders, ["o_custkey", "price_cents"])
+
+
+ALERT_RULES = [
+    # the reference's PromQL ladder shape (warning + critical on the
+    # same gauge, monitoring/alerts/api_alerts.yml) over the engine's
+    # data-quality gauges; liveness ("up == 0") becomes a count metric
+    {"rule": "completeness_text_warning", "metric": "completeness_text",
+     "op": "<", "threshold": 0.95, "severity": "warning"},
+    {"rule": "completeness_text_critical", "metric": "completeness_text",
+     "op": "<", "threshold": 0.80, "severity": "critical"},
+    {"rule": "completeness_lang_warning", "metric": "completeness_lang",
+     "op": "<", "threshold": 0.95, "severity": "warning"},
+    {"rule": "freshness_24h_warning", "metric": "fresh_ratio_24h",
+     "op": "<", "threshold": 0.50, "severity": "warning"},
+    {"rule": "orders_present_critical", "metric": "orders_row_count",
+     "op": "<", "threshold": 1.0, "severity": "critical"},
+]
+
+_ALERT_VALUES = ", ".join(
+    "('{rule}', '{metric}', '{op}', {threshold}, '{severity}')".format(**r)
+    for r in ALERT_RULES
+)
+
+
+@spec(
+    "alert_rules",
+    f"""WITH m AS (
+      SELECT 'completeness_text' AS metric,
+             count(text) / count(*) AS value FROM documents
+      UNION ALL SELECT 'completeness_lang',
+             count(lang) / count(*) FROM documents
+      UNION ALL SELECT 'fresh_ratio_24h',
+             count(*) FILTER (WHERE ts >= {SQL_NOW} - INTERVAL 24 HOUR)
+               / count(*) FROM events
+      UNION ALL SELECT 'orders_row_count',
+             CAST(count(*) AS DOUBLE) FROM orders
+    ), r(rule, metric, op, threshold, severity) AS (
+      VALUES {_ALERT_VALUES}
+    )
+    SELECT r.rule, r.severity, r.metric, m.value AS value,
+           CAST(r.threshold AS DOUBLE) AS threshold,
+           COALESCE(CASE WHEN r.op = '<' THEN m.value < r.threshold
+                         WHEN r.op = '>' THEN m.value > r.threshold
+                         WHEN r.op = '<=' THEN m.value <= r.threshold
+                         WHEN r.op = '>=' THEN m.value >= r.threshold
+                         ELSE m.value = r.threshold END,
+                    FALSE) AS firing
+    FROM r LEFT JOIN m USING (metric)""",
+    ("ext", "A8", "A9", "alerts"),
+)
+def q_alert_rules(spark, sf_dir):
+    """Alert-rule evaluation (VERDICT r5 item 8): the reference ships
+    PromQL threshold alerts (`monitoring/alerts/api_alerts.yml:1-22`);
+    the engine's queryable analogue evaluates declarative rules over
+    its data-quality gauges — completeness ratios (documents),
+    24h freshness ratio (events, injected now), and a liveness-style
+    row-count — emitting (rule, severity, metric, value, threshold,
+    firing). The gauges are single-aggregate jobs; the rule join is a
+    broadcast of two tiny frames (`operators.aggregates.
+    evaluate_alerts`)."""
+    from feature_store_spark.operators.aggregates import evaluate_alerts
+
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    total = F.count(F.lit(1))
+    m_docs = docs.agg(
+        (F.count("text") / total).alias("completeness_text"),
+        (F.count("lang") / total).alias("completeness_lang"),
+    ).selectExpr(
+        "stack(2, 'completeness_text', completeness_text, "
+        "'completeness_lang', completeness_lang) as (metric, value)"
+    )
+    fresh_cut = F.to_timestamp(F.lit(EVENTS_NOW)) - F.expr(
+        "INTERVAL 24 HOURS"
+    )
+    m_events = events.agg(
+        (F.count(F.when(F.col("ts") >= fresh_cut, 1)) / total).alias(
+            "value"
+        )
+    ).select(F.lit("fresh_ratio_24h").alias("metric"), "value")
+    m_orders = orders.agg(total.cast("double").alias("value")).select(
+        F.lit("orders_row_count").alias("metric"), "value"
+    )
+    metrics = m_docs.unionByName(m_events).unionByName(m_orders)
+    return evaluate_alerts(metrics, ALERT_RULES)

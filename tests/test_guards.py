@@ -510,3 +510,45 @@ def test_containment_max_df_prunes_candidates_not_values(spark):
         ngram_containment_pairs(docs, n=3, threshold=0.8, max_df=1).collect()
         == []
     )
+
+
+def test_evaluate_alerts_semantics(spark):
+    """Alert-rule evaluation (the reference's PromQL ladder shape,
+    monitoring/alerts/api_alerts.yml): firing per op, absent metric ->
+    value NULL + firing FALSE, bad/empty rules raise."""
+    import pytest
+
+    from feature_store_spark.operators.aggregates import evaluate_alerts
+
+    metrics = spark.createDataFrame(
+        [("m_low", 0.5), ("m_high", 2.0)], "metric string, value double"
+    )
+    rules = [
+        {"rule": "low_lt", "metric": "m_low", "op": "<",
+         "threshold": 0.8, "severity": "warning"},
+        {"rule": "high_gt", "metric": "m_high", "op": ">",
+         "threshold": 1.0, "severity": "critical"},
+        {"rule": "high_ge_edge", "metric": "m_high", "op": ">=",
+         "threshold": 2.0, "severity": "warning"},
+        {"rule": "high_eq", "metric": "m_high", "op": "==",
+         "threshold": 2.0, "severity": "warning"},
+        {"rule": "absent", "metric": "nope", "op": ">",
+         "threshold": 0.0, "severity": "critical"},
+    ]
+    got = {r["rule"]: r for r in evaluate_alerts(metrics, rules).collect()}
+    assert got["low_lt"]["firing"] is True
+    assert got["high_gt"]["firing"] is True
+    assert got["high_ge_edge"]["firing"] is True
+    assert got["high_eq"]["firing"] is True
+    assert got["absent"]["firing"] is False
+    assert got["absent"]["value"] is None
+    assert got["high_gt"]["severity"] == "critical"
+
+    with pytest.raises(ValueError, match="op"):
+        evaluate_alerts(
+            metrics,
+            [{"rule": "x", "metric": "m_low", "op": "!!",
+              "threshold": 1, "severity": "warning"}],
+        )
+    with pytest.raises(ValueError, match="rules"):
+        evaluate_alerts(metrics, [])
