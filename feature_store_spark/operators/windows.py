@@ -291,6 +291,7 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     depth_col: str = "funnel_depth",
+    max_gap: float | Sequence[float | None] | None = None,
 ) -> DataFrame:
     """N-stage ordered funnel conversion: per ``user_col``, the first
     event matching stage 1, then the first event matching stage k
@@ -300,6 +301,14 @@ def funnel(
     ordered list of (name, row-predicate Column) pairs; the output is
     one row per user with ``t_<name>`` per stage plus ``depth_col`` =
     the deepest stage reached (0 = none).
+
+    ``max_gap`` adds a conversion window: stage k only counts within
+    ``max_gap`` seconds of the stage-(k-1) anchor (a number applies to
+    every transition; a sequence of len(stages)-1 values sets
+    per-transition windows, None entries unbounded). Works for
+    timestamp and numeric ``ts_col`` alike; the window changes only
+    the per-row predicate — the plan shape (one Exchange) is
+    unchanged.
 
     Plan shape: the sequential dependence (each stage anchors on the
     previous stage's timestamp) is expressed as N chained conditional
@@ -316,15 +325,33 @@ def funnel(
     names = [n for n, _ in stages]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate stage names: {names!r}")
+    if max_gap is None or isinstance(max_gap, (int, float)):
+        gaps = [max_gap] * (len(stages) - 1)
+    else:
+        gaps = list(max_gap)
+        if len(gaps) != len(stages) - 1:
+            raise ValueError(
+                f"max_gap needs one value per transition "
+                f"({len(stages) - 1}), got {len(gaps)}"
+            )
+    is_ts = dict(df.dtypes)[ts_col].startswith("timestamp")
     w = Window.partitionBy(user_col)
     out = df
     prev: str | None = None
-    for name, pred in stages:
-        cond = (
-            pred
-            if prev is None
-            else pred & (F.col(ts_col) >= F.col(prev))
-        )
+    for i, (name, pred) in enumerate(stages):
+        if prev is None:
+            cond = pred
+        else:
+            cond = pred & (F.col(ts_col) >= F.col(prev))
+            gap = gaps[i - 1]
+            if gap is not None:
+                bound = (
+                    F.col(prev)
+                    + F.expr(f"INTERVAL {float(gap)} SECONDS")
+                    if is_ts
+                    else F.col(prev) + F.lit(gap)
+                )
+                cond = cond & (F.col(ts_col) <= bound)
         out = out.withColumn(
             f"t_{name}",
             F.min(F.when(cond, F.col(ts_col))).over(w),

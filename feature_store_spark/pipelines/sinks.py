@@ -269,7 +269,10 @@ def export_warehouse(
     ``date_col``, clustered by ``cluster_col`` (repartition +
     sortWithinPartitions — co-locates keys for point lookups and merge
     joins),
-    with a retention filter standing in for partition expiration.
+    with a retention filter on incoming rows standing in for partition
+    expiration (the transactional path goes further: after its commit
+    it DROPS date partitions past retention atomically via
+    ``txn.drop_partitions`` — real expiration, like BigQuery's).
     Returns the exported row count, observed during the write — never
     a second pass over the warehouse.
 
@@ -336,6 +339,34 @@ def export_warehouse(
             partition_col="partition_date",
             mode="replace",
         )
+        if retention_days is not None and ref_date is not None:
+            # real partition EXPIRATION, not just an ingest filter:
+            # the reference's warehouse sets partition_expiration_days
+            # (`sql/bigquery_schema.sql:18-26`) and BigQuery drops the
+            # old partitions itself — here an atomic zero-data-work
+            # commit removes date partitions past retention (leaves
+            # reclaimed by the next vacuum; time travel still sees
+            # them). DATE partition keys are ISO strings, so the
+            # cutoff compare is lexicographic-safe.
+            import datetime
+
+            from feature_store_spark.pipelines.txn import (
+                drop_partitions,
+                latest_version,
+                resolve_partitions,
+            )
+
+            cutoff = (
+                datetime.date.fromisoformat(ref_date)
+                - datetime.timedelta(days=retention_days)
+            ).isoformat()
+            expired = [
+                pk
+                for pk in resolve_partitions(path, latest_version(path))
+                if pk < cutoff
+            ]
+            if expired:
+                drop_partitions(path, expired)
         # this RUN's rows (observed on the commit's own scan), matching
         # the non-transactional return — the table total would mask a
         # zero-row derivation day behind the merged history

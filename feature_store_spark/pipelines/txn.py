@@ -236,16 +236,45 @@ def _rmdir_if_no_live_children(path: str, root: str, kept: set[str]) -> None:
 
 
 def read_table(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    partition_values: Sequence | None = None,
 ) -> tuple[DataFrame | None, int]:
     """(snapshot, version) pinned to ONE committed manifest — or
     (None, 0) for a table with no commits. Passing ``version`` time-
-    travels to that commit (manifests are retained until vacuumed)."""
+    travels to that commit (manifests are retained until vacuumed).
+
+    ``partition_values`` (partition-scoped tables only) is MANIFEST-
+    LEVEL partition pruning: only the named partitions' leaf dirs are
+    listed and scanned — the reader never even stats the other
+    leaves, where a WHERE filter would still list every file. This is
+    what the partitioned layout is FOR at scale: a point-in-time read
+    of one day out of 730 touches 1/730th of the metadata and data.
+    Values absent from the snapshot are ignored (an empty selection
+    reads as an empty frame under the pinned schema)."""
     v = latest_version(root) if version is None else version
     if v == 0:
         return None, 0
     m = read_manifest(root, v)
     schema = StructType.fromJson(m["schema"])
+    if partition_values is not None:
+        if not _is_partitioned(m):
+            raise ValueError(
+                f"{root!r} is not a partition-scoped manifest table; "
+                "partition_values needs the partitioned layout"
+            )
+        wanted = {_pkey(pv) for pv in partition_values}
+        pmap = resolve_partitions(root, v)
+        dirs = [e["dir"] for pk, e in pmap.items() if pk in wanted]
+        if not dirs:
+            return spark.createDataFrame([], schema), v
+        return (
+            spark.read.schema(schema).parquet(
+                *(os.path.join(root, d) for d in dirs)
+            ),
+            v,
+        )
     # format 1 manifests reference one snapshot dir; formats 2/3
     # (partitioned) one immutable leaf dir per live partition (deltas
     # resolve through the checkpoint chain) — either way the read is a
@@ -718,7 +747,12 @@ def upsert_manifest_partitioned(
                     f"table is partitioned by {tip['partition_col']!r}, "
                     f"not {partition_col!r}"
                 )
-        tip_parts: dict = resolve_partitions(root, v) if tip else {}
+        try:
+            tip_parts: dict = resolve_partitions(root, v) if tip else {}
+        except FileNotFoundError:
+            # a concurrent vacuum pruned part of the tip's resolution
+            # chain between our reads — the tip has moved; re-resolve
+            continue
         tip_touched = {
             pk: (tip_parts[pk]["dir"] if pk in tip_parts else None)
             for pk in keys
@@ -961,7 +995,10 @@ def compact_manifest(
             shutil.rmtree(os.path.join(root, new_rel), ignore_errors=True)
             continue
 
-        parts = resolve_partitions(root, v)
+        try:
+            parts = resolve_partitions(root, v)
+        except FileNotFoundError:
+            continue  # concurrent vacuum pruned the chain; re-resolve
         if partition_values is None:
             selected = list(parts)
         else:
@@ -1111,6 +1148,63 @@ def compact_manifest(
         shutil.rmtree(os.path.join(root, commit_rel), ignore_errors=True)
     raise RuntimeError(
         f"compact_manifest: gave up after {max_retries} version races "
+        f"at {root!r}"
+    )
+
+
+def drop_partitions(
+    root: str,
+    partition_values: Sequence,
+    max_retries: int = 20,
+    backend: LocalLinkBackend | None = None,
+) -> int:
+    """Atomically remove whole partitions from a partition-scoped
+    manifest table — partition-level retention, the engine analogue of
+    BigQuery's partition expiration (the reference's warehouse sets
+    ``partition_expiration_days``, `sql/bigquery_schema.sql:18-26`)
+    and Delta's ``DELETE WHERE p < cutoff`` fast path. Publishes a new
+    version whose map lacks the dropped entries via the delta format's
+    ``removed`` list: ZERO Spark work, no data files touched — the
+    dropped leaves stay on disk for time travel until ``vacuum``
+    reclaims them. Idempotent (already-absent values are ignored, so a
+    re-run retention job is a no-op). Returns the number of partitions
+    actually dropped; 0 means no commit was published."""
+    requested = {_pkey(v) for v in partition_values}
+    if not requested:
+        return 0
+    for _ in range(max_retries):
+        v = latest_version(root)
+        if v == 0:
+            return 0  # nothing committed, nothing to drop
+        try:
+            tip = read_manifest(root, v)
+            if not _is_partitioned(tip):
+                raise ValueError(
+                    f"{root!r} is an UNPARTITIONED manifest table; "
+                    "drop_partitions needs the partition-scoped layout"
+                )
+            parts = resolve_partitions(root, v)
+        except FileNotFoundError:
+            continue  # concurrent vacuum moved the tip; re-resolve
+        dropping = sorted(requested & set(parts))
+        if not dropping:
+            return 0
+        remaining = {
+            pk: e for pk, e in parts.items() if pk not in requested
+        }
+        manifest = {
+            "base_version": v,
+            "rows": sum(e["rows"] for e in remaining.values()),
+            "schema": tip["schema"],
+            "partition_col": tip["partition_col"],
+            "updates": {},
+            "removed": dropping,
+        }
+        if _try_commit(root, v + 1, manifest, backend):
+            _maybe_checkpoint(root, v + 1, remaining, backend)
+            return len(dropping)
+    raise RuntimeError(
+        f"drop_partitions: gave up after {max_retries} version races "
         f"at {root!r}"
     )
 
@@ -1298,12 +1392,25 @@ def vacuum(
         # one with FileNotFoundError.
         # Delta manifests chain through EARLIER versions, so every
         # version's dir set is resolved BEFORE anything is deleted.
+        # A KEPT version that fails to resolve (a concurrent vacuum
+        # with a newer tip pruned its chain mid-read) ABORTS the
+        # prune pass: proceeding with an incomplete kept_dirs could
+        # delete a carried-forward leaf that kept version still
+        # references — the concurrent vacuum owns this window and
+        # will do the pruning itself. A prunable version that fails
+        # is merely skipped (already being handled).
         dirs_by_v: dict[int, list[str]] = {}
+        aborted = False
         for v in sorted(keep_versions | set(prunable)):
             try:
                 dirs_by_v[v] = _version_dirs(root, v)
             except FileNotFoundError:
+                if v in keep_versions:
+                    aborted = True
+                    break
                 continue
+        if aborted:
+            prunable = []
         kept_dirs = set()
         for v in keep_versions:
             kept_dirs.update(dirs_by_v.get(v, []))

@@ -1143,3 +1143,63 @@ def test_funnel_n_stage_matches_join_per_stage_model(spark_prop, events):
         )
         expect[u] = (*anchors, depth)
     assert got == expect
+
+
+def test_funnel_conversion_window(spark):
+    """max_gap: a stage only converts within the window of the prior
+    anchor — per-transition windows, numeric and timestamp ts, the
+    boundary itself inclusive."""
+    from feature_store_spark.operators.windows import funnel
+
+    stages = [
+        ("a", F.col("event_type") == "a"),
+        ("b", F.col("event_type") == "b"),
+        ("c", F.col("event_type") == "c"),
+    ]
+    df = spark.createDataFrame(
+        [
+            # u1: b at +10 (inside), c at +100 after b (outside 30)
+            (1, "a", 0), (1, "b", 10), (1, "c", 110),
+            # u2: b exactly on the boundary (inclusive), c inside
+            (2, "a", 0), (2, "b", 30), (2, "c", 40),
+            # u3: first b outside the window but a LATER b inside? no —
+            # windows anchor on first a; b at 31 never converts
+            (3, "a", 0), (3, "b", 31), (3, "c", 32),
+        ],
+        "user_id bigint, event_type string, ts bigint",
+    )
+    got = {
+        r["user_id"]: (r["t_a"], r["t_b"], r["t_c"], r["funnel_depth"])
+        for r in funnel(df, stages, max_gap=30).collect()
+    }
+    assert got[1] == (0, 10, None, 2)
+    assert got[2] == (0, 30, 40, 3)
+    assert got[3] == (0, None, None, 1)
+
+    # per-transition: unbounded a->b, tight b->c
+    got = {
+        r["user_id"]: r["funnel_depth"]
+        for r in funnel(df, stages, max_gap=[None, 5]).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 3}
+
+    # timestamp ts_col takes the same gap in seconds
+    tdf = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00"), (1, "b", "2024-01-01 00:00:40")],
+        "user_id bigint, event_type string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["user_id"]: r["funnel_depth"]
+        for r in funnel(tdf, stages[:2], max_gap=30).collect()
+    }
+    assert got == {1: 1}
+    got = {
+        r["user_id"]: r["funnel_depth"]
+        for r in funnel(tdf, stages[:2], max_gap=60).collect()
+    }
+    assert got == {1: 2}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="transition"):
+        funnel(df, stages, max_gap=[30])

@@ -17,6 +17,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 import feature_store_spark.pipelines.txn as txn
 from feature_store_spark.pipelines.txn import (
@@ -292,3 +293,134 @@ def test_vacuum_prunes_stale_rollups(tmp_path):
     assert latest_version(root) == 40
     assert resolve_partitions(root, 40) == tip_map
     assert resolve_partitions(root, 38)  # oldest kept resolves too
+
+
+def test_drop_partitions_and_warehouse_expiration(spark, tmp_path):
+    """Partition-level retention: drop_partitions publishes a
+    zero-data-work 'removed' commit — the tip loses the partitions,
+    time travel still sees them, vacuum reclaims the leaves, a re-run
+    is a no-op — and export_warehouse(transactional=True) uses it to
+    actually EXPIRE date partitions past retention (the reference's
+    BigQuery partition_expiration_days analogue,
+    sql/bigquery_schema.sql:18-26)."""
+    from feature_store_spark.pipelines.sinks import export_warehouse
+    from feature_store_spark.pipelines.txn import drop_partitions
+
+    root = str(tmp_path / "t")
+
+    def up(rows):
+        upsert_manifest_partitioned(
+            spark.createDataFrame(
+                rows, "user_id bigint, v string, ts bigint, p string"
+            ),
+            root,
+            ["user_id"],
+            "ts",
+            "p",
+        )
+
+    up([(1, "a", 1, "d1"), (2, "b", 1, "d2"), (3, "c", 1, "d3")])
+    assert drop_partitions(root, ["d1", "nope"]) == 1  # absent ignored
+    assert latest_version(root) == 2
+    df, _ = read_table(spark, root)
+    assert {r["p"] for r in df.collect()} == {"d2", "d3"}
+    assert read_manifest(root, 2)["rows"] == 2
+    # time travel still sees the dropped partition
+    df1, _ = read_table(spark, root, version=1)
+    assert df1.count() == 3
+    # idempotent re-run: no-op, no commit
+    assert drop_partitions(root, ["d1"]) == 0
+    assert latest_version(root) == 2
+    # a re-add after the drop works (removed entries don't shadow)
+    up([(9, "z", 1, "d1")])
+    assert {r["p"] for r in read_table(spark, root)[0].collect()} == {
+        "d1", "d2", "d3",
+    }
+    # vacuum reclaims the ORIGINAL d1 leaf once v1/v2 are pruned
+    d1_old = resolve_partitions(root, 1)["d1"]["dir"]
+    removed = vacuum(root, keep_last=1)
+    assert d1_old in removed
+    assert read_table(spark, root)[0].count() == 3
+
+    with pytest.raises(ValueError, match="UNPARTITIONED"):
+        flat = str(tmp_path / "flat")
+        from feature_store_spark.pipelines.txn import upsert_manifest
+
+        upsert_manifest(
+            spark.createDataFrame(
+                [(1, "a", 1)], "user_id bigint, v string, ts bigint"
+            ),
+            flat,
+            ["user_id"],
+            "ts",
+        )
+        drop_partitions(flat, ["x"])
+
+    # warehouse expiration: day far past retention is dropped on the
+    # next transactional export
+    wh = str(tmp_path / "wh")
+    old_day = spark.createDataFrame(
+        [(1, 1.0, "2020-01-01 00:00:00")],
+        "user_id bigint, score double, updated_at string",
+    ).withColumn("updated_at", F.to_timestamp("updated_at"))
+    export_warehouse(old_day, wh, transactional=True)  # no ref_date: kept
+    new_day = spark.createDataFrame(
+        [(1, 2.0, "2024-06-01 00:00:00")],
+        "user_id bigint, score double, updated_at string",
+    ).withColumn("updated_at", F.to_timestamp("updated_at"))
+    assert (
+        export_warehouse(
+            new_day, wh, transactional=True,
+            retention_days=730, ref_date="2024-06-02",
+        )
+        == 1
+    )
+    tip = latest_version(wh)
+    assert set(resolve_partitions(wh, tip)) == {"2024-06-01"}
+    df, _ = read_table(spark, wh)
+    assert df.count() == 1
+
+
+def test_read_table_manifest_level_partition_pruning(spark, tmp_path):
+    """partition_values on read_table lists ONLY the named leaves —
+    proven physically: every other partition's leaf is renamed away
+    while the pruned read collects."""
+    root = str(tmp_path / "t")
+    upsert_manifest_partitioned(
+        spark.createDataFrame(
+            [(1, "a", 1, "d1"), (2, "b", 1, "d2"), (3, "c", 1, "d3")],
+            "user_id bigint, v string, ts bigint, p string",
+        ),
+        root,
+        ["user_id"],
+        "ts",
+        "p",
+    )
+    pmap = resolve_partitions(root, 1)
+    hidden = []
+    for pk in ("d2", "d3"):
+        d = os.path.join(root, pmap[pk]["dir"])
+        os.rename(d, d + ".hidden")
+        hidden.append(d)
+    try:
+        df, v = read_table(spark, root, partition_values=["d1", "nope"])
+        rows = df.collect()
+    finally:
+        for d in hidden:
+            os.rename(d + ".hidden", d)
+    assert v == 1 and [(r["user_id"], r["p"]) for r in rows] == [(1, "d1")]
+    # empty selection -> empty frame under the pinned schema
+    df, _ = read_table(spark, root, partition_values=["zzz"])
+    assert df.count() == 0 and df.columns == ["user_id", "v", "ts", "p"]
+    # unpartitioned tables refuse the knob
+    flat = str(tmp_path / "flat")
+    txn.upsert_manifest(
+        spark.createDataFrame(
+            [(1, "a", 1)], "user_id bigint, v string, ts bigint"
+        ),
+        flat,
+        ["user_id"],
+        "ts",
+    )
+    with pytest.raises(ValueError, match="partition-scoped"):
+        read_table(spark, flat, partition_values=["x"])
