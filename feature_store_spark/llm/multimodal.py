@@ -151,12 +151,21 @@ def _decode_wav(b: bytes) -> tuple[int, int, str]:
             "real decode of non-WAV audio requires ffmpeg, not "
             "present; WAV decodes via the stdlib wave module"
         )
-    with wave.open(io.BytesIO(b)) as w:
-        return (
-            w.getframerate(),
-            w.getnchannels(),
-            f"PCM{8 * w.getsampwidth()}",
-        )
+    try:
+        with wave.open(io.BytesIO(b)) as w:
+            return (
+                w.getframerate(),
+                w.getnchannels(),
+                f"PCM{8 * w.getsampwidth()}",
+            )
+    except (wave.Error, EOFError) as e:
+        # RIFF-but-not-WAVE (e.g. WebP also starts with RIFF) or a
+        # truncated header — keep the documented targeted error, not
+        # a raw codec exception out of the executor
+        raise NotImplementedError(
+            f"audio payload is RIFF but not a decodable WAV ({e}); "
+            "other containers require ffmpeg, not present"
+        ) from e
 
 
 def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:

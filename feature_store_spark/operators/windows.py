@@ -325,6 +325,15 @@ def funnel(
     names = [n for n, _ in stages]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate stage names: {names!r}")
+    clash = [n for n in names if f"t_{n}" in df.columns]
+    if clash:
+        # withColumn would silently REPLACE the user's column, and a
+        # stage predicate referencing it would resolve to the anchor
+        raise ValueError(
+            f"funnel: input already has column(s) "
+            f"{[f't_{n}' for n in clash]!r} — anchor names are "
+            "reserved; rename the column or the stage"
+        )
     if max_gap is None or isinstance(max_gap, (int, float)):
         gaps = [max_gap] * (len(stages) - 1)
     else:
@@ -345,9 +354,12 @@ def funnel(
             cond = pred & (F.col(ts_col) >= F.col(prev))
             gap = gaps[i - 1]
             if gap is not None:
+                # make_interval, not an f-string INTERVAL literal:
+                # floats that format in scientific notation (1e-07)
+                # would produce an unparseable literal
                 bound = (
                     F.col(prev)
-                    + F.expr(f"INTERVAL {float(gap)} SECONDS")
+                    + F.make_interval(secs=F.lit(float(gap)))
                     if is_ts
                     else F.col(prev) + F.lit(gap)
                 )

@@ -81,20 +81,25 @@ def _read_pointer(root: str) -> int | None:
     """Last tip a committer recorded, or None. Purely a HINT — it may
     lag the true tip (writer crashed between manifest link and pointer
     write); latest_version probes forward from it and falls back to a
-    full listing when the hinted manifest is gone."""
+    full listing when the hinted manifest is gone. ANY malformed
+    content (non-JSON, wrong shape, non-numeric tip) degrades to None,
+    never an exception. (JSONDecodeError subclasses ValueError.)"""
     try:
         with open(_pointer_path(root)) as f:
             return int(json.load(f)["tip"])
-    except (FileNotFoundError, ValueError, KeyError):
-        return None
-    except json.JSONDecodeError:
+    except (FileNotFoundError, ValueError, KeyError, TypeError):
         return None
 
 
 def _write_pointer(root: str, tip: int) -> None:
     """Best-effort monotonic tip hint, atomically replaced. Losing the
     race (or the write) is harmless: the pointer is advisory and every
-    reader tolerates a stale or missing one."""
+    reader tolerates a stale or missing one. Deliberately LOCAL-ONLY
+    (raw rename, not the ``put_if_absent`` backend seam): the hint is
+    a mutable last-write-wins file, which conditional-create cannot
+    express — an object-store deployment simply skips the hint and
+    rides the listing fallback (or lists with a prefix marker), while
+    manifests and rollups stay on the conditional-put seam."""
     cur = _read_pointer(root)
     if cur is not None and cur >= tip:
         return
@@ -161,29 +166,46 @@ def resolve_partitions(root: str, version: int) -> dict:
     replays the deltas forward. The chain is bounded by
     CHECKPOINT_INTERVAL (committers roll up every interval-th version;
     vacuum checkpoints the oldest kept version before pruning its
-    ancestors)."""
-    deltas: list[dict] = []
-    v = version
-    base: dict = {}
-    while v > 0:
+    ancestors).
+
+    Concurrent-vacuum safety: a vacuum can delete an ANCESTOR manifest
+    mid-walk, but it writes the oldest-kept rollup BEFORE pruning — so
+    a broken chain is always rescued by re-walking (the fresh rollup
+    stops the walk above the hole). The bounded retry below makes a
+    resolution of any RETAINED version immune to the race; a version
+    whose OWN manifest is gone (genuinely vacuumed) still raises
+    FileNotFoundError, the documented time-travel-too-far signal."""
+    for attempt in range(3):
+        deltas: list[dict] = []
+        v = version
+        base: dict = {}
         try:
-            with open(_ckpt_path(root, v)) as f:
-                base = json.load(f)["partitions"]
-                break
+            while v > 0:
+                try:
+                    with open(_ckpt_path(root, v)) as f:
+                        base = json.load(f)["partitions"]
+                        break
+                except FileNotFoundError:
+                    pass
+                m = read_manifest(root, v)
+                if "partitions" in m:
+                    base = m["partitions"]
+                    break
+                deltas.append(m)
+                v = m["base_version"]
         except FileNotFoundError:
-            pass
-        m = read_manifest(root, v)
-        if "partitions" in m:
-            base = m["partitions"]
-            break
-        deltas.append(m)
-        v = m["base_version"]
-    out = dict(base)
-    for m in reversed(deltas):
-        for pk in m.get("removed", []):
-            out.pop(pk, None)
-        out.update(m["updates"])
-    return out
+            if v == version or attempt == 2:
+                # the requested version itself is gone (vacuumed), or
+                # the chain stayed broken across retries — surface it
+                raise
+            continue
+        out = dict(base)
+        for m in reversed(deltas):
+            for pk in m.get("removed", []):
+                out.pop(pk, None)
+            out.update(m["updates"])
+        return out
+    raise AssertionError("unreachable")  # pragma: no cover
 
 
 def _version_dirs(root: str, version: int, manifest: dict | None = None) -> list[str]:
@@ -253,10 +275,25 @@ def read_table(
     of one day out of 730 touches 1/730th of the metadata and data.
     Values absent from the snapshot are ignored (an empty selection
     reads as an empty frame under the pinned schema)."""
-    v = latest_version(root) if version is None else version
-    if v == 0:
-        return None, 0
-    m = read_manifest(root, v)
+    for _ in range(5):
+        v = latest_version(root) if version is None else version
+        if v == 0:
+            return None, 0
+        try:
+            m = read_manifest(root, v)
+            break
+        except FileNotFoundError:
+            if version is not None:
+                raise  # explicit time travel to a vacuumed version
+            # the resolved tip was superseded AND pruned between the
+            # listing and the read (vacuum keeps the newest, so a
+            # fresh re-resolution always lands on a live manifest)
+            continue
+    else:
+        raise RuntimeError(
+            f"read_table: tip of {root!r} kept moving under concurrent "
+            "vacuums; retry"
+        )
     schema = StructType.fromJson(m["schema"])
     if partition_values is not None:
         if not _is_partitioned(m):
@@ -632,6 +669,24 @@ def _ptoken(pkey: str) -> str:
     return hashlib.sha1(pkey.encode("utf-8")).hexdigest()[:16]
 
 
+def _ptok_mapping(spark: SparkSession, pcol_field, pk_to_val: dict):
+    """(typed partition value, leaf token) broadcast frame — the ONE
+    way rows are re-keyed to leaf dirs (upsert and compaction share
+    it). Joining on the TYPED value is load-bearing: a cast-to-string
+    join silently drops rows wherever Python's _pkey and Spark's
+    cast disagree (boolean 'True' vs 'true', timestamps '…00.500000'
+    vs '…00.5'). Built as a tiny frame, not a CASE chain — flat plan
+    depth at any partition count."""
+    from pyspark.sql.types import StringType, StructField
+
+    return spark.createDataFrame(
+        [(val, _ptoken(pk)) for pk, val in pk_to_val.items()],
+        StructType(
+            [pcol_field, StructField("__ptok", StringType(), False)]
+        ),
+    )
+
+
 def upsert_manifest_partitioned(
     updates: DataFrame,
     root: str,
@@ -710,22 +765,7 @@ def upsert_manifest_partitioned(
             "before upserting"
         )
     keys = {_pkey(t): t for t in touched}
-    # value → leaf-token mapping as a tiny broadcast frame, not a
-    # CASE WHEN chain: a bulk load touching thousands of partitions
-    # would otherwise build an O(P)-deep Catalyst expression
-    # (superlinear analysis, StackOverflow risk); the join stays flat
-    # at any P and costs one broadcast of P rows
-    from pyspark.sql.types import StringType, StructField
-
-    tok_map = spark.createDataFrame(
-        [(val, _ptoken(pk)) for pk, val in keys.items()],
-        StructType(
-            [
-                updates.schema[partition_col],
-                StructField("__ptok", StringType(), False),
-            ]
-        ),
-    )
+    tok_map = _ptok_mapping(spark, updates.schema[partition_col], keys)
     written: dict | None = None  # reusable commit from a lost race
     for _ in range(max_retries):
         v = latest_version(root)
@@ -1021,21 +1061,16 @@ def compact_manifest(
         )
         commit_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
         # one job: union the selected leaves, re-key each row to its
-        # leaf token by joining on the TYPED partition value (exactly
-        # how upsert_manifest_partitioned builds its tok_map) — a
-        # string-cast join would silently drop rows wherever Python's
-        # _pkey and Spark's cast-to-string disagree (boolean 'True'
-        # vs 'true', timestamps '…00.500000' vs '…00.5'). The typed
-        # values come from the leaves themselves (one distinct per
-        # selected partition, the same O(selected) collect the upsert
-        # pays for `touched`). Hash-cluster by partition so each
-        # partition's rows coalesce into its own task(s); a single
-        # partition larger than target_file_bytes stays one file
-        # (hash clustering cannot split within a key).
+        # leaf token via the shared typed mapping (`_ptok_mapping` —
+        # the upsert uses the same one). The typed values come from
+        # the leaves themselves (one distinct per selected partition,
+        # the same O(selected) collect the upsert pays for
+        # `touched`). Hash-cluster by partition so each partition's
+        # rows coalesce into its own task(s); a single partition
+        # larger than target_file_bytes stays one file (hash
+        # clustering cannot split within a key).
         token_map = {pk: _ptoken(pk) for pk in selected}
         pcol = tip["partition_col"]
-        from pyspark.sql.types import StringType, StructField
-
         try:
             df = spark.read.schema(schema).parquet(*sel_dirs.values())
             vals = [r[0] for r in df.select(pcol).distinct().collect()]
@@ -1047,15 +1082,7 @@ def compact_manifest(
                     f"contain rows of foreign partitions {stray!r} — "
                     f"the manifest at {root!r} is corrupt; not committing"
                 )
-            mapping = spark.createDataFrame(
-                [(val, token_map[pk]) for pk, val in val_keys.items()],
-                StructType(
-                    [
-                        schema[pcol],
-                        StructField("__ptok", StringType(), False),
-                    ]
-                ),
-            )
+            mapping = _ptok_mapping(spark, schema[pcol], val_keys)
             (
                 df.join(F.broadcast(mapping), pcol)
                 .repartition(int(n_files), F.col(pcol))
@@ -1471,7 +1498,18 @@ def vacuum(
         for v in _list_versions(root):
             try:
                 dirs = _version_dirs(root, v)
-            except FileNotFoundError:  # concurrent vacuum pruned it
+            except FileNotFoundError:
+                # v's OWN manifest vanished (a concurrent vacuum
+                # pruned it) -> its dirs live on only if a retained
+                # version carries them, which that vacuum's
+                # oldest-kept rollup guarantees resolvable — safe to
+                # skip v. But if v's manifest EXISTS and only its
+                # CHAIN is broken (resolve_partitions exhausted its
+                # retries mid-race), an incomplete `referenced` set
+                # could orphan-delete dirs v still references — abort
+                # the orphan pass; the next vacuum retries.
+                if os.path.exists(_manifest_path(root, v)):
+                    return removed
                 continue
             for d in dirs:
                 # a partition leaf (data/<uuid>/__ptok=x) keeps its

@@ -73,6 +73,13 @@ def test_tip_resolution_needs_no_directory_listing(tmp_path):
     with open(txn._pointer_path(root), "w") as f:
         f.write("{not json")
     assert latest_version(root) == 37
+    # valid JSON but wrong shape/type (null tip) -> same fallback
+    with open(txn._pointer_path(root), "w") as f:
+        f.write('{"tip": null}')
+    assert latest_version(root) == 37
+    with open(txn._pointer_path(root), "w") as f:
+        f.write('{"tip": {}}')
+    assert latest_version(root) == 37
 
 
 def test_pointer_lags_probe_forward_finds_tip(tmp_path):
