@@ -265,3 +265,49 @@ def run_migration_validation(
         "orphaned_in_target": extra,
         "status": "SUCCESS" if ok else "FAILED",
     }
+
+
+def run_table_maintenance(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 4,
+    keep_last: int = 3,
+    orphan_grace_seconds: float | None = None,
+) -> dict[str, Any]:
+    """One-call housekeeping for a manifest table — the nightly
+    OPTIMIZE + VACUUM job every lake deployment schedules (the
+    reference delegates the equivalent to Postgres autovacuum +
+    BigQuery partition expiration; a lake layout must run it
+    explicitly). Order matters: compact FIRST (publishes a new tip
+    whose tidy leaves the retention window then protects), vacuum
+    SECOND (reclaims the superseded small-file leaves and pruned
+    history in the same pass). ``min_files`` keeps the compaction
+    incremental — only leaves the streaming/daily sinks actually
+    fragmented get rewritten, so repeated maintenance runs are
+    near-no-ops on a quiet table. Returns the combined report."""
+    from feature_store_spark.pipelines.txn import (
+        compact_manifest,
+        latest_version,
+        vacuum,
+    )
+
+    stats = compact_manifest(
+        spark,
+        root,
+        target_file_bytes=target_file_bytes,
+        min_files=min_files,
+    )
+    removed = vacuum(
+        root,
+        keep_last=keep_last,
+        orphan_grace_seconds=orphan_grace_seconds,
+    )
+    return {
+        "compacted": stats["files_after"] < stats["files_before"],
+        "files_before": stats["files_before"],
+        "files_after": stats["files_after"],
+        "data_dirs_reclaimed": len(removed),
+        "version": latest_version(root),
+        "rows": stats["rows"],
+    }

@@ -422,7 +422,11 @@ def _try_commit(
     the caller handles identically: re-read the tip, re-reconcile,
     retry. A successful publish also advances the tip hint (best
     effort — readers tolerate a stale pointer)."""
-    payload = json.dumps({"version": version, **manifest})
+    import time
+
+    payload = json.dumps(
+        {"version": version, "committed_at": time.time(), **manifest}
+    )
     ok = (backend or _DEFAULT_BACKEND).put_if_absent(
         _manifest_path(root, version), payload
     )
@@ -628,6 +632,7 @@ def upsert_manifest(
         )
         n = int(obs.get["rows"])
         manifest = {
+            "op": "upsert",
             "base_version": v,
             "data_dir": data_rel,
             "rows": n,
@@ -927,6 +932,7 @@ def upsert_manifest_partitioned(
         # partition count; readers resolve through the checkpoint
         # chain (rolled up every CHECKPOINT_INTERVAL commits below)
         manifest = {
+            "op": mode,  # "merge" or "replace"
             "base_version": v,
             "rows": total,
             "schema": written["schema"],
@@ -974,6 +980,7 @@ def compact_manifest(
     partition_values: Sequence | None = None,
     max_retries: int = 20,
     backend: LocalLinkBackend | None = None,
+    min_files: int | None = None,
 ) -> dict:
     """OPTIMIZE for manifest tables: rewrite the tip's data into
     ~``target_file_bytes`` files and publish the result as a NEW
@@ -992,6 +999,17 @@ def compact_manifest(
     writer landing mid-compaction just costs a retry, never a lost
     update. Old leaves are reclaimed by the next ``vacuum``. Returns
     {version, files_before, files_after, rows}.
+
+    ``min_files`` is the AUTO-compaction policy knob (Delta's
+    auto-compaction threshold analogue): compact only leaves holding
+    at least that many data files — the streaming-sink hot partitions
+    accrete width-many files per micro-batch while cold history
+    partitions are already one tidy file; rewriting the cold ones
+    would churn bytes (and defeat the untouched-leaf byte-identity
+    that makes vacuum and pruned CDC cheap) for zero benefit. With
+    every selected partition below the threshold the call is a no-op
+    (no commit, version unchanged). Composable with
+    ``partition_values`` (threshold filters the explicit selection).
     """
     for _ in range(max_retries):
         v = latest_version(root)
@@ -1007,6 +1025,9 @@ def compact_manifest(
         if not _is_partitioned(tip):
             data_dir = os.path.join(root, tip["data_dir"])
             before = _leaf_file_count(data_dir)
+            if min_files is not None and before < min_files:
+                return {"version": v, "files_before": before,
+                        "files_after": before, "rows": tip["rows"]}
             n_files = max(1, -(-_dir_bytes(data_dir) // target_file_bytes))
             new_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
             try:
@@ -1018,6 +1039,7 @@ def compact_manifest(
                     continue
                 raise
             manifest = {
+                "op": "compact",
                 "base_version": v,
                 "data_dir": new_rel,
                 "rows": tip["rows"],
@@ -1048,6 +1070,13 @@ def compact_manifest(
                 raise ValueError(
                     f"partitions {unknown!r} not in the table"
                 )
+        if min_files is not None:
+            selected = [
+                pk
+                for pk in selected
+                if _leaf_file_count(os.path.join(root, parts[pk]["dir"]))
+                >= min_files
+            ]
         if not selected:
             return {"version": v, "files_before": 0, "files_after": 0,
                     "rows": tip["rows"]}
@@ -1151,6 +1180,7 @@ def compact_manifest(
                     f"{short!r} — not committing"
                 )
         manifest = {
+            "op": "compact",
             "base_version": v,
             "rows": tip["rows"],
             "schema": tip["schema"],
@@ -1220,6 +1250,7 @@ def drop_partitions(
             pk: e for pk, e in parts.items() if pk not in requested
         }
         manifest = {
+            "op": "drop_partitions",
             "base_version": v,
             "rows": sum(e["rows"] for e in remaining.values()),
             "schema": tip["schema"],
@@ -1370,6 +1401,52 @@ def table_changes(
     if compare_cols is None:
         compare_cols = [c for c in new.columns if c not in set(key_cols)]
     return snapshot_diff(old, new, list(key_cols), list(compare_cols))
+
+
+def table_history(spark: SparkSession, root: str) -> DataFrame:
+    """DESCRIBE HISTORY for manifest tables (Delta `history()` /
+    Iceberg `snapshots` analogue): one row per RETAINED version —
+    (version, op, committed_at, rows, n_updated_partitions,
+    n_removed_partitions, base_version), newest first. Reads only the
+    manifest JSONs (no data files, no resolution chain), so it is
+    O(retained versions) metadata work; vacuumed versions are absent,
+    exactly like Delta after log cleanup. ``op`` is the commit-time
+    operation tag (upsert/merge/replace/compact/drop_partitions);
+    pre-round-6 manifests without a tag report NULL op/committed_at.
+    """
+    rows = []
+    for v in _list_versions(root):
+        try:
+            m = read_manifest(root, v)
+        except FileNotFoundError:  # concurrent vacuum pruned it
+            continue
+        ts = m.get("committed_at")
+        rows.append(
+            (
+                v,
+                m.get("op"),
+                float(ts) if ts is not None else None,
+                m.get("rows"),
+                len(m.get("updates", m.get("partitions", {}))) or None,
+                len(m.get("removed", [])) or None,
+                m.get("base_version"),
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "version int, op string, committed_at_epoch double, "
+        "rows bigint, n_updated_partitions int, "
+        "n_removed_partitions int, base_version int",
+    )
+    return df.select(
+        "version",
+        "op",
+        F.col("committed_at_epoch").cast("timestamp").alias("committed_at"),
+        "rows",
+        "n_updated_partitions",
+        "n_removed_partitions",
+        "base_version",
+    ).orderBy(F.desc("version"))
 
 
 def vacuum(

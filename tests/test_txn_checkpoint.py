@@ -431,3 +431,133 @@ def test_read_table_manifest_level_partition_pruning(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="partition-scoped"):
         read_table(spark, flat, partition_values=["x"])
+
+
+def test_table_history(spark, tmp_path):
+    """DESCRIBE HISTORY: one row per retained version with op tags and
+    commit timestamps, newest first; vacuumed versions drop out."""
+    from feature_store_spark.pipelines.txn import (
+        compact_manifest,
+        drop_partitions,
+        table_history,
+    )
+
+    root = str(tmp_path / "t")
+
+    def up(rows, **kw):
+        upsert_manifest_partitioned(
+            spark.createDataFrame(
+                rows, "user_id bigint, v string, ts bigint, p string"
+            ),
+            root,
+            ["user_id"],
+            "ts",
+            "p",
+            **kw,
+        )
+
+    up([(1, "a", 1, "d1"), (2, "b", 1, "d2")])
+    up([(2, "b2", 2, "d2")], mode="replace")
+    compact_manifest(spark, root, partition_values=["d1"])
+    drop_partitions(root, ["d2"])
+    h = table_history(spark, root).collect()
+    assert [r["version"] for r in h] == [4, 3, 2, 1]
+    assert [r["op"] for r in h] == [
+        "drop_partitions", "compact", "replace", "merge",
+    ]
+    assert all(r["committed_at"] is not None for r in h)
+    assert h[0]["rows"] == 1  # d2 dropped, d1's single row remains
+    assert h[0]["n_removed_partitions"] == 1
+    assert h[3]["n_updated_partitions"] == 2
+    # vacuum prunes history like Delta log cleanup
+    vacuum(root, keep_last=2)
+    assert [r["version"] for r in table_history(spark, root).collect()] == [
+        4, 3,
+    ]
+    # flat tables report too (no partition columns)
+    flat = str(tmp_path / "flat")
+    txn.upsert_manifest(
+        spark.createDataFrame(
+            [(1, "a", 1)], "user_id bigint, v string, ts bigint"
+        ),
+        flat,
+        ["user_id"],
+        "ts",
+    )
+    hf = table_history(spark, flat).collect()
+    assert len(hf) == 1 and hf[0]["op"] == "upsert"
+    assert hf[0]["n_updated_partitions"] is None
+
+
+def test_min_files_auto_compaction_and_maintenance(spark, tmp_path):
+    """min_files makes OPTIMIZE incremental: only fragmented leaves
+    are rewritten (cold one-file partitions keep byte-identity), an
+    all-tidy table is a version-preserving no-op, and
+    run_table_maintenance chains compact+vacuum into one call whose
+    repeat run is a near-no-op."""
+    import hashlib
+
+    from feature_store_spark.pipelines.drivers import run_table_maintenance
+    from feature_store_spark.pipelines.txn import compact_manifest
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        root = str(tmp_path / "t")
+        # d_hot written wide (8 files), d_cold written as one file
+        hot = spark.createDataFrame(
+            [(i, f"v{i}", 1, "d_hot") for i in range(32)],
+            "user_id bigint, v string, ts bigint, p string",
+        ).repartition(8)
+        upsert_manifest_partitioned(hot, root, ["user_id"], "ts", "p")
+        cold = spark.createDataFrame(
+            [(100, "c", 1, "d_cold")],
+            "user_id bigint, v string, ts bigint, p string",
+        ).coalesce(1)
+        upsert_manifest_partitioned(cold, root, ["user_id"], "ts", "p")
+
+        p2 = resolve_partitions(root, 2)
+        cold_dir = os.path.join(root, p2["d_cold"]["dir"])
+
+        def fp(path):
+            out = {}
+            for dp, _, files in os.walk(path):
+                for f in files:
+                    with open(os.path.join(dp, f), "rb") as fh:
+                        out[f] = hashlib.sha1(fh.read()).hexdigest()
+            return out
+
+        cold_before = fp(cold_dir)
+        stats = compact_manifest(spark, root, min_files=4)
+        assert stats["version"] == 3
+        p3 = resolve_partitions(root, 3)
+        # hot leaf rewritten to one file; cold entry carried verbatim
+        assert p3["d_hot"]["dir"] != p2["d_hot"]["dir"]
+        assert p3["d_cold"] == p2["d_cold"]
+        assert fp(cold_dir) == cold_before
+        assert txn._leaf_file_count(
+            os.path.join(root, p3["d_hot"]["dir"])
+        ) == 1
+        df, _ = read_table(spark, root)
+        assert df.count() == 33
+
+        # all leaves tidy now -> threshold compaction is a no-op
+        stats = compact_manifest(spark, root, min_files=4)
+        assert stats["version"] == 3  # no commit published
+        assert latest_version(root) == 3
+
+        # maintenance chains compact+vacuum; second run near-no-op
+        rep = run_table_maintenance(spark, root, min_files=4, keep_last=1)
+        assert rep["version"] == 3 and rep["rows"] == 33
+        assert rep["data_dirs_reclaimed"] >= 1  # superseded hot leaf
+        rep2 = run_table_maintenance(spark, root, min_files=4, keep_last=1)
+        assert rep2["version"] == 3
+        assert rep2["data_dirs_reclaimed"] == 0
+        assert not rep2["compacted"]
+        df, _ = read_table(spark, root)
+        assert df.count() == 33
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
