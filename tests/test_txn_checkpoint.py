@@ -561,3 +561,40 @@ def test_min_files_auto_compaction_and_maintenance(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+
+
+def test_table_changes_across_drop_partitions(spark, tmp_path):
+    """CDC across a retention drop: the dropped partition's rows
+    report status='removed' — both in the exact diff and the pruned
+    diff (the dropped partition's dir differs: present -> absent)."""
+    from feature_store_spark.pipelines.txn import (
+        drop_partitions,
+        table_changes,
+    )
+
+    root = str(tmp_path / "t")
+    upsert_manifest_partitioned(
+        spark.createDataFrame(
+            [(1, "a", 1, "d1"), (2, "b", 1, "d2")],
+            "user_id bigint, v string, ts bigint, p string",
+        ),
+        root,
+        ["user_id"],
+        "ts",
+        "p",
+    )
+    assert drop_partitions(root, ["d2"]) == 1
+    keys = ["user_id", "p"]
+    exact = {
+        (r["user_id"], r["p"]): r["status"]
+        for r in table_changes(spark, root, 1, 2, key_cols=keys).collect()
+    }
+    assert exact == {(1, "d1"): "unchanged", (2, "d2"): "removed"}
+    pruned = {
+        (r["user_id"], r["p"]): r["status"]
+        for r in table_changes(
+            spark, root, 1, 2, key_cols=keys,
+            skip_unchanged_partitions=True,
+        ).collect()
+    }
+    assert pruned == {(2, "d2"): "removed"}
