@@ -1506,6 +1506,62 @@ def q_l1_zorder(spark, sf_dir):
     return zorder_key(orders, ["o_custkey", "price_cents"])
 
 
+@spec(
+    "w11_funnel_windowed",
+    """WITH ev AS (SELECT user_id, date_trunc('second', ts) AS tss,
+                          event_type
+                   FROM events),
+    v AS (SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN tss END) AS t_view
+          FROM ev GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.tss) AS t_click
+          FROM ev e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.tss >= v.t_view
+            AND e.tss <= v.t_view + INTERVAL 86400 SECOND
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.tss) AS t_purchase
+          FROM ev e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.tss >= c.t_click
+            AND e.tss <= c.t_click + INTERVAL 604800 SECOND
+          GROUP BY e.user_id)
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.t_view IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_depth
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id""",
+    ("ext", "W3", "funnel"),
+)
+def q_w11_funnel_windowed(spark, sf_dir):
+    """W10's funnel with CONVERSION WINDOWS (the max_gap knob of
+    `operators.windows.funnel`): a click only counts within 1 day of
+    the first view, a purchase within 7 days of that click — the
+    time-bounded attribution every product-analytics funnel actually
+    runs. Same single-Exchange chained-window-min plan; only the
+    per-row predicates change. The oracle is the join-per-stage
+    formulation with the same bounds, so the driver hash-checks the
+    window semantics cross-engine."""
+    from feature_store_spark.operators.windows import funnel
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("second", F.col("ts")).alias("tss"),
+        "event_type",
+    )
+    return funnel(
+        ev,
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        ts_col="tss",
+        max_gap=[86400, 604800],
+    )
+
+
 ALERT_RULES = [
     # the reference's PromQL ladder shape (warning + critical on the
     # same gauge, monitoring/alerts/api_alerts.yml) over the engine's
