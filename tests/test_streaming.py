@@ -499,3 +499,46 @@ def test_streaming_cdc_tombstone_beats_late_update(spark, tmp_path):
     got2 = {(r["k"], r["v"]) for r in read_cdc_snapshot(spark, state).collect()}
     assert got2 == want
     assert counters2["tombstones"] == 1
+
+
+def test_streaming_sink_writes_organic_rollups(
+    spark, events_dir, tmp_path, monkeypatch
+):
+    """ST13 + round-6 checkpointing: the streaming sink's per-batch
+    partition-scoped commits write delta manifests, and the rollup
+    cadence fires organically on the streaming path (shrunk interval:
+    every commit) — so a long-running stream's table keeps O(interval)
+    read-time resolution and listing-free tip lookup."""
+    import os
+
+    import feature_store_spark.pipelines.txn as txn
+    from feature_store_spark.pipelines.txn import (
+        latest_version,
+        read_manifest,
+        read_table,
+        resolve_partitions,
+    )
+    from feature_store_spark.streaming.pipeline import (
+        run_streaming_warehouse_append,
+    )
+
+    monkeypatch.setattr(txn, "CHECKPOINT_INTERVAL", 1)
+    root = str(tmp_path / "wh_stream_ckpt")
+    stats = run_streaming_warehouse_append(
+        spark, events_dir, root, str(tmp_path / "c_wh2")
+    )
+    tip = latest_version(root)
+    assert tip >= 1
+    # every commit wrote a delta manifest plus its rollup
+    for v in range(1, tip + 1):
+        m = read_manifest(root, v)
+        assert "updates" in m and "partitions" not in m
+        assert os.path.exists(txn._ckpt_path(root, v))
+    # rollup content == resolved map; pointer gives listing-free tip
+    ck_parts = __import__("json").load(open(txn._ckpt_path(root, tip)))[
+        "partitions"
+    ]
+    assert ck_parts == resolve_partitions(root, tip)
+    assert txn._read_pointer(root) == tip
+    df, _ = read_table(spark, root)
+    assert df.count() == stats["rows"] > 0
