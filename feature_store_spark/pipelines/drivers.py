@@ -288,7 +288,6 @@ def run_table_maintenance(
     near-no-ops on a quiet table. Returns the combined report."""
     from feature_store_spark.pipelines.txn import (
         compact_manifest,
-        latest_version,
         vacuum,
     )
 
@@ -303,11 +302,17 @@ def run_table_maintenance(
         keep_last=keep_last,
         orphan_grace_seconds=orphan_grace_seconds,
     )
+    # stats["version"] (not a fresh latest_version lookup): a
+    # concurrent writer landing between compact and here must not be
+    # attributed to this maintenance run, and the commit flag comes
+    # from the compaction itself — a rewrite can legitimately produce
+    # >= the original file count (600 MB of 4 files at a 128 MB
+    # target), so file-count comparison is not commit detection
     return {
-        "compacted": stats["files_after"] < stats["files_before"],
+        "compacted": stats["committed"],
         "files_before": stats["files_before"],
         "files_after": stats["files_after"],
         "data_dirs_reclaimed": len(removed),
-        "version": latest_version(root),
+        "version": stats["version"],
         "rows": stats["rows"],
     }

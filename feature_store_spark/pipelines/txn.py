@@ -1024,10 +1024,18 @@ def compact_manifest(
 
         if not _is_partitioned(tip):
             data_dir = os.path.join(root, tip["data_dir"])
+            if min_files is not None and not os.path.isdir(data_dir):
+                # stale tip: a concurrent vacuum pruned v's data dir
+                # after we read its manifest — without this check the
+                # 0-file count would read as 'below threshold' and
+                # silently skip compacting the REAL tip (the
+                # min_files=None path hits PATH_NOT_FOUND and retries)
+                continue
             before = _leaf_file_count(data_dir)
             if min_files is not None and before < min_files:
                 return {"version": v, "files_before": before,
-                        "files_after": before, "rows": tip["rows"]}
+                        "files_after": before, "rows": tip["rows"],
+                        "committed": False}
             n_files = max(1, -(-_dir_bytes(data_dir) // target_file_bytes))
             new_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
             try:
@@ -1053,6 +1061,7 @@ def compact_manifest(
                         os.path.join(root, new_rel)
                     ),
                     "rows": tip["rows"],
+                    "committed": True,
                 }
             shutil.rmtree(os.path.join(root, new_rel), ignore_errors=True)
             continue
@@ -1071,15 +1080,23 @@ def compact_manifest(
                     f"partitions {unknown!r} not in the table"
                 )
         if min_files is not None:
-            selected = [
-                pk
-                for pk in selected
-                if _leaf_file_count(os.path.join(root, parts[pk]["dir"]))
-                >= min_files
-            ]
+            fresh, stale = [], False
+            for pk in selected:
+                d = os.path.join(root, parts[pk]["dir"])
+                if not os.path.isdir(d):
+                    # vanished leaf == stale tip (concurrent vacuum);
+                    # a 0-file count would silently filter it out and
+                    # leave the real tip uncompacted — retry instead
+                    stale = True
+                    break
+                if _leaf_file_count(d) >= min_files:
+                    fresh.append(pk)
+            if stale:
+                continue
+            selected = fresh
         if not selected:
             return {"version": v, "files_before": 0, "files_after": 0,
-                    "rows": tip["rows"]}
+                    "rows": tip["rows"], "committed": False}
         sel_dirs = {
             pk: os.path.join(root, parts[pk]["dir"]) for pk in selected
         }
@@ -1201,6 +1218,7 @@ def compact_manifest(
                     for pk in selected
                 ),
                 "rows": tip["rows"],
+                "committed": True,
             }
         shutil.rmtree(os.path.join(root, commit_rel), ignore_errors=True)
     raise RuntimeError(
@@ -1427,7 +1445,10 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
                 m.get("op"),
                 float(ts) if ts is not None else None,
                 m.get("rows"),
-                len(m.get("updates", m.get("partitions", {}))) or None,
+                # only delta manifests KNOW what a commit touched; a
+                # format-2 full map would inflate the metric with
+                # every carried-forward entry
+                (len(m["updates"]) or None) if "updates" in m else None,
                 len(m.get("removed", [])) or None,
                 m.get("base_version"),
             )
