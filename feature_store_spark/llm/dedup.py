@@ -112,6 +112,127 @@ def exact_dedup_oracle_sql(table: str = "documents", id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# Chunk-level (paragraph-style) dedup
+# ---------------------------------------------------------------------------
+
+
+def chunk_dedup(
+    df: DataFrame,
+    chunk_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide SUB-document dedup at chunk granularity — the
+    paragraph-dedup stage of C4/Dolma-style corpus builds (C4 removes
+    any three-sentence span seen before; Dolma dedups paragraphs),
+    adapted to delimiter-free text by chunking on fixed
+    ``chunk_tokens`` windows (:func:`~feature_store_spark.llm.pretrain.
+    chunk_documents` with zero overlap, so chunks tile the document
+    and the survivors reassemble losslessly). Exact dedup
+    (:func:`exact_dedup`) only catches whole-document copies; this
+    removes REPEATED SPANS — boilerplate, quoted blocks, self-repeated
+    documents — keeping each distinct chunk's FIRST occurrence in
+    (id, chunk_idx) order and rebuilding every document's text from
+    its surviving chunks.
+
+    Emits one row per input document (keep-the-spine):
+    (id, n_chunks, kept_chunks, dedup_text) — ``n_chunks`` counts the
+    doc's non-empty chunks, ``kept_chunks`` how many survived,
+    ``dedup_text`` the ordered reassembly ('' when nothing survives,
+    including NULL/empty docs).
+
+    Scale shape: one tokenize+explode pass (rows ∝ tokens /
+    chunk_tokens), one shuffle on the chunk hash for the
+    first-occurrence window, one groupBy(id) for reassembly. No
+    all-pairs anywhere — work is linear in corpus tokens, the same
+    inverted-index posture as the other dedup ops. (At 100 TB the
+    reassembly shuffle moves the surviving text once; if only the
+    ratios are needed, drop ``dedup_text`` upstream and the heavy
+    column never shuffles.)"""
+    from feature_store_spark.llm.pretrain import chunk_documents
+
+    chunks = chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap=0,
+        id_col=id_col, text_col=text_col,
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("__h").orderBy(
+        F.col(id_col).asc(), F.col("chunk_idx").asc()
+    )
+    marked = (
+        chunks.withColumn("__h", F.md5("chunk_text"))
+        .withColumn("__rn", F.row_number().over(w))
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rn") == 1,
+                            F.struct("chunk_idx", "chunk_text"),
+                        )
+                    )
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
+            F.coalesce("kept_chunks", F.lit(0))
+            .cast("bigint")
+            .alias("kept_chunks"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )
+
+
+def chunk_dedup_oracle_sql(
+    table: str = "documents",
+    chunk_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    from feature_store_spark.llm.pretrain import chunk_documents_oracle_sql
+
+    chunks_sql = chunk_documents_oracle_sql(
+        table=table, chunk_tokens=chunk_tokens, overlap=0,
+        id_col=id_col, text_col=text_col,
+    )
+    return f"""
+    WITH chunked AS ({chunks_sql}),
+    marked AS (
+      SELECT {id_col}, chunk_idx, chunk_text,
+             row_number() OVER (PARTITION BY md5(chunk_text)
+                                ORDER BY {id_col}, chunk_idx) AS rn
+      FROM chunked WHERE n_tokens > 0
+    ),
+    per_doc AS (
+      SELECT {id_col},
+             count(*) AS n_chunks,
+             count(*) FILTER (WHERE rn = 1) AS kept_chunks,
+             COALESCE(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                        FILTER (WHERE rn = 1), '') AS dedup_text
+      FROM marked GROUP BY {id_col}
+    )
+    SELECT d.{id_col},
+           CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(p.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+           COALESCE(p.dedup_text, '') AS dedup_text
+    FROM {table} d LEFT JOIN per_doc p USING ({id_col})
+    """
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, inverted index)
 # ---------------------------------------------------------------------------
 

@@ -262,6 +262,7 @@ def read_table(
     root: str,
     version: int | None = None,
     partition_values: Sequence | None = None,
+    where: Sequence | None = None,
 ) -> tuple[DataFrame | None, int]:
     """(snapshot, version) pinned to ONE committed manifest — or
     (None, 0) for a table with no commits. Passing ``version`` time-
@@ -274,7 +275,18 @@ def read_table(
     what the partitioned layout is FOR at scale: a point-in-time read
     of one day out of 730 touches 1/730th of the metadata and data.
     Values absent from the snapshot are ignored (an empty selection
-    reads as an empty frame under the pinned schema)."""
+    reads as an empty frame under the pinned schema).
+
+    ``where`` — a list of ``(column, op, value)`` triples (ops <, <=,
+    >, >=, =; conjunction) — is DATA SKIPPING: on a partition-scoped
+    table, leaf directories whose recorded ``stats_cols`` min/max
+    window (or partition-key value, for predicates on the partition
+    column) provably cannot match are never listed or scanned, and the
+    predicates are ALSO applied as a real filter to the returned frame
+    — so the result always equals a full scan + filter regardless of
+    stats coverage (leaves without stats for a column are scanned, not
+    guessed). On an unpartitioned table ``where`` degrades to the
+    plain filter (plus parquet's own row-group skipping)."""
     for _ in range(5):
         v = latest_version(root) if version is None else version
         if v == 0:
@@ -295,23 +307,37 @@ def read_table(
             "vacuums; retry"
         )
     schema = StructType.fromJson(m["schema"])
-    if partition_values is not None:
-        if not _is_partitioned(m):
-            raise ValueError(
-                f"{root!r} is not a partition-scoped manifest table; "
-                "partition_values needs the partitioned layout"
-            )
-        wanted = {_pkey(pv) for pv in partition_values}
-        pmap = resolve_partitions(root, v)
-        dirs = [e["dir"] for pk, e in pmap.items() if pk in wanted]
-        if not dirs:
-            return spark.createDataFrame([], schema), v
-        return (
-            spark.read.schema(schema).parquet(
-                *(os.path.join(root, d) for d in dirs)
-            ),
-            v,
+    preds = _validate_where(where, schema) if where else None
+    if partition_values is not None and not _is_partitioned(m):
+        raise ValueError(
+            f"{root!r} is not a partition-scoped manifest table; "
+            "partition_values needs the partitioned layout"
         )
+    if partition_values is not None or (
+        preds is not None and _is_partitioned(m)
+    ):
+        pmap = resolve_partitions(root, v)
+        if partition_values is not None:
+            wanted = {_pkey(pv) for pv in partition_values}
+            pmap = {pk: e for pk, e in pmap.items() if pk in wanted}
+        if preds is not None:
+            pcol = m["partition_col"]
+            pmap = {
+                pk: e
+                for pk, e in pmap.items()
+                if _entry_may_match(e, pk, preds, pcol)
+            }
+        dirs = [e["dir"] for e in pmap.values()]
+        df = (
+            spark.createDataFrame([], schema)
+            if not dirs
+            else spark.read.schema(schema).parquet(
+                *(os.path.join(root, d) for d in dirs)
+            )
+        )
+        if preds is not None:
+            df = df.filter(_where_expr(preds))
+        return df, v
     # format 1 manifests reference one snapshot dir; formats 2/3
     # (partitioned) one immutable leaf dir per live partition (deltas
     # resolve through the checkpoint chain) — either way the read is a
@@ -321,6 +347,8 @@ def read_table(
     df = spark.read.schema(schema).parquet(
         *(os.path.join(root, d) for d in _version_dirs(root, v, m))
     )
+    if preds is not None:
+        df = df.filter(_where_expr(preds))
     return df, v
 
 
@@ -692,6 +720,244 @@ def _ptok_mapping(spark: SparkSession, pcol_field, pk_to_val: dict):
     )
 
 
+# --- file-skipping statistics (Delta/Iceberg data-skipping analogue) ---
+#
+# A partition-scoped commit can record per-leaf min/max/null-count for
+# chosen columns (``stats_cols``); ``read_table(where=...)`` then prunes
+# whole leaf directories whose stats window cannot satisfy a predicate —
+# skipping on NON-partition columns (partition pruning already comes
+# free from the manifest map). At 100 TB this is the difference between
+# listing/footer-reading every file of every partition and touching only
+# the leaves a key-range query can match; pair it with the warehouse
+# export's per-partition ``sortWithinPartitions(cluster_col)`` (the
+# BigQuery CLUSTER BY analogue) so clustered columns have tight ranges.
+
+_STAT_TYPES = frozenset(
+    {
+        "string", "boolean", "byte", "short", "integer", "long",
+        "float", "double", "decimal", "date", "timestamp",
+        "timestamp_ntz",
+    }
+)
+_WHERE_OPS = frozenset({"<", "<=", ">", ">=", "="})
+
+
+def _stat_encode(v):
+    """JSON-safe encoding of a min/max value; None for values whose
+    comparisons are unusable for pruning (NaN/±inf floats)."""
+    import datetime
+    import decimal
+    import math
+
+    if v is None:
+        return None
+    if isinstance(v, float) and not math.isfinite(v):
+        return None
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return v
+
+
+def _stat_decode(v, dtype):
+    """Typed Python value for a stored stat (or a partition key string)
+    under the column's Spark type — the comparison domain for pruning."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    t = dtype.typeName()
+    if t == "date":
+        return datetime.date.fromisoformat(str(v))
+    if t in ("timestamp", "timestamp_ntz"):
+        return datetime.datetime.fromisoformat(str(v))
+    if t == "decimal":
+        return decimal.Decimal(str(v))
+    if t == "boolean" and isinstance(v, str):
+        return v.lower() == "true"
+    if t in _INTEGRAL_RANK and isinstance(v, str):
+        return int(v)
+    if t in ("float", "double") and isinstance(v, str):
+        return float(v)
+    return v
+
+
+def _coerce_where_value(value, dtype):
+    """The caller's predicate constant, coerced into the same domain
+    ``_stat_decode`` produces (dates widen to midnight timestamps for
+    timestamp columns; ISO strings parse; decimals normalize)."""
+    import datetime
+    import decimal
+
+    t = dtype.typeName()
+    if t in ("timestamp", "timestamp_ntz"):
+        if isinstance(value, datetime.datetime):
+            return value
+        if isinstance(value, datetime.date):
+            return datetime.datetime.combine(value, datetime.time())
+        return datetime.datetime.fromisoformat(str(value))
+    if t == "date":
+        if isinstance(value, datetime.datetime):
+            return value.date()
+        if isinstance(value, datetime.date):
+            return value
+        return datetime.date.fromisoformat(str(value))
+    if t == "decimal":
+        return decimal.Decimal(str(value))
+    return value
+
+
+def _range_may_match(mn, mx, op: str, value) -> bool:
+    if op == "=":
+        return mn <= value <= mx
+    if op == "<":
+        return mn < value
+    if op == "<=":
+        return mn <= value
+    if op == ">":
+        return mx > value
+    return mx >= value  # ">="
+
+
+def _validate_where(where, schema: StructType) -> list:
+    """Normalized [(field, op, coerced value)] or a targeted error.
+    NULL constants are refused — SQL comparisons with NULL match
+    nothing, which is never what a pruning read means."""
+    fields = {f.name: f for f in schema.fields}
+    out = []
+    for item in where:
+        try:
+            col, op, value = item
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"where entries must be (column, op, value) triples, "
+                f"got {item!r}"
+            ) from None
+        if op not in _WHERE_OPS:
+            raise ValueError(
+                f"where op must be one of {sorted(_WHERE_OPS)}, got {op!r}"
+            )
+        if col not in fields:
+            raise ValueError(
+                f"where column {col!r} is not in the table schema "
+                f"({sorted(fields)})"
+            )
+        if value is None:
+            raise ValueError(
+                f"where value for {col!r} is None — NULL comparisons "
+                "match nothing; filter nulls on the returned frame"
+            )
+        if fields[col].dataType.typeName() not in _STAT_TYPES:
+            raise ValueError(
+                f"where column {col!r} has non-orderable type "
+                f"{fields[col].dataType.simpleString()}"
+            )
+        out.append(
+            (fields[col], op, _coerce_where_value(value, fields[col].dataType))
+        )
+    return out
+
+
+def _where_expr(preds):
+    """The residual Spark filter for a validated ``where`` — applied to
+    EVERY pruning read so data skipping can only save work, never
+    change an answer."""
+    cond = None
+    for field, op, value in preds:
+        c = F.col(field.name)
+        e = {
+            "<": c < F.lit(value),
+            "<=": c <= F.lit(value),
+            ">": c > F.lit(value),
+            ">=": c >= F.lit(value),
+            "=": c == F.lit(value),
+        }[op]
+        cond = e if cond is None else cond & e
+    return cond
+
+
+def _entry_may_match(entry: dict, pk: str, preds, pcol: str) -> bool:
+    """Conservative leaf-level test: False only when the entry's stats
+    (or its partition key, for predicates on the partition column)
+    PROVE no row can satisfy every predicate. Entries lacking stats for
+    a predicate column are always kept — pruning is an optimization,
+    never a semantics change (the residual filter still applies)."""
+    if entry.get("rows") == 0:
+        return False
+    for field, op, value in preds:
+        if field.name == pcol:
+            pv = _stat_decode(pk, field.dataType)
+            if not _range_may_match(pv, pv, op, value):
+                return False
+            continue
+        st = (entry.get("stats") or {}).get(field.name)
+        if st is None:
+            continue
+        mn = _stat_decode(st["min"], field.dataType)
+        mx = _stat_decode(st["max"], field.dataType)
+        if mn is None or mx is None:
+            # min/max exist only over non-null values; both-None means
+            # every row is NULL here — no comparison can match
+            if st.get("nulls") == entry.get("rows"):
+                return False
+            continue  # non-finite floats etc. — unprunable
+        if not _range_may_match(mn, mx, op, value):
+            return False
+    return True
+
+
+def _leaf_stats(readback_df, pcol: str, stats_fields) -> dict:
+    """Per-partition {pkey: {"rows": n, "stats": {...}}} off ONE
+    columnar scan of freshly written leaves (the same read that
+    produces the commit's row counts)."""
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for i, f in enumerate(stats_fields):
+        aggs += [
+            F.min(f.name).alias(f"__mn{i}"),
+            F.max(f.name).alias(f"__mx{i}"),
+            F.count(F.when(F.col(f.name).isNull(), 1)).alias(f"__nl{i}"),
+        ]
+    out = {}
+    for r in readback_df.groupBy(pcol).agg(*aggs).collect():
+        stats = {}
+        for i, f in enumerate(stats_fields):
+            mn = _stat_encode(r[f"__mn{i}"])
+            mx = _stat_encode(r[f"__mx{i}"])
+            nulls = int(r[f"__nl{i}"])
+            if (mn is None) != (mx is None):
+                continue  # a non-finite float endpoint — unusable
+            stats[f.name] = {"min": mn, "max": mx, "nulls": nulls}
+        out[_pkey(r[0])] = {"rows": int(r["__rows"]), "stats": stats}
+    return out
+
+
+def _resolve_stats_fields(schema: StructType, stats_cols, partition_col):
+    fields = {f.name: f for f in schema.fields}
+    out = []
+    for c in stats_cols:
+        if c not in fields:
+            raise ValueError(
+                f"stats_cols column {c!r} is not in the table schema"
+            )
+        if c == partition_col:
+            raise ValueError(
+                f"stats_cols includes the partition column {c!r} — "
+                "partition pruning already covers it for free"
+            )
+        if fields[c].dataType.typeName() not in _STAT_TYPES:
+            raise ValueError(
+                f"stats_cols column {c!r} has non-orderable type "
+                f"{fields[c].dataType.simpleString()}; min/max stats "
+                "need an orderable atomic type"
+            )
+        out.append(fields[c])
+    return out
+
+
 def upsert_manifest_partitioned(
     updates: DataFrame,
     root: str,
@@ -702,6 +968,7 @@ def upsert_manifest_partitioned(
     allow_schema_evolution: bool = False,
     backend: LocalLinkBackend | None = None,
     mode: str = "merge",
+    stats_cols: Sequence[str] | None = None,
 ) -> int:
     """Partition-scoped transactional upsert: ``upsert_manifest``'s
     multi-writer safety at ``upsert_parquet_partitioned``'s cost.
@@ -742,7 +1009,17 @@ def upsert_manifest_partitioned(
     matching a plain dynamic partition overwrite row-for-row — the
     passthrough a multi-row-per-key-per-partition export needs
     (``export_warehouse(transactional=True)`` uses it so both its
-    modes write identical row sets)."""
+    modes write identical row sets).
+
+    ``stats_cols`` records per-leaf min/max/null-count for the named
+    (orderable, non-partition) columns in the manifest entry — the
+    data-skipping statistics ``read_table(where=...)`` prunes leaf
+    directories with. Computed on the SAME columnar read-back that
+    produces the commit's row counts (no extra job); untouched
+    partitions carry their previously recorded stats forward with
+    their leaves. Columns added later by schema evolution simply have
+    no stats on older leaves — those leaves stay unprunable for that
+    column, never wrong."""
     if mode not in ("merge", "replace"):
         raise ValueError(f"mode must be 'merge' or 'replace', got {mode!r}")
     if key_cols is None and mode != "replace":
@@ -876,6 +1153,11 @@ def upsert_manifest_partitioned(
                 merged = latest_per_key(
                     updates, [*key_cols, partition_col], order_col
                 )
+            stats_fields = (
+                _resolve_stats_fields(merged.schema, stats_cols, partition_col)
+                if stats_cols
+                else []
+            )
             commit_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
             merged.join(F.broadcast(tok_map), partition_col).write.partitionBy(
                 "__ptok"
@@ -907,23 +1189,23 @@ def upsert_manifest_partitioned(
                     "compare equal to themselves (floats with NaN and "
                     "other non-reflexive values cannot key partitions)"
                 )
-            counts = {
-                _pkey(r[0]): r[1]
-                for r in spark.read.schema(merged.schema)
-                .parquet(*(os.path.join(root, d) for d in leaf.values()))
-                .groupBy(partition_col)
-                .count()
-                .collect()
-            }
+            readback = spark.read.schema(merged.schema).parquet(
+                *(os.path.join(root, d) for d in leaf.values())
+            )
+            per_part = _leaf_stats(readback, partition_col, stats_fields)
+            entries = {}
+            for pk, d in leaf.items():
+                got = per_part.get(pk, {"rows": 0, "stats": {}})
+                e: dict = {"dir": d, "rows": got["rows"]}
+                if stats_fields:
+                    e["stats"] = got["stats"]
+                entries[pk] = e
             written = {
                 "base_touched": tip_touched,
                 "base_schema": tip["schema"] if tip else None,
                 "commit_rel": commit_rel,
                 "schema": merged.schema.jsonValue(),
-                "entries": {
-                    pk: {"dir": d, "rows": counts.get(pk, 0)}
-                    for pk, d in leaf.items()
-                },
+                "entries": entries,
             }
         new_parts = {**tip_parts, **written["entries"]}
         total = sum(e["rows"] for e in new_parts.values())
@@ -1141,10 +1423,15 @@ def compact_manifest(
             raise
         new_parts = dict(parts)
         for pk in selected:
-            new_parts[pk] = {
+            e = {
                 "dir": f"{commit_rel}/__ptok={token_map[pk]}",
                 "rows": parts[pk]["rows"],
             }
+            # compaction re-lays the SAME rows, so recorded
+            # data-skipping stats stay exact — carry them forward
+            if "stats" in parts[pk]:
+                e["stats"] = parts[pk]["stats"]
+            new_parts[pk] = e
         # guard before publishing: every selected partition that holds
         # rows must have produced its leaf, and the rewritten leaves
         # must carry exactly the row counts the manifest records — a

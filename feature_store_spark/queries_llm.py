@@ -131,6 +131,18 @@ def q_ngram_containment(spark, sf_dir):
 
 
 @spec(
+    "d_chunk_dedup",
+    D.chunk_dedup_oracle_sql(chunk_tokens=16),
+    ("ext", "dedup", "paragraph"),
+)
+def q_chunk_dedup(spark, sf_dir):
+    """C4/Dolma-style paragraph dedup adapted to delimiter-free text:
+    corpus-wide first-occurrence dedup of 16-token chunks + ordered
+    per-document reassembly (see llm/dedup.py::chunk_dedup)."""
+    return D.chunk_dedup(_t(spark, sf_dir, "documents"), chunk_tokens=16)
+
+
+@spec(
     "d_minhash_lsh_pairs",
     D.minhash_lsh_oracle_sql(n=3, threshold=0.5),
     ("ext", "dedup"),

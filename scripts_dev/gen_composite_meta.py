@@ -48,6 +48,7 @@ PARTS = [
     "t_ngram_lm_score", "t_tfidf_topk", "t_vocab_coverage",
     "d_simhash_signatures", "d_simhash_near_dup",
     "d_ngram_jaccard_pairs", "d_embedding_near_dup", "d_containment_pairs",
+    "d_chunk_dedup",
     "sim_cosine_topk", "sim_cosine_topk_vectorized",
     "sim_knn_graph", "sim_knn_graph_vectorized",
     "mm_decode_media", "mm_frame_sample", "mm_resize_media",

@@ -552,3 +552,48 @@ def test_evaluate_alerts_semantics(spark):
         )
     with pytest.raises(ValueError, match="rules"):
         evaluate_alerts(metrics, [])
+
+
+def test_chunk_dedup_removes_repeated_spans_keeps_first(spark):
+    """Paragraph-style dedup semantics: a boilerplate span shared by
+    two docs survives only in the FIRST (doc_id, chunk_idx) instance;
+    reassembly preserves chunk order; whole-corpus-unique docs pass
+    through untouched; empty docs keep their spine row."""
+    from feature_store_spark.llm.dedup import chunk_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(4))  # one 4-token chunk
+    uniq1 = " ".join(f"u{i}" for i in range(4))
+    uniq2 = " ".join(f"v{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{uniq1} {boiler}"),        # chunks: [uniq1, boiler]
+            (2, f"{boiler} {uniq2}"),        # boiler dup -> only uniq2
+            (3, boiler),                     # fully duplicated -> ''
+            (4, None),                       # NULL doc keeps its row
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in chunk_dedup(docs, chunk_tokens=4).collect()
+    }
+    assert out[1]["dedup_text"] == f"{uniq1} {boiler}"
+    assert (out[1]["n_chunks"], out[1]["kept_chunks"]) == (2, 2)
+    assert out[2]["dedup_text"] == uniq2
+    assert (out[2]["n_chunks"], out[2]["kept_chunks"]) == (2, 1)
+    assert out[3]["dedup_text"] == ""
+    assert (out[3]["n_chunks"], out[3]["kept_chunks"]) == (1, 0)
+    assert out[4]["dedup_text"] == ""
+    assert (out[4]["n_chunks"], out[4]["kept_chunks"]) == (0, 0)
+
+
+def test_chunk_dedup_dedupes_self_repetition_within_one_doc(spark):
+    from feature_store_spark.llm.dedup import chunk_dedup
+
+    span = " ".join(f"s{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [(1, f"{span} {span} {span}")], "doc_id bigint, text string"
+    )
+    r = chunk_dedup(docs, chunk_tokens=4).collect()[0]
+    assert (r["n_chunks"], r["kept_chunks"]) == (3, 1)
+    assert r["dedup_text"] == span
