@@ -572,3 +572,108 @@ def evaluate_alerts(metrics: DataFrame, rules: Sequence[dict]) -> DataFrame:
         "threshold",
         F.coalesce(fired, F.lit(False)).alias("firing"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix — the classic product-analytics rollup
+    the reference's warehouse views stop just short of
+    (`sql/bigquery_schema.sql:75-94` aggregates per-user risk; this
+    aggregates per-COHORT activity): assign every user to the week of
+    their first event, then for each (cohort_week, week_offset) count
+    how many of that cohort's users were active, with the retention
+    rate as the exact two-integer division n_active/cohort_size
+    (bit-identical across engines, no rounding contract needed).
+
+    Emits (cohort_week, period_offset, n_active, cohort_size,
+    retention_rate), offset 0 rows carrying n_active == cohort_size by
+    construction.
+
+    Scale shape: one groupBy(user) for first-events, one distinct over
+    (user, week), one shuffle join on user (co-keyed with the groupBy),
+    one groupBy(cohort, offset) with countDistinct, and a broadcast
+    join of the tiny per-cohort sizes — all linear passes, nothing
+    quadratic, no window over the full corpus. Week truncation uses
+    Monday-start ``date_trunc('week')`` on both engines, so offsets
+    are exact multiples of 7 days. ``granularity``: "week" (default)
+    or "day" — sparse-activity corpora read better daily."""
+    if granularity not in ("week", "day"):
+        raise ValueError(
+            f"granularity must be 'week' or 'day', got {granularity!r}"
+        )
+    span = 7 if granularity == "week" else 1
+    firsts = events.groupBy(user_col).agg(
+        F.to_date(F.date_trunc(granularity, F.min(ts_col))).alias("__cohort")
+    )
+    activity = (
+        events.select(
+            F.col(user_col),
+            F.to_date(F.date_trunc(granularity, F.col(ts_col))).alias(
+                "__period"
+            ),
+        )
+        .distinct()
+    )
+    joined = activity.join(firsts, user_col)
+    per_cell = joined.groupBy("__cohort", "__period").agg(
+        F.countDistinct(user_col).cast("bigint").alias("n_active")
+    )
+    sizes = firsts.groupBy("__cohort").agg(
+        F.countDistinct(user_col).cast("bigint").alias("cohort_size")
+    )
+    return (
+        per_cell.join(F.broadcast(sizes), "__cohort")
+        .select(
+            F.col("__cohort").alias("cohort_week"),
+            (F.datediff("__period", "__cohort") / span)
+            .cast("int")
+            .alias("period_offset"),
+            "n_active",
+            "cohort_size",
+            (F.col("n_active") / F.col("cohort_size")).alias(
+                "retention_rate"
+            ),
+        )
+    )
+
+
+def cohort_retention_oracle_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> str:
+    """DuckDB twin: same plan; date_trunc('week') is Monday-start in
+    both engines, and the rate is the same exact integer division."""
+    span = 7 if granularity == "week" else 1
+    return f"""
+    WITH firsts AS (
+      SELECT {user_col},
+             CAST(date_trunc('{granularity}', min({ts_col})) AS DATE)
+               AS cohort
+      FROM {table} GROUP BY {user_col}
+    ), activity AS (
+      SELECT DISTINCT {user_col},
+             CAST(date_trunc('{granularity}', {ts_col}) AS DATE) AS period
+      FROM {table}
+    ), cells AS (
+      SELECT f.cohort, a.period,
+             CAST(count(DISTINCT a.{user_col}) AS BIGINT) AS n_active
+      FROM activity a JOIN firsts f USING ({user_col})
+      GROUP BY f.cohort, a.period
+    ), sizes AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cohort
+    )
+    SELECT c.cohort AS cohort_week,
+           CAST(date_diff('day', c.cohort, c.period) / {span} AS INT)
+             AS period_offset,
+           c.n_active,
+           s.cohort_size,
+           c.n_active * 1.0 / s.cohort_size AS retention_rate
+    FROM cells c JOIN sizes s USING (cohort)
+    """

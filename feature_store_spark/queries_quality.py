@@ -1646,3 +1646,25 @@ def q_alert_rules(spark, sf_dir):
     )
     metrics = m_docs.unionByName(m_events).unionByName(m_orders)
     return evaluate_alerts(metrics, ALERT_RULES)
+
+
+def _w12_oracle():
+    from feature_store_spark.operators.aggregates import (
+        cohort_retention_oracle_sql,
+    )
+
+    return cohort_retention_oracle_sql(granularity="day")
+
+
+@spec("w12_cohort_retention", _w12_oracle(), ("ext", "analytics", "cohort"))
+def q_w12_cohort_retention(spark, sf_dir):
+    """Daily cohort retention matrix over the events table — cohort =
+    day of a user's first event, one row per (cohort, day offset) with
+    the active-user count and the exact-division retention rate (see
+    operators/aggregates.py::cohort_retention; daily granularity
+    because the dense synthetic corpus is degenerate at weekly)."""
+    from feature_store_spark.operators.aggregates import cohort_retention
+
+    return cohort_retention(
+        load_table(spark, sf_dir, "events"), granularity="day"
+    )
