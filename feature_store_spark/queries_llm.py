@@ -317,6 +317,35 @@ def q_quantize_int8(spark, sf_dir):
     )
 
 
+from feature_store_spark.llm import cluster as K  # noqa: E402
+
+_KM_SQL = K.kmeans_clusters_oracle_sql(k=8, n_iter=4)
+
+
+@spec("emb_kmeans_clusters", _KM_SQL, ("ext", "embedding", "clustering"))
+def q_kmeans_clusters(spark, sf_dir):
+    """Deterministic exact fixed-point k-means assignment (k=8, 4
+    Lloyd's iterations) — see llm/cluster.py for the bit-identity
+    contract that makes a differential oracle possible where MLlib's
+    KMeans is not. (cluster, dist_q) are exact integers."""
+    return K.kmeans_clusters(_t(spark, sf_dir, "embeddings"), k=8, n_iter=4)
+
+
+@spec(
+    "o10_cluster_sample",
+    K.cluster_balanced_sample_oracle_sql(_KM_SQL, n_per_cluster=20),
+    ("ext", "embedding", "sampling", "clustering"),
+)
+def q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced sample: ≤20 vectors per k-means cluster by the
+    engine-standard seeded md5 order — the diversity-equalized
+    training-mix draw (llm/cluster.py::cluster_balanced_sample)."""
+    return K.cluster_balanced_sample(
+        K.kmeans_clusters(_t(spark, sf_dir, "embeddings"), k=8, n_iter=4),
+        n_per_cluster=20,
+    )
+
+
 def _codes_table(spark, sf_dir):
     """Materialized int8 codes for the fixture's embeddings — the
     deployed shape (quantize once at ingest, scan the 4-8× smaller

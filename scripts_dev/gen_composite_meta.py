@@ -58,6 +58,7 @@ PARTS = [
     "pt_repetition_stats", "pt_temperature_mixture", "pt_pack_token_budget",
     "pt_dup_span_stats",
     "emb_label_centroids", "emb_quantize_int8", "sim_cosine_topk_int8",
+    "emb_kmeans_clusters", "o10_cluster_sample",
     "o8_dataset_split",
 ]
 

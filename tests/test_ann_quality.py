@@ -448,3 +448,80 @@ def test_int8_quantization_roundtrip_error_bound(spark):
         assert max(abs(c) for c in r["codes"]) == 127
         for c, x in zip(r["codes"], orig):
             assert abs(c * r["scale"] - x) <= r["scale"] / 2 + 1e-12
+
+
+def test_kmeans_recovers_planted_blobs_exactly(spark):
+    """Three tight, well-separated Gaussian-ish blobs: 4 fixed-point
+    Lloyd's iterations from first-k init must assign every point to
+    its blob's cluster (perfect purity), and iterating must not
+    increase total within-cluster distance (Lloyd's monotonicity in
+    the unquantized limit; asserted with slack 0 here because the
+    blobs are far apart relative to quantization error)."""
+    import pyspark.sql.functions as F
+
+    from feature_store_spark.llm.cluster import kmeans_clusters
+
+    import math
+
+    def blob(center, n, base_id):
+        rows = []
+        for i in range(n):
+            # deterministic pseudo-noise, amplitude 0.01 around centers
+            # that are 1.0 apart
+            rows.append(
+                (
+                    base_id + i,
+                    [
+                        c + 0.01 * math.sin(7.3 * (base_id + i) + 0.9 * d)
+                        for d, c in enumerate(center)
+                    ],
+                )
+            )
+        return rows
+
+    dim = 8
+    c0, c1, c2 = [0.0] * dim, [1.0] * dim, [-1.0] * dim
+    rows = blob(c0, 20, 0) + blob(c1, 20, 100) + blob(c2, 20, 200)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = kmeans_clusters(df, k=3, n_iter=4)
+    joined = out.withColumn("blob", (F.col("vec_id") / 100).cast("int"))
+    # perfect purity: each blob maps to exactly one cluster, 3 distinct
+    per = joined.groupBy("blob", "cluster").count().collect()
+    assert len(per) == 3
+    assert len({r["cluster"] for r in per}) == 3
+    assert all(r["count"] == 20 for r in per)
+    # Lloyd's improves (or holds) the objective vs the raw init
+    d0 = kmeans_clusters(df, k=3, n_iter=0).agg(
+        F.sum("dist_q")
+    ).collect()[0][0]
+    d4 = out.agg(F.sum("dist_q")).collect()[0][0]
+    assert d4 <= d0
+
+
+def test_cluster_balanced_sample_caps_every_cluster(spark):
+    import pyspark.sql.functions as F
+
+    from feature_store_spark.llm.cluster import (
+        cluster_balanced_sample,
+        kmeans_clusters,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(60)],
+        "vec_id bigint, embedding array<float>",
+    )
+    a = kmeans_clusters(df, k=4, n_iter=2)
+    s = cluster_balanced_sample(a, n_per_cluster=5)
+    got = {
+        r["cluster"]: r["n"]
+        for r in s.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n <= 5 for n in got.values())
+    # ranks are 1..n within each cluster
+    ranks = s.groupBy("cluster").agg(
+        F.max("sample_rank").alias("mx")
+    ).collect()
+    assert all(r["mx"] == got[r["cluster"]] for r in ranks)
