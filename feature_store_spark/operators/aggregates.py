@@ -677,3 +677,179 @@ def cohort_retention_oracle_sql(
            c.n_active * 1.0 / s.cohort_size AS retention_rate
     FROM cells c JOIN sizes s USING (cohort)
     """
+
+
+def ab_test_report(
+    events: DataFrame,
+    experiment: str = "exp1",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    conversion_type: str = "purchase",
+    value_col: str = "value",
+    min_value: float = 100.0,
+) -> DataFrame:
+    """A/B experiment readout over an event log — deterministic
+    hash-bucketed assignment plus the two-proportion z-test every
+    experimentation platform reports. Users are split 50/50 by the
+    first hex digit of ``md5(experiment|user_id)`` (stable across
+    runs, engines and reshuffles — the industry-standard bucketing),
+    a user converts if they emitted a ``conversion_type`` event worth
+    at least ``min_value`` (a high-value-purchase goal), and the
+    output is one row per variant: (variant, n_users, n_converted,
+    conversion_rate) plus the shared (z_score, significant) columns —
+    |z| > 1.96 at the usual 5% two-sided level.
+
+    Cross-engine exactness: rates are two-integer divisions; the
+    z-score is the SAME parenthesized IEEE-double expression on both
+    engines (correctly rounded ops ⇒ bit-identical), so the driver
+    hash-checks it with no rounding contract. Degenerate designs —
+    an empty variant, zero or total conversion (pooled variance 0) —
+    report z NULL and significant FALSE instead of dividing by zero.
+
+    Scale shape: one distinct per user set, one conditional distinct
+    for converters, one groupBy(variant) — the z arithmetic runs on a
+    TWO-row aggregate. Nothing quadratic; assignment is a scan-local
+    hash, exactly how it would run on 10^9 users."""
+    bucket = F.substring(
+        F.md5(
+            F.concat_ws(
+                "|", F.lit(experiment), F.col(user_col).cast("string")
+            )
+        ),
+        1,
+        1,
+    )
+    variant = F.when(bucket < F.lit("8"), "A").otherwise("B")
+    users = (
+        events.select(user_col)
+        .distinct()
+        .select(F.col(user_col), variant.alias("variant"))
+    )
+    converted = (
+        events.filter(
+            (F.col(type_col) == conversion_type)
+            & (F.col(value_col) >= min_value)
+        )
+        .select(user_col)
+        .distinct()
+        .withColumn("__conv", F.lit(1))
+    )
+    per_variant = (
+        users.join(converted, user_col, "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.coalesce(F.sum("__conv"), F.lit(0))
+            .cast("bigint")
+            .alias("n_converted"),
+        )
+    )
+    one = per_variant.agg(
+        F.sum(F.when(F.col("variant") == "A", F.col("n_users"))).alias("na"),
+        F.sum(F.when(F.col("variant") == "A", F.col("n_converted"))).alias(
+            "ca"
+        ),
+        F.sum(F.when(F.col("variant") == "B", F.col("n_users"))).alias("nb"),
+        F.sum(F.when(F.col("variant") == "B", F.col("n_converted"))).alias(
+            "cb"
+        ),
+    )
+    # identical parenthesization on both engines — see docstring;
+    # the CASE guards the degenerate designs (empty variant, pooled
+    # rate 0 or 1) where the z denominator is zero
+    z = F.expr(
+        "CASE WHEN coalesce(na, 0) > 0 AND coalesce(nb, 0) > 0 "
+        "AND (ca + cb) > 0 AND (ca + cb) < (na + nb) THEN "
+        "(ca / na - cb / nb) / sqrt(((ca + cb) / (na + nb)) "
+        "* (1.0 - (ca + cb) / (na + nb)) * (1.0 / na + 1.0 / nb)) "
+        "ELSE NULL END"
+    )
+    scored = one.select(
+        F.col("na"), F.col("ca"), F.col("nb"), F.col("cb"), z.alias("z")
+    )
+    rows = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("A").alias("variant"),
+                    F.col("na").alias("n_users"),
+                    F.col("ca").alias("n_converted"),
+                    (F.col("ca") / F.col("na")).alias("conversion_rate"),
+                ),
+                F.struct(
+                    F.lit("B").alias("variant"),
+                    F.col("nb").alias("n_users"),
+                    F.col("cb").alias("n_converted"),
+                    (F.col("cb") / F.col("nb")).alias("conversion_rate"),
+                ),
+            )
+        ).alias("r"),
+        F.col("z"),
+    )
+    return rows.select(
+        F.col("r.variant").alias("variant"),
+        F.col("r.n_users").cast("bigint").alias("n_users"),
+        F.col("r.n_converted").cast("bigint").alias("n_converted"),
+        F.col("r.conversion_rate").alias("conversion_rate"),
+        F.col("z").alias("z_score"),
+        F.coalesce(F.abs(F.col("z")) > 1.96, F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+def ab_test_report_oracle_sql(
+    table: str = "events",
+    experiment: str = "exp1",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    conversion_type: str = "purchase",
+    value_col: str = "value",
+    min_value: float = 100.0,
+) -> str:
+    return f"""
+    WITH users AS (
+      SELECT DISTINCT {user_col} FROM {table}
+    ), assigned AS (
+      SELECT {user_col},
+             CASE WHEN substring(md5('{experiment}' || '|' ||
+                      CAST({user_col} AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM users
+    ), conv AS (
+      SELECT DISTINCT {user_col} FROM {table}
+      WHERE {type_col} = '{conversion_type}'
+        AND {value_col} >= {min_value}
+    ), per_variant AS (
+      SELECT a.variant,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(count(c.{user_col}) AS BIGINT) AS n_converted
+      FROM assigned a LEFT JOIN conv c USING ({user_col})
+      GROUP BY a.variant
+    ), one AS (
+      SELECT sum(CASE WHEN variant = 'A' THEN n_users END) AS na,
+             sum(CASE WHEN variant = 'A' THEN n_converted END) AS ca,
+             sum(CASE WHEN variant = 'B' THEN n_users END) AS nb,
+             sum(CASE WHEN variant = 'B' THEN n_converted END) AS cb
+      FROM per_variant
+    ), scored AS (
+      SELECT na, ca, nb, cb,
+             CASE WHEN coalesce(na, 0) > 0 AND coalesce(nb, 0) > 0
+                    AND (ca + cb) > 0 AND (ca + cb) < (na + nb) THEN
+               (ca / na - cb / nb) / sqrt(((ca + cb) / (na + nb))
+                 * (1.0 - (ca + cb) / (na + nb))
+                 * (1.0 / na + 1.0 / nb))
+             ELSE NULL END AS z
+      FROM one
+    )
+    SELECT v.variant,
+           CASE WHEN v.variant = 'A' THEN CAST(na AS BIGINT)
+                ELSE CAST(nb AS BIGINT) END AS n_users,
+           CASE WHEN v.variant = 'A' THEN CAST(ca AS BIGINT)
+                ELSE CAST(cb AS BIGINT) END AS n_converted,
+           CASE WHEN v.variant = 'A' THEN ca / na
+                ELSE cb / nb END AS conversion_rate,
+           z AS z_score,
+           COALESCE(abs(z) > 1.96, FALSE) AS significant
+    FROM scored CROSS JOIN (VALUES ('A'), ('B')) v(variant)
+    """

@@ -808,6 +808,14 @@ def _coerce_where_value(value, dtype):
         return datetime.date.fromisoformat(str(value))
     if t == "decimal":
         return decimal.Decimal(str(value))
+    if t == "boolean":
+        if isinstance(value, bool):
+            return value
+        return str(value).lower() == "true"
+    if t in _INTEGRAL_RANK:
+        return int(value)
+    if t in ("float", "double"):
+        return float(value)
     return value
 
 
@@ -894,6 +902,12 @@ def _entry_may_match(entry: dict, pk: str, preds, pcol: str) -> bool:
             if not _range_may_match(pv, pv, op, value):
                 return False
             continue
+        if op == "=":
+            bl = (entry.get("bloom") or {}).get(field.name)
+            if bl is not None and not _bloom_may_contain(
+                bl, _bloom_key(value, field.dataType)
+            ):
+                return False
         st = (entry.get("stats") or {}).get(field.name)
         if st is None:
             continue
@@ -935,6 +949,152 @@ def _leaf_stats(readback_df, pcol: str, stats_fields) -> dict:
     return out
 
 
+# --- per-leaf Bloom filters (point-lookup file skipping) ---
+#
+# min/max stats prune RANGE probes on clustered columns; a point
+# lookup on an UNCLUSTERED high-cardinality column (every leaf's
+# min..max spans the key space) needs the other classic index: a
+# per-leaf Bloom filter (Delta's bloom filter index / Iceberg puffin
+# blobs). ``bloom_cols`` records one bitmap per (leaf, column) at
+# commit; an equality predicate in ``read_table(where=...)`` probes it
+# and skips leaves whose filter proves absence. False positives only
+# cost a scan; false negatives are impossible (and the residual filter
+# still applies either way).
+#
+# The bit positions are computed JVM-side at commit and Python-side at
+# probe time, so the two encodings of a value MUST agree exactly —
+# the same class of trap as the compact_manifest string-cast defect.
+# Bloom columns are therefore restricted to types with a controlled
+# canonical form (string, integrals, boolean, date, timestamp); floats
+# and decimals are refused (equality-probing floats is ill-defined
+# anyway).
+
+_BLOOM_TYPES = frozenset(
+    {"string", "byte", "short", "integer", "long", "boolean", "date",
+     "timestamp", "timestamp_ntz"}
+)
+BLOOM_M_BITS = 4096  # bits per (leaf, column) bitmap (512 B raw)
+BLOOM_K = 3  # hash probes per value
+
+
+def _bloom_canonical_expr(field):
+    """JVM-side canonical string for a value — must mirror
+    ``_bloom_key`` below, byte for byte."""
+    c = F.col(field.name)
+    t = field.dataType.typeName()
+    if t == "boolean":
+        return F.when(c, F.lit("True")).otherwise(F.lit("False"))
+    if t in ("timestamp", "timestamp_ntz"):
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    return c.cast("string")  # string, integrals, date (ISO)
+
+
+def _bloom_key(value, dtype) -> str:
+    """Python-side canonical string for a probe value; coerces the
+    same way ``_coerce_where_value`` does first."""
+    import datetime
+
+    v = _coerce_where_value(value, dtype)
+    if isinstance(v, bool):
+        return "True" if v else "False"
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _bloom_positions(key: str, m: int = BLOOM_M_BITS, k: int = BLOOM_K):
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{i}|{key}".encode()).hexdigest()[:8], 16) % m
+        for i in range(k)
+    ]
+
+
+def _bloom_pos_exprs(field, m: int = BLOOM_M_BITS, k: int = BLOOM_K):
+    key = _bloom_canonical_expr(field)
+    return [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}|"), key)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % m
+        )
+        for i in range(k)
+    ]
+
+
+def _bloom_encode(positions) -> str:
+    """Sorted bit positions → base64 bitmap (m/8 bytes raw)."""
+    import base64
+
+    buf = bytearray(BLOOM_M_BITS // 8)
+    for p in positions:
+        buf[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(buf)).decode("ascii")
+
+
+def _bloom_may_contain(encoded: str, key: str) -> bool:
+    import base64
+
+    buf = base64.b64decode(encoded)
+    return all(
+        buf[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(key)
+    )
+
+
+def _leaf_blooms(readback_df, pcol: str, bloom_fields) -> dict:
+    """{pkey: {col: base64 bitmap}} — one distinct+collect per bloom
+    column over the freshly written leaves (opt-in commit cost;
+    positions per leaf are bounded by the bitmap size, so the collect
+    is O(leaves × m) metadata, never row data)."""
+    out: dict = {}
+    for f in bloom_fields:
+        poss = F.array(*_bloom_pos_exprs(f))
+        rows = (
+            readback_df.where(F.col(f.name).isNotNull())
+            .select(F.col(pcol), F.explode(poss).alias("__pos"))
+            .distinct()
+            .groupBy(pcol)
+            .agg(F.collect_set("__pos").alias("__ps"))
+            .collect()
+        )
+        for r in rows:
+            out.setdefault(_pkey(r[0]), {})[f.name] = _bloom_encode(
+                [int(p) for p in r["__ps"]]
+            )
+    return out
+
+
+def _resolve_bloom_fields(schema: StructType, bloom_cols, partition_col):
+    fields = {f.name: f for f in schema.fields}
+    out = []
+    for c in bloom_cols:
+        if c not in fields:
+            raise ValueError(
+                f"bloom_cols column {c!r} is not in the table schema"
+            )
+        if c == partition_col:
+            raise ValueError(
+                f"bloom_cols includes the partition column {c!r} — "
+                "partition pruning already covers it for free"
+            )
+        if fields[c].dataType.typeName() not in _BLOOM_TYPES:
+            raise ValueError(
+                f"bloom_cols column {c!r} has type "
+                f"{fields[c].dataType.simpleString()}; Bloom filters "
+                "need a canonical-form equality type (string/integral/"
+                "boolean/date/timestamp — floats and decimals are "
+                "refused)"
+            )
+        out.append(fields[c])
+    return out
+
+
 def _resolve_stats_fields(schema: StructType, stats_cols, partition_col):
     fields = {f.name: f for f in schema.fields}
     out = []
@@ -969,6 +1129,7 @@ def upsert_manifest_partitioned(
     backend: LocalLinkBackend | None = None,
     mode: str = "merge",
     stats_cols: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
 ) -> int:
     """Partition-scoped transactional upsert: ``upsert_manifest``'s
     multi-writer safety at ``upsert_parquet_partitioned``'s cost.
@@ -1019,7 +1180,14 @@ def upsert_manifest_partitioned(
     partitions carry their previously recorded stats forward with
     their leaves. Columns added later by schema evolution simply have
     no stats on older leaves — those leaves stay unprunable for that
-    column, never wrong."""
+    column, never wrong.
+
+    ``bloom_cols`` additionally records a per-leaf Bloom filter for
+    the named equality-canonical columns (see the bloom section above)
+    — the point-lookup complement to min/max: an ``=`` predicate in
+    ``read_table(where=...)`` skips leaves whose filter proves the key
+    absent. Costs one distinct+collect per bloom column over the
+    touched leaves at commit time (opt-in)."""
     if mode not in ("merge", "replace"):
         raise ValueError(f"mode must be 'merge' or 'replace', got {mode!r}")
     if key_cols is None and mode != "replace":
@@ -1158,6 +1326,11 @@ def upsert_manifest_partitioned(
                 if stats_cols
                 else []
             )
+            bloom_fields = (
+                _resolve_bloom_fields(merged.schema, bloom_cols, partition_col)
+                if bloom_cols
+                else []
+            )
             commit_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
             merged.join(F.broadcast(tok_map), partition_col).write.partitionBy(
                 "__ptok"
@@ -1193,12 +1366,19 @@ def upsert_manifest_partitioned(
                 *(os.path.join(root, d) for d in leaf.values())
             )
             per_part = _leaf_stats(readback, partition_col, stats_fields)
+            blooms = (
+                _leaf_blooms(readback, partition_col, bloom_fields)
+                if bloom_fields
+                else {}
+            )
             entries = {}
             for pk, d in leaf.items():
                 got = per_part.get(pk, {"rows": 0, "stats": {}})
                 e: dict = {"dir": d, "rows": got["rows"]}
                 if stats_fields:
                     e["stats"] = got["stats"]
+                if bloom_fields:
+                    e["bloom"] = blooms.get(pk, {})
                 entries[pk] = e
             written = {
                 "base_touched": tip_touched,
@@ -1428,9 +1608,12 @@ def compact_manifest(
                 "rows": parts[pk]["rows"],
             }
             # compaction re-lays the SAME rows, so recorded
-            # data-skipping stats stay exact — carry them forward
+            # data-skipping stats and Bloom filters stay exact —
+            # carry them forward
             if "stats" in parts[pk]:
                 e["stats"] = parts[pk]["stats"]
+            if "bloom" in parts[pk]:
+                e["bloom"] = parts[pk]["bloom"]
             new_parts[pk] = e
         # guard before publishing: every selected partition that holds
         # rows must have produced its leaf, and the rewritten leaves

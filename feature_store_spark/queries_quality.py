@@ -1668,3 +1668,23 @@ def q_w12_cohort_retention(spark, sf_dir):
     return cohort_retention(
         load_table(spark, sf_dir, "events"), granularity="day"
     )
+
+
+def _a27_oracle():
+    from feature_store_spark.operators.aggregates import (
+        ab_test_report_oracle_sql,
+    )
+
+    return ab_test_report_oracle_sql()
+
+
+@spec("a27_ab_test_report", _a27_oracle(), ("ext", "analytics", "abtest"))
+def q_a27_ab_test_report(spark, sf_dir):
+    """A/B experiment readout: deterministic md5 50/50 bucketing over
+    event users, conversion = a purchase worth >= 100, per-variant
+    rates (exact integer division) plus the shared two-proportion
+    z-score computed through the identical IEEE expression tree on
+    both engines (operators/aggregates.py::ab_test_report)."""
+    from feature_store_spark.operators.aggregates import ab_test_report
+
+    return ab_test_report(load_table(spark, sf_dir, "events"))

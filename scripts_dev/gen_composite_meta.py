@@ -31,6 +31,7 @@ PARTS = [
     "a6_having_duplicate_keys", "a12_json_feature_blob",
     "a4_mode_per_key", "a7_stats_outliers",
     "a8_completeness", "a9_freshness", "a10_table_counts", "alert_rules",
+    "a27_ab_test_report",
     "a14_rollup_counts", "a15_cube_counts", "a17_grouping_sets",
     "a18_algebraic_rollup",
     "a11_approx_aggregates", "a16_hll_sketch_rollup",

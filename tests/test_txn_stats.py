@@ -298,3 +298,145 @@ def test_where_composes_with_partition_values(spark, tmp_path):
     # partition_values selection before stats even apply
     assert df.count() == 5 + 10
     assert len(_leaf_of(df.inputFiles())) == 2
+
+
+# --- Bloom-filter file skipping ---
+
+
+def test_bloom_position_parity_jvm_vs_python(spark):
+    """The load-bearing invariant: the JVM-side canonical-string hash
+    (computed at commit) and the Python-side probe hash must agree for
+    every supported type — a divergence would silently prune leaves
+    that DO hold the key (the compact_manifest string-cast defect
+    class). Covers negatives, unicode, midnight/micro timestamps and
+    both booleans."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from feature_store_spark.pipelines.txn import (
+        _bloom_key,
+        _bloom_pos_exprs,
+        _bloom_positions,
+    )
+
+    cases = [
+        (StringType(), ["a", "héllo wörld", "", "user_001"]),
+        (LongType(), [0, -5, 123456789012345]),
+        (BooleanType(), [True, False]),
+        (DateType(), [datetime.date(2024, 2, 29)]),
+        (
+            TimestampType(),
+            [
+                datetime.datetime(2024, 1, 1),
+                datetime.datetime(2024, 1, 1, 12, 30, 45, 500000),
+                datetime.datetime(2024, 1, 1, 23, 59, 59, 1),
+            ],
+        ),
+    ]
+    for dtype, values in cases:
+        field = StructField("c", dtype)
+        df = spark.createDataFrame(
+            [(v,) for v in values], StructType([field])
+        )
+        jvm = df.select(
+            *[e.alias(f"p{i}") for i, e in enumerate(_bloom_pos_exprs(field))]
+        ).collect()
+        for v, row in zip(values, jvm):
+            assert [row[f"p{i}"] for i in range(3)] == _bloom_positions(
+                _bloom_key(v, dtype)
+            ), f"hash divergence for {dtype}: {v!r}"
+
+
+def test_bloom_skips_leaves_minmax_cannot(spark, tmp_path):
+    """Point lookup on an UNCLUSTERED column: both partitions span the
+    whole name range (min/max useless) but the bloom proves absence in
+    one of them."""
+    root = str(tmp_path / "t")
+    # interleaved names: both partitions have min='n000…', max='n999…'
+    rows = [
+        (i, f"n{i:03d}", 1, D1 if i % 2 == 0 else D2) for i in range(200)
+    ] + [(1000, "n000", 1, D1), (1001, "n999", 1, D2)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, name string, ts bigint, p date"
+    )
+    upsert_manifest_partitioned(
+        df, root, ["user_id"], "ts", "p",
+        stats_cols=["name"], bloom_cols=["name"],
+    )
+    # n101 is odd -> only in D2; stats can't prune (range overlap)
+    got, _ = read_table(spark, root, where=[("name", "=", "n101")])
+    assert [r["user_id"] for r in got.collect()] == [101]
+    assert len(_leaf_of(got.inputFiles())) == 1
+    # absent key -> bloom prunes BOTH leaves (no false negative risk:
+    # result is empty either way, but inputFiles proves the skip)
+    got2, _ = read_table(spark, root, where=[("name", "=", "zz_missing")])
+    assert got2.count() == 0
+    assert len(_leaf_of(got2.inputFiles())) == 0
+
+
+def test_bloom_carries_forward_and_survives_compaction(spark, tmp_path):
+    from feature_store_spark.pipelines.txn import compact_manifest
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "alpha", 1, D1), (2, "beta", 1, D2)],
+        "user_id bigint, name string, ts bigint, p date",
+    )
+    upsert_manifest_partitioned(
+        df, root, ["user_id"], "ts", "p", bloom_cols=["name"]
+    )
+    # touch only D2; D1's bloom carries forward
+    upsert_manifest_partitioned(
+        spark.createDataFrame(
+            [(3, "gamma", 2, D2)],
+            "user_id bigint, name string, ts bigint, p date",
+        ),
+        root, ["user_id"], "ts", "p", bloom_cols=["name"],
+    )
+    got, _ = read_table(spark, root, where=[("name", "=", "alpha")])
+    assert [r["user_id"] for r in got.collect()] == [1]
+    assert len(_leaf_of(got.inputFiles())) == 1
+    compact_manifest(spark, root)
+    got2, _ = read_table(spark, root, where=[("name", "=", "gamma")])
+    assert [r["user_id"] for r in got2.collect()] == [3]
+    assert len(_leaf_of(got2.inputFiles())) == 1
+
+
+def test_bloom_cols_validation(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _df(spark, [(1, 1.0, "a", 1, D1)])
+    with pytest.raises(ValueError, match="floats and decimals"):
+        upsert_manifest_partitioned(
+            df, root, ["user_id"], "ts", "p", bloom_cols=["score"]
+        )
+    with pytest.raises(ValueError, match="partition column"):
+        upsert_manifest_partitioned(
+            df, root, ["user_id"], "ts", "p", bloom_cols=["p"]
+        )
+    with pytest.raises(ValueError, match="not in the table schema"):
+        upsert_manifest_partitioned(
+            df, root, ["user_id"], "ts", "p", bloom_cols=["nope"]
+        )
+
+
+def test_bloom_range_ops_ignore_bloom(spark, tmp_path):
+    """Only '=' consults the bloom; range probes must not be affected
+    by it (and leaves without a bloom for the column stay scanned)."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "alpha", 1, D1), (2, "beta", 1, D2)],
+        "user_id bigint, name string, ts bigint, p date",
+    )
+    upsert_manifest_partitioned(
+        df, root, ["user_id"], "ts", "p", bloom_cols=["name"]
+    )
+    got, _ = read_table(spark, root, where=[("name", ">=", "b")])
+    assert [r["user_id"] for r in got.collect()] == [2]
+    assert len(_leaf_of(got.inputFiles())) == 2  # no stats -> both read
