@@ -81,6 +81,10 @@ HEADLINE = [
     "pt_repetition_stats",
     "pt_dup_span_stats",
     "mm_decode_media",
+    "d_chunk_dedup",
+    "w12_cohort_retention",
+    "a27_ab_test_report",
+    "emb_kmeans_clusters",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -75,7 +75,12 @@ def _assign(emb: DataFrame, centers: list[list[int]], id_col: str):
         )
         dists.append(d.alias(f"__d{j}"))
     scored = emb.select(id_col, "xq", *dists)
-    best = F.least(*[F.col(f"__d{j}") for j in range(k)])
+    # F.least needs >= 2 args; k=1 degenerates to the single distance
+    best = (
+        F.least(*[F.col(f"__d{j}") for j in range(k)])
+        if k > 1
+        else F.col("__d0")
+    )
     cluster = F.when(F.col("__d0") == best, 0)
     for j in range(1, k):
         cluster = cluster.when(F.col(f"__d{j}") == best, j)

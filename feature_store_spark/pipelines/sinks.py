@@ -289,9 +289,16 @@ def export_warehouse(
     untouched) — multi-writer safe when a backfill races the daily
     run. Readers use ``txn.read_table``; the same cluster
     repartition+sort runs before the commit, so rows land key-sorted
-    within each date partition in both modes. Returns THIS RUN's
-    exported row count either way. Layouts are incompatible — the
-    toggle raises in both directions instead of forking one root.
+    within each date partition in both modes. The transactional commit
+    also records DATA-SKIPPING stats for ``cluster_col`` (per-leaf
+    min/max — tight ranges precisely BECAUSE the rows are
+    cluster-sorted) plus a per-leaf Bloom filter when the column's
+    type supports a canonical equality form, so
+    ``txn.read_table(path, where=[(cluster_col, "=", key)])`` point
+    lookups skip non-matching date leaves outright — the engine-side
+    analogue of BigQuery clustering's block pruning. Returns THIS
+    RUN's exported row count either way. Layouts are incompatible —
+    the toggle raises in both directions instead of forking one root.
     """
     import os
 
@@ -328,6 +335,11 @@ def export_warehouse(
             upsert_manifest_partitioned,
         )
 
+        from feature_store_spark.pipelines.txn import _BLOOM_TYPES
+
+        cluster_type = dict(
+            (f.name, f.dataType.typeName()) for f in out.schema.fields
+        )[cluster_col]
         obs = Observation()
         upsert_manifest_partitioned(
             out.observe(obs, F.count(F.lit(1)).alias("rows"))
@@ -338,6 +350,10 @@ def export_warehouse(
             order_col=date_col,
             partition_col="partition_date",
             mode="replace",
+            stats_cols=[cluster_col],
+            bloom_cols=(
+                [cluster_col] if cluster_type in _BLOOM_TYPES else None
+            ),
         )
         if retention_days is not None and ref_date is not None:
             # real partition EXPIRATION, not just an ingest filter:

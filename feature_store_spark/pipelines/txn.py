@@ -811,7 +811,14 @@ def _coerce_where_value(value, dtype):
     if t == "boolean":
         if isinstance(value, bool):
             return value
-        return str(value).lower() == "true"
+        if isinstance(value, (int, float)):
+            return bool(value)
+        s = str(value).lower()
+        if s in ("true", "false"):
+            return s == "true"
+        raise ValueError(
+            f"cannot interpret {value!r} as a boolean predicate constant"
+        )
     if t in _INTEGRAL_RANK:
         return int(value)
     if t in ("float", "double"):

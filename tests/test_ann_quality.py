@@ -525,3 +525,15 @@ def test_cluster_balanced_sample_caps_every_cluster(spark):
         F.max("sample_rank").alias("mx")
     ).collect()
     assert all(r["mx"] == got[r["cluster"]] for r in ranks)
+
+
+def test_kmeans_k1_degenerate(spark):
+    from feature_store_spark.llm.cluster import kmeans_clusters
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = kmeans_clusters(df, k=1, n_iter=2).collect()
+    assert {r["cluster"] for r in out} == {0}
+    assert len(out) == 5

@@ -513,3 +513,42 @@ def test_negative_samples_dimension_sided_sort_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "o9_negative_samples")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_dedup_no_python_no_cartesian_bounded_shuffles(spark, sf_dir):
+    # inverted-index shape: tokenize+chunk explode (scan-local), ONE
+    # hash-window Exchange for first-occurrence, reassembly groupBy,
+    # spine left join — no all-pairs, no Python in the row path
+    plan = _plan(spark, sf_dir, "d_chunk_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FileScan") <= 2  # chunks pass + doc spine
+
+
+def test_cohort_retention_broadcasts_sizes_no_cartesian(spark, sf_dir):
+    # the per-cohort sizes frame is tiny and must broadcast; the
+    # user-keyed join must not degrade to a cartesian product
+    plan = _plan(spark, sf_dir, "w12_cohort_retention")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ab_test_single_fact_pass_per_leg_no_python(spark, sf_dir):
+    # two event scans (user universe + converters), two-row aggregate,
+    # z arithmetic on the driver-side two-row frame — no cartesian
+    # beyond the 1-row broadcast explode, no Python
+    plan = _plan(spark, sf_dir, "a27_ab_test_report")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FileScan") <= 2
+
+
+def test_kmeans_assignment_single_scan_no_python(spark, sf_dir):
+    # the final assignment plan: one scan of the quantized corpus, k
+    # JVM-side aggregate expressions, no joins (centers are literals),
+    # no Python in the row path
+    plan = _plan(spark, sf_dir, "emb_kmeans_clusters")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FileScan") == 1

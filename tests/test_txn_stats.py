@@ -440,3 +440,51 @@ def test_bloom_range_ops_ignore_bloom(spark, tmp_path):
     got, _ = read_table(spark, root, where=[("name", ">=", "b")])
     assert [r["user_id"] for r in got.collect()] == [2]
     assert len(_leaf_of(got.inputFiles())) == 2  # no stats -> both read
+
+
+def test_transactional_warehouse_export_records_skipping_stats(
+    spark, tmp_path
+):
+    """export_warehouse(transactional=True) auto-records cluster-column
+    stats + bloom, so warehouse point lookups skip non-matching date
+    leaves — the BigQuery-clustering block-pruning analogue."""
+    import datetime
+
+    from feature_store_spark.pipelines.sinks import export_warehouse
+
+    path = str(tmp_path / "wh")
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + (i // 100), 12), float(i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, updated_at timestamp, score double"
+    )
+    n = export_warehouse(df, path, transactional=True, ref_date="2024-01-05")
+    assert n == 200
+    got, _ = read_table(spark, path, where=[("user_id", "=", 150)])
+    assert [r["user_id"] for r in got.collect()] == [150]
+    # user 150 lives only in the Jan-2 partition: one leaf scanned
+    assert len(_leaf_of(got.inputFiles())) == 1
+    # absent key: bloom prunes everything
+    got2, _ = read_table(spark, path, where=[("user_id", "=", 9999)])
+    assert got2.count() == 0
+    assert len(_leaf_of(got2.inputFiles())) == 0
+
+
+def test_boolean_probe_coercions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    rows = [(1, True, 1, D1), (2, False, 1, D2)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, flag boolean, ts bigint, p date"
+    )
+    upsert_manifest_partitioned(
+        df, root, ["user_id"], "ts", "p",
+        stats_cols=["flag"], bloom_cols=["flag"],
+    )
+    for probe in (True, 1, "true", "TRUE"):
+        got, _ = read_table(spark, root, where=[("flag", "=", probe)])
+        assert [r["user_id"] for r in got.collect()] == [1], probe
+        assert len(_leaf_of(got.inputFiles())) == 1
+    with pytest.raises(ValueError, match="boolean predicate constant"):
+        read_table(spark, root, where=[("flag", "=", "yes")])
