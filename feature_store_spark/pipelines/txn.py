@@ -278,7 +278,8 @@ def read_table(
     reads as an empty frame under the pinned schema).
 
     ``where`` — a list of ``(column, op, value)`` triples (ops <, <=,
-    >, >=, =; conjunction) — is DATA SKIPPING: on a partition-scoped
+    >, >=, =, and ``in`` with a list value — the batch point-lookup
+    form; triples conjoin) — is DATA SKIPPING: on a partition-scoped
     table, leaf directories whose recorded ``stats_cols`` min/max
     window (or partition-key value, for predicates on the partition
     column) provably cannot match are never listed or scanned, and the
@@ -739,7 +740,7 @@ _STAT_TYPES = frozenset(
         "timestamp_ntz",
     }
 )
-_WHERE_OPS = frozenset({"<", "<=", ">", ">=", "="})
+_WHERE_OPS = frozenset({"<", "<=", ">", ">=", "=", "in"})
 
 
 def _stat_encode(v):
@@ -871,6 +872,29 @@ def _validate_where(where, schema: StructType) -> list:
                 f"where column {col!r} has non-orderable type "
                 f"{fields[col].dataType.simpleString()}"
             )
+        if op == "in":
+            if isinstance(value, (str, bytes)) or not isinstance(
+                value, Sequence
+            ):
+                raise ValueError(
+                    f"where 'in' value for {col!r} must be a list/tuple "
+                    f"of constants, got {value!r}"
+                )
+            if not value:
+                raise ValueError(
+                    f"where 'in' list for {col!r} is empty — an empty "
+                    "IN matches nothing; read nothing instead"
+                )
+            if any(v is None for v in value):
+                raise ValueError(
+                    f"where 'in' list for {col!r} contains None — NULL "
+                    "comparisons match nothing"
+                )
+            coerced = [
+                _coerce_where_value(v, fields[col].dataType) for v in value
+            ]
+            out.append((fields[col], op, coerced))
+            continue
         out.append(
             (fields[col], op, _coerce_where_value(value, fields[col].dataType))
         )
@@ -884,13 +908,16 @@ def _where_expr(preds):
     cond = None
     for field, op, value in preds:
         c = F.col(field.name)
-        e = {
-            "<": c < F.lit(value),
-            "<=": c <= F.lit(value),
-            ">": c > F.lit(value),
-            ">=": c >= F.lit(value),
-            "=": c == F.lit(value),
-        }[op]
+        if op == "in":
+            e = c.isin(*value)
+        else:
+            e = {
+                "<": c < F.lit(value),
+                "<=": c <= F.lit(value),
+                ">": c > F.lit(value),
+                ">=": c >= F.lit(value),
+                "=": c == F.lit(value),
+            }[op]
         cond = e if cond is None else cond & e
     return cond
 
@@ -904,17 +931,28 @@ def _entry_may_match(entry: dict, pk: str, preds, pcol: str) -> bool:
     if entry.get("rows") == 0:
         return False
     for field, op, value in preds:
+        # 'in' is a disjunction of equalities: the leaf survives if ANY
+        # listed value may match; the bloom narrows the candidate list
+        # before the min/max check
+        values = list(value) if op == "in" else [value]
+        eff_op = "=" if op == "in" else op
         if field.name == pcol:
             pv = _stat_decode(pk, field.dataType)
-            if not _range_may_match(pv, pv, op, value):
-                return False
-            continue
-        if op == "=":
-            bl = (entry.get("bloom") or {}).get(field.name)
-            if bl is not None and not _bloom_may_contain(
-                bl, _bloom_key(value, field.dataType)
+            if not any(
+                _range_may_match(pv, pv, eff_op, v) for v in values
             ):
                 return False
+            continue
+        if eff_op == "=":
+            bl = (entry.get("bloom") or {}).get(field.name)
+            if bl is not None:
+                values = [
+                    v
+                    for v in values
+                    if _bloom_may_contain(bl, _bloom_key(v, field.dataType))
+                ]
+                if not values:
+                    return False
         st = (entry.get("stats") or {}).get(field.name)
         if st is None:
             continue
@@ -926,7 +964,9 @@ def _entry_may_match(entry: dict, pk: str, preds, pcol: str) -> bool:
             if st.get("nulls") == entry.get("rows"):
                 return False
             continue  # non-finite floats etc. — unprunable
-        if not _range_may_match(mn, mx, op, value):
+        if not any(
+            _range_may_match(mn, mx, eff_op, v) for v in values
+        ):
             return False
     return True
 

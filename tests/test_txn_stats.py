@@ -488,3 +488,57 @@ def test_boolean_probe_coercions(spark, tmp_path):
         assert len(_leaf_of(got.inputFiles())) == 1
     with pytest.raises(ValueError, match="boolean predicate constant"):
         read_table(spark, root, where=[("flag", "=", "yes")])
+
+
+def test_in_list_prunes_by_union_of_points(spark, tmp_path):
+    """'in' keeps a leaf iff ANY listed key may match — the batch
+    point-lookup (keyset probe) form of data skipping."""
+    root = str(tmp_path / "t")
+    _ranged(spark, root)
+    df, _ = read_table(
+        spark, root, where=[("user_id", "in", [5, 205])]
+    )
+    assert sorted(r["user_id"] for r in df.collect()) == [5, 205]
+    assert len(_leaf_of(df.inputFiles())) == 2  # D1 + D3, D2 skipped
+    # partition-column 'in' prunes off the manifest keys alone
+    df2, _ = read_table(spark, root, where=[("p", "in", [D1, D3])])
+    assert df2.count() == 20
+    assert len(_leaf_of(df2.inputFiles())) == 2
+
+
+def test_in_list_bloom_narrows_before_minmax(spark, tmp_path):
+    root = str(tmp_path / "t")
+    rows = [
+        (i, f"n{i:03d}", 1, D1 if i % 2 == 0 else D2) for i in range(200)
+    ] + [(1000, "n000", 1, D1), (1001, "n999", 1, D2)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, name string, ts bigint, p date"
+    )
+    upsert_manifest_partitioned(
+        df, root, ["user_id"], "ts", "p", bloom_cols=["name"],
+    )
+    # both probes are odd -> only D2's leaf can hold them
+    got, _ = read_table(
+        spark, root, where=[("name", "in", ["n101", "n103"])]
+    )
+    assert sorted(r["user_id"] for r in got.collect()) == [101, 103]
+    assert len(_leaf_of(got.inputFiles())) == 1
+    # wholly absent keys: everything pruned
+    got2, _ = read_table(
+        spark, root, where=[("name", "in", ["zz_a", "zz_b"])]
+    )
+    assert got2.count() == 0
+    assert len(_leaf_of(got2.inputFiles())) == 0
+
+
+def test_in_list_validation(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _ranged(spark, root)
+    with pytest.raises(ValueError, match="list/tuple"):
+        read_table(spark, root, where=[("user_id", "in", 5)])
+    with pytest.raises(ValueError, match="empty"):
+        read_table(spark, root, where=[("user_id", "in", [])])
+    with pytest.raises(ValueError, match="None"):
+        read_table(spark, root, where=[("user_id", "in", [1, None])])
+    with pytest.raises(ValueError, match="list/tuple"):
+        read_table(spark, root, where=[("name", "in", "abc")])
