@@ -576,8 +576,11 @@ def run_streaming_warehouse_append(
     against concurrent batch/backfill writers, and leaves readers
     snapshot-isolated. Replay-convergent like ST12: a replayed batch
     recomputes the same per-key rows and the keyed merge lands them as
-    one extra version with identical contents. Returns
-    {batches, rows, versions, partitions}."""
+    one extra version with identical contents. Each commit records
+    user_id data-skipping stats + bloom on its touched date leaves, so
+    the continuously-ingested table serves pruned point lookups
+    (``read_table(where=...)``) exactly like the daily warehouse
+    export. Returns {batches, rows, versions, partitions}."""
     from feature_store_spark.pipelines.txn import (
         latest_version,
         read_table,
@@ -593,6 +596,8 @@ def run_streaming_warehouse_append(
             ["user_id"],
             "__seq",
             partition_col="event_date",
+            stats_cols=["user_id"],
+            bloom_cols=["user_id"],
         )
 
     batches = _drain_valid_events(

@@ -181,6 +181,24 @@ def test_streaming_warehouse_append_partition_scoped(
     assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
         map(tuple, expected.select(*cols).collect())
     )
+    # the per-batch commits recorded data-skipping metadata: a point
+    # lookup through where= answers exactly and never scans MORE
+    # leaves than the full read
+    some_user = expected.select("user_id").first()[0]
+    pruned, _ = read_table(
+        spark, root, where=[("user_id", "=", some_user)]
+    )
+    assert sorted(
+        r["event_date"] for r in pruned.collect()
+    ) == sorted(
+        r["event_date"]
+        for r in expected.filter(
+            F.col("user_id") == some_user
+        ).collect()
+    )
+    full_leaves = {f.rsplit("/", 1)[0] for f in got.inputFiles()}
+    pruned_leaves = {f.rsplit("/", 1)[0] for f in pruned.inputFiles()}
+    assert pruned_leaves <= full_leaves
 
 
 def test_running_profile_state_across_batches(spark, sf_dir, tmp_path):
