@@ -877,3 +877,30 @@ def q_pq_ann_topk(spark, sf_dir):
         "query_id", "vec_id"
     )
     return _ann_recall_band(exact, ann, floor=PQ_RECALL_MIN)
+
+
+def _g1_oracle():
+    from feature_store_spark.operators.graph import pagerank_oracle_sql
+
+    inner = (
+        "SELECT vec_id AS src, neighbor_id AS dst FROM ("
+        + S.knn_graph_oracle_sql(k=5)
+        + ")"
+    )
+    return pagerank_oracle_sql(inner, n_iter=4)
+
+
+@spec("g1_pagerank_knn", _g1_oracle(), ("ext", "graph", "pagerank"))
+def q_pagerank_knn(spark, sf_dir):
+    """Exact fixed-point PageRank (4 rounds, damping 0.85) over the
+    k=5 cosine kNN document graph — importance scoring for
+    centrality-aware corpus curation; integer mass units make the
+    iterative result bit-identical cross-engine
+    (operators/graph.py::pagerank)."""
+    from feature_store_spark.llm.similarity import knn_graph
+    from feature_store_spark.operators.graph import pagerank
+
+    edges = knn_graph(_t(spark, sf_dir, "embeddings"), k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return pagerank(edges, n_iter=4)

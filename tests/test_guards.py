@@ -597,3 +597,35 @@ def test_chunk_dedup_dedupes_self_repetition_within_one_doc(spark):
     r = chunk_dedup(docs, chunk_tokens=4).collect()[0]
     assert (r["n_chunks"], r["kept_chunks"]) == (3, 1)
     assert r["dedup_text"] == span
+
+
+def test_pagerank_star_graph_semantics(spark):
+    """Analytic sanity on a 5-node bidirectional star: the hub
+    receives every spoke's full mass while each spoke gets back only
+    a quarter of the hub's, so the hub ranks strictly highest at
+    every iteration count (a one-directional star oscillates with
+    period 2 — the damped power iteration hasn't converged in 8
+    rounds, which is itself a property worth knowing); symmetric
+    spokes tie EXACTLY in integer mass; floor losses only ever shrink
+    total mass below the scale."""
+    from feature_store_spark.operators.graph import PR_SCALE, pagerank
+
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)] + [(0, i) for i in range(1, 5)],
+        "src bigint, dst bigint",
+    )
+    for n_iter in (1, 4, 8):
+        out = {
+            r["node"]: r["rank_q"]
+            for r in pagerank(edges, n_iter=n_iter).collect()
+        }
+        assert len(out) == 5
+        assert out[0] == max(out.values()) and out[0] > out[1], n_iter
+        assert out[1] == out[2] == out[3] == out[4], n_iter
+        assert sum(out.values()) <= PR_SCALE
+    # n_iter=0 returns the uniform initialization
+    uniform = {
+        r["node"]: r["rank_q"]
+        for r in pagerank(edges, n_iter=0).collect()
+    }
+    assert set(uniform.values()) == {PR_SCALE // 5}
