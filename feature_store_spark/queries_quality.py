@@ -1688,3 +1688,68 @@ def q_a27_ab_test_report(spark, sf_dir):
     from feature_store_spark.operators.aggregates import ab_test_report
 
     return ab_test_report(load_table(spark, sf_dir, "events"))
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@spec(
+    "a28_pivot_event_matrix",
+    f"""
+    SELECT user_id,
+           {', '.join(
+               "CAST(count(*) FILTER (WHERE event_type = '" + t + "') "
+               "AS BIGINT) AS " + t
+               for t in EVENT_TYPES
+           )}
+    FROM events GROUP BY user_id
+    """,
+    ("ext", "analytics", "pivot"),
+)
+def q_a28_pivot_event_matrix(spark, sf_dir):
+    """PIVOT: the per-user event-type count matrix — groupBy().pivot()
+    with an EXPLICIT value list (no discovery scan, deterministic
+    column order; Spark's two-scan pivot-value inference is exactly
+    what you don't run at 100 TB). Null cells coalesce to 0, matching
+    the oracle's conditional counts."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t)
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+@spec(
+    "a29_exact_percentiles",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90
+    FROM events GROUP BY event_type
+    """,
+    ("ext", "analytics", "percentile"),
+)
+def q_a29_exact_percentiles(spark, sf_dir):
+    """EXACT grouped percentiles (linear interpolation) next to the
+    approx family (A11/A19): Spark `percentile` and DuckDB
+    `quantile_cont` share the interpolation definition, so the doubles
+    hash-match with no rounding contract. The exact form costs a
+    per-group sort — the approx sketches are the 100 TB default; this
+    is the small-group/high-stakes variant (SLA reporting)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr("percentile(value, 0.25D)").alias("p25"),
+        F.expr("percentile(value, 0.5D)").alias("p50"),
+        F.expr("percentile(value, 0.9D)").alias("p90"),
+    )

@@ -33,6 +33,7 @@ PARTS = [
     "a8_completeness", "a9_freshness", "a10_table_counts", "alert_rules",
     "a27_ab_test_report",
     "a14_rollup_counts", "a15_cube_counts", "a17_grouping_sets",
+    "a28_pivot_event_matrix", "a29_exact_percentiles",
     "a18_algebraic_rollup",
     "a11_approx_aggregates", "a16_hll_sketch_rollup",
     "a19_quantile_sketch_rollup",
