@@ -1744,6 +1744,466 @@ def compact_manifest(
     )
 
 
+def delete_where(
+    spark: SparkSession,
+    root: str,
+    where: Sequence,
+    max_retries: int = 20,
+    backend: LocalLinkBackend | None = None,
+) -> dict:
+    """Row-level DELETE for manifest tables — ``DELETE FROM t WHERE
+    <conjunction>`` with the same predicate grammar as
+    ``read_table(where=...)`` (<, <=, >, >=, =, in; triples conjoin).
+    Completes the table layer's CRUD next to upsert (merge/replace),
+    drop_partitions (partition-level delete) and OPTIMIZE.
+
+    SQL DELETE semantics: rows where the predicate is TRUE are
+    removed; FALSE **and NULL** rows survive (the filter is
+    null-rejecting on the delete side, never on the keep side).
+
+    Data skipping is the cost model: on a partition-scoped table only
+    leaves whose recorded stats/bloom/partition-key say they MAY hold
+    matching rows are read and rewritten — a retention delete against
+    a clustered column touches the matching leaves, not the table.
+    Untouched partitions carry forward byte-identically (vacuum/CDC
+    invariants hold); fully-emptied partitions leave the map via the
+    delta format's ``removed`` list. Rewritten leaves re-record
+    whatever stats/bloom columns their old entries carried. A delete
+    matching zero rows publishes NO version. Unpartitioned tables
+    rewrite the snapshot (their commits are O(table) by design).
+
+    Concurrency: the optimistic loop re-reads the tip and recomputes
+    from scratch on every attempt (deletes are rare; no prepared-
+    commit reuse). Returns {version, rows_deleted,
+    partitions_rewritten, partitions_removed, committed}."""
+    preds_probe = list(where)
+    if not preds_probe:
+        raise ValueError(
+            "delete_where: empty predicate would delete nothing — "
+            "for full truncation use drop_partitions (partitioned) "
+            "or commit an empty replace"
+        )
+    from pyspark.errors import AnalysisException
+
+    for _ in range(max_retries):
+        v = latest_version(root)
+        if v == 0:
+            raise ValueError(f"{root!r} has no committed versions")
+        try:
+            tip = read_manifest(root, v)
+        except FileNotFoundError:
+            continue  # concurrent vacuum; re-resolve
+        schema = StructType.fromJson(tip["schema"])
+        preds = _validate_where(preds_probe, schema)
+        cond = _where_expr(preds)
+        keep = ~F.coalesce(cond, F.lit(False))
+
+        if not _is_partitioned(tip):
+            data_dir = os.path.join(root, tip["data_dir"])
+            try:
+                snap = spark.read.schema(schema).parquet(data_dir)
+                deleted = snap.filter(F.coalesce(cond, F.lit(False))).count()
+                if deleted == 0:
+                    return {
+                        "version": v, "rows_deleted": 0,
+                        "partitions_rewritten": 0, "partitions_removed": 0,
+                        "committed": False,
+                    }
+                new_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+                obs = Observation()
+                snap.filter(keep).observe(
+                    obs, F.count(F.lit(1)).alias("rows")
+                ).write.parquet(os.path.join(root, new_rel))
+                remaining = int(obs.get["rows"])
+            except AnalysisException as e:
+                if _is_path_not_found(e):
+                    continue
+                raise
+            if remaining + deleted != tip["rows"]:
+                shutil.rmtree(
+                    os.path.join(root, new_rel), ignore_errors=True
+                )
+                continue  # tip moved under us mid-read; recompute
+            manifest = {
+                "op": "delete",
+                "base_version": v,
+                "data_dir": new_rel,
+                "rows": remaining,
+                "schema": tip["schema"],
+            }
+            if _try_commit(root, v + 1, manifest, backend):
+                return {
+                    "version": v + 1, "rows_deleted": deleted,
+                    "partitions_rewritten": 1, "partitions_removed": 0,
+                    "committed": True,
+                }
+            shutil.rmtree(os.path.join(root, new_rel), ignore_errors=True)
+            continue
+
+        pcol = tip["partition_col"]
+        try:
+            parts = resolve_partitions(root, v)
+        except FileNotFoundError:
+            continue
+        candidates = {
+            pk: e
+            for pk, e in parts.items()
+            if _entry_may_match(e, pk, preds, pcol)
+        }
+        if not candidates:
+            return {
+                "version": v, "rows_deleted": 0,
+                "partitions_rewritten": 0, "partitions_removed": 0,
+                "committed": False,
+            }
+        cand_dirs = [
+            os.path.join(root, e["dir"]) for e in candidates.values()
+        ]
+        try:
+            cand = spark.read.schema(schema).parquet(*cand_dirs)
+            per_part_del = {
+                _pkey(r[0]): r[1]
+                for r in cand.filter(F.coalesce(cond, F.lit(False)))
+                .groupBy(pcol)
+                .count()
+                .collect()
+            }
+        except AnalysisException as e:
+            if _is_path_not_found(e):
+                continue  # vacuum race; re-resolve
+            raise
+        touched = {pk for pk, n in per_part_del.items() if n > 0}
+        if not touched:
+            return {
+                "version": v, "rows_deleted": 0,
+                "partitions_rewritten": 0, "partitions_removed": 0,
+                "committed": False,
+            }
+        deleted = sum(per_part_del[pk] for pk in touched)
+        # rewrite ONLY partitions that actually lose rows; typed
+        # partition values for the tok mapping come from the touched
+        # leaves themselves (same pattern as compact_manifest)
+        touched_dirs = [
+            os.path.join(root, parts[pk]["dir"]) for pk in touched
+        ]
+        try:
+            tdf = spark.read.schema(schema).parquet(*touched_dirs)
+            vals = [r[0] for r in tdf.select(pcol).distinct().collect()]
+        except AnalysisException as e:
+            if _is_path_not_found(e):
+                continue
+            raise
+        val_keys = {_pkey(x): x for x in vals if _pkey(x) in touched}
+        remaining_df = tdf.filter(keep)
+        # stats/bloom columns to re-record = what the old entries had
+        stat_names = sorted(
+            {
+                c
+                for pk in touched
+                for c in (parts[pk].get("stats") or {})
+                if c in {f.name for f in schema.fields}
+            }
+        )
+        bloom_names = sorted(
+            {
+                c
+                for pk in touched
+                for c in (parts[pk].get("bloom") or {})
+                if c in {f.name for f in schema.fields}
+            }
+        )
+        stats_fields = [schema[c] for c in stat_names]
+        bloom_fields = [schema[c] for c in bloom_names]
+        commit_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+        tok_map = _ptok_mapping(spark, schema[pcol], val_keys)
+        remaining_df.join(F.broadcast(tok_map), pcol).write.partitionBy(
+            "__ptok"
+        ).parquet(os.path.join(root, commit_rel))
+        leaf = {
+            pk: f"{commit_rel}/__ptok={_ptoken(pk)}" for pk in touched
+        }
+        live_leaves = {
+            pk: d
+            for pk, d in leaf.items()
+            if os.path.isdir(os.path.join(root, d))
+        }
+        readback = (
+            spark.read.schema(schema).parquet(
+                *(os.path.join(root, d) for d in live_leaves.values())
+            )
+            if live_leaves
+            else None
+        )
+        per_part = (
+            _leaf_stats(readback, pcol, stats_fields) if readback else {}
+        )
+        blooms = (
+            _leaf_blooms(readback, pcol, bloom_fields)
+            if readback is not None and bloom_fields
+            else {}
+        )
+        updates = {}
+        removed = []
+        ok = True
+        for pk in sorted(touched):
+            expect = parts[pk]["rows"] - per_part_del[pk]
+            got = per_part.get(pk, {"rows": 0, "stats": {}})
+            if got["rows"] != expect:
+                ok = False
+                break
+            if expect == 0:
+                removed.append(pk)
+                continue
+            e: dict = {"dir": leaf[pk], "rows": expect}
+            if stat_names:
+                e["stats"] = got["stats"]
+            if bloom_names:
+                e["bloom"] = blooms.get(pk, {})
+            updates[pk] = e
+        if not ok:
+            # counts shifted under us (concurrent writer won a race
+            # between our read and recount) — drop and retry
+            shutil.rmtree(
+                os.path.join(root, commit_rel), ignore_errors=True
+            )
+            continue
+        new_parts = {
+            pk: e for pk, e in parts.items() if pk not in set(removed)
+        }
+        new_parts.update(updates)
+        manifest = {
+            "op": "delete",
+            "base_version": v,
+            "rows": sum(e["rows"] for e in new_parts.values()),
+            "schema": tip["schema"],
+            "partition_col": pcol,
+            "updates": updates,
+            "removed": removed,
+        }
+        if _try_commit(root, v + 1, manifest, backend):
+            _maybe_checkpoint(root, v + 1, new_parts, backend)
+            return {
+                "version": v + 1,
+                "rows_deleted": deleted,
+                "partitions_rewritten": len(updates),
+                "partitions_removed": len(removed),
+                "committed": True,
+            }
+        shutil.rmtree(os.path.join(root, commit_rel), ignore_errors=True)
+    raise RuntimeError(
+        f"delete_where: gave up after {max_retries} version races at "
+        f"{root!r}"
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    root: str,
+    where: Sequence,
+    set_values: dict,
+    max_retries: int = 20,
+    backend: LocalLinkBackend | None = None,
+) -> dict:
+    """Row-level UPDATE for partition-scoped manifest tables —
+    ``UPDATE t SET col = literal, ... WHERE <conjunction>`` with the
+    same predicate grammar as ``read_table(where=...)``. Together with
+    ``delete_where`` this completes DML on the table layer.
+
+    ``set_values`` maps column → NEW LITERAL value (cast to the
+    column's pinned type; the partition column is refused — moving
+    rows between partitions is a delete+insert, not an in-place
+    update). Rows where the predicate is TRUE take the new values;
+    FALSE and NULL rows pass through untouched. Only leaves whose
+    stats/bloom/partition-key say they MAY hold matching rows are
+    rewritten; untouched partitions carry forward byte-identically.
+    Rewritten leaves re-record their old entries' stats/bloom columns,
+    so a probe for the OLD value of an updated stats column prunes
+    correctly afterwards. Zero matches publish no version.
+
+    Returns {version, rows_updated, partitions_rewritten, committed}.
+    """
+    if not list(where):
+        raise ValueError(
+            "update_where: empty predicate — updating every row "
+            "should be an explicit replace commit"
+        )
+    if not set_values:
+        raise ValueError("update_where: set_values is empty")
+    from pyspark.errors import AnalysisException
+
+    for _ in range(max_retries):
+        v = latest_version(root)
+        if v == 0:
+            raise ValueError(f"{root!r} has no committed versions")
+        try:
+            tip = read_manifest(root, v)
+        except FileNotFoundError:
+            continue
+        if not _is_partitioned(tip):
+            raise ValueError(
+                "update_where supports partition-scoped tables; for an "
+                "unpartitioned table read, transform, and "
+                "upsert_manifest the result"
+            )
+        schema = StructType.fromJson(tip["schema"])
+        pcol = tip["partition_col"]
+        fields = {f.name: f for f in schema.fields}
+        for c in set_values:
+            if c not in fields:
+                raise ValueError(
+                    f"update_where: SET column {c!r} is not in the "
+                    "table schema"
+                )
+            if c == pcol:
+                raise ValueError(
+                    f"update_where: SET on the partition column {c!r} "
+                    "moves rows between partitions — delete + upsert "
+                    "instead"
+                )
+        preds = _validate_where(where, schema)
+        cond = F.coalesce(_where_expr(preds), F.lit(False))
+        try:
+            parts = resolve_partitions(root, v)
+        except FileNotFoundError:
+            continue
+        candidates = {
+            pk: e
+            for pk, e in parts.items()
+            if _entry_may_match(e, pk, preds, pcol)
+        }
+        if not candidates:
+            return {
+                "version": v, "rows_updated": 0,
+                "partitions_rewritten": 0, "committed": False,
+            }
+        try:
+            cand = spark.read.schema(schema).parquet(
+                *(os.path.join(root, e["dir"]) for e in candidates.values())
+            )
+            per_part_upd = {
+                _pkey(r[0]): r[1]
+                for r in cand.filter(cond).groupBy(pcol).count().collect()
+            }
+        except AnalysisException as e:
+            if _is_path_not_found(e):
+                continue
+            raise
+        touched = {pk for pk, n in per_part_upd.items() if n > 0}
+        if not touched:
+            return {
+                "version": v, "rows_updated": 0,
+                "partitions_rewritten": 0, "committed": False,
+            }
+        updated_n = sum(per_part_upd[pk] for pk in touched)
+        touched_dirs = [
+            os.path.join(root, parts[pk]["dir"]) for pk in touched
+        ]
+        try:
+            tdf = spark.read.schema(schema).parquet(*touched_dirs)
+            vals = [r[0] for r in tdf.select(pcol).distinct().collect()]
+        except AnalysisException as e:
+            if _is_path_not_found(e):
+                continue
+            raise
+        val_keys = {_pkey(x): x for x in vals if _pkey(x) in touched}
+        out = tdf
+        for c, nv in set_values.items():
+            out = out.withColumn(
+                c,
+                F.when(
+                    cond, F.lit(nv).cast(fields[c].dataType)
+                ).otherwise(F.col(c)),
+            )
+        stat_names = sorted(
+            {
+                c
+                for pk in touched
+                for c in (parts[pk].get("stats") or {})
+                if c in fields
+            }
+        )
+        bloom_names = sorted(
+            {
+                c
+                for pk in touched
+                for c in (parts[pk].get("bloom") or {})
+                if c in fields
+            }
+        )
+        commit_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+        tok_map = _ptok_mapping(spark, schema[pcol], val_keys)
+        out.join(F.broadcast(tok_map), pcol).write.partitionBy(
+            "__ptok"
+        ).parquet(os.path.join(root, commit_rel))
+        leaf = {
+            pk: f"{commit_rel}/__ptok={_ptoken(pk)}" for pk in touched
+        }
+        missing = [
+            pk
+            for pk in touched
+            if not os.path.isdir(os.path.join(root, leaf[pk]))
+        ]
+        if missing:
+            shutil.rmtree(
+                os.path.join(root, commit_rel), ignore_errors=True
+            )
+            raise RuntimeError(
+                f"update_where: partitions {sorted(missing)!r} produced "
+                "no leaf — rows would be lost; not committing"
+            )
+        readback = spark.read.schema(schema).parquet(
+            *(os.path.join(root, d) for d in leaf.values())
+        )
+        per_part = _leaf_stats(
+            readback, pcol, [fields[c] for c in stat_names]
+        )
+        blooms = (
+            _leaf_blooms(readback, pcol, [fields[c] for c in bloom_names])
+            if bloom_names
+            else {}
+        )
+        updates = {}
+        ok = True
+        for pk in sorted(touched):
+            got = per_part.get(pk, {"rows": 0, "stats": {}})
+            if got["rows"] != parts[pk]["rows"]:
+                ok = False  # UPDATE never changes row counts
+                break
+            e: dict = {"dir": leaf[pk], "rows": got["rows"]}
+            if stat_names:
+                e["stats"] = got["stats"]
+            if bloom_names:
+                e["bloom"] = blooms.get(pk, {})
+            updates[pk] = e
+        if not ok:
+            shutil.rmtree(
+                os.path.join(root, commit_rel), ignore_errors=True
+            )
+            continue  # tip moved mid-read; recompute
+        new_parts = {**parts, **updates}
+        manifest = {
+            "op": "update",
+            "base_version": v,
+            "rows": tip["rows"],
+            "schema": tip["schema"],
+            "partition_col": pcol,
+            "updates": updates,
+        }
+        if _try_commit(root, v + 1, manifest, backend):
+            _maybe_checkpoint(root, v + 1, new_parts, backend)
+            return {
+                "version": v + 1,
+                "rows_updated": updated_n,
+                "partitions_rewritten": len(updates),
+                "committed": True,
+            }
+        shutil.rmtree(os.path.join(root, commit_rel), ignore_errors=True)
+    raise RuntimeError(
+        f"update_where: gave up after {max_retries} version races at "
+        f"{root!r}"
+    )
+
+
 def drop_partitions(
     root: str,
     partition_values: Sequence,
@@ -2149,3 +2609,52 @@ def vacuum(
                 if not os.path.exists(path):
                     removed.append(rel)
     return removed
+
+
+def table_files(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Files metadata table (Delta DESCRIBE DETAIL / Iceberg ``files``
+    analogue): one row per live data directory of the pinned version —
+    (partition, dir, rows, n_files, bytes, has_stats, has_bloom),
+    partition NULL for unpartitioned snapshots. Metadata-only: reads
+    the manifest chain and stats the leaf dirs, never a data file's
+    contents — the operational view OPTIMIZE/vacuum decisions are made
+    from (e.g. ``min_files`` thresholds, stats coverage audits)."""
+    v = latest_version(root) if version is None else version
+    if v == 0:
+        raise ValueError(f"{root!r} has no committed versions")
+    m = read_manifest(root, v)
+    rows = []
+    if _is_partitioned(m):
+        for pk, e in sorted(resolve_partitions(root, v).items()):
+            d = os.path.join(root, e["dir"])
+            rows.append(
+                (
+                    pk,
+                    e["dir"],
+                    e.get("rows"),
+                    _leaf_file_count(d),
+                    _dir_bytes(d),
+                    bool(e.get("stats")),
+                    bool(e.get("bloom")),
+                )
+            )
+    else:
+        d = os.path.join(root, m["data_dir"])
+        rows.append(
+            (
+                None,
+                m["data_dir"],
+                m.get("rows"),
+                _leaf_file_count(d),
+                _dir_bytes(d),
+                False,
+                False,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "partition string, dir string, rows bigint, n_files int, "
+        "bytes bigint, has_stats boolean, has_bloom boolean",
+    )
