@@ -879,3 +879,123 @@ def bm25_topk_oracle_sql(
       FROM totals
     ) WHERE rank <= {k}
     """
+
+
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information —
+    the phrase-detection pass of word2vec-style corpus prep (Mikolov
+    et al.'s phrase scoring is PMI with a discount): PMI(a,b) =
+    log10(C(ab)·N / (C(a)·C(b))) over adjacent token pairs, high PMI =
+    tokens that co-occur far more than their independent rates predict
+    (multi-word expressions, named entities, boilerplate idioms).
+    ``min_count`` suppresses singleton noise (PMI's classic
+    rare-pair bias).
+
+    Determinism: counts are exact integers; the single libm call
+    rides the same 9-decimal quantization contract as
+    :func:`ngram_lm_score`; top-k ties break on (w1, w2).
+
+    Scale shape: one groupBy for unigram counts, one for pair counts,
+    two keyed joins (pair stream ⋈ unigram counts — no broadcast
+    assumption: vocabulary at corpus scale is join-sized, not
+    driver-sized), N as a broadcast 1-row aggregate, TakeOrdered for
+    the global top-k. Nothing quadratic; hot tokens cost counts, not
+    pairs."""
+    toks = df.select(
+        F.explode(tokens(F.col(text_col))).alias("__w")
+    )
+    n_total = toks.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    uni = toks.groupBy("__w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    t = df.select(tokens(F.col(text_col)).alias("__t"))
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__t) >= 2 THEN"
+                " transform(sequence(1, size(__t) - 1),"
+                " i -> struct(element_at(__t, i) AS w1,"
+                " element_at(__t, i + 1) AS w2))"
+                " ELSE array() END"
+            )
+        ).alias("__p")
+    ).select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    pc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    joined = (
+        pc.join(uni.withColumnRenamed("__w", "w1"), "w1")
+        .withColumnRenamed("__c", "n_w1")
+        .join(uni.withColumnRenamed("__w", "w2"), "w2")
+        .withColumnRenamed("__c", "n_w2")
+        .join(F.broadcast(n_total))
+    )
+    pmi = F.round(
+        F.log10(
+            (F.col("n_pair") * F.col("__n").cast("double"))
+            / (F.col("n_w1") * F.col("n_w2").cast("double"))
+        ),
+        9,
+    )
+    scored = joined.select(
+        "w1", "w2", "n_pair", "n_w1", "n_w2", pmi.alias("pmi")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.desc("pmi"), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pmi_collocations_oracle_sql(
+    table: str = "documents",
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS t
+      FROM {table}
+    ),
+    stream AS (SELECT unnest(t) AS w FROM toks),
+    n_total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM stream),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM stream GROUP BY w
+    ),
+    pairs AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+    ),
+    pc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM pairs GROUP BY w1, w2
+      HAVING count(*) >= {min_count}
+    ),
+    scored AS (
+      SELECT pc.w1, pc.w2, pc.n_pair,
+             u1.c AS n_w1, u2.c AS n_w2,
+             round(log10((pc.n_pair * CAST(n.n AS DOUBLE))
+                         / (u1.c * CAST(u2.c AS DOUBLE))), 9) AS pmi
+      FROM pc
+      JOIN uni u1 ON pc.w1 = u1.w
+      JOIN uni u2 ON pc.w2 = u2.w
+      CROSS JOIN n_total n
+    )
+    SELECT w1, w2, n_pair, n_w1, n_w2, pmi, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -904,3 +904,18 @@ def q_pagerank_knn(spark, sf_dir):
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     return pagerank(edges, n_iter=4)
+
+
+@spec(
+    "t_pmi_collocations",
+    T.pmi_collocations_oracle_sql(k=50, min_count=5),
+    ("ext", "text", "collocation"),
+)
+def q_pmi_collocations(spark, sf_dir):
+    """Top-50 bigram collocations by PMI (min pair count 5) — the
+    word2vec-style phrase-detection pass; counts exact, the one libm
+    log rides the ngram_lm_score 9-decimal quantization contract
+    (llm/text.py::pmi_collocations)."""
+    return T.pmi_collocations(
+        _t(spark, sf_dir, "documents"), k=50, min_count=5
+    )
