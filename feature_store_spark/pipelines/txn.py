@@ -1490,6 +1490,8 @@ def compact_manifest(
     max_retries: int = 20,
     backend: LocalLinkBackend | None = None,
     min_files: int | None = None,
+    zorder_cols: Sequence[str] | None = None,
+    zorder_bits: int | None = None,
 ) -> dict:
     """OPTIMIZE for manifest tables: rewrite the tip's data into
     ~``target_file_bytes`` files and publish the result as a NEW
@@ -1519,7 +1521,49 @@ def compact_manifest(
     every selected partition below the threshold the call is a no-op
     (no commit, version unchanged). Composable with
     ``partition_values`` (threshold filters the explicit selection).
-    """
+
+    ``zorder_cols`` is OPTIMIZE ZORDER BY: rewritten data sorts by the
+    Z-order interleave of the named integral columns
+    (``operators/layout.py`` — the measured row-group-pruning layout),
+    so parquet footer min/max gets tight on every listed dimension and
+    composes with the manifest-level leaf skipping: ``where=`` prunes
+    leaves, the clustered row groups prune within the survivors. Rows
+    are only REORDERED — counts, leaf stats and blooms all stay exact
+    and the existing row-count guards still apply. (Partitioned
+    tables sort within each leaf; the leaf-per-partition layout is
+    unchanged.) ``zorder_bits`` defaults to the layout module's
+    DEFAULT_BITS — pass the same value to any later re-keying or the
+    coarser cells interleave under the finer key."""
+    def _zsorted_flat(df, n_files):
+        """Range-partition + sort by the Z-key (flat snapshots)."""
+        from feature_store_spark.operators.layout import (
+            DEFAULT_BITS,
+            zorder_key,
+        )
+
+        keyed = zorder_key(df, list(zorder_cols),
+                           bits=zorder_bits or DEFAULT_BITS,
+                           key_name="__zkey")
+        return (
+            keyed.repartitionByRange(int(n_files), "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+
+    def _validate_zorder(schema):
+        for c in zorder_cols:
+            names = {f.name: f for f in schema.fields}
+            if c not in names:
+                raise ValueError(
+                    f"zorder_cols column {c!r} is not in the table schema"
+                )
+            if names[c].dataType.typeName() not in _INTEGRAL_RANK:
+                raise ValueError(
+                    f"zorder_cols column {c!r} must be integral "
+                    "(cast dates/doubles to epoch/cents upstream, the "
+                    "layout module's exact-arithmetic rule)"
+                )
+
     for _ in range(max_retries):
         v = latest_version(root)
         if v == 0:
@@ -1529,6 +1573,8 @@ def compact_manifest(
         except FileNotFoundError:
             continue  # concurrent vacuum; re-resolve the tip
         schema = StructType.fromJson(tip["schema"])
+        if zorder_cols:
+            _validate_zorder(schema)
         from pyspark.errors import AnalysisException
 
         if not _is_partitioned(tip):
@@ -1548,9 +1594,13 @@ def compact_manifest(
             n_files = max(1, -(-_dir_bytes(data_dir) // target_file_bytes))
             new_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
             try:
-                spark.read.schema(schema).parquet(data_dir).repartition(
-                    n_files
-                ).write.parquet(os.path.join(root, new_rel))
+                snap = spark.read.schema(schema).parquet(data_dir)
+                laid = (
+                    _zsorted_flat(snap, n_files)
+                    if zorder_cols
+                    else snap.repartition(n_files)
+                )
+                laid.write.parquet(os.path.join(root, new_rel))
             except AnalysisException as e:
                 if _is_path_not_found(e):
                     continue
@@ -1638,11 +1688,28 @@ def compact_manifest(
                     f"the manifest at {root!r} is corrupt; not committing"
                 )
             mapping = _ptok_mapping(spark, schema[pcol], val_keys)
-            (
-                df.join(F.broadcast(mapping), pcol)
-                .repartition(int(n_files), F.col(pcol))
-                .write.partitionBy("__ptok")
-                .parquet(os.path.join(root, commit_rel))
+            clustered = df.join(F.broadcast(mapping), pcol).repartition(
+                int(n_files), F.col(pcol)
+            )
+            if zorder_cols:
+                from feature_store_spark.operators.layout import (
+                    DEFAULT_BITS,
+                    zorder_key,
+                )
+
+                clustered = (
+                    zorder_key(
+                        clustered, list(zorder_cols),
+                        bits=zorder_bits or DEFAULT_BITS,
+                        key_name="__zkey",
+                    )
+                    # leaf membership (pcol) leads the sort so each
+                    # leaf's rows are contiguous AND z-ordered within
+                    .sortWithinPartitions(F.col(pcol), F.col("__zkey"))
+                    .drop("__zkey")
+                )
+            clustered.write.partitionBy("__ptok").parquet(
+                os.path.join(root, commit_rel)
             )
         except AnalysisException as e:
             if _is_path_not_found(e):

@@ -245,3 +245,64 @@ def test_update_refreshes_stats_for_probes(spark, tmp_path):
     found, _ = read_table(spark, root, where=[("name", "=", "omega")])
     assert [r["user_id"] for r in found.collect()] == [1]
     assert len({f.rsplit("/", 1)[0] for f in found.inputFiles()}) == 1
+
+
+# --- OPTIMIZE ZORDER ---
+
+
+def test_compact_zorder_flat_disjoint_file_ranges(spark, tmp_path):
+    """OPTIMIZE ZORDER on a flat table: rows identical, and the
+    range-partitioned output files hold DISJOINT z-key ranges (the
+    property that makes parquet row-group pruning effective on every
+    clustered dimension)."""
+    from feature_store_spark.operators.layout import zorder_key
+    from feature_store_spark.pipelines.txn import compact_manifest
+
+    root = str(tmp_path / "t")
+    rows = [(i, (i * 37) % 1000, (i * 91) % 1000, 1) for i in range(4000)]
+    df = spark.createDataFrame(rows, "user_id bigint, x bigint, y bigint, ts bigint")
+    # fragment: several upserts
+    upsert_manifest(df.filter("user_id < 2000"), root, ["user_id"], "ts")
+    upsert_manifest(df.filter("user_id >= 2000"), root, ["user_id"], "ts")
+    res = compact_manifest(
+        spark, root, target_file_bytes=16 * 1024,
+        zorder_cols=["x", "y"],
+    )
+    assert res["committed"] and res["files_after"] >= 2
+    got, _ = read_table(spark, root)
+    assert got.count() == 4000
+    assert sorted(r["user_id"] for r in got.collect()) == list(range(4000))
+    # capture the file BEFORE zorder_key (input_file_name is not
+    # allowed after its broadcast bounds join)
+    keyed = zorder_key(
+        got.withColumn("f", F.input_file_name()), ["x", "y"], key_name="zk"
+    )
+    ranges = [
+        (r["lo"], r["hi"])
+        for r in keyed.groupBy("f")
+        .agg(F.min("zk").alias("lo"), F.max("zk").alias("hi"))
+        .collect()
+    ]
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file z-key ranges overlap"
+
+
+def test_compact_zorder_partitioned_identity_and_validation(spark, tmp_path):
+    from feature_store_spark.pipelines.txn import compact_manifest
+
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    res = compact_manifest(spark, root, zorder_cols=["user_id"])
+    assert res["committed"]
+    got, _ = read_table(spark, root)
+    assert got.count() == 30
+    # stats carried verbatim (reorder never changes min/max): a probe
+    # still prunes to one leaf
+    probe, _ = read_table(spark, root, where=[("user_id", "=", 205)])
+    assert [r["user_id"] for r in probe.collect()] == [205]
+    assert len({f.rsplit("/", 1)[0] for f in probe.inputFiles()}) == 1
+    with pytest.raises(ValueError, match="must be integral"):
+        compact_manifest(spark, root, zorder_cols=["score"])
+    with pytest.raises(ValueError, match="not in the table schema"):
+        compact_manifest(spark, root, zorder_cols=["nope"])
