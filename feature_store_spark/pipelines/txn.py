@@ -257,12 +257,42 @@ def _rmdir_if_no_live_children(path: str, root: str, kept: set[str]) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+def version_at_timestamp(root: str, ts: float | str) -> int:
+    """Delta's ``timestampAsOf``: the newest version committed at or
+    before ``ts`` (epoch seconds, or an ISO datetime string parsed as
+    UTC-naive — commit times are ``time.time()`` epochs). Raises when
+    every retained version is newer (time travel past the history) or
+    the table has no commits. O(retained versions) manifest-JSON reads,
+    no data access. Pre-op-tag manifests without ``committed_at`` are
+    skipped (their commit time is unknowable)."""
+    if isinstance(ts, str):
+        import datetime
+
+        ts = datetime.datetime.fromisoformat(ts).timestamp()
+    best = 0
+    for v in _list_versions(root):
+        try:
+            m = read_manifest(root, v)
+        except FileNotFoundError:
+            continue  # concurrent vacuum
+        c = m.get("committed_at")
+        if c is not None and c <= ts and v > best:
+            best = v
+    if best == 0:
+        raise ValueError(
+            f"no version of {root!r} was committed at or before {ts} "
+            "(history vacuumed, table empty, or timestamp too early)"
+        )
+    return best
+
+
 def read_table(
     spark: SparkSession,
     root: str,
     version: int | None = None,
     partition_values: Sequence | None = None,
     where: Sequence | None = None,
+    timestamp_as_of: float | str | None = None,
 ) -> tuple[DataFrame | None, int]:
     """(snapshot, version) pinned to ONE committed manifest — or
     (None, 0) for a table with no commits. Passing ``version`` time-
@@ -288,6 +318,12 @@ def read_table(
     stats coverage (leaves without stats for a column are scanned, not
     guessed). On an unpartitioned table ``where`` degrades to the
     plain filter (plus parquet's own row-group skipping)."""
+    if timestamp_as_of is not None:
+        if version is not None:
+            raise ValueError(
+                "pass version OR timestamp_as_of, not both"
+            )
+        version = version_at_timestamp(root, timestamp_as_of)
     for _ in range(5):
         v = latest_version(root) if version is None else version
         if v == 0:
@@ -589,6 +625,29 @@ def _reconcile_schemas(
     return apply(base, bt), apply(updates, ut)
 
 
+def _check_constraints(df: DataFrame, constraints) -> None:
+    """Commit-time CHECK constraints (the Delta table-constraint
+    analogue): every row of the would-be snapshot must satisfy every
+    predicate, with SQL CHECK NULL semantics — a NULL predicate PASSES
+    (only FALSE violates). One aggregate pass counts violations per
+    constraint; any violation aborts the commit with the counts."""
+    aggs = []
+    for name, pred in constraints:
+        violated = ~F.coalesce(F.expr(pred), F.lit(True))
+        aggs.append(
+            F.sum(F.when(violated, 1).otherwise(0)).alias(name)
+        )
+    row = df.agg(*aggs).collect()[0]
+    bad = {name: int(row[name]) for name, _ in constraints if row[name]}
+    if bad:
+        raise ValueError(
+            f"CHECK constraint(s) violated — commit aborted: "
+            + ", ".join(
+                f"{name!r} fails on {n} row(s)" for name, n in bad.items()
+            )
+        )
+
+
 def upsert_manifest(
     updates: DataFrame,
     root: str,
@@ -597,6 +656,7 @@ def upsert_manifest(
     max_retries: int = 20,
     allow_schema_evolution: bool = False,
     backend: LocalLinkBackend | None = None,
+    constraints: Sequence[tuple[str, str]] | None = None,
 ) -> int:
     """``upsert_parquet`` semantics (last-writer-wins per key on
     ``order_col``, update beats store on ties) with SERIALIZABLE
@@ -660,6 +720,18 @@ def upsert_manifest(
             data_path
         )
         n = int(obs.get["rows"])
+        if constraints:
+            # validate the WRITTEN snapshot (columnar re-scan, no
+            # recomputation of the merge); a violation aborts before
+            # the manifest ever publishes — write-audit-publish
+            try:
+                _check_constraints(
+                    spark.read.schema(merged.schema).parquet(data_path),
+                    constraints,
+                )
+            except ValueError:
+                shutil.rmtree(data_path, ignore_errors=True)
+                raise
         manifest = {
             "op": "upsert",
             "base_version": v,
@@ -1177,6 +1249,7 @@ def upsert_manifest_partitioned(
     mode: str = "merge",
     stats_cols: Sequence[str] | None = None,
     bloom_cols: Sequence[str] | None = None,
+    constraints: Sequence[tuple[str, str]] | None = None,
 ) -> int:
     """Partition-scoped transactional upsert: ``upsert_manifest``'s
     multi-writer safety at ``upsert_parquet_partitioned``'s cost.
@@ -1412,6 +1485,17 @@ def upsert_manifest_partitioned(
             readback = spark.read.schema(merged.schema).parquet(
                 *(os.path.join(root, d) for d in leaf.values())
             )
+            if constraints:
+                # CHECK constraints over the touched partitions' final
+                # rows (untouched partitions were validated by their
+                # own commits); violation aborts pre-publish
+                try:
+                    _check_constraints(readback, constraints)
+                except ValueError:
+                    shutil.rmtree(
+                        os.path.join(root, commit_rel), ignore_errors=True
+                    )
+                    raise
             per_part = _leaf_stats(readback, partition_col, stats_fields)
             blooms = (
                 _leaf_blooms(readback, partition_col, bloom_fields)

@@ -306,3 +306,88 @@ def test_compact_zorder_partitioned_identity_and_validation(spark, tmp_path):
         compact_manifest(spark, root, zorder_cols=["score"])
     with pytest.raises(ValueError, match="not in the table schema"):
         compact_manifest(spark, root, zorder_cols=["nope"])
+
+
+# --- CHECK constraints + timestampAsOf ---
+
+
+def _cdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, score double, ts bigint, p date"
+    )
+
+
+def test_check_constraints_abort_before_publish(spark, tmp_path):
+    from feature_store_spark.pipelines.txn import latest_version
+
+    root = str(tmp_path / "t")
+    upsert_manifest_partitioned(
+        _cdf(spark, [(1, 5.0, 1, D1)]), root, ["user_id"], "ts", "p",
+        constraints=[("score_nonneg", "score >= 0")],
+    )
+    assert latest_version(root) == 1
+    bad = _cdf(spark, [(2, -3.0, 1, D2), (3, -1.0, 1, D2)])
+    with pytest.raises(ValueError, match="score_nonneg.*2 row"):
+        upsert_manifest_partitioned(
+            bad, root, ["user_id"], "ts", "p",
+            constraints=[("score_nonneg", "score >= 0")],
+        )
+    # nothing published, no orphan data dirs beyond v1's
+    assert latest_version(root) == 1
+    got, _ = read_table(spark, root)
+    assert got.count() == 1
+    # NULL passes (SQL CHECK semantics)
+    upsert_manifest_partitioned(
+        _cdf(spark, [(4, None, 1, D3)]), root, ["user_id"], "ts", "p",
+        constraints=[("score_nonneg", "score >= 0")],
+    )
+    assert latest_version(root) == 2
+
+
+def test_check_constraints_flat_table(spark, tmp_path):
+    from feature_store_spark.pipelines.txn import latest_version
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10, 1)], "user_id bigint, v bigint, ts bigint"
+    )
+    upsert_manifest(df, root, ["user_id"], "ts",
+                    constraints=[("v_pos", "v > 0")])
+    with pytest.raises(ValueError, match="v_pos"):
+        upsert_manifest(
+            spark.createDataFrame(
+                [(2, -1, 1)], "user_id bigint, v bigint, ts bigint"
+            ),
+            root, ["user_id"], "ts", constraints=[("v_pos", "v > 0")],
+        )
+    assert latest_version(root) == 1
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    import time as _time
+
+    from feature_store_spark.pipelines.txn import version_at_timestamp
+
+    root = str(tmp_path / "t")
+    upsert_manifest_partitioned(
+        _cdf(spark, [(1, 1.0, 1, D1)]), root, ["user_id"], "ts", "p"
+    )
+    t1 = _time.time()
+    _time.sleep(0.05)
+    upsert_manifest_partitioned(
+        _cdf(spark, [(2, 2.0, 2, D2)]), root, ["user_id"], "ts", "p"
+    )
+    assert version_at_timestamp(root, t1) == 1
+    old, v = read_table(spark, root, timestamp_as_of=t1)
+    assert v == 1 and old.count() == 1
+    new, v2 = read_table(spark, root, timestamp_as_of=_time.time())
+    assert v2 == 2 and new.count() == 2
+    with pytest.raises(ValueError, match="at or before"):
+        read_table(spark, root, timestamp_as_of=t1 - 1000)
+    with pytest.raises(ValueError, match="not both"):
+        read_table(spark, root, version=1, timestamp_as_of=t1)
+    # ISO string form
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(t1).isoformat()
+    assert version_at_timestamp(root, iso) == 1
