@@ -259,16 +259,20 @@ def _rmdir_if_no_live_children(path: str, root: str, kept: set[str]) -> None:
 
 def version_at_timestamp(root: str, ts: float | str) -> int:
     """Delta's ``timestampAsOf``: the newest version committed at or
-    before ``ts`` (epoch seconds, or an ISO datetime string parsed as
-    UTC-naive — commit times are ``time.time()`` epochs). Raises when
-    every retained version is newer (time travel past the history) or
-    the table has no commits. O(retained versions) manifest-JSON reads,
-    no data access. Pre-op-tag manifests without ``committed_at`` are
-    skipped (their commit time is unknowable)."""
+    before ``ts`` (epoch seconds, or an ISO datetime string — naive
+    strings are interpreted as UTC, never the box's local zone; commit
+    times are ``time.time()`` epochs). Raises when every retained
+    version is newer (time travel past the history) or the table has
+    no commits. O(retained versions) manifest-JSON reads, no data
+    access. Pre-op-tag manifests without ``committed_at`` are skipped
+    (their commit time is unknowable)."""
     if isinstance(ts, str):
         import datetime
 
-        ts = datetime.datetime.fromisoformat(ts).timestamp()
+        dt = datetime.datetime.fromisoformat(ts)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        ts = dt.timestamp()
     best = 0
     for v in _list_versions(root):
         try:

@@ -386,8 +386,11 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         read_table(spark, root, timestamp_as_of=t1 - 1000)
     with pytest.raises(ValueError, match="not both"):
         read_table(spark, root, version=1, timestamp_as_of=t1)
-    # ISO string form
-    import datetime
+    # ISO string form — naive strings are UTC by contract, so the
+    # test builds one in UTC (would break on a non-UTC box otherwise)
+    import datetime as _dt
 
-    iso = datetime.datetime.fromtimestamp(t1).isoformat()
+    iso = _dt.datetime.fromtimestamp(
+        t1, tz=_dt.timezone.utc
+    ).replace(tzinfo=None).isoformat()
     assert version_at_timestamp(root, iso) == 1
