@@ -1203,3 +1203,92 @@ def test_funnel_conversion_window(spark):
 
     with pytest.raises(ValueError, match="transition"):
         funnel(df, stages, max_gap=[30])
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk=st.integers(min_value=1, max_value=4),
+)
+@_settings
+def test_chunk_dedup_matches_bruteforce(spark_prop, docs, chunk):
+    """chunk_dedup == a plain Python model: tile each doc's tokens
+    into `chunk`-sized windows, keep a chunk instance iff its text was
+    never seen at a smaller (doc_id, chunk_idx), reassemble in order.
+    Covers dup-free corpora (lossless reassembly), self-repetition,
+    cross-doc boilerplate, and empty docs in one property."""
+    from feature_store_spark.llm.dedup import chunk_dedup
+
+    rows = [(i, " ".join(toks) if toks else None) for i, toks in enumerate(docs)]
+    df = spark_prop.createDataFrame(rows, "doc_id bigint, text string")
+
+    seen: set[str] = set()
+    expect = {}
+    for i, toks in enumerate(docs):
+        chunks = [
+            " ".join(toks[j : j + chunk])
+            for j in range(0, len(toks), chunk)
+        ]
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        expect[i] = (len(chunks), len(kept), " ".join(kept))
+
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["kept_chunks"], r["dedup_text"])
+        for r in chunk_dedup(df, chunk_tokens=chunk).collect()
+    }
+    assert got == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    n_iter=st.integers(min_value=0, max_value=3),
+)
+@_settings
+def test_pagerank_matches_bruteforce(spark_prop, edges, n_iter):
+    """pagerank == a plain Python replica of the exact fixed-point
+    arithmetic (same integer divisions, same teleport constant) on
+    random small multigraphs — self-loops and duplicate edges
+    included."""
+    import math
+
+    from feature_store_spark.operators.graph import PR_SCALE, pagerank
+
+    df = spark_prop.createDataFrame(edges, "src int, dst int")
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    base = PR_SCALE // n
+    outdeg = Counter(a for a, _ in edges)
+    r = {v: base for v in nodes}
+    teleport = (15 * base) // 100
+    for _ in range(n_iter):
+        agg = Counter()
+        for a, b in edges:
+            agg[b] += r[a] // outdeg[a]
+        r = {
+            v: teleport + (85 * agg.get(v, 0)) // 100 for v in nodes
+        }
+    got = {
+        row["node"]: (row["rank_q"], row["rank"])
+        for row in pagerank(df, n_iter=n_iter).collect()
+    }
+    assert got == {
+        v: (r[v], r[v] / float(PR_SCALE)) for v in nodes
+    }
