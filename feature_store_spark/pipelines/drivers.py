@@ -274,6 +274,7 @@ def run_table_maintenance(
     min_files: int = 4,
     keep_last: int = 3,
     orphan_grace_seconds: float | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> dict[str, Any]:
     """One-call housekeeping for a manifest table — the nightly
     OPTIMIZE + VACUUM job every lake deployment schedules (the
@@ -285,7 +286,9 @@ def run_table_maintenance(
     history in the same pass). ``min_files`` keeps the compaction
     incremental — only leaves the streaming/daily sinks actually
     fragmented get rewritten, so repeated maintenance runs are
-    near-no-ops on a quiet table. Returns the combined report."""
+    near-no-ops on a quiet table. ``zorder_cols`` makes the compaction
+    an OPTIMIZE ZORDER (txn.compact_manifest) so the nightly job also
+    keeps row-group clustering tight. Returns the combined report."""
     from feature_store_spark.pipelines.txn import (
         compact_manifest,
         vacuum,
@@ -296,6 +299,7 @@ def run_table_maintenance(
         root,
         target_file_bytes=target_file_bytes,
         min_files=min_files,
+        zorder_cols=zorder_cols,
     )
     removed = vacuum(
         root,
