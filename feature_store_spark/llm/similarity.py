@@ -1741,3 +1741,98 @@ def cosine_topk_int8_oracle_sql(
       FROM scored
     ) t WHERE rank <= {k}
     """
+
+
+def rrf_fuse(
+    rankings: "Sequence[DataFrame]",
+    k: int = 10,
+    rrf_k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) — the standard
+    hybrid-retrieval combiner: each input ranking contributes
+    ``1/(rrf_k + rank)`` per (query, doc) and the fused score is the
+    sum, rewarding documents several retrievers agree on without any
+    score calibration across systems (BM25 scores and cosines are not
+    commensurable; ranks are). This is how lexical + semantic search
+    compose in every production RAG stack.
+
+    Each input frame needs (query_col, id_col, rank). Determinism: the
+    per-source contribution is quantized to 12 decimals and summed as
+    DECIMAL — order-free under ANY number of sources and any partial-
+    aggregation order (a double sum would already be safe for two
+    sources, commutativity, but not for three+). Output: (query, doc,
+    n_sources, rrf_score, rank), top-``k`` per query, ties on doc id.
+
+    Scale shape: a unionByName of the (small) top-k ranking frames,
+    one groupBy(query, doc), one per-query top-k window — cost is
+    proportional to Σ ranking sizes, never the corpus."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking frame")
+    contrib = (
+        F.round(1.0 / (F.lit(rrf_k) + F.col("rank")), 12)
+        .cast("decimal(20,12)")
+        .alias("__c")
+    )
+    parts = [
+        r.select(
+            F.col(query_col).alias("__q"),
+            F.col(id_col).alias("__d"),
+            contrib,
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("__q", "__d").agg(
+        F.count(F.lit(1)).cast("int").alias("n_sources"),
+        F.sum("__c").cast("double").alias("rrf_score"),
+    )
+    w = Window.partitionBy("__q").orderBy(
+        F.desc("rrf_score"), F.col("__d").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("__d").alias(id_col),
+            "n_sources",
+            "rrf_score",
+            "rank",
+        )
+    )
+
+
+def rrf_fuse_oracle_sql(
+    ranking_sqls: "Sequence[str]",
+    k: int = 10,
+    rrf_k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: UNION ALL of the ranking subqueries' (query, doc,
+    rank), same 12-decimal DECIMAL contributions, same tie-break."""
+    union = "\nUNION ALL\n".join(
+        f"SELECT {query_col} AS q, {id_col} AS d, rank FROM ({s})"
+        for s in ranking_sqls
+    )
+    return f"""
+    WITH parts AS ({union}),
+    fused AS (
+      SELECT q, d,
+             CAST(count(*) AS INT) AS n_sources,
+             CAST(sum(CAST(round(1.0 / ({rrf_k} + rank), 12)
+                           AS DECIMAL(20,12))) AS DOUBLE) AS rrf_score
+      FROM parts GROUP BY q, d
+    )
+    SELECT q AS {query_col}, d AS {id_col}, n_sources, rrf_score,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY q
+                 ORDER BY rrf_score DESC, d ASC) AS rank
+      FROM fused
+    ) t WHERE rank <= {k}
+    """

@@ -919,3 +919,54 @@ def q_pmi_collocations(spark, sf_dir):
     return T.pmi_collocations(
         _t(spark, sf_dir, "documents"), k=50, min_count=5
     )
+
+
+# hybrid retrieval: lexical (BM25) + semantic (cosine) rankings fused
+# by RRF — query pairing is a fixture contract (term-list query i ↔
+# query vector i; vec_id ≡ doc_id in the synthetic corpus)
+RRF_PAIRS = [("q_scan", 0), ("q_shuffle", 1), ("q_sort", 2)]
+
+
+def _rrf_oracle():
+    sem_case = " ".join(
+        f"WHEN {vid} THEN '{label}'" for label, vid in RRF_PAIRS
+    )
+    sem = f"""
+    SELECT CASE query_id {sem_case} END AS query_id,
+           vec_id AS doc_id, rank
+    FROM ({S.cosine_topk_oracle_sql(n_queries=len(RRF_PAIRS), k=20)})
+    """
+    lex = f"""
+    SELECT query_id, doc_id, rank
+    FROM ({T.bm25_topk_oracle_sql(BM25_QUERIES, k=20)})
+    """
+    return S.rrf_fuse_oracle_sql([lex, sem], k=10)
+
+
+@spec("t_hybrid_rrf", _rrf_oracle(), ("ext", "retrieval", "hybrid"))
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 and cosine top-20 rankings fused
+    by Reciprocal Rank Fusion (llm/similarity.py::rrf_fuse) — the
+    production RAG combiner; exact DECIMAL contributions make the
+    fused scores hash-stable cross-engine."""
+    lex = T.bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERIES, k=20)
+    emb = _t(spark, sf_dir, "embeddings")
+    sem_q = emb.filter(F.col("vec_id") < len(RRF_PAIRS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    label = F.col("query_id")
+    mapping = None
+    for lbl, vid in RRF_PAIRS:
+        mapping = (
+            F.when(label == vid, lbl)
+            if mapping is None
+            else mapping.when(label == vid, lbl)
+        )
+    sem = S.cosine_topk(emb, sem_q, k=20).select(
+        mapping.alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        "rank",
+    )
+    return S.rrf_fuse(
+        [lex.select("query_id", "doc_id", "rank"), sem], k=10
+    )

@@ -629,3 +629,30 @@ def test_pagerank_star_graph_semantics(spark):
         for r in pagerank(edges, n_iter=0).collect()
     }
     assert set(uniform.values()) == {PR_SCALE // 5}
+
+
+def test_rrf_rewards_cross_source_agreement(spark):
+    """RRF semantics on a hand-built pair of rankings: a doc ranked
+    mid-list by BOTH sources beats a doc ranked first by only one
+    (1/61+1/63 > 1/61), and the fused scores are the exact decimal
+    sums."""
+    from feature_store_spark.llm.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("q", 10, 1), ("q", 20, 2), ("q", 30, 3)],
+        "query_id string, doc_id bigint, rank int",
+    )
+    sem = spark.createDataFrame(
+        [("q", 20, 1), ("q", 40, 2), ("q", 30, 3)],
+        "query_id string, doc_id bigint, rank int",
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([lex, sem], k=10).collect()}
+    assert out[20]["n_sources"] == 2 and out[20]["rank"] == 1
+    assert out[30]["n_sources"] == 2 and out[30]["rank"] == 2
+    # doc 10: single-source first place loses to dual mid-list
+    assert out[10]["rank"] > out[30]["rank"]
+    assert abs(out[20]["rrf_score"] - (1 / 61 + 1 / 62)) < 1e-9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([], k=5)
