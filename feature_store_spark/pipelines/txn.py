@@ -2813,3 +2813,42 @@ def table_files(
         "partition string, dir string, rows bigint, n_files int, "
         "bytes bigint, has_stats boolean, has_bloom boolean",
     )
+
+
+def schema_changes(spark: SparkSession, root: str) -> DataFrame:
+    """Schema lineage across retained versions — which commit added,
+    dropped, or retyped which column (the audit Delta users run over
+    DESCRIBE HISTORY + schema diffs by hand). One row per changed
+    column per version transition: (version, column, change ∈
+    added/dropped/retyped, from_type, to_type). Metadata-only —
+    manifest JSONs, no data files; vacuumed ancestors simply bound how
+    far back the lineage reaches (their transitions report against the
+    oldest retained schema's version gap)."""
+    versions = _list_versions(root)
+    rows = []
+    prev_schema: dict | None = None
+    prev_v: int | None = None
+    for v in versions:
+        try:
+            m = read_manifest(root, v)
+        except FileNotFoundError:
+            continue  # concurrent vacuum
+        cur = {
+            f["name"]: f["type"] if isinstance(f["type"], str)
+            else json.dumps(f["type"], sort_keys=True)
+            for f in m["schema"]["fields"]
+        }
+        if prev_schema is not None:
+            for c in sorted(cur.keys() - prev_schema.keys()):
+                rows.append((v, c, "added", None, cur[c]))
+            for c in sorted(prev_schema.keys() - cur.keys()):
+                rows.append((v, c, "dropped", prev_schema[c], None))
+            for c in sorted(cur.keys() & prev_schema.keys()):
+                if cur[c] != prev_schema[c]:
+                    rows.append((v, c, "retyped", prev_schema[c], cur[c]))
+        prev_schema, prev_v = cur, v
+    return spark.createDataFrame(
+        rows,
+        "version int, column string, change string, "
+        "from_type string, to_type string",
+    )

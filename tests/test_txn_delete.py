@@ -394,3 +394,41 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         t1, tz=_dt.timezone.utc
     ).replace(tzinfo=None).isoformat()
     assert version_at_timestamp(root, iso) == 1
+
+
+def test_schema_changes_lineage(spark, tmp_path):
+    from feature_store_spark.pipelines.txn import schema_changes
+
+    root = str(tmp_path / "t")
+    upsert_manifest_partitioned(
+        spark.createDataFrame(
+            [(1, 1, 1, D1)], "user_id bigint, v int, ts bigint, p date"
+        ),
+        root, ["user_id"], "ts", "p",
+    )
+    # v2: widen v to bigint AND add a column
+    upsert_manifest_partitioned(
+        spark.createDataFrame(
+            [(2, 2, "x", 2, D2)],
+            "user_id bigint, v bigint, extra string, ts bigint, p date",
+        ),
+        root, ["user_id"], "ts", "p", allow_schema_evolution=True,
+    )
+    ch = {(r["version"], r["column"], r["change"]): r
+          for r in schema_changes(spark, root).collect()}
+    assert (2, "extra", "added") in ch
+    assert (2, "v", "retyped") in ch
+    assert ch[(2, "v", "retyped")]["from_type"] == "integer"
+    assert ch[(2, "v", "retyped")]["to_type"] == "long"
+    # no-change commits emit nothing
+    upsert_manifest_partitioned(
+        spark.createDataFrame(
+            [(3, 3, "y", 3, D3)],
+            "user_id bigint, v bigint, extra string, ts bigint, p date",
+        ),
+        root, ["user_id"], "ts", "p",
+    )
+    assert not [
+        r for r in schema_changes(spark, root).collect()
+        if r["version"] == 3
+    ]
