@@ -1836,3 +1836,149 @@ def rrf_fuse_oracle_sql(
       FROM fused
     ) t WHERE rank <= {k}
     """
+
+
+def _ndcg_discounts(k: int) -> list[str]:
+    """The k DCG discounts 1/log2(rank+1), rank 1..k, as 12-decimal
+    strings computed ONCE in Python and inlined as literals on BOTH
+    engines — rank is the only input, so there is no libm call in
+    either plan and nothing to drift."""
+    import math
+
+    return [f"{1.0 / math.log2(r + 1):.12f}" for r in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    ranking: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Retrieval-quality evaluation: binary nDCG@k per query — the
+    metric every retrieval stack reports next to recall. ``ranking``
+    carries (query, doc, rank); ``relevance`` the (query, doc) pairs
+    that count as relevant. DCG sums the rank discounts of relevant
+    retrieved docs; IDCG is the best achievable with the query's total
+    relevant count (capped at k); nDCG their ratio (NULL when a query
+    has no relevant docs — undefined, not zero).
+
+    Determinism: discounts are PRECOMPUTED 12-decimal literals (one
+    per rank — no log in either engine's plan), summed as DECIMAL
+    (order-free), with the final ratio one exact-operand double
+    division. Output: (query, n_relevant, n_hits, dcg, idcg, ndcg).
+
+    Scale shape: one broadcast of the k-row discount table, one join
+    of the top-k ranking against relevance (both small by contract —
+    cost ∝ queries × k, never the corpus), one groupBy(query)."""
+    spark = ranking.sparkSession
+    disc = _ndcg_discounts(k)
+    dtab = spark.createDataFrame(
+        [(r + 1, disc[r]) for r in range(k)], "rank int, d string"
+    ).select("rank", F.col("d").cast("decimal(20,12)").alias("d"))
+    # cumulative ideal DCG per possible relevant-count 1..k
+    import decimal as _dec
+
+    cum = []
+    acc = _dec.Decimal(0)
+    for s in disc:
+        acc += _dec.Decimal(s)
+        cum.append(str(acc))
+    ctab = spark.createDataFrame(
+        [(i + 1, cum[i]) for i in range(k)], "n int, idcg string"
+    ).select("n", F.col("idcg").cast("decimal(24,12)").alias("idcg"))
+    rel = relevance.select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__d")
+    ).withColumn("__rel", F.lit(1))
+    topk = ranking.filter(F.col("rank") <= k).select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__d"), "rank"
+    )
+    scored = (
+        topk.join(rel, ["__q", "__d"], "left")
+        .join(F.broadcast(dtab), "rank")
+        .groupBy("__q")
+        .agg(
+            F.sum(F.when(F.col("__rel") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.sum(
+                F.when(F.col("__rel") == 1, F.col("d")).otherwise(
+                    F.lit("0").cast("decimal(20,12)")
+                )
+            ).alias("__dcg"),
+        )
+    )
+    totals = rel.groupBy("__q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_relevant")
+    )
+    return (
+        scored.join(totals, "__q", "left")
+        .withColumn(
+            "n_relevant", F.coalesce("n_relevant", F.lit(0)).cast("bigint")
+        )
+        .join(
+            F.broadcast(ctab),
+            F.least(F.col("n_relevant"), F.lit(k)) == F.col("n"),
+            "left",
+        )
+        .select(
+            F.col("__q").alias(query_col),
+            "n_relevant",
+            "n_hits",
+            F.col("__dcg").cast("double").alias("dcg"),
+            F.col("idcg").cast("double").alias("idcg"),
+            (F.col("__dcg").cast("double") / F.col("idcg").cast("double"))
+            .alias("ndcg"),
+        )
+    )
+
+
+def ndcg_at_k_oracle_sql(
+    ranking_sql: str,
+    relevance_sql: str,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> str:
+    disc = _ndcg_discounts(k)
+    import decimal as _dec
+
+    cum, acc = [], _dec.Decimal(0)
+    for s in disc:
+        acc += _dec.Decimal(s)
+        cum.append(str(acc))
+    dvals = ", ".join(
+        f"({r + 1}, CAST('{disc[r]}' AS DECIMAL(20,12)))" for r in range(k)
+    )
+    cvals = ", ".join(
+        f"({i + 1}, CAST('{cum[i]}' AS DECIMAL(24,12)))" for i in range(k)
+    )
+    return f"""
+    WITH ranking AS ({ranking_sql}),
+    rel AS (SELECT {query_col} AS q, {id_col} AS d FROM ({relevance_sql})),
+    dtab(rank, disc) AS (VALUES {dvals}),
+    ctab(n, idcg) AS (VALUES {cvals}),
+    scored AS (
+      SELECT r.{query_col} AS q,
+             CAST(count(rel.d) AS BIGINT) AS n_hits,
+             sum(CASE WHEN rel.d IS NOT NULL THEN dt.disc
+                      ELSE CAST('0' AS DECIMAL(20,12)) END) AS dcg_dec
+      FROM ranking r
+      JOIN dtab dt ON r.rank = dt.rank
+      LEFT JOIN rel ON rel.q = r.{query_col} AND rel.d = r.{id_col}
+      WHERE r.rank <= {k}
+      GROUP BY r.{query_col}
+    ),
+    totals AS (
+      SELECT q, CAST(count(*) AS BIGINT) AS n_relevant FROM rel GROUP BY q
+    )
+    SELECT s.q AS {query_col},
+           COALESCE(t.n_relevant, 0) AS n_relevant,
+           s.n_hits,
+           CAST(s.dcg_dec AS DOUBLE) AS dcg,
+           CAST(c.idcg AS DOUBLE) AS idcg,
+           CAST(s.dcg_dec AS DOUBLE) / CAST(c.idcg AS DOUBLE) AS ndcg
+    FROM scored s
+    LEFT JOIN totals t ON s.q = t.q
+    LEFT JOIN ctab c ON c.n = least(COALESCE(t.n_relevant, 0), {k})
+    """

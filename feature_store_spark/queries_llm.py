@@ -970,3 +970,44 @@ def q_hybrid_rrf(spark, sf_dir):
     return S.rrf_fuse(
         [lex.select("query_id", "doc_id", "rank"), sem], k=10
     )
+
+
+def _ndcg_oracle():
+    rank_sql = (
+        "SELECT query_id, vec_id AS doc_id, rank FROM ("
+        + S.cosine_topk_oracle_sql(n_queries=N_QUERY_VECS, k=10)
+        + ")"
+    )
+    rel_sql = (
+        "SELECT q.vec_id AS query_id, c.vec_id AS doc_id "
+        "FROM embeddings q JOIN embeddings c "
+        "ON q.label = c.label AND c.vec_id <> q.vec_id "
+        f"WHERE q.vec_id < {N_QUERY_VECS}"
+    )
+    return S.ndcg_at_k_oracle_sql(rank_sql, rel_sql, k=10)
+
+
+@spec("sim_ndcg_cosine", _ndcg_oracle(), ("ext", "retrieval", "eval"))
+def q_sim_ndcg(spark, sf_dir):
+    """Retrieval-quality eval: binary nDCG@10 of the exact cosine
+    ranking against label-match relevance — the metric loop every
+    retrieval deployment runs; discounts are precomputed 12-decimal
+    literals DECIMAL-summed, so the scores hash cross-engine
+    (llm/similarity.py::ndcg_at_k)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vecs(spark, sf_dir)
+    ranking = S.cosine_topk(emb, q, k=10).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    ql = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("__ql")
+    )
+    rel = (
+        ql.join(
+            emb.select(F.col("vec_id").alias("doc_id"), "label"),
+            ql["__ql"] == F.col("label"),
+        )
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id")
+    )
+    return S.ndcg_at_k(ranking, rel, k=10)

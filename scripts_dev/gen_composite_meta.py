@@ -49,7 +49,7 @@ PARTS = [
     "t_text_stats", "t_token_report", "t_language_id", "t_quality_score",
     "t_fingerprint",
     "t_ngram_lm_score", "t_tfidf_topk", "t_vocab_coverage",
-    "t_pmi_collocations", "t_hybrid_rrf",
+    "t_pmi_collocations", "t_hybrid_rrf", "sim_ndcg_cosine",
     "d_simhash_signatures", "d_simhash_near_dup",
     "d_ngram_jaccard_pairs", "d_embedding_near_dup", "d_containment_pairs",
     "d_chunk_dedup",
