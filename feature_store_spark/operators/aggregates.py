@@ -593,37 +593,42 @@ def cohort_retention(
     retention_rate), offset 0 rows carrying n_active == cohort_size by
     construction.
 
-    Scale shape: one groupBy(user) for first-events, one distinct over
-    (user, week), one shuffle join on user (co-keyed with the groupBy),
-    one groupBy(cohort, offset) with countDistinct, and a broadcast
-    join of the tiny per-cohort sizes — all linear passes, nothing
-    quadratic, no window over the full corpus. Week truncation uses
-    Monday-start ``date_trunc('week')`` on both engines, so offsets
-    are exact multiples of 7 days. ``granularity``: "week" (default)
-    or "day" — sparse-activity corpora read better daily."""
+    Scale shape: ONE pass over events — groupBy(user) producing the
+    cohort (min ts) and the distinct active periods (collect_set,
+    bounded by periods-per-user, ≤ a few hundred for daily
+    granularity over a year), then explode + groupBy(cohort, offset)
+    where the count IS the distinct-user count (one row per (user,
+    period) by construction — no countDistinct state), and a
+    broadcast join of the tiny per-cohort sizes. No user-keyed join,
+    no full-corpus window; shuffled bytes after the first groupBy are
+    per-user summaries, not events. Week truncation uses Monday-start
+    ``date_trunc('week')`` on both engines, so offsets are exact
+    multiples of 7 days. ``granularity``: "week" (default) or "day" —
+    sparse-activity corpora read better daily."""
     if granularity not in ("week", "day"):
         raise ValueError(
             f"granularity must be 'week' or 'day', got {granularity!r}"
         )
     span = 7 if granularity == "week" else 1
-    firsts = events.groupBy(user_col).agg(
-        F.to_date(F.date_trunc(granularity, F.min(ts_col))).alias("__cohort")
+    per_user = events.groupBy(user_col).agg(
+        F.to_date(F.date_trunc(granularity, F.min(ts_col))).alias(
+            "__cohort"
+        ),
+        F.collect_set(
+            F.to_date(F.date_trunc(granularity, F.col(ts_col)))
+        ).alias("__periods"),
     )
-    activity = (
-        events.select(
-            F.col(user_col),
-            F.to_date(F.date_trunc(granularity, F.col(ts_col))).alias(
-                "__period"
-            ),
+    per_cell = (
+        per_user.select(
+            "__cohort", F.explode("__periods").alias("__period")
         )
-        .distinct()
+        .groupBy("__cohort", "__period")
+        # one row per (user, period) by construction: plain count IS
+        # the distinct active-user count
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
     )
-    joined = activity.join(firsts, user_col)
-    per_cell = joined.groupBy("__cohort", "__period").agg(
-        F.countDistinct(user_col).cast("bigint").alias("n_active")
-    )
-    sizes = firsts.groupBy("__cohort").agg(
-        F.countDistinct(user_col).cast("bigint").alias("cohort_size")
+    sizes = per_user.groupBy("__cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
     )
     return (
         per_cell.join(F.broadcast(sizes), "__cohort")
@@ -706,10 +711,11 @@ def ab_test_report(
     an empty variant, zero or total conversion (pooled variance 0) —
     report z NULL and significant FALSE instead of dividing by zero.
 
-    Scale shape: one distinct per user set, one conditional distinct
-    for converters, one groupBy(variant) — the z arithmetic runs on a
-    TWO-row aggregate. Nothing quadratic; assignment is a scan-local
-    hash, exactly how it would run on 10^9 users."""
+    Scale shape: ONE scan — groupBy(user) with a conditional max
+    flags converters (no second distinct, no user-keyed join), then
+    one groupBy(variant); the z arithmetic runs on a TWO-row
+    aggregate. Nothing quadratic; assignment is a scan-local hash,
+    exactly how it would run on 10^9 users."""
     bucket = F.substring(
         F.md5(
             F.concat_ws(
@@ -720,28 +726,21 @@ def ab_test_report(
         1,
     )
     variant = F.when(bucket < F.lit("8"), "A").otherwise("B")
-    users = (
-        events.select(user_col)
-        .distinct()
-        .select(F.col(user_col), variant.alias("variant"))
-    )
-    converted = (
-        events.filter(
-            (F.col(type_col) == conversion_type)
-            & (F.col(value_col) >= min_value)
-        )
-        .select(user_col)
-        .distinct()
-        .withColumn("__conv", F.lit(1))
+    per_user = events.groupBy(user_col).agg(
+        F.max(
+            F.when(
+                (F.col(type_col) == conversion_type)
+                & (F.col(value_col) >= min_value),
+                1,
+            ).otherwise(0)
+        ).alias("__conv")
     )
     per_variant = (
-        users.join(converted, user_col, "left")
+        per_user.select(variant.alias("variant"), "__conv")
         .groupBy("variant")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_users"),
-            F.coalesce(F.sum("__conv"), F.lit(0))
-            .cast("bigint")
-            .alias("n_converted"),
+            F.sum("__conv").cast("bigint").alias("n_converted"),
         )
     )
     one = per_variant.agg(

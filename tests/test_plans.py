@@ -526,22 +526,26 @@ def test_chunk_dedup_no_python_no_cartesian_bounded_shuffles(spark, sf_dir):
 
 
 def test_cohort_retention_broadcasts_sizes_no_cartesian(spark, sf_dir):
-    # the per-cohort sizes frame is tiny and must broadcast; the
-    # user-keyed join must not degrade to a cartesian product
+    # fused shape: groupBy(user) + explode feeds the cell counts with
+    # NO user-keyed join; sizes re-aggregate the same per-user frame
+    # (Spark shares no subtrees, so that costs a second scan — two
+    # scans, still zero joins beyond the tiny sizes broadcast)
     plan = _plan(spark, sf_dir, "w12_cohort_retention")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FileScan") <= 2
 
 
 def test_ab_test_single_fact_pass_per_leg_no_python(spark, sf_dir):
-    # two event scans (user universe + converters), two-row aggregate,
-    # z arithmetic on the driver-side two-row frame — no cartesian
-    # beyond the 1-row broadcast explode, no Python
+    # ONE event scan (groupBy(user) with a conditional-max converter
+    # flag — no second distinct, no user join), two-row aggregate, z
+    # arithmetic on the two-row frame — no cartesian beyond the 1-row
+    # broadcast explode, no Python
     plan = _plan(spark, sf_dir, "a27_ab_test_report")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert plan.count("FileScan") <= 2
+    assert plan.count("FileScan") == 1
 
 
 def test_kmeans_assignment_single_scan_no_python(spark, sf_dir):
