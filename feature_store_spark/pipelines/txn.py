@@ -34,6 +34,29 @@ swap the whole module for Delta — the call-site contract is
 identical). ``vacuum`` reclaims data directories referenced only by
 pruned manifests, plus — behind an explicit grace window —
 crash-orphaned dirs no manifest ever referenced.
+
+The full table-format surface as of round 6:
+
+- **Writes**: ``upsert_manifest`` (full snapshot) /
+  ``upsert_manifest_partitioned`` (O(touched partitions); merge or
+  replace; schema evolution with a type-widening matrix; optional
+  ``stats_cols``/``bloom_cols`` data-skipping metadata; optional
+  commit-time CHECK ``constraints`` — write-audit-publish).
+- **DML**: ``delete_where`` / ``update_where`` (SQL NULL semantics,
+  only may-match leaves rewritten) and ``drop_partitions``
+  (zero-data-work partition expiration).
+- **Reads**: ``read_table`` with version pinning, ``timestamp_as_of``
+  time travel, manifest-level partition pruning, and ``where=`` data
+  skipping (ranges, equality, IN-lists; leaf stats + Bloom filters;
+  the predicate also applies as a real filter, so pruning can only
+  save work).
+- **Maintenance**: ``compact_manifest`` (OPTIMIZE, auto-compaction
+  ``min_files``, ``zorder_cols`` re-clustering), ``vacuum`` (with
+  ``dry_run``), checkpoint rollups + ``_last_checkpoint`` tip hint
+  (listing-free resolution), ``migrate_to_manifest``.
+- **Metadata**: ``table_history`` (DESCRIBE HISTORY),
+  ``table_files`` (files view), ``schema_changes`` (schema lineage),
+  ``table_changes`` (CDC with byte-identity partition skipping).
 """
 
 from __future__ import annotations
@@ -2607,10 +2630,14 @@ def vacuum(
     keep_last: int = 1,
     orphan_grace_seconds: float | None = None,
     backend: LocalLinkBackend | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Delete data directories referenced by no retained manifest
     (retention: the newest ``keep_last`` versions). Returns the
-    removed data dirs. Concurrency: the tip is snapshotted once and
+    removed data dirs. ``dry_run=True`` computes and returns the SAME
+    list without deleting anything (and without writing the pre-prune
+    checkpoint) — the operational what-would-go audit every VACUUM
+    implementation grows. Concurrency: the tip is snapshotted once and
     only versions ≤ that tip are ever pruned, so a commit landing
     mid-vacuum (which is necessarily newer than the snapshotted tip)
     can never have its manifest or data deleted; in-flight writers'
@@ -2671,7 +2698,7 @@ def vacuum(
         kept_dirs = set()
         for v in keep_versions:
             kept_dirs.update(dirs_by_v.get(v, []))
-        if prunable and keep_versions:
+        if prunable and keep_versions and not dry_run:
             # invariant that keeps retained deltas resolvable after
             # their ancestors' manifests are pruned: the OLDEST kept
             # version gets a full-map checkpoint first (no-op for
@@ -2700,6 +2727,11 @@ def vacuum(
                 # versions — delete/report each at most once
                 if data_dir not in kept_dirs and data_dir not in reported:
                     path = os.path.join(root, data_dir)
+                    if dry_run:
+                        if os.path.exists(path):
+                            removed.append(data_dir)
+                            reported.add(data_dir)
+                        continue
                     shutil.rmtree(path, ignore_errors=True)
                     if not os.path.exists(path):  # report real removals
                         removed.append(data_dir)
@@ -2707,6 +2739,8 @@ def vacuum(
                     _rmdir_if_no_live_children(
                         os.path.dirname(path), root, kept_dirs
                     )
+            if dry_run:
+                continue
             try:
                 os.remove(_manifest_path(root, v))
             except FileNotFoundError:
@@ -2760,6 +2794,9 @@ def vacuum(
                 # vacuum) removed it between listdir and stat
                 continue
             if mtime <= cutoff:
+                if dry_run:
+                    removed.append(rel)
+                    continue
                 shutil.rmtree(path, ignore_errors=True)
                 if not os.path.exists(path):
                     removed.append(rel)

@@ -432,3 +432,24 @@ def test_schema_changes_lineage(spark, tmp_path):
         r for r in schema_changes(spark, root).collect()
         if r["version"] == 3
     ]
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    import os
+
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    delete_where(spark, root, [("user_id", "<", 5)])  # supersede D1
+    dry = vacuum(root, keep_last=1, dry_run=True)
+    assert dry  # the superseded D1 leaf would go
+    # nothing actually deleted: every reported dir still exists and
+    # the old version still time-travels
+    for d in dry:
+        assert os.path.exists(os.path.join(root, d))
+    old, _ = read_table(spark, root, version=1)
+    assert old.count() == 30
+    # the real run removes exactly what the dry run predicted
+    real = vacuum(root, keep_last=1)
+    assert sorted(real) == sorted(dry)
+    for d in real:
+        assert not os.path.exists(os.path.join(root, d))
