@@ -999,3 +999,90 @@ def pmi_collocations_oracle_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+def learn_phrase_merges(
+    df: DataFrame,
+    n_merges: int = 4,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Iterative greedy phrase-pair merging — the word-level form of
+    BPE vocabulary learning (Sennrich et al. 2016) and the dynamic
+    counterpart of :func:`pmi_collocations`' static ranking: each
+    round counts adjacent token pairs corpus-wide, merges the most
+    frequent pair (ties lexicographically) into one ``a_b`` token,
+    REWRITES the corpus, and repeats — so later rounds can merge onto
+    earlier merges and grow multi-word phrases, which a single static
+    pass cannot. Stops early when no pair reaches ``min_count``.
+
+    Returns ``(merges, corpus)``: the merge table (round, w1, w2,
+    pair_count — the learned vocabulary, in order) and the final
+    rewritten corpus (doc_id?, tokens array — whatever id columns the
+    input carried, with ``__tokens`` replaced per round).
+
+    Determinism: counts are exact integers; argmax tie-breaks on
+    (w1, w2); the rewrite is a greedy left-to-right fold (an ``aaa``
+    corpus under merge (a,a) yields ``[a_a, a]``, standard BPE
+    greediness) via ``F.aggregate`` — JVM-only, no Python in the row
+    path.
+
+    Scale shape per round: one pair-count shuffle + a driver-side
+    1-row argmax + a scan-local fold rewrite, with ``localCheckpoint``
+    cutting lineage each round (the iterative-operator discipline of
+    ``near_dup_clusters``/``pagerank``). Rounds are few by design
+    (a vocabulary's worth), never data-dependent loops."""
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    spark = df.sparkSession
+    corpus = df.withColumn(
+        "__tokens",
+        # NULL text ⇒ empty token array (keep-the-spine, and the fold
+        # below must never see NULL)
+        F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>")),
+    ).localCheckpoint(eager=True)
+    merges = []
+    for rnd in range(n_merges):
+        pairs = (
+            corpus.select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(__tokens) >= 2 THEN"
+                        " transform(sequence(1, size(__tokens) - 1),"
+                        " i -> struct(element_at(__tokens, i) AS w1,"
+                        " element_at(__tokens, i + 1) AS w2))"
+                        " ELSE array() END"
+                    )
+                ).alias("__p")
+            )
+            .groupBy("__p.w1", "__p.w2")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .filter(F.col("n") >= min_count)
+        )
+        top = (
+            pairs.orderBy(F.desc("n"), F.col("w1").asc(), F.col("w2").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["w1"], top[0]["w2"], int(top[0]["n"])
+        merged = f"{a}_{b}"
+        merges.append((rnd, a, b, n))
+        # safe to inline as SQL literals: tokens match TOKEN_RE
+        # ([a-z0-9]+) or are underscore-joins of previous merges —
+        # no quotes can occur
+        fold = F.expr(
+            "aggregate(__tokens, CAST(array() AS array<string>), "
+            "(acc, x) -> CASE WHEN size(acc) > 0 "
+            f"AND element_at(acc, -1) = '{a}' AND x = '{b}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
+            "ELSE concat(acc, array(x)) END)"
+        )
+        corpus = corpus.withColumn("__tokens", fold).localCheckpoint(
+            eager=True
+        )
+    merges_df = spark.createDataFrame(
+        merges, "round int, w1 string, w2 string, pair_count bigint"
+    )
+    return merges_df, corpus

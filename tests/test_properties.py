@@ -1292,3 +1292,69 @@ def test_pagerank_matches_bruteforce(spark_prop, edges, n_iter):
     assert got == {
         v: (r[v], r[v] / float(PR_SCALE)) for v in nodes
     }
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=10
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    n_merges=st.integers(min_value=0, max_value=3),
+)
+@_settings
+def test_phrase_merges_match_bruteforce(spark_prop, docs, n_merges):
+    """learn_phrase_merges == a Python replica: per round, count
+    adjacent pairs, pick (max count, lexicographic) above min_count,
+    greedy left-to-right merge, repeat. Overlapping runs ('aaa' under
+    (a,a)) and early stopping included."""
+    from feature_store_spark.llm.text import learn_phrase_merges
+
+    min_count = 2
+    rows = [(i, " ".join(t) if t else None) for i, t in enumerate(docs)]
+    df = spark_prop.createDataFrame(rows, "doc_id bigint, text string")
+
+    model = [list(t) for t in docs]
+    expect_merges = []
+    for rnd in range(n_merges):
+        counts = Counter()
+        for t in model:
+            for x, y in zip(t, t[1:]):
+                counts[(x, y)] += 1
+        eligible = [(n, p) for p, n in counts.items() if n >= min_count]
+        if not eligible:
+            break
+        # tie-break: max count, then LEXICOGRAPHICALLY SMALLEST pair
+        best = max(n for n, _ in eligible)
+        cand = sorted(p for p, n2 in counts.items() if n2 == best and n2 >= min_count)
+        if not cand:
+            break
+        a, b = cand[0]
+        n = counts[(a, b)]
+        expect_merges.append((rnd, a, b, n))
+        merged = f"{a}_{b}"
+        out = []
+        for t in model:
+            acc = []
+            for x in t:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = merged
+                else:
+                    acc.append(x)
+            out.append(acc)
+        model = out
+
+    mdf, corpus = learn_phrase_merges(
+        df, n_merges=n_merges, min_count=min_count
+    )
+    got_merges = [
+        (r["round"], r["w1"], r["w2"], r["pair_count"])
+        for r in mdf.orderBy("round").collect()
+    ]
+    assert got_merges == expect_merges
+    got_corpus = {
+        r["doc_id"]: list(r["__tokens"]) for r in corpus.collect()
+    }
+    assert got_corpus == {i: model[i] for i in range(len(docs))}
