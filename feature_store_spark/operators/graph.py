@@ -40,24 +40,48 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     n_iter: int = 5,
+    seeds: "Sequence | None" = None,
 ) -> DataFrame:
     """Exact fixed-point PageRank (damping 0.85, ``n_iter`` rounds)
     over a directed edge list. Returns (node, rank_q, rank) where
     ``rank_q`` is the integer fixed-point mass and ``rank`` its exact
     double form ``rank_q / 2^45`` — bit-identical across engines.
     Duplicate edges contribute multiply (pre-distinct upstream if
-    unwanted); self-loops are legal."""
+    unwanted); self-loops are legal.
+
+    ``seeds`` switches to PERSONALIZED PageRank: initialization and
+    the teleport term concentrate on the seed set (mass ``2^45 //
+    len(seeds)`` per seed, zero elsewhere) — relevance propagates
+    outward from trusted nodes, the seeded-expansion primitive
+    curation pipelines use to grow a corpus from a vetted core.
+    Seeds absent from the graph still receive their teleport mass
+    (they are nodes with no edges); duplicates in ``seeds`` are an
+    error."""
     if n_iter < 0:
         raise ValueError("n_iter must be >= 0")
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
     )
+    seed_list: list | None = None
+    if seeds is not None:
+        seed_list = list(seeds)
+        if not seed_list:
+            raise ValueError("seeds must be non-empty when given")
+        if len(set(seed_list)) != len(seed_list):
+            raise ValueError("seeds contains duplicates")
+        node_type = e.schema["src"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        seed_df = spark.createDataFrame(
+            [(s,) for s in seed_list],
+            StructType([StructField("node", node_type, False)]),
+        )
+        nodes = nodes.union(seed_df.select("node"))
+    nodes = nodes.distinct().localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         return nodes.select(
@@ -65,11 +89,35 @@ def pagerank(
             F.lit(0).cast("long").alias("rank_q"),
             F.lit(0.0).alias("rank"),
         )
-    base = PR_SCALE // n
+    if seed_list is None:
+        base = PR_SCALE // n
+        init = F.lit(base).cast("long")
+        teleport_col = F.lit((15 * base) // 100).cast("long")
+        withseed = nodes
+    else:
+        base = PR_SCALE // len(seed_list)
+        withseed = nodes.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(s, 1) for s in seed_list], ["node", "__seed"]
+                )
+            ),
+            "node",
+            "left",
+        ).localCheckpoint(eager=True)
+        init = (
+            F.when(F.col("__seed") == 1, F.lit(base))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        teleport_col = (
+            F.when(F.col("__seed") == 1, F.lit((15 * base) // 100))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ed = e.join(outdeg, "src").localCheckpoint(eager=True)
-    ranks = nodes.select("node", F.lit(base).cast("long").alias("r"))
-    teleport = (15 * base) // 100
+    ranks = withseed.select("node", init.alias("r"))
     for _ in range(n_iter):
         agg = (
             ed.join(ranks, ed["src"] == ranks["node"])
@@ -78,11 +126,11 @@ def pagerank(
             .agg(F.sum("__c").alias("__m"))
         )
         ranks = (
-            nodes.join(agg, nodes["node"] == agg["dst"], "left")
+            withseed.join(agg, withseed["node"] == agg["dst"], "left")
             .select(
                 "node",
                 (
-                    F.lit(teleport)
+                    teleport_col
                     + F.expr("(85 * coalesce(__m, 0L)) div 100")
                 )
                 .cast("long")

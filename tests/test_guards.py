@@ -656,3 +656,53 @@ def test_rrf_rewards_cross_source_agreement(spark):
 
     with _pytest.raises(ValueError, match="at least one"):
         rrf_fuse([], k=5)
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    """Personalized PR on a 2-component graph (chain 0→1→2 and chain
+    10→11) with seed {0}: mass reaches only the seed's component —
+    nodes 10/11 end at EXACTLY zero (no uniform teleport); the seed
+    holds the most mass; duplicates/empty seed lists raise. A Python
+    replica of the exact arithmetic pins every value."""
+    from feature_store_spark.operators.graph import PR_SCALE, pagerank
+
+    edges = [(0, 1), (1, 2), (10, 11)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = {
+        r["node"]: r["rank_q"]
+        for r in pagerank(df, n_iter=4, seeds=[0]).collect()
+    }
+    assert set(out) == {0, 1, 2, 10, 11}
+    assert out[10] == 0 and out[11] == 0
+    assert out[0] == max(out.values())
+    assert out[1] > out[2] > 0
+
+    # exact replica
+    from collections import Counter
+
+    nodes = [0, 1, 2, 10, 11]
+    base = PR_SCALE // 1
+    outdeg = Counter(a for a, _ in edges)
+    r = {v: (base if v == 0 else 0) for v in nodes}
+    tp = {v: ((15 * base) // 100 if v == 0 else 0) for v in nodes}
+    for _ in range(4):
+        agg = Counter()
+        for a, b in edges:
+            agg[b] += r[a] // outdeg[a]
+        r = {v: tp[v] + (85 * agg.get(v, 0)) // 100 for v in nodes}
+    assert out == r
+
+    # a seed OUTSIDE the edge set is a dangling node that still holds
+    # its teleport mass
+    out2 = {
+        r2["node"]: r2["rank_q"]
+        for r2 in pagerank(df, n_iter=2, seeds=[99]).collect()
+    }
+    assert out2[99] > 0 and set(out2) == {0, 1, 2, 10, 11, 99}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        pagerank(df, seeds=[])
+    with _pytest.raises(ValueError, match="duplicates"):
+        pagerank(df, seeds=[0, 0])
