@@ -168,6 +168,24 @@ TOP_BIGRAM_MAX = 0.18  # Gopher: reject if top 2-gram > 18% of bigrams
 DUP_TRIGRAM_MAX = 0.30  # and if duplicate 3-grams > 30% of trigrams
 
 
+def _mode_count_expr(arr: str) -> str:
+    """Count of the most frequent element of a string array, as one
+    linear fold: sort the array so equal elements are adjacent, then
+    track the current run length and the best run in an ``aggregate``
+    accumulator. Any total order works — sorting only has to group
+    duplicates together — so binary UTF8 order vs the oracle's
+    collation is irrelevant; the returned COUNT is an exact integer.
+    Empty arrays fold to 0."""
+    step = "IF(x <=> a.prev, a.run + 1L, 1L)"
+    return (
+        f"aggregate(array_sort({arr}), "
+        "struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best), "
+        f"(a, x) -> struct(x AS prev, {step} AS run, "
+        f"greatest(a.best, {step}) AS best), "
+        "a -> a.best)"
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -177,73 +195,68 @@ def repetition_stats(
     repeats of an earlier trigram in the same document. ``repetitive``
     applies the published-style thresholds to the 2-/3-gram metrics.
 
-    One scan, ONE shuffle (plan-pinned): uni/bi/tri grams are emitted
-    from a single tagged explode (gram size rides along as a literal)
-    plus a size-0 SENTINEL element per document — the sentinel keeps
-    empty/short documents alive through the aggregates, replacing the
-    former doc-spine join (which cost a second scan and a second
-    exchange). The token arrays are repartitioned by {id_col} once;
-    every downstream aggregate ((doc, size, gram) counts → per-(doc,
-    size) folds → per-doc pivot) groups on supersets of {id_col}, so
-    Spark satisfies them all from that single exchange. No skew beyond
-    document length itself; docs with < 3 tokens keep a row with NULL
-    ratios.
+    One scan, one raw-doc shuffle (plan-pinned): every metric is a
+    per-row fold over the document's own gram arrays — the top-gram
+    count is a run-length maximum over the sorted array
+    (``_mode_count_expr``), the trigram dup fraction is ``size -
+    size(array_distinct)`` — so after the folds the operator is a
+    single narrow projection. The former shape exploded (doc, n, gram)
+    rows — 3× token volume in duplicated gram strings through an
+    exchange plus three aggregate stages; the folds keep the work
+    O(tokens log tokens) inside one stage and shuffle only the raw
+    (id, tokens) rows. That one doc-keyed repartition stays on
+    purpose: gram folds are CPU-bound at ~10× the cost/byte a scan
+    split is sized for (compressed text packs dense), so rebalancing
+    compute off input-split granularity pays even on a cluster — and
+    locally a single-row-group parquet file would otherwise pin the
+    whole fold to one task. Docs with < 3 tokens keep a row with NULL
+    ratios (size 0 arrays → 0 totals → NULL-guarded divisions).
     """
-    toks = df.select(
-        F.col(id_col),
-        tokens(F.col(text_col)).alias("__t"),
-    ).repartition(F.col(id_col))
-
-    gram_expr = _kgram_expr
-    tagged = toks.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                "flatten(array("
-                # sentinel: guarantees >=1 row per doc (n=0 is
-                # ignored by the pivot, it only carries the doc key)
-                + "array(struct(0 AS n, '' AS gram)), "
-                + ", ".join(
-                    f"transform({gram_expr(k)}, g -> struct({k} AS n, g AS gram))"
-                    for k in (1, 2, 3)
-                )
-                + "))"
-            )
-        ).alias("__g"),
-    ).select(id_col, F.col("__g.n").alias("__n"), F.col("__g.gram").alias("__gram"))
-
-    per_gram = tagged.groupBy(id_col, "__n", "__gram").agg(
-        F.count(F.lit(1)).alias("__cnt")
+    # repartition the RAW text and tokenize after the exchange —
+    # regexp tokenization is itself CPU-bound, so it must run at fold
+    # width, not at scan-split width
+    toks = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.coalesce(tokens(F.col(text_col)), F.array()).alias("__t"),
+        )
     )
-    per_size = per_gram.groupBy(id_col, "__n").agg(
-        F.max("__cnt").alias("__max"),
-        F.sum("__cnt").alias("__tot"),
-        F.count(F.lit(1)).alias("__distinct"),
-    )
-    # only the six cells the metrics consume (max/tot at 1 and 2,
-    # tot/distinct at 3) — mirroring the oracle SQL exactly
-    pivoted = per_size.groupBy(id_col).agg(
-        F.max(F.when(F.col("__n") == 1, F.col("__max"))).alias("__max1"),
-        F.max(F.when(F.col("__n") == 1, F.col("__tot"))).alias("__tot1"),
-        F.max(F.when(F.col("__n") == 2, F.col("__max"))).alias("__max2"),
-        F.max(F.when(F.col("__n") == 2, F.col("__tot"))).alias("__tot2"),
-        F.max(F.when(F.col("__n") == 3, F.col("__tot"))).alias("__tot3"),
-        F.max(F.when(F.col("__n") == 3, F.col("__distinct"))).alias(
-            "__dis3"
-        ),
+
+    cells = toks.select(
+        F.col(id_col),
+        F.expr(_mode_count_expr("__t")).alias("__max1"),
+        F.size("__t").cast("bigint").alias("__tot1"),
+        F.expr(_mode_count_expr(_kgram_expr(2))).alias("__max2"),
+        F.greatest(F.size("__t") - 1, F.lit(0))
+        .cast("bigint")
+        .alias("__tot2"),
+        F.greatest(F.size("__t") - 2, F.lit(0))
+        .cast("bigint")
+        .alias("__tot3"),
+        F.size(F.array_distinct(F.expr(_kgram_expr(3))))
+        .cast("bigint")
+        .alias("__dis3"),
     )
 
     def ratio(num, den):
         return F.round(num / F.when(den == 0, None).otherwise(den), 6)
 
-    # the sentinel made `pivoted` a full per-doc spine — no join back
-    out = pivoted.select(
+    def nz(col, den):  # oracle NULLs the numerator when tot = 0
+        return F.when(F.col(den) > 0, col)
+
+    out = cells.select(
         id_col,
-        F.coalesce("__tot1", F.lit(0)).cast("bigint").alias("n_tokens"),
-        ratio(F.col("__max1"), F.col("__tot1")).alias("top_unigram_frac"),
-        ratio(F.col("__max2"), F.col("__tot2")).alias("top_bigram_frac"),
+        F.col("__tot1").alias("n_tokens"),
+        ratio(nz(F.col("__max1"), "__tot1"), F.col("__tot1")).alias(
+            "top_unigram_frac"
+        ),
+        ratio(nz(F.col("__max2"), "__tot2"), F.col("__tot2")).alias(
+            "top_bigram_frac"
+        ),
         ratio(
-            F.col("__tot3") - F.col("__dis3"), F.col("__tot3")
+            nz(F.col("__tot3") - F.col("__dis3"), "__tot3"), F.col("__tot3")
         ).alias("dup_trigram_frac"),
     )
     return out.withColumn(

@@ -375,14 +375,16 @@ def test_vocab_coverage_take_ordered_top_n(spark, sf_dir):
 
 
 def test_repetition_stats_single_shuffle_single_scan(spark, sf_dir):
-    # one doc-keyed repartition of the token arrays feeds EVERY
-    # aggregate (all group on supersets of doc_id); the per-doc
-    # sentinel replaced the doc-spine join, so there is exactly one
-    # Exchange and one scan in the whole plan
+    # every metric is a per-row fold over the document's own gram
+    # arrays (run-length max over the sorted array) — no exploded
+    # gram stream, no aggregate stages, no Join; the one Exchange is
+    # the deliberate raw-doc repartition that decouples the CPU-bound
+    # folds from input-split granularity
     plan = _plan(spark, sf_dir, "pt_repetition_stats")
     assert plan.count("Exchange") == 1
     assert plan.count("Scan ") + plan.count("FileScan") <= 2  # 1 scan node
     assert "Join" not in plan
+    assert "Generate" not in plan  # the old explode is gone
 
 
 def test_dup_span_single_gram_shuffle(spark, sf_dir):
