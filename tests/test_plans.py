@@ -61,6 +61,26 @@ def test_no_unbounded_cross_products(spark, sf_dir, name):
     assert "CartesianProduct" not in plan
 
 
+def test_serving_join_fused_scan_counts(spark, sf_dir):
+    """serving_features derives uf+tf+rf with ONE aggregation pass per
+    fact table (composing the three pipelines would scan orders 7x,
+    lineitem 2x, events 3x). Orders legitimately appears twice: the
+    wide (custkey, priority) aggregate plus the narrow
+    (orderkey, custkey, orderdate) join side under the lineitem join —
+    anything beyond that means the fusion regressed to per-pipeline
+    derivation."""
+    plan = _plan(spark, sf_dir, "pipeline_serving_join")
+    scans = [ln for ln in plan.splitlines() if "Scan" in ln]
+    counts = {
+        t: sum(t in ln for ln in scans)
+        for t in ("orders", "lineitem", "events", "customer")
+    }
+    assert counts["orders"] <= 2, counts
+    assert counts["lineitem"] == 1, counts
+    assert counts["events"] == 1, counts
+    assert counts["customer"] == 1, counts
+
+
 def test_stats_outlier_uses_broadcast_not_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "a7_stats_outliers")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
