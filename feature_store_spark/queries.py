@@ -754,6 +754,81 @@ def q_s12_cdc_apply(spark, sf_dir):
     return apply_cdc(base, changes, key_cols=["o_orderkey"])
 
 
+@spec("s12b_merge_replay", _cdc_oracle(), ("ext", "S6", "cdc", "merge", "txn"))
+def q_s12b_merge_replay(spark, sf_dir):
+    """The SAME mixed I/U/D change feed as ``s12_cdc_apply``, replayed
+    as three sequential ``MERGE INTO`` commits against a real manifest
+    table (`pipelines/txn.py::merge_into`) instead of one
+    ``apply_cdc`` pass — seq-1 updates+inserts, seq-2 deletes, seq-3
+    upserts (which RESURRECT keys seq-2 deleted, the not-matched
+    insert path). The final table must hash-equal the apply_cdc
+    oracle, proving the conditional-clause verb composes to the same
+    end state commit-by-commit that the set-based replay reaches in
+    one step. The table lives in a session temp dir; the result is
+    localCheckpoint-ed so the returned frame outlives the cleanup."""
+    import shutil as _sh
+    import tempfile
+
+    from feature_store_spark.pipelines.txn import (
+        merge_into,
+        read_table,
+        upsert_manifest,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    key = F.col("o_orderkey")
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        cents.alias("total_cents"),
+    )
+    seq1 = orders.filter(key % 5 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("U1").alias("o_orderstatus"),
+        (cents + 12345).alias("total_cents"),
+    ).unionByName(
+        orders.filter(key % 97 == 0).select(
+            (key + 1000000000).alias("o_orderkey"), "o_custkey",
+            F.lit("NW").alias("o_orderstatus"),
+            F.lit(777).cast("bigint").alias("total_cents"),
+        )
+    )
+    seq2 = orders.filter(key % 10 == 0).select("o_orderkey")
+    seq3 = orders.filter(key % 25 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("U3").alias("o_orderstatus"),
+        (cents * 2).alias("total_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="merge_replay_")
+    try:
+        upsert_manifest(base, root, ["o_orderkey"], "total_cents")
+        upsert_sets = {
+            "o_custkey": "s.o_custkey",
+            "o_orderstatus": "s.o_orderstatus",
+            "total_cents": "s.total_cents",
+        }
+        merge_into(
+            spark, root, seq1, ["o_orderkey"],
+            when_matched=[(None, upsert_sets)],
+            when_not_matched=(None, None),
+        )
+        merge_into(
+            spark, root, seq2, ["o_orderkey"],
+            when_matched=[(None, "delete")],
+        )
+        merge_into(
+            spark, root, seq3, ["o_orderkey"],
+            when_matched=[(None, upsert_sets)],
+            when_not_matched=(None, None),
+        )
+        final, _v = read_table(spark, root)
+        return final.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "total_cents"
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
 @spec(
     "j12_supplier_geo_rollup",
     """SELECT r.r_name AS region, n.n_name AS nation,

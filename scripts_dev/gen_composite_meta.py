@@ -41,7 +41,7 @@ PARTS = [
     "w3_lag_lead_gaps", "w4_topk_orders_per_customer", "w6_ntile_buckets",
     "w7_rolling_spend", "w10_funnel_conversion", "w11_funnel_windowed",
     "w12_cohort_retention",
-    "w1_latest_event_per_user", "w2_topk_customers",
+    "w1_latest_event_per_user", "w2_topk_customers", "s12b_merge_replay",
     "o3_deterministic_sample", "o6_stratified_sample", "o7_priority_sample",
     "s9_ordered_export",
     "f11_iso_roundtrip", "f13_json_extract", "f14_freshness_minutes",

@@ -1,0 +1,297 @@
+"""MERGE INTO with conditional clauses (txn.merge_into) — the
+composed Delta-style verb over manifest tables. Reference analogue:
+the unconditional ``INSERT … ON CONFLICT DO UPDATE`` at
+`src/pipelines/batch_pipeline.py:221-310` is its degenerate form."""
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+import feature_store_spark.pipelines.txn as txn
+from feature_store_spark.pipelines.txn import (
+    merge_into,
+    read_table,
+    table_changes,
+    table_history,
+    upsert_manifest,
+    upsert_manifest_partitioned,
+)
+
+D1 = datetime.date(2024, 1, 1)
+D2 = datetime.date(2024, 1, 2)
+D3 = datetime.date(2024, 1, 3)
+
+
+def _flat(spark, root):
+    df = spark.createDataFrame(
+        [(i, float(i), 1) for i in range(10)],
+        "user_id bigint, score double, ts bigint",
+    )
+    upsert_manifest(df, root, ["user_id"], "ts")
+
+
+def _part(spark, root):
+    rows = (
+        [(i, float(i), 1, D1) for i in range(0, 5)]
+        + [(i, float(i), 1, D2) for i in range(100, 105)]
+        + [(i, float(i), 1, D3) for i in range(200, 205)]
+    )
+    df = spark.createDataFrame(
+        rows, "user_id bigint, score double, ts bigint, p date"
+    )
+    upsert_manifest_partitioned(
+        df, root, ["user_id"], "ts", "p",
+        stats_cols=["user_id"], bloom_cols=["user_id"],
+    )
+
+
+def _src(spark, rows, schema="user_id bigint, flag string, val double"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_update_only_clause(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    src = _src(spark, [(3, "U", 30.0), (4, "U", 40.0), (99, "U", 1.0)])
+    res = merge_into(
+        spark, root, src, ["user_id"],
+        when_matched=[(None, {"score": "s.val"})],
+    )
+    assert res["committed"]
+    assert (res["rows_updated"], res["rows_deleted"], res["rows_inserted"]) \
+        == (2, 0, 0)
+    got, _ = read_table(spark, root)
+    m = {r["user_id"]: r["score"] for r in got.collect()}
+    assert m[3] == 30.0 and m[4] == 40.0 and m[5] == 5.0
+    assert 99 not in m  # no insert clause -> unmatched source ignored
+    assert table_history(spark, root).collect()[0]["op"] == "merge"
+
+
+def test_delete_on_match_condition(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    src = _src(
+        spark, [(1, "D", 0.0), (2, "K", 20.0), (3, "D", 0.0)]
+    )
+    res = merge_into(
+        spark, root, src, ["user_id"],
+        when_matched=[
+            ("s.flag = 'D'", "delete"),
+            (None, {"score": "s.val"}),
+        ],
+    )
+    assert (res["rows_updated"], res["rows_deleted"]) == (1, 2)
+    got, _ = read_table(spark, root)
+    ids = {r["user_id"] for r in got.collect()}
+    assert ids == set(range(10)) - {1, 3}
+    assert got.filter("user_id = 2").collect()[0]["score"] == 20.0
+
+
+def test_insert_only(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    src = spark.createDataFrame(
+        [(50, 500.0, 9), (3, 999.0, 9)],
+        "user_id bigint, score double, ts bigint",
+    )
+    res = merge_into(
+        spark, root, src, ["user_id"], when_not_matched=(None, None)
+    )
+    # matched row 3 untouched (no matched clause), 50 inserted by name
+    assert (res["rows_updated"], res["rows_inserted"]) == (0, 1)
+    got, _ = read_table(spark, root)
+    m = {r["user_id"]: r["score"] for r in got.collect()}
+    assert m[50] == 500.0 and m[3] == 3.0 and len(m) == 11
+
+
+def test_mixed_clauses_and_conditional_insert(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    src = _src(
+        spark,
+        [(0, "D", 0.0), (1, "U", 11.0), (2, "X", 0.0),
+         (60, "I", 600.0), (61, "X", 610.0)],
+    )
+    res = merge_into(
+        spark, root, src, ["user_id"],
+        when_matched=[
+            ("s.flag = 'D'", "delete"),
+            ("s.flag = 'U'", {"score": "s.val + t.score"}),
+        ],
+        when_not_matched=("s.flag = 'I'", {
+            "user_id": "s.user_id", "score": "s.val", "ts": "2",
+        }),
+    )
+    assert (res["rows_updated"], res["rows_deleted"], res["rows_inserted"]) \
+        == (1, 1, 1)
+    got, _ = read_table(spark, root)
+    m = {r["user_id"]: (r["score"], r["ts"]) for r in got.collect()}
+    assert 0 not in m                       # deleted
+    assert m[1] == (12.0, 1)                # updated: 11 + 1
+    assert m[2] == (2.0, 1)                 # flag X: no clause applied
+    assert m[60] == (600.0, 2)              # conditional insert fired
+    assert 61 not in m                      # condition false -> dropped
+
+
+def test_null_condition_is_false(spark, tmp_path):
+    """SQL semantics: a NULL-valued condition applies NO clause —
+    the row falls through to the next clause / stays unchanged."""
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    src = _src(spark, [(1, None, 10.0), (2, "D", 0.0)])
+    res = merge_into(
+        spark, root, src, ["user_id"],
+        when_matched=[("s.flag = 'D'", "delete")],
+    )
+    # row 1: NULL = 'D' is NULL -> false -> kept; row 2 deleted
+    assert (res["rows_updated"], res["rows_deleted"]) == (0, 1)
+    got, _ = read_table(spark, root)
+    ids = {r["user_id"] for r in got.collect()}
+    assert 1 in ids and 2 not in ids
+
+
+def test_not_matched_by_source(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    src = _src(spark, [(0, "K", 0.0), (1, "K", 0.0)])
+    res = merge_into(
+        spark, root, src, ["user_id"],
+        when_matched=[(None, {"score": "t.score + 100"})],
+        when_not_matched_by_source=[
+            ("t.user_id >= 8", "delete"),
+            (None, {"score": "-1.0"}),
+        ],
+    )
+    assert res["rows_deleted"] == 2          # 8, 9
+    assert res["rows_updated"] == 2 + 6      # matched 0,1 + nbs 2..7
+    got, _ = read_table(spark, root)
+    m = {r["user_id"]: r["score"] for r in got.collect()}
+    assert m[0] == 100.0 and m[1] == 101.0
+    assert all(m[i] == -1.0 for i in range(2, 8))
+    assert 8 not in m and 9 not in m
+
+
+def test_duplicate_source_keys_raise(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    src = _src(spark, [(3, "U", 1.0), (3, "U", 2.0), (77, "U", 1.0)])
+    with pytest.raises(ValueError, match="multiple source rows"):
+        merge_into(
+            spark, root, src, ["user_id"],
+            when_matched=[(None, {"score": "s.val"})],
+        )
+    # duplicates only on keys ABSENT from the target are fine
+    src2 = _src(spark, [(77, "U", 1.0), (77, "U", 2.0), (3, "U", 30.0)])
+    res = merge_into(
+        spark, root, src2, ["user_id"],
+        when_matched=[(None, {"score": "s.val"})],
+    )
+    assert res["rows_updated"] == 1
+
+
+def test_noop_merge_publishes_no_version(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    v0 = txn.latest_version(root)
+    src = _src(spark, [(999, "U", 1.0)])
+    res = merge_into(
+        spark, root, src, ["user_id"],
+        when_matched=[(None, {"score": "s.val"})],
+    )
+    assert not res["committed"]
+    assert txn.latest_version(root) == v0
+
+
+def test_partitioned_touched_only_rewrite(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _part(spark, root)
+    v1 = txn.latest_version(root)
+    parts_before = txn.resolve_partitions(root, v1)
+    src = spark.createDataFrame(
+        [(0, 100.0, 2, D1), (300, 300.0, 2, D3), (400, 400.0, 2,
+          datetime.date(2024, 1, 4))],
+        "user_id bigint, score double, ts bigint, p date",
+    )
+    res = merge_into(
+        spark, root, src, ["user_id"],
+        when_matched=[(None, {"score": "s.score"})],
+        when_not_matched=(None, None),
+    )
+    assert res["committed"]
+    assert (res["rows_updated"], res["rows_inserted"]) == (1, 2)
+    # D2 untouched -> byte-identical carry-forward; D1/D3 rewritten;
+    # 2024-01-04 is a brand-new partition from the insert
+    parts_after = txn.resolve_partitions(root, txn.latest_version(root))
+    assert parts_after["2024-01-02"]["dir"] == parts_before["2024-01-02"]["dir"]
+    assert parts_after["2024-01-01"]["dir"] != parts_before["2024-01-01"]["dir"]
+    assert "2024-01-04" in parts_after
+    assert parts_after["2024-01-04"]["rows"] == 1
+    assert res["partitions_rewritten"] == 3
+    got, _ = read_table(spark, root)
+    assert got.count() == 17
+    m = {r["user_id"]: r["score"] for r in got.collect()}
+    assert m[0] == 100.0 and m[300] == 300.0 and m[400] == 400.0
+    # stats/bloom re-recorded on rewritten + new leaves (same posture
+    # as the old entries)
+    for pk in ("2024-01-01", "2024-01-03", "2024-01-04"):
+        assert "user_id" in (parts_after[pk].get("stats") or {})
+        assert "user_id" in (parts_after[pk].get("bloom") or {})
+    # data skipping still prunes with the refreshed stats
+    probe, _ = read_table(spark, root, where=[("user_id", "=", 400)])
+    assert probe.count() == 1
+
+
+def test_partitioned_delete_empties_partition(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _part(spark, root)
+    src = spark.createDataFrame(
+        [(i,) for i in range(200, 205)], "user_id bigint"
+    )
+    res = merge_into(
+        spark, root, src, ["user_id"],
+        when_matched=[(None, "delete")],
+    )
+    assert res["rows_deleted"] == 5
+    assert res["partitions_removed"] == 1
+    assert res["partitions_rewritten"] == 0
+    got, _ = read_table(spark, root)
+    assert got.count() == 10
+    parts = txn.resolve_partitions(root, txn.latest_version(root))
+    assert "2024-01-03" not in parts
+
+
+def test_partition_column_set_refused(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _part(spark, root)
+    src = spark.createDataFrame([(0, D2)], "user_id bigint, p date")
+    with pytest.raises(ValueError, match="partition column"):
+        merge_into(
+            spark, root, src, ["user_id"],
+            when_matched=[(None, {"p": "s.p"})],
+        )
+
+
+def test_cdc_across_merge(spark, tmp_path):
+    """table_changes over a merge version shows exactly the
+    inserted/updated/deleted rows; untouched partitions are skipped
+    by byte-identity."""
+    root = str(tmp_path / "t")
+    _part(spark, root)
+    v1 = txn.latest_version(root)
+    src = spark.createDataFrame(
+        [(0, 50.0, 2, D1), (200, 0.0, 2, D3)],
+        "user_id bigint, score double, ts bigint, p date",
+    )
+    merge_into(
+        spark, root, src, ["user_id"],
+        when_matched=[
+            ("s.score = 0.0", "delete"),
+            (None, {"score": "s.score"}),
+        ],
+    )
+    ch = table_changes(
+        spark, root, v1, txn.latest_version(root), ["user_id"]
+    ).collect()
+    kinds = {(r["user_id"], r["status"]) for r in ch if r["status"] != "unchanged"}
+    assert kinds == {(200, "removed"), (0, "changed")}
