@@ -2870,6 +2870,94 @@ def merge_into(
     )
 
 
+def restore(
+    root: str,
+    version: int | None = None,
+    timestamp_as_of=None,
+    max_retries: int = 20,
+    backend: LocalLinkBackend | None = None,
+) -> dict:
+    """Delta's ``RESTORE TABLE … TO VERSION/TIMESTAMP AS OF``:
+    re-publish an old snapshot as a NEW commit at the tip. Time-travel
+    *reads* (`read_table(version=/timestamp_as_of=)`) leave the tip
+    alone; restore moves the tip itself — the roll-back verb after a
+    bad batch — while keeping the full history intact (the bad
+    versions stay readable, and CDC across the restore shows the
+    inverse diff).
+
+    Zero data work, like ``drop_partitions``: the new manifest carries
+    the restored version's leaves BY REFERENCE (the single snapshot
+    dir, or the fully-resolved partition map re-pinned as a format-2
+    manifest). Data dirs are immutable and vacuum liveness is
+    computed per retained manifest, so the referenced leaves stay live
+    as long as the restore commit is retained — but a restore to a
+    version whose manifest vacuum already pruned raises
+    FileNotFoundError (its leaves may be gone; the documented
+    time-travel-too-far signal).
+
+    Exactly one of ``version`` / ``timestamp_as_of`` (epoch seconds or
+    ISO string, resolved via :func:`version_at_timestamp`). Restoring
+    the current tip is a no-op (no version published). Returns
+    {version, restored_version, rows, committed}."""
+    if (version is None) == (timestamp_as_of is None):
+        raise ValueError(
+            "restore: pass exactly one of version / timestamp_as_of"
+        )
+    if timestamp_as_of is not None:
+        version = version_at_timestamp(root, timestamp_as_of)
+    assert version is not None
+    if version < 1:
+        raise ValueError(f"restore: bad version {version}")
+    if version > latest_version(root):
+        raise ValueError(
+            f"restore: version {version} is beyond the tip "
+            f"{latest_version(root)}"
+        )
+    target = read_manifest(root, version)  # FileNotFoundError if pruned
+    if _is_partitioned(target):
+        parts = resolve_partitions(root, version)
+        rows = sum(e["rows"] for e in parts.values())
+        body = {
+            "partition_col": target["partition_col"],
+            "partitions": parts,
+        }
+    else:
+        parts = None
+        rows = target["rows"]
+        body = {"data_dir": target["data_dir"]}
+    for _ in range(max_retries):
+        v = latest_version(root)
+        if v == 0:
+            raise ValueError(f"{root!r} has no committed versions")
+        if version > v:
+            raise ValueError(
+                f"restore: version {version} is beyond the tip {v}"
+            )
+        if version == v:
+            return {
+                "version": v, "restored_version": version,
+                "rows": rows, "committed": False,
+            }
+        manifest = {
+            "op": "restore",
+            "base_version": v,
+            "restored_version": version,
+            "rows": rows,
+            "schema": target["schema"],
+            **body,
+        }
+        if _try_commit(root, v + 1, manifest, backend):
+            if parts is not None:
+                _maybe_checkpoint(root, v + 1, parts, backend)
+            return {
+                "version": v + 1, "restored_version": version,
+                "rows": rows, "committed": True,
+            }
+    raise RuntimeError(
+        f"restore: gave up after {max_retries} version races at {root!r}"
+    )
+
+
 def drop_partitions(
     root: str,
     partition_values: Sequence,
@@ -3062,6 +3150,91 @@ def table_changes(
     if compare_cols is None:
         compare_cols = [c for c in new.columns if c not in set(key_cols)]
     return snapshot_diff(old, new, list(key_cols), list(compare_cols))
+
+
+def read_changes_stream(
+    spark: SparkSession,
+    root: str,
+    checkpoint_dir: str,
+    process,
+    key_cols: Sequence[str] = ("user_id",),
+    compare_cols: Sequence[str] | None = None,
+    starting_version: int = 0,
+    skip_unchanged_partitions: bool = False,
+    max_batches: int | None = None,
+) -> dict:
+    """Streaming CDC *source* over a manifest table — the Delta
+    ``readChangeFeed`` analogue: incremental, checkpointed consumption
+    of :func:`table_changes`, one micro-batch per commit.
+
+    Each trigger drains the version cursor up to the current tip:
+    for every newly committed version ``k`` it builds that commit's
+    change frame (``table_changes(k-1, k)`` plus a ``_commit_version``
+    literal; for ``k == starting_version + 1`` with no predecessor the
+    whole snapshot arrives as status ``added`` — Delta's
+    ``startingVersion`` initial-snapshot semantics), calls
+    ``process(changes_df, k)``, and only THEN advances the cursor
+    (atomic tmp+rename). Crash between process and advance re-delivers
+    exactly that commit on restart — at-least-once with the version
+    number as the idempotency key, the same contract as
+    ``foreachBatch(batch_id)``. A fully drained stream replays ZERO
+    batches from its checkpoint.
+
+    The per-commit frames are lazy Spark plans over the two pinned
+    snapshots (partition-pruned via ``skip_unchanged_partitions`` on
+    partitioned tables — after a daily commit each batch reads one
+    partition, not the table), so the work distributes; only the
+    cursor lives on the driver. Returns {batches, from_version,
+    to_version}."""
+    if process is None or not callable(process):
+        raise ValueError("read_changes_stream: process callback required")
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    off_path = os.path.join(checkpoint_dir, "offset.json")
+
+    def _read_cursor() -> int:
+        try:
+            with open(off_path) as f:
+                return int(json.load(f)["version"])
+        except FileNotFoundError:
+            return starting_version
+
+    def _advance(k: int) -> None:
+        tmp = off_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": k}, f)
+        os.replace(tmp, off_path)
+
+    cursor = _read_cursor()
+    start = cursor
+    tip = latest_version(root)
+    if tip < cursor:
+        raise ValueError(
+            f"read_changes_stream: checkpoint cursor {cursor} is beyond "
+            f"the tip {tip} of {root!r} — wrong table or reset history"
+        )
+    n = 0
+    while cursor < tip and (max_batches is None or n < max_batches):
+        k = cursor + 1
+        if cursor == 0:
+            # no predecessor: the whole v1 snapshot arrives as 'added'
+            # (Delta startingVersion initial-snapshot semantics), in
+            # snapshot_diff's exact shape (changed_cols NULL)
+            snap, _v = read_table(spark, root, k)
+            ch = snap.select(
+                *key_cols,
+                F.lit("added").alias("status"),
+                F.lit(None).cast("string").alias("changed_cols"),
+            )
+        else:
+            ch = table_changes(
+                spark, root, cursor, k, key_cols, compare_cols,
+                skip_unchanged_partitions=skip_unchanged_partitions,
+            ).filter(F.col("status") != "unchanged")
+        process(ch.withColumn("_commit_version", F.lit(k)), k)
+        _advance(k)
+        cursor = k
+        n += 1
+    return {"batches": n, "from_version": start, "to_version": cursor}
 
 
 def table_history(spark: SparkSession, root: str) -> DataFrame:
