@@ -70,7 +70,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from feature_store_spark.operators.windows import latest_per_key
 
@@ -313,6 +313,66 @@ def version_at_timestamp(root: str, ts: float | str) -> int:
     return best
 
 
+def _phys_map(m: dict | None) -> dict:
+    """logical → physical column-name mapping of a manifest (Delta
+    column-mapping analogue, established by :func:`rename_column`).
+    Empty = identity (the pre-rename fast path everywhere)."""
+    return (m or {}).get("physical") or {}
+
+
+def _carry_mapping(m: dict | None) -> dict:
+    """The manifest fields every commit must inherit from its base so
+    a rename survives subsequent writes."""
+    phys = _phys_map(m)
+    return {"physical": phys} if phys else {}
+
+
+def _physical_schema(schema: StructType, phys: dict) -> StructType:
+    return StructType(
+        [
+            StructField(
+                phys.get(f.name, f.name), f.dataType, f.nullable
+            )
+            for f in schema.fields
+        ]
+    )
+
+
+def _read_data(
+    spark: SparkSession, schema: StructType, phys: dict, paths
+) -> DataFrame:
+    """Open data leaves under the LOGICAL schema: files store physical
+    column names; the rename to logical is a plain projection Catalyst
+    collapses (predicate pushdown still reaches the parquet scan)."""
+    if not phys:
+        return spark.read.schema(schema).parquet(*paths)
+    df = spark.read.schema(_physical_schema(schema, phys)).parquet(*paths)
+    return df.toDF(*[f.name for f in schema.fields])
+
+
+def _write_physical(df: DataFrame, phys: dict) -> DataFrame:
+    """Rename a logical frame's columns to their physical names just
+    before a leaf write (extra layout columns like __ptok pass
+    through untouched)."""
+    ren = {l: p for l, p in phys.items() if l != p and l in df.columns}
+    return df.withColumnsRenamed(ren) if ren else df
+
+
+def _validate_mapping(schema: StructType, phys: dict) -> None:
+    """No two logical columns may share a physical name — the
+    collision arises when schema evolution re-adds a name an earlier
+    rename left behind as a physical residue."""
+    names = [phys.get(f.name, f.name) for f in schema.fields]
+    if len(set(names)) != len(names):
+        dup = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"column mapping collision on physical name(s) {dup!r}: a "
+            "new column reuses a physical name an earlier rename still "
+            "occupies — pick a different name or rename the survivor "
+            "first"
+        )
+
+
 def read_table(
     spark: SparkSession,
     root: str,
@@ -395,8 +455,11 @@ def read_table(
         df = (
             spark.createDataFrame([], schema)
             if not dirs
-            else spark.read.schema(schema).parquet(
-                *(os.path.join(root, d) for d in dirs)
+            else _read_data(
+                spark,
+                schema,
+                _phys_map(m),
+                [os.path.join(root, d) for d in dirs],
             )
         )
         if preds is not None:
@@ -408,8 +471,11 @@ def read_table(
     # union of dirs under the version's pinned schema (older leaves
     # with narrower/missing columns widen/null-fill natively in the
     # parquet reader)
-    df = spark.read.schema(schema).parquet(
-        *(os.path.join(root, d) for d in _version_dirs(root, v, m))
+    df = _read_data(
+        spark,
+        schema,
+        _phys_map(m),
+        [os.path.join(root, d) for d in _version_dirs(root, v, m)],
     )
     if preds is not None:
         df = df.filter(_where_expr(preds))
@@ -740,12 +806,14 @@ def upsert_manifest(
             ).drop("__src")
         else:
             merged = latest_per_key(updates, list(key_cols), order_col)
+        phys = _phys_map(tip_manifest)
+        _validate_mapping(merged.schema, phys)
         data_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
         data_path = os.path.join(root, data_rel)
         obs = Observation()
-        merged.observe(obs, F.count(F.lit(1)).alias("rows")).write.parquet(
-            data_path
-        )
+        _write_physical(
+            merged.observe(obs, F.count(F.lit(1)).alias("rows")), phys
+        ).write.parquet(data_path)
         n = int(obs.get["rows"])
         if constraints:
             # validate the WRITTEN snapshot (columnar re-scan, no
@@ -753,7 +821,7 @@ def upsert_manifest(
             # the manifest ever publishes — write-audit-publish
             try:
                 _check_constraints(
-                    spark.read.schema(merged.schema).parquet(data_path),
+                    _read_data(spark, merged.schema, phys, [data_path]),
                     constraints,
                 )
             except ValueError:
@@ -765,6 +833,7 @@ def upsert_manifest(
             "data_dir": data_rel,
             "rows": n,
             "schema": merged.schema.jsonValue(),
+            **_carry_mapping(tip_manifest),
         }
         if _try_commit(root, v + 1, manifest, backend):
             return n
@@ -1431,7 +1500,9 @@ def upsert_manifest_partitioned(
                 tip_schema = StructType.fromJson(tip["schema"])
                 try:
                     existing = (
-                        spark.read.schema(tip_schema).parquet(*base_dirs)
+                        _read_data(
+                            spark, tip_schema, _phys_map(tip), base_dirs
+                        )
                         if base_dirs and mode == "merge"
                         else spark.createDataFrame([], tip_schema)
                     )
@@ -1478,10 +1549,14 @@ def upsert_manifest_partitioned(
                 if bloom_cols
                 else []
             )
+            phys = _phys_map(tip)
+            _validate_mapping(merged.schema, phys)
             commit_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
-            merged.join(F.broadcast(tok_map), partition_col).write.partitionBy(
-                "__ptok"
-            ).parquet(os.path.join(root, commit_rel))
+            _write_physical(
+                merged.join(F.broadcast(tok_map), partition_col), phys
+            ).write.partitionBy("__ptok").parquet(
+                os.path.join(root, commit_rel)
+            )
             # per-partition row counts off the freshly written leaves
             # (columnar scan of ONE column; merged itself is not
             # recomputed) — they make every version's total composable
@@ -1509,8 +1584,11 @@ def upsert_manifest_partitioned(
                     "compare equal to themselves (floats with NaN and "
                     "other non-reflexive values cannot key partitions)"
                 )
-            readback = spark.read.schema(merged.schema).parquet(
-                *(os.path.join(root, d) for d in leaf.values())
+            readback = _read_data(
+                spark,
+                merged.schema,
+                phys,
+                [os.path.join(root, d) for d in leaf.values()],
             )
             if constraints:
                 # CHECK constraints over the touched partitions' final
@@ -1558,6 +1636,7 @@ def upsert_manifest_partitioned(
             "schema": written["schema"],
             "partition_col": partition_col,
             "updates": written["entries"],
+            **_carry_mapping(tip),
         }
         if _try_commit(root, v + 1, manifest, backend):
             _maybe_checkpoint(root, v + 1, new_parts, backend)
@@ -1705,13 +1784,15 @@ def compact_manifest(
             n_files = max(1, -(-_dir_bytes(data_dir) // target_file_bytes))
             new_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
             try:
-                snap = spark.read.schema(schema).parquet(data_dir)
+                snap = _read_data(spark, schema, _phys_map(tip), [data_dir])
                 laid = (
                     _zsorted_flat(snap, n_files)
                     if zorder_cols
                     else snap.repartition(n_files)
                 )
-                laid.write.parquet(os.path.join(root, new_rel))
+                _write_physical(laid, _phys_map(tip)).write.parquet(
+                    os.path.join(root, new_rel)
+                )
             except AnalysisException as e:
                 if _is_path_not_found(e):
                     continue
@@ -1722,6 +1803,7 @@ def compact_manifest(
                 "data_dir": new_rel,
                 "rows": tip["rows"],
                 "schema": tip["schema"],
+                **_carry_mapping(tip),
             }
             if _try_commit(root, v + 1, manifest, backend):
                 return {
@@ -1788,7 +1870,9 @@ def compact_manifest(
         token_map = {pk: _ptoken(pk) for pk in selected}
         pcol = tip["partition_col"]
         try:
-            df = spark.read.schema(schema).parquet(*sel_dirs.values())
+            df = _read_data(
+                spark, schema, _phys_map(tip), list(sel_dirs.values())
+            )
             vals = [r[0] for r in df.select(pcol).distinct().collect()]
             val_keys = {_pkey(v): v for v in vals}
             stray = sorted(set(val_keys) - set(selected))
@@ -1819,9 +1903,9 @@ def compact_manifest(
                     .sortWithinPartitions(F.col(pcol), F.col("__zkey"))
                     .drop("__zkey")
                 )
-            clustered.write.partitionBy("__ptok").parquet(
-                os.path.join(root, commit_rel)
-            )
+            _write_physical(clustered, _phys_map(tip)).write.partitionBy(
+                "__ptok"
+            ).parquet(os.path.join(root, commit_rel))
         except AnalysisException as e:
             if _is_path_not_found(e):
                 continue
@@ -1866,12 +1950,14 @@ def compact_manifest(
         if live:
             recounts = {
                 _pkey(r[0]): r[1]
-                for r in spark.read.schema(schema)
-                .parquet(
-                    *(
+                for r in _read_data(
+                    spark,
+                    schema,
+                    _phys_map(tip),
+                    [
                         os.path.join(root, new_parts[pk]["dir"])
                         for pk in live
-                    )
+                    ],
                 )
                 .groupBy(pcol)
                 .count()
@@ -1900,6 +1986,7 @@ def compact_manifest(
             # format-3 delta: only the re-laid leaves; untouched
             # entries carry forward through resolution
             "updates": {pk: new_parts[pk] for pk in selected},
+            **_carry_mapping(tip),
         }
         if _try_commit(root, v + 1, manifest, backend):
             _maybe_checkpoint(root, v + 1, new_parts, backend)
@@ -1979,7 +2066,7 @@ def delete_where(
         if not _is_partitioned(tip):
             data_dir = os.path.join(root, tip["data_dir"])
             try:
-                snap = spark.read.schema(schema).parquet(data_dir)
+                snap = _read_data(spark, schema, _phys_map(tip), [data_dir])
                 deleted = snap.filter(F.coalesce(cond, F.lit(False))).count()
                 if deleted == 0:
                     return {
@@ -1989,8 +2076,11 @@ def delete_where(
                     }
                 new_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
                 obs = Observation()
-                snap.filter(keep).observe(
-                    obs, F.count(F.lit(1)).alias("rows")
+                _write_physical(
+                    snap.filter(keep).observe(
+                        obs, F.count(F.lit(1)).alias("rows")
+                    ),
+                    _phys_map(tip),
                 ).write.parquet(os.path.join(root, new_rel))
                 remaining = int(obs.get["rows"])
             except AnalysisException as e:
@@ -2008,6 +2098,7 @@ def delete_where(
                 "data_dir": new_rel,
                 "rows": remaining,
                 "schema": tip["schema"],
+                **_carry_mapping(tip),
             }
             if _try_commit(root, v + 1, manifest, backend):
                 return {
@@ -2038,7 +2129,7 @@ def delete_where(
             os.path.join(root, e["dir"]) for e in candidates.values()
         ]
         try:
-            cand = spark.read.schema(schema).parquet(*cand_dirs)
+            cand = _read_data(spark, schema, _phys_map(tip), cand_dirs)
             per_part_del = {
                 _pkey(r[0]): r[1]
                 for r in cand.filter(F.coalesce(cond, F.lit(False)))
@@ -2065,7 +2156,7 @@ def delete_where(
             os.path.join(root, parts[pk]["dir"]) for pk in touched
         ]
         try:
-            tdf = spark.read.schema(schema).parquet(*touched_dirs)
+            tdf = _read_data(spark, schema, _phys_map(tip), touched_dirs)
             vals = [r[0] for r in tdf.select(pcol).distinct().collect()]
         except AnalysisException as e:
             if _is_path_not_found(e):
@@ -2094,9 +2185,9 @@ def delete_where(
         bloom_fields = [schema[c] for c in bloom_names]
         commit_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
         tok_map = _ptok_mapping(spark, schema[pcol], val_keys)
-        remaining_df.join(F.broadcast(tok_map), pcol).write.partitionBy(
-            "__ptok"
-        ).parquet(os.path.join(root, commit_rel))
+        _write_physical(
+            remaining_df.join(F.broadcast(tok_map), pcol), _phys_map(tip)
+        ).write.partitionBy("__ptok").parquet(os.path.join(root, commit_rel))
         leaf = {
             pk: f"{commit_rel}/__ptok={_ptoken(pk)}" for pk in touched
         }
@@ -2106,8 +2197,11 @@ def delete_where(
             if os.path.isdir(os.path.join(root, d))
         }
         readback = (
-            spark.read.schema(schema).parquet(
-                *(os.path.join(root, d) for d in live_leaves.values())
+            _read_data(
+                spark,
+                schema,
+                _phys_map(tip),
+                [os.path.join(root, d) for d in live_leaves.values()],
             )
             if live_leaves
             else None
@@ -2157,6 +2251,7 @@ def delete_where(
             "partition_col": pcol,
             "updates": updates,
             "removed": removed,
+            **_carry_mapping(tip),
         }
         if _try_commit(root, v + 1, manifest, backend):
             _maybe_checkpoint(root, v + 1, new_parts, backend)
@@ -2255,8 +2350,11 @@ def update_where(
                 "partitions_rewritten": 0, "committed": False,
             }
         try:
-            cand = spark.read.schema(schema).parquet(
-                *(os.path.join(root, e["dir"]) for e in candidates.values())
+            cand = _read_data(
+                spark,
+                schema,
+                _phys_map(tip),
+                [os.path.join(root, e["dir"]) for e in candidates.values()],
             )
             per_part_upd = {
                 _pkey(r[0]): r[1]
@@ -2277,7 +2375,7 @@ def update_where(
             os.path.join(root, parts[pk]["dir"]) for pk in touched
         ]
         try:
-            tdf = spark.read.schema(schema).parquet(*touched_dirs)
+            tdf = _read_data(spark, schema, _phys_map(tip), touched_dirs)
             vals = [r[0] for r in tdf.select(pcol).distinct().collect()]
         except AnalysisException as e:
             if _is_path_not_found(e):
@@ -2310,9 +2408,9 @@ def update_where(
         )
         commit_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
         tok_map = _ptok_mapping(spark, schema[pcol], val_keys)
-        out.join(F.broadcast(tok_map), pcol).write.partitionBy(
-            "__ptok"
-        ).parquet(os.path.join(root, commit_rel))
+        _write_physical(
+            out.join(F.broadcast(tok_map), pcol), _phys_map(tip)
+        ).write.partitionBy("__ptok").parquet(os.path.join(root, commit_rel))
         leaf = {
             pk: f"{commit_rel}/__ptok={_ptoken(pk)}" for pk in touched
         }
@@ -2329,8 +2427,11 @@ def update_where(
                 f"update_where: partitions {sorted(missing)!r} produced "
                 "no leaf — rows would be lost; not committing"
             )
-        readback = spark.read.schema(schema).parquet(
-            *(os.path.join(root, d) for d in leaf.values())
+        readback = _read_data(
+            spark,
+            schema,
+            _phys_map(tip),
+            [os.path.join(root, d) for d in leaf.values()],
         )
         per_part = _leaf_stats(
             readback, pcol, [fields[c] for c in stat_names]
@@ -2366,6 +2467,7 @@ def update_where(
             "schema": tip["schema"],
             "partition_col": pcol,
             "updates": updates,
+            **_carry_mapping(tip),
         }
         if _try_commit(root, v + 1, manifest, backend):
             _maybe_checkpoint(root, v + 1, new_parts, backend)
@@ -2634,13 +2736,19 @@ def merge_into(
         try:
             if partitioned:
                 parts = resolve_partitions(root, v)
-                tdf = spark.read.schema(schema).parquet(
-                    *(os.path.join(root, e["dir"]) for e in parts.values())
+                tdf = _read_data(
+                    spark,
+                    schema,
+                    _phys_map(tip),
+                    [os.path.join(root, e["dir"]) for e in parts.values()],
                 ) if parts else spark.createDataFrame([], schema)
             else:
                 parts = None
-                tdf = spark.read.schema(schema).parquet(
-                    os.path.join(root, tip["data_dir"])
+                tdf = _read_data(
+                    spark,
+                    schema,
+                    _phys_map(tip),
+                    [os.path.join(root, tip["data_dir"])],
                 )
             _merge_guard_dup_sources(tdf, source, on, matched)
             action_df, out_cols, delete_tags = _merge_actions(
@@ -2665,11 +2773,12 @@ def merge_into(
                     return {**no_change, "version": v}
                 new_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
                 obs = Observation()
-                action_df.filter(keep_rows).select(
-                    *(out_cols[f.name] for f in schema.fields)
-                ).observe(obs, F.count(F.lit(1)).alias("rows")).write.parquet(
-                    os.path.join(root, new_rel)
-                )
+                _write_physical(
+                    action_df.filter(keep_rows)
+                    .select(*(out_cols[f.name] for f in schema.fields))
+                    .observe(obs, F.count(F.lit(1)).alias("rows")),
+                    _phys_map(tip),
+                ).write.parquet(os.path.join(root, new_rel))
                 n = int(obs.get["rows"])
                 if n != tip["rows"] - n_del + n_ins:
                     shutil.rmtree(
@@ -2682,6 +2791,7 @@ def merge_into(
                     "data_dir": new_rel,
                     "rows": n,
                     "schema": tip["schema"],
+                    **_carry_mapping(tip),
                 }
                 if _try_commit(root, v + 1, manifest, backend):
                     return {
@@ -2775,9 +2885,9 @@ def merge_into(
                     .select(*(out_cols[f.name] for f in schema.fields))
                     .join(F.broadcast(tok_map), pcol)
                 )
-                final.write.partitionBy("__ptok").parquet(
-                    os.path.join(root, commit_rel)
-                )
+                _write_physical(final, _phys_map(tip)).write.partitionBy(
+                    "__ptok"
+                ).parquet(os.path.join(root, commit_rel))
                 leaf = {
                     pk: f"{commit_rel}/__ptok={_ptoken(pk)}" for pk in live
                 }
@@ -2795,8 +2905,11 @@ def merge_into(
                         "produced no leaf — rows would be lost; not "
                         "committing"
                     )
-                readback = spark.read.schema(schema).parquet(
-                    *(os.path.join(root, d) for d in leaf.values())
+                readback = _read_data(
+                    spark,
+                    schema,
+                    _phys_map(tip),
+                    [os.path.join(root, d) for d in leaf.values()],
                 )
                 per_part = _leaf_stats(
                     readback, pcol, [fields[c] for c in stat_names]
@@ -2845,6 +2958,7 @@ def merge_into(
                 "partition_col": pcol,
                 "updates": updates,
                 "removed": removed,
+                **_carry_mapping(tip),
             }
             if _try_commit(root, v + 1, manifest, backend):
                 _maybe_checkpoint(root, v + 1, new_parts, backend)
@@ -2944,6 +3058,9 @@ def restore(
             "restored_version": version,
             "rows": rows,
             "schema": target["schema"],
+            # the restored snapshot's leaves live under the TARGET's
+            # physical names — its mapping travels with its schema
+            **_carry_mapping(target),
             **body,
         }
         if _try_commit(root, v + 1, manifest, backend):
@@ -2955,6 +3072,121 @@ def restore(
             }
     raise RuntimeError(
         f"restore: gave up after {max_retries} version races at {root!r}"
+    )
+
+
+def rename_column(
+    root: str,
+    old: str,
+    new: str,
+    max_retries: int = 20,
+    backend: LocalLinkBackend | None = None,
+) -> dict:
+    """Rename a column via Delta-style column mapping — a
+    METADATA-ONLY commit: no data file is read or written. The
+    manifest records a logical → physical name map; the renamed
+    column keeps its original PHYSICAL name inside every existing
+    leaf, readers project physical → logical at scan time
+    (:func:`_read_data`), and writers rename back just before each
+    leaf write. Consequences the naive rewrite-the-world rename can't
+    offer:
+
+    - old versions still read under their own (old) logical name —
+      time travel is name-faithful;
+    - recorded data-skipping stats/bloom entries keep working (their
+      keys are re-pointed to the new logical name in the same
+      commit);
+    - CDC across the rename pairs keys by physical identity
+      (``_align_logical``) instead of reporting drop+add;
+    - ``schema_changes`` reports one ``renamed`` row.
+
+    Renaming the partition column updates ``partition_col`` in the
+    same commit (partition map keys are values, not names — nothing
+    else moves). Adding a NEW column that reuses a renamed-away
+    physical name is refused at write time (``_validate_mapping``).
+    Returns {version, renamed: {old: new}, committed}."""
+    if old == new:
+        raise ValueError("rename_column: old and new are the same name")
+    for _ in range(max_retries):
+        v = latest_version(root)
+        if v == 0:
+            raise ValueError(f"{root!r} has no committed versions")
+        try:
+            tip = read_manifest(root, v)
+        except FileNotFoundError:
+            continue
+        schema = StructType.fromJson(tip["schema"])
+        names = {f.name for f in schema.fields}
+        if old not in names:
+            raise ValueError(
+                f"rename_column: {old!r} is not a column of {root!r}"
+            )
+        if new in names:
+            raise ValueError(
+                f"rename_column: {new!r} already exists in {root!r}"
+            )
+        phys = dict(_phys_map(tip))
+        physical_name = phys.pop(old, old)
+        if new != physical_name:
+            phys[new] = physical_name
+        new_schema = StructType(
+            [
+                StructField(
+                    new if f.name == old else f.name,
+                    f.dataType,
+                    f.nullable,
+                )
+                for f in schema.fields
+            ]
+        )
+        _validate_mapping(new_schema, phys)
+
+        def rekey(d: dict | None) -> dict | None:
+            if not d:
+                return d
+            return {(new if c == old else c): s for c, s in d.items()}
+
+        manifest: dict = {
+            "op": "rename_column",
+            "base_version": v,
+            "renames": {old: new},
+            "rows": tip["rows"],
+            "schema": new_schema.jsonValue(),
+        }
+        if phys:
+            manifest["physical"] = phys
+        if _is_partitioned(tip):
+            try:
+                parts = resolve_partitions(root, v)
+            except FileNotFoundError:
+                continue
+            new_parts = {}
+            for pk, e in parts.items():
+                e2 = dict(e)
+                if "stats" in e2:
+                    e2["stats"] = rekey(e2["stats"])
+                if "bloom" in e2:
+                    e2["bloom"] = rekey(e2["bloom"])
+                new_parts[pk] = e2
+            pcol = tip["partition_col"]
+            manifest["partition_col"] = new if pcol == old else pcol
+            # full format-2 map: the stats/bloom re-key must reach
+            # every entry, not just touched ones
+            manifest["partitions"] = new_parts
+        else:
+            new_parts = None
+            manifest["data_dir"] = tip["data_dir"]
+        if _try_commit(root, v + 1, manifest, backend):
+            if new_parts is not None:
+                _maybe_checkpoint(root, v + 1, new_parts, backend)
+            return {
+                "version": v + 1,
+                "renamed": {old: new},
+                "committed": True,
+            }
+    raise RuntimeError(
+        f"rename_column: gave up after {max_retries} version races at "
+        f"{root!r}"
     )
 
 
@@ -3006,6 +3238,7 @@ def drop_partitions(
             "partition_col": tip["partition_col"],
             "updates": {},
             "removed": dropping,
+            **_carry_mapping(tip),
         }
         if _try_commit(root, v + 1, manifest, backend):
             _maybe_checkpoint(root, v + 1, remaining, backend)
@@ -3047,6 +3280,23 @@ def migrate_to_manifest(
     return upsert_manifest(
         src, dest_root, key_cols, order_col, backend=backend
     )
+
+
+def _align_logical(old_df: DataFrame, m_old: dict, m_new: dict) -> DataFrame:
+    """Rename the OLD snapshot's columns to the NEW version's logical
+    names wherever both resolve to the same physical column — so CDC
+    keys stay paired across a ``rename_column`` commit instead of
+    reading as drop+add. Columns without a physical twin keep their
+    names (a genuine drop/add still diffs as such)."""
+    po, pn = _phys_map(m_old), _phys_map(m_new)
+    new_fields = StructType.fromJson(m_new["schema"]).fields
+    phys_to_new = {pn.get(f.name, f.name): f.name for f in new_fields}
+    ren = {}
+    for c in old_df.columns:
+        nl = phys_to_new.get(po.get(c, c))
+        if nl is not None and nl != c:
+            ren[c] = nl
+    return old_df.withColumnsRenamed(ren) if ren else old_df
 
 
 def table_changes(
@@ -3125,12 +3375,21 @@ def table_changes(
                 ]
                 if not dirs:
                     return spark.createDataFrame([], schema)
-                return spark.read.schema(schema).parquet(*dirs)
+                return _read_data(spark, schema, _phys_map(m), dirs)
 
-            old, new = side(m_old, po), side(m_new, pn)
+            old, new = (
+                _align_logical(side(m_old, po), m_old, m_new),
+                side(m_new, pn),
+            )
         else:
             new, v_new = read_table(spark, root, to_version)
             old, v_old = read_table(spark, root, from_version)
+            if old is not None and new is not None:
+                old = _align_logical(
+                    old,
+                    read_manifest(root, v_old),
+                    read_manifest(root, v_new),
+                )
     except FileNotFoundError as e:
         raise ValueError(
             f"table_changes: version range {from_version}.."
@@ -3515,13 +3774,16 @@ def table_files(
 
 def schema_changes(spark: SparkSession, root: str) -> DataFrame:
     """Schema lineage across retained versions — which commit added,
-    dropped, or retyped which column (the audit Delta users run over
-    DESCRIBE HISTORY + schema diffs by hand). One row per changed
-    column per version transition: (version, column, change ∈
-    added/dropped/retyped, from_type, to_type). Metadata-only —
-    manifest JSONs, no data files; vacuumed ancestors simply bound how
-    far back the lineage reaches (their transitions report against the
-    oldest retained schema's version gap)."""
+    dropped, retyped, or renamed which column (the audit Delta users
+    run over DESCRIBE HISTORY + schema diffs by hand). One row per
+    changed column per version transition: (version, column, change ∈
+    added/dropped/retyped/renamed, from_type, to_type). A
+    ``rename_column`` commit reports ONE ``renamed`` row whose
+    ``column`` reads ``old->new`` — never the drop+add pair a naive
+    name diff would show (the physical column is the same).
+    Metadata-only — manifest JSONs, no data files; vacuumed ancestors
+    simply bound how far back the lineage reaches (their transitions
+    report against the oldest retained schema's version gap)."""
     versions = _list_versions(root)
     rows = []
     prev_schema: dict | None = None
@@ -3537,9 +3799,22 @@ def schema_changes(spark: SparkSession, root: str) -> DataFrame:
             for f in m["schema"]["fields"]
         }
         if prev_schema is not None:
-            for c in sorted(cur.keys() - prev_schema.keys()):
+            ren = {
+                old: new
+                for old, new in (m.get("renames") or {}).items()
+                if old in prev_schema and new in cur
+            }
+            for old in sorted(ren):
+                rows.append(
+                    (v, f"{old}->{ren[old]}", "renamed",
+                     prev_schema[old], cur[ren[old]])
+                )
+            renamed_to = set(ren.values())
+            for c in sorted(cur.keys() - prev_schema.keys() - renamed_to):
                 rows.append((v, c, "added", None, cur[c]))
-            for c in sorted(prev_schema.keys() - cur.keys()):
+            for c in sorted(
+                prev_schema.keys() - cur.keys() - ren.keys()
+            ):
                 rows.append((v, c, "dropped", prev_schema[c], None))
             for c in sorted(cur.keys() & prev_schema.keys()):
                 if cur[c] != prev_schema[c]:
