@@ -574,6 +574,67 @@ def evaluate_alerts(metrics: DataFrame, rules: Sequence[dict]) -> DataFrame:
     )
 
 
+# The reference's remaining two PromQL rule packs, re-expressed as
+# evaluate_alerts rule sets over gauges the engine actually emits.
+#
+# pipeline_alerts.yml (`monitoring/alerts/pipeline_alerts.yml:1-75`)
+# maps 1:1 — same thresholds, same severities; the PromQL rate()/
+# increase() windows become the pre-aggregated gauges a pipeline
+# driver reports per run (runs-with-error count, run duration,
+# freshness minutes, completeness ratio, streaming latency, anomaly
+# rate).
+PIPELINE_ALERT_RULES = [
+    {"rule": "pipeline_failure_critical", "metric": "pipeline_runs_error",
+     "op": ">", "threshold": 0.0, "severity": "critical"},
+    {"rule": "pipeline_slow_warning", "metric": "pipeline_duration_seconds",
+     "op": ">", "threshold": 3600.0, "severity": "warning"},
+    {"rule": "stale_data_warning", "metric": "data_freshness_minutes",
+     "op": ">", "threshold": 120.0, "severity": "warning"},
+    {"rule": "data_incomplete_warning", "metric": "data_completeness_ratio",
+     "op": "<", "threshold": 0.95, "severity": "warning"},
+    {"rule": "streaming_lag_warning", "metric": "streaming_latency_seconds",
+     "op": ">", "threshold": 5.0, "severity": "warning"},
+    {"rule": "data_anomaly_warning", "metric": "data_anomaly_rate",
+     "op": ">", "threshold": 0.1, "severity": "warning"},
+]
+
+
+def database_alert_rules(table: str) -> list[dict]:
+    """The database_alerts.yml pack
+    (`monitoring/alerts/database_alerts.yml:1-70`) translated to the
+    engine's storage layer: Postgres/Redis health, latency, and
+    pool-exhaustion gauges become the manifest-table gauges
+    ``txn.engine_metrics`` emits — liveness stays liveness
+    (``readable == 0``), write-path latency becomes ingest staleness,
+    and pool exhaustion becomes its lake-side twin, small-file /
+    version pile-up pressure. Metrics are ``{table}_{gauge}`` —
+    flatten engine_metrics with ``concat(table, '_', metric)``."""
+
+    def m(g: str) -> str:
+        return f"{table}_{g}"
+
+    return [
+        # FeatureStoreDatabaseDown: health check failing
+        {"rule": m("unreadable_critical"), "metric": m("readable"),
+         "op": "==", "threshold": 0.0, "severity": "critical"},
+        # HighLatency analogue: nothing committed for a day
+        {"rule": m("stale_commits_warning"),
+         "metric": m("seconds_since_last_commit"),
+         "op": ">", "threshold": 86400.0, "severity": "warning"},
+        # PoolExhaustion analogue: compaction pressure
+        {"rule": m("small_files_warning"), "metric": m("avg_file_bytes"),
+         "op": "<", "threshold": 8.0 * 1024 * 1024,
+         "severity": "warning"},
+        # MigrationFailure analogue: vacuum debt piling up versions
+        {"rule": m("version_pileup_warning"),
+         "metric": m("commits_retained"),
+         "op": ">", "threshold": 100.0, "severity": "warning"},
+        # CacheDown analogue: the table lost all its rows
+        {"rule": m("empty_table_critical"), "metric": m("rows"),
+         "op": "<", "threshold": 1.0, "severity": "critical"},
+    ]
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",

@@ -3496,6 +3496,88 @@ def read_changes_stream(
     return {"batches": n, "from_version": start, "to_version": cursor}
 
 
+def engine_metrics(
+    spark: SparkSession,
+    tables: dict,
+    now: float | None = None,
+) -> DataFrame:
+    """Per-table engine gauges from the manifest layer — the analogue
+    of the reference's Prometheus gauges (`src/main.py:95-133`
+    ``feature_store_db_*`` / ``feature_store_pipeline_*``), emitted as
+    a queryable (table, metric, value) frame that feeds
+    ``evaluate_alerts`` with the ``database_alert_rules`` pack.
+
+    ``tables`` maps table name → manifest root. Metadata-only: every
+    gauge derives from manifest JSONs plus directory stat calls — no
+    Spark job, no data read (the frame is createDataFrame'd from a
+    driver-side list of a dozen rows per table).
+
+    Gauges per table: ``readable`` (1/0 — the health check),
+    ``version``, ``rows``, ``bytes``, ``files``, ``avg_file_bytes``
+    (compaction pressure), ``partitions``, ``commits_retained``
+    (vacuum debt), ``seconds_since_last_commit`` (ingest liveness;
+    ``now`` injectable for determinism, wall clock by default) and
+    ``commit_interval_max_seconds`` over the retained history. An
+    unreadable/empty table reports ``readable = 0`` and no other
+    gauges (PromQL absent-metric semantics downstream)."""
+    import time
+
+    ts_now = time.time() if now is None else float(now)
+    rows: list = []
+    for name, root in sorted(tables.items()):
+        try:
+            v = latest_version(root)
+            if v == 0:
+                raise FileNotFoundError(root)
+            m = read_manifest(root, v)
+            dirs = _version_dirs(root, v, m)
+        except (FileNotFoundError, ValueError, OSError):
+            rows.append((name, "readable", 0.0))
+            continue
+        rows.append((name, "readable", 1.0))
+        rows.append((name, "version", float(v)))
+        rows.append((name, "rows", float(m.get("rows", 0))))
+        nbytes = sum(_dir_bytes(os.path.join(root, d)) for d in dirs)
+        nfiles = sum(
+            _leaf_file_count(os.path.join(root, d)) for d in dirs
+        )
+        rows.append((name, "bytes", float(nbytes)))
+        rows.append((name, "files", float(nfiles)))
+        rows.append(
+            (name, "avg_file_bytes", nbytes / nfiles if nfiles else 0.0)
+        )
+        rows.append(
+            (name, "partitions",
+             float(len(dirs) if _is_partitioned(m) else 1))
+        )
+        commit_times = []
+        versions = _list_versions(root)
+        rows.append((name, "commits_retained", float(len(versions))))
+        for vv in versions:
+            try:
+                c = read_manifest(root, vv).get("committed_at")
+            except FileNotFoundError:
+                continue
+            if c is not None:
+                commit_times.append(c)
+        if commit_times:
+            rows.append(
+                (name, "seconds_since_last_commit",
+                 max(0.0, ts_now - max(commit_times)))
+            )
+            gaps = [
+                b - a
+                for a, b in zip(commit_times, commit_times[1:])
+            ]
+            rows.append(
+                (name, "commit_interval_max_seconds",
+                 max(gaps) if gaps else 0.0)
+            )
+    return spark.createDataFrame(
+        rows, "table string, metric string, value double"
+    )
+
+
 def table_history(spark: SparkSession, root: str) -> DataFrame:
     """DESCRIBE HISTORY for manifest tables (Delta `history()` /
     Iceberg `snapshots` analogue): one row per RETAINED version —
