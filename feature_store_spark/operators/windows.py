@@ -8,6 +8,58 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+    value_cols: Sequence[str],
+    fill: str = "zero",
+) -> DataFrame:
+    """Calendar gap filling per key — the time-series densification a
+    training pipeline needs before rolling/decay features (a missing
+    day must read as an explicit zero/carried row, not silently skip
+    the frame). For each key, every calendar day between its first
+    and last observed ``date_col`` gets a row: observed days keep
+    their values; gap days take 0 (``fill='zero'``) or the previous
+    observed value (``fill='ffill'``). ``is_filled`` marks synthetic
+    rows.
+
+    JOIN-FREE single-shuffle shape: one window per key orders the
+    observed days and ``lead`` finds each row's successor; the row
+    then explodes into ``sequence(day, next_day - 1)`` — itself plus
+    exactly its following gap. No per-key spine aggregate, no second
+    exchange, no join: per-key output is bounded by the key's date
+    span, so the explode is linear in the DENSIFIED output (the
+    minimum any gap-filler must write)."""
+    if fill not in ("zero", "ffill"):
+        raise ValueError(f"fill must be 'zero' or 'ffill', got {fill!r}")
+    w = Window.partitionBy(key_col).orderBy(date_col)
+    withnext = df.withColumn("__next", F.lead(F.col(date_col)).over(w))
+    return withnext.select(
+        F.col(key_col),
+        F.explode(
+            F.expr(
+                f"sequence({date_col}, "
+                f"coalesce(date_sub(__next, 1), {date_col}))"
+            )
+        ).alias("__day"),
+        *[F.col(c) for c in value_cols],
+        F.col(date_col).alias("__obs"),
+    ).select(
+        key_col,
+        F.col("__day").alias(date_col),
+        *[
+            (
+                F.when(F.col("__day") == F.col("__obs"), F.col(c)).otherwise(
+                    F.col(c) if fill == "ffill" else F.lit(0)
+                )
+            ).alias(c)
+            for c in value_cols
+        ],
+        (F.col("__day") != F.col("__obs")).alias("is_filled"),
+    )
+
+
 def latest_per_key(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -3075,6 +3075,103 @@ def restore(
     )
 
 
+def clone_table(
+    src_root: str,
+    dst_root: str,
+    version: int | None = None,
+    timestamp_as_of=None,
+    deep: bool = False,
+    backend: LocalLinkBackend | None = None,
+) -> dict:
+    """Delta's ``CLONE``: publish a snapshot of ``src_root`` as a NEW
+    manifest table at ``dst_root`` (which must have no commits).
+    Optionally pinned to ``version`` / ``timestamp_as_of``.
+
+    - ``deep=False`` (shallow, default): METADATA-ONLY — the clone's
+      v1 manifest references the source's immutable leaf dirs by
+      ABSOLUTE path; zero bytes copied. The clone then evolves
+      independently: its own commits write under its own root, its
+      vacuum never touches foreign (absolute) leaves, and writes to
+      either table never affect the other (leaves are immutable).
+      Delta's shallow-clone caveat applies verbatim: a ``vacuum`` on
+      the SOURCE that prunes the cloned version's leaves breaks the
+      clone's reads — retain the source snapshot or clone deep.
+    - ``deep=True``: byte-copies the referenced leaf dirs under the
+      clone's own ``data/`` (no Spark job — file copy), making it
+      fully self-contained.
+
+    Returns {version: 1, rows, source_version, deep}."""
+    if latest_version(dst_root) != 0:
+        raise ValueError(
+            f"clone_table: {dst_root!r} already has commits — clone "
+            "targets must be empty"
+        )
+    if timestamp_as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_as_of, not both")
+        version = version_at_timestamp(src_root, timestamp_as_of)
+    v = latest_version(src_root) if version is None else version
+    if v == 0:
+        raise ValueError(f"{src_root!r} has no committed versions")
+    m = read_manifest(src_root, v)  # raises if vacuumed
+    _guard_foreign_store(dst_root)
+    os.makedirs(dst_root, exist_ok=True)
+
+    def src_abs(d: str) -> str:
+        return os.path.abspath(os.path.join(src_root, d))
+
+    manifest: dict = {
+        "op": "clone",
+        "base_version": 0,
+        "source_root": os.path.abspath(src_root),
+        "source_version": v,
+        "rows": m["rows"],
+        "schema": m["schema"],
+        **_carry_mapping(m),
+    }
+    parts = None
+    if _is_partitioned(m):
+        parts = resolve_partitions(src_root, v)
+        new_parts = {}
+        if deep:
+            commit_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+            for pk, e in parts.items():
+                leaf_rel = f"{commit_rel}/__ptok={_ptoken(pk)}"
+                shutil.copytree(
+                    src_abs(e["dir"]), os.path.join(dst_root, leaf_rel)
+                )
+                new_parts[pk] = {**e, "dir": leaf_rel}
+        else:
+            new_parts = {
+                pk: {**e, "dir": src_abs(e["dir"])}
+                for pk, e in parts.items()
+            }
+        manifest["partition_col"] = m["partition_col"]
+        manifest["partitions"] = new_parts
+        parts = new_parts
+    else:
+        if deep:
+            new_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+            shutil.copytree(
+                src_abs(m["data_dir"]), os.path.join(dst_root, new_rel)
+            )
+            manifest["data_dir"] = new_rel
+        else:
+            manifest["data_dir"] = src_abs(m["data_dir"])
+    if not _try_commit(dst_root, 1, manifest, backend):
+        raise RuntimeError(
+            f"clone_table: {dst_root!r} gained a v1 concurrently"
+        )
+    if parts is not None:
+        _maybe_checkpoint(dst_root, 1, parts, backend, force=False)
+    return {
+        "version": 1,
+        "rows": m["rows"],
+        "source_version": v,
+        "deep": deep,
+    }
+
+
 def rename_column(
     root: str,
     old: str,
@@ -3725,6 +3822,12 @@ def vacuum(
             if v not in dirs_by_v:
                 continue
             for data_dir in dirs_by_v[v]:
+                if os.path.isabs(data_dir):
+                    # shallow-clone foreign leaf: lives under the
+                    # SOURCE table's root and is owned by ITS vacuum —
+                    # this table's vacuum must never reach outside its
+                    # own root
+                    continue
                 # resolved maps repeat carried-forward dirs across
                 # versions — delete/report each at most once
                 if data_dir not in kept_dirs and data_dir not in reported:

@@ -781,6 +781,58 @@ def q_w7(spark, sf_dir):
 
 
 @spec(
+    "w13_gap_fill",
+    f"""WITH daily AS (
+      SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS spend
+        FROM orders
+       WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 60
+       GROUP BY 1, 2
+    ), nxt AS (
+      SELECT user_id, day, spend,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+        FROM daily
+    )
+    SELECT n.user_id,
+           CAST(u.d AS DATE) AS day,
+           CAST(CASE WHEN CAST(u.d AS DATE) = n.day THEN n.spend
+                     ELSE 0 END AS BIGINT) AS spend_cents,
+           CAST(u.d AS DATE) <> n.day AS is_filled
+      FROM nxt n,
+           unnest(generate_series(
+             CAST(n.day AS TIMESTAMP),
+             CAST(coalesce(n.next_day - 1, n.day) AS TIMESTAMP),
+             INTERVAL 1 DAY)) AS u(d)""",
+    ("ext", "W3", "gapfill"),
+)
+def q_w13_gap_fill(spark, sf_dir):
+    """Calendar gap filling (`operators/windows.py::gap_fill`): daily
+    per-user spend over the trailing 60 days, densified so every day
+    between a user's first and last order carries an explicit
+    zero-spend row — the shape rolling/decay features need. Join-free
+    single shuffle: lead() finds each observed day's successor and the
+    row explodes into itself plus its gap days (exact integer cents,
+    boolean is_filled)."""
+    from feature_store_spark.operators.windows import gap_fill
+
+    ref = F.to_date(F.lit(REF_DATE))
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") >= F.date_sub(ref, 60))
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.sum(cents).cast("bigint").alias("spend_cents"))
+    )
+    return gap_fill(daily, "user_id", "day", ["spend_cents"]).withColumn(
+        "spend_cents", F.col("spend_cents").cast("bigint")
+    )
+
+
+@spec(
     "u4_except_keys",
     f"""SELECT o_custkey AS user_id FROM orders
          WHERE CAST(o_orderdate AS DATE) >= {SQL_REF} - 90

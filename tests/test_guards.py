@@ -706,3 +706,44 @@ def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
         pagerank(df, seeds=[])
     with _pytest.raises(ValueError, match="duplicates"):
         pagerank(df, seeds=[0, 0])
+
+
+def test_gap_fill_ffill_and_zero_modes(spark):
+    """gap_fill: zero mode plants 0 on synthetic days, ffill carries
+    the previous observation; per-key spans never bleed into each
+    other; single-day keys emit exactly their one row."""
+    import datetime
+
+    from feature_store_spark.operators.windows import gap_fill
+
+    d = datetime.date
+    df = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1), 10),
+            (1, d(2024, 1, 4), 40),
+            (2, d(2024, 2, 1), 5),
+        ],
+        "k bigint, day date, v bigint",
+    )
+    zero = {
+        (r["k"], r["day"].isoformat()): (r["v"], r["is_filled"])
+        for r in gap_fill(df, "k", "day", ["v"]).collect()
+    }
+    assert zero == {
+        (1, "2024-01-01"): (10, False),
+        (1, "2024-01-02"): (0, True),
+        (1, "2024-01-03"): (0, True),
+        (1, "2024-01-04"): (40, False),
+        (2, "2024-02-01"): (5, False),
+    }
+    ff = {
+        (r["k"], r["day"].isoformat()): r["v"]
+        for r in gap_fill(df, "k", "day", ["v"], fill="ffill").collect()
+    }
+    assert ff[(1, "2024-01-02")] == 10 and ff[(1, "2024-01-03")] == 10
+    assert ff[(1, "2024-01-04")] == 40
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zero.*ffill"):
+        gap_fill(df, "k", "day", ["v"], fill="bogus")
