@@ -33,6 +33,7 @@ spark = get_spark(
         "spark.locality.wait": "0",
         "spark.sql.constraintPropagation.enabled": "false",
         "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
+        "spark.sql.files.maxPartitionBytes": "8m",  # mirrors bench.py
     },
 )
 spark.range(1000).selectExpr("sum(id)").collect()
