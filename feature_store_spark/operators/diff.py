@@ -19,6 +19,7 @@ def snapshot_diff(
     new: DataFrame,
     key_cols: Sequence[str],
     compare_cols: Sequence[str],
+    include_values: bool = False,
 ) -> DataFrame:
     """Full-outer join on the key; per row emit ``status`` in
     {added, removed, changed, unchanged} and, for changed rows,
@@ -26,6 +27,12 @@ def snapshot_diff(
     names of the columns that differ. Comparisons are null-safe
     (NULL→value and value→NULL both count as a change), so schema-
     compatible snapshots diff exactly.
+
+    ``include_values=True`` additionally emits ``<col>_old`` /
+    ``<col>_new`` for every compare column — the Delta CDF
+    preimage/postimage analogue that incremental consumers (IVM,
+    warehouse sync) need to fold a change into a downstream aggregate
+    without re-reading either snapshot.
 
     Scale shape: ONE shuffle per side on the key (the join), a narrow
     projection of comparison verdicts — no windows, no second pass.
@@ -69,10 +76,23 @@ def snapshot_diff(
         .when(changed != "", F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
+    values = (
+        [
+            c2
+            for c in cols
+            for c2 in (
+                F.col(f"__o_{c}").alias(f"{c}_old"),
+                F.col(f"__n_{c}").alias(f"{c}_new"),
+            )
+        ]
+        if include_values
+        else []
+    )
     return j.select(
         *key_cols,
         status.alias("status"),
         F.when(status == "changed", changed).alias("changed_cols"),
+        *values,
     )
 
 

@@ -3404,6 +3404,7 @@ def table_changes(
     key_cols: Sequence[str] = ("user_id",),
     compare_cols: Sequence[str] | None = None,
     skip_unchanged_partitions: bool = False,
+    include_values: bool = False,
 ) -> DataFrame:
     """Row-level change feed between two committed versions — the CDC
     read every lake format exposes (Delta ``table_changes`` / Iceberg
@@ -3505,7 +3506,13 @@ def table_changes(
         )
     if compare_cols is None:
         compare_cols = [c for c in new.columns if c not in set(key_cols)]
-    return snapshot_diff(old, new, list(key_cols), list(compare_cols))
+    return snapshot_diff(
+        old,
+        new,
+        list(key_cols),
+        list(compare_cols),
+        include_values=include_values,
+    )
 
 
 def read_changes_stream(
@@ -3518,6 +3525,7 @@ def read_changes_stream(
     starting_version: int = 0,
     skip_unchanged_partitions: bool = False,
     max_batches: int | None = None,
+    include_values: bool = False,
 ) -> dict:
     """Streaming CDC *source* over a manifest table — the Delta
     ``readChangeFeed`` analogue: incremental, checkpointed consumption
@@ -3576,15 +3584,36 @@ def read_changes_stream(
             # (Delta startingVersion initial-snapshot semantics), in
             # snapshot_diff's exact shape (changed_cols NULL)
             snap, _v = read_table(spark, root, k)
+            cmp_cols = sorted(
+                compare_cols
+                if compare_cols is not None
+                else [c for c in snap.columns if c not in set(key_cols)]
+            )
+            values = (
+                [
+                    c2
+                    for c in cmp_cols
+                    for c2 in (
+                        F.lit(None)
+                        .cast(snap.schema[c].dataType)
+                        .alias(f"{c}_old"),
+                        F.col(c).alias(f"{c}_new"),
+                    )
+                ]
+                if include_values
+                else []
+            )
             ch = snap.select(
                 *key_cols,
                 F.lit("added").alias("status"),
                 F.lit(None).cast("string").alias("changed_cols"),
+                *values,
             )
         else:
             ch = table_changes(
                 spark, root, cursor, k, key_cols, compare_cols,
                 skip_unchanged_partitions=skip_unchanged_partitions,
+                include_values=include_values,
             ).filter(F.col("status") != "unchanged")
         process(ch.withColumn("_commit_version", F.lit(k)), k)
         _advance(k)

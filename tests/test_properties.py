@@ -1358,3 +1358,96 @@ def test_phrase_merges_match_bruteforce(spark_prop, docs, n_merges):
         r["doc_id"]: list(r["__tokens"]) for r in corpus.collect()
     }
     assert got_corpus == {i: model[i] for i in range(len(docs))}
+
+
+flags = st.sampled_from(["D", "U", "X", None])
+scores = st.one_of(st.none(), st.integers(-5, 5).map(float))
+
+
+@given(
+    tgt=st.dictionaries(
+        st.integers(0, 9), st.integers(-5, 5).map(float),
+        min_size=1, max_size=8,
+    ),
+    src=st.dictionaries(
+        st.integers(0, 12), st.tuples(flags, scores), max_size=8
+    ),
+    thresh=st.integers(-4, 4),
+)
+@_settings
+def test_merge_into_matches_bruteforce(spark_prop, tgt, src, thresh):
+    """merge_into vs a Python model of the full clause ladder: ordered
+    WHEN MATCHED (conditional delete, then conditional update), a
+    conditional NOT MATCHED insert, and a conditional NOT MATCHED BY
+    SOURCE update — including SQL NULL-condition semantics (NULL flag
+    or NULL score makes a condition false, never true)."""
+    import shutil as _sh
+    import tempfile
+
+    from feature_store_spark.pipelines.txn import (
+        merge_into,
+        read_table,
+        upsert_manifest,
+    )
+
+    root = tempfile.mkdtemp(prefix="merge_prop_")
+    try:
+        upsert_manifest(
+            spark_prop.createDataFrame(
+                [(k, v, 1) for k, v in tgt.items()],
+                "user_id bigint, score double, ts bigint",
+            ),
+            root, ["user_id"], "ts",
+        )
+        sdf = spark_prop.createDataFrame(
+            [(k, f, s) for k, (f, s) in src.items()],
+            "user_id bigint, flag string, score double",
+        )
+        res = merge_into(
+            spark_prop, root, sdf, ["user_id"],
+            when_matched=[
+                ("s.flag = 'D'", "delete"),
+                ("s.score > t.score", {"score": "s.score"}),
+            ],
+            when_not_matched=("s.flag <> 'X'", None),
+            when_not_matched_by_source=[
+                (f"t.score > {thresh}", {"score": "t.score - 100"}),
+            ],
+        )
+        # Python model
+        model: dict = {}
+        n_upd = n_del = n_ins = 0
+        for k, v in tgt.items():
+            if k in src:
+                f, s = src[k]
+                if f == "D":
+                    n_del += 1
+                    continue
+                if s is not None and s > v:
+                    model[k] = (s, 1)
+                    n_upd += 1
+                else:
+                    model[k] = (v, 1)
+            elif v > thresh:
+                model[k] = (v - 100.0, 1)
+                n_upd += 1
+            else:
+                model[k] = (v, 1)
+        for k, (f, s) in src.items():
+            if k in tgt:
+                continue
+            if f is not None and f != "X":
+                model[k] = (s, None)
+                n_ins += 1
+        changed = n_upd or n_del or n_ins
+        assert res["committed"] is bool(changed)
+        assert (
+            res["rows_updated"], res["rows_deleted"], res["rows_inserted"]
+        ) == (n_upd, n_del, n_ins)
+        got_df, _ = read_table(spark_prop, root)
+        got = {
+            r["user_id"]: (r["score"], r["ts"]) for r in got_df.collect()
+        }
+        assert got == model, (tgt, src, thresh, got, model)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
