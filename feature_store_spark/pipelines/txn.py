@@ -322,9 +322,41 @@ def _phys_map(m: dict | None) -> dict:
 
 def _carry_mapping(m: dict | None) -> dict:
     """The manifest fields every commit must inherit from its base so
-    a rename survives subsequent writes."""
+    a rename (column mapping) and table-level CHECK constraints
+    survive subsequent writes."""
+    out: dict = {}
     phys = _phys_map(m)
-    return {"physical": phys} if phys else {}
+    if phys:
+        out["physical"] = phys
+    cons = _table_constraints(m)
+    if cons:
+        out["constraints"] = cons
+    retired = _retired_physical(m)
+    if retired:
+        out["retired_physical"] = retired
+    return out
+
+
+def _retired_physical(m: dict | None) -> list:
+    """Physical column names a ``drop_column`` retired: their bytes
+    still exist in old leaves, so re-binding a logical column to one
+    would silently resurrect dropped data instead of null-filling."""
+    return list((m or {}).get("retired_physical") or [])
+
+
+def _table_constraints(m: dict | None) -> list:
+    """Persisted table-level CHECK constraints of a manifest:
+    ``[[name, predicate_sql], ...]`` (JSON round-trips tuples as
+    lists)."""
+    return list((m or {}).get("constraints") or [])
+
+
+def _effective_constraints(m: dict | None, per_call) -> list:
+    """Table-level constraints + this call's ad-hoc ones, as (name,
+    pred) tuples for ``_check_constraints``."""
+    out = [tuple(c) for c in _table_constraints(m)]
+    out.extend(tuple(c) for c in (per_call or []))
+    return out
 
 
 def _physical_schema(schema: StructType, phys: dict) -> StructType:
@@ -358,10 +390,15 @@ def _write_physical(df: DataFrame, phys: dict) -> DataFrame:
     return df.withColumnsRenamed(ren) if ren else df
 
 
-def _validate_mapping(schema: StructType, phys: dict) -> None:
+def _validate_mapping(
+    schema: StructType, phys: dict, retired: Sequence[str] = ()
+) -> None:
     """No two logical columns may share a physical name — the
     collision arises when schema evolution re-adds a name an earlier
-    rename left behind as a physical residue."""
+    rename left behind as a physical residue. A physical name a
+    ``drop_column`` retired is equally off-limits: old leaves still
+    hold its bytes, so re-binding it would resurrect dropped data
+    instead of null-filling."""
     names = [phys.get(f.name, f.name) for f in schema.fields]
     if len(set(names)) != len(names):
         dup = sorted({n for n in names if names.count(n) > 1})
@@ -370,6 +407,13 @@ def _validate_mapping(schema: StructType, phys: dict) -> None:
             "new column reuses a physical name an earlier rename still "
             "occupies — pick a different name or rename the survivor "
             "first"
+        )
+    dead = sorted(set(names) & set(retired))
+    if dead:
+        raise ValueError(
+            f"column mapping collision on RETIRED physical name(s) "
+            f"{dead!r}: a dropped column's bytes still live in old "
+            "leaves — pick a different name"
         )
 
 
@@ -807,7 +851,9 @@ def upsert_manifest(
         else:
             merged = latest_per_key(updates, list(key_cols), order_col)
         phys = _phys_map(tip_manifest)
-        _validate_mapping(merged.schema, phys)
+        _validate_mapping(
+            merged.schema, phys, _retired_physical(tip_manifest)
+        )
         data_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
         data_path = os.path.join(root, data_rel)
         obs = Observation()
@@ -815,14 +861,16 @@ def upsert_manifest(
             merged.observe(obs, F.count(F.lit(1)).alias("rows")), phys
         ).write.parquet(data_path)
         n = int(obs.get["rows"])
-        if constraints:
+        checks = _effective_constraints(tip_manifest, constraints)
+        if checks:
             # validate the WRITTEN snapshot (columnar re-scan, no
-            # recomputation of the merge); a violation aborts before
-            # the manifest ever publishes — write-audit-publish
+            # recomputation of the merge) against table-level +
+            # per-call constraints; a violation aborts before the
+            # manifest ever publishes — write-audit-publish
             try:
                 _check_constraints(
                     _read_data(spark, merged.schema, phys, [data_path]),
-                    constraints,
+                    checks,
                 )
             except ValueError:
                 shutil.rmtree(data_path, ignore_errors=True)
@@ -1550,7 +1598,7 @@ def upsert_manifest_partitioned(
                 else []
             )
             phys = _phys_map(tip)
-            _validate_mapping(merged.schema, phys)
+            _validate_mapping(merged.schema, phys, _retired_physical(tip))
             commit_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
             _write_physical(
                 merged.join(F.broadcast(tok_map), partition_col), phys
@@ -1590,12 +1638,14 @@ def upsert_manifest_partitioned(
                 phys,
                 [os.path.join(root, d) for d in leaf.values()],
             )
-            if constraints:
-                # CHECK constraints over the touched partitions' final
-                # rows (untouched partitions were validated by their
-                # own commits); violation aborts pre-publish
+            checks = _effective_constraints(tip, constraints)
+            if checks:
+                # CHECK constraints (table-level + per-call) over the
+                # touched partitions' final rows (untouched partitions
+                # were validated by their own commits); violation
+                # aborts pre-publish
                 try:
-                    _check_constraints(readback, constraints)
+                    _check_constraints(readback, checks)
                 except ValueError:
                     shutil.rmtree(
                         os.path.join(root, commit_rel), ignore_errors=True
@@ -2433,6 +2483,16 @@ def update_where(
             _phys_map(tip),
             [os.path.join(root, d) for d in leaf.values()],
         )
+        checks = _effective_constraints(tip, None)
+        if checks:
+            # table-level CHECK constraints hold across UPDATEs too
+            try:
+                _check_constraints(readback, checks)
+            except ValueError:
+                shutil.rmtree(
+                    os.path.join(root, commit_rel), ignore_errors=True
+                )
+                raise
         per_part = _leaf_stats(
             readback, pcol, [fields[c] for c in stat_names]
         )
@@ -2785,6 +2845,26 @@ def merge_into(
                         os.path.join(root, new_rel), ignore_errors=True
                     )
                     continue  # tip moved between the two passes
+                checks = _effective_constraints(tip, None)
+                if checks:
+                    # merged rows must still satisfy the table's CHECK
+                    # constraints — write-audit-publish
+                    try:
+                        _check_constraints(
+                            _read_data(
+                                spark,
+                                schema,
+                                _phys_map(tip),
+                                [os.path.join(root, new_rel)],
+                            ),
+                            checks,
+                        )
+                    except ValueError:
+                        shutil.rmtree(
+                            os.path.join(root, new_rel),
+                            ignore_errors=True,
+                        )
+                        raise
                 manifest = {
                     "op": "merge",
                     "base_version": v,
@@ -2911,6 +2991,18 @@ def merge_into(
                     _phys_map(tip),
                     [os.path.join(root, d) for d in leaf.values()],
                 )
+                checks = _effective_constraints(tip, None)
+                if checks:
+                    # rewritten + inserted rows must still satisfy the
+                    # table's CHECK constraints — write-audit-publish
+                    try:
+                        _check_constraints(readback, checks)
+                    except ValueError:
+                        shutil.rmtree(
+                            os.path.join(root, commit_rel),
+                            ignore_errors=True,
+                        )
+                        raise
                 per_part = _leaf_stats(
                     readback, pcol, [fields[c] for c in stat_names]
                 )
@@ -3236,7 +3328,7 @@ def rename_column(
                 for f in schema.fields
             ]
         )
-        _validate_mapping(new_schema, phys)
+        _validate_mapping(new_schema, phys, _retired_physical(tip))
 
         def rekey(d: dict | None) -> dict | None:
             if not d:
@@ -3283,6 +3375,257 @@ def rename_column(
             }
     raise RuntimeError(
         f"rename_column: gave up after {max_retries} version races at "
+        f"{root!r}"
+    )
+
+
+def _passthrough_body(tip: dict) -> dict:
+    """Manifest body for a metadata-only commit that leaves every
+    data reference untouched: unpartitioned tables re-point the same
+    snapshot dir; partitioned tables publish an EMPTY delta (all
+    entries carry forward through resolution) — O(1) payload."""
+    if _is_partitioned(tip):
+        return {
+            "partition_col": tip["partition_col"],
+            "updates": {},
+            "removed": [],
+        }
+    return {"data_dir": tip["data_dir"]}
+
+
+def add_constraint(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    predicate: str,
+    max_retries: int = 20,
+    backend: LocalLinkBackend | None = None,
+) -> dict:
+    """``ALTER TABLE ADD CONSTRAINT`` — persist a CHECK constraint in
+    the table metadata. EXISTING rows are validated first (one scan,
+    Delta's semantics: you cannot add a constraint the table already
+    violates); every subsequent write path (upserts, UPDATE, MERGE)
+    then enforces it automatically under write-audit-publish, with
+    SQL CHECK NULL-passes semantics. The commit itself is
+    metadata-only. Returns {version, name, committed}."""
+    for _ in range(max_retries):
+        v = latest_version(root)
+        if v == 0:
+            raise ValueError(f"{root!r} has no committed versions")
+        try:
+            tip = read_manifest(root, v)
+        except FileNotFoundError:
+            continue
+        cons = _table_constraints(tip)
+        if name in {c[0] for c in cons}:
+            raise ValueError(
+                f"add_constraint: {name!r} already exists on {root!r}"
+            )
+        df, _v = read_table(spark, root, v)
+        _check_constraints(df, [(name, predicate)])  # raises on violation
+        manifest = {
+            "op": "add_constraint",
+            "base_version": v,
+            "rows": tip["rows"],
+            "schema": tip["schema"],
+            **_carry_mapping(tip),
+            "constraints": cons + [[name, predicate]],
+            **_passthrough_body(tip),
+        }
+        if _try_commit(root, v + 1, manifest, backend):
+            return {"version": v + 1, "name": name, "committed": True}
+    raise RuntimeError(
+        f"add_constraint: gave up after {max_retries} version races at "
+        f"{root!r}"
+    )
+
+
+def drop_constraint(
+    root: str,
+    name: str,
+    max_retries: int = 20,
+    backend: LocalLinkBackend | None = None,
+) -> dict:
+    """``ALTER TABLE DROP CONSTRAINT`` — metadata-only removal of a
+    persisted CHECK constraint. Raises if the name is unknown."""
+    for _ in range(max_retries):
+        v = latest_version(root)
+        if v == 0:
+            raise ValueError(f"{root!r} has no committed versions")
+        try:
+            tip = read_manifest(root, v)
+        except FileNotFoundError:
+            continue
+        cons = _table_constraints(tip)
+        if name not in {c[0] for c in cons}:
+            raise ValueError(
+                f"drop_constraint: {name!r} is not a constraint of "
+                f"{root!r}"
+            )
+        remaining = [c for c in cons if c[0] != name]
+        manifest = {
+            "op": "drop_constraint",
+            "base_version": v,
+            "rows": tip["rows"],
+            "schema": tip["schema"],
+            **{
+                k: val
+                for k, val in _carry_mapping(tip).items()
+                if k != "constraints"
+            },
+            **({"constraints": remaining} if remaining else {}),
+            **_passthrough_body(tip),
+        }
+        if _try_commit(root, v + 1, manifest, backend):
+            return {"version": v + 1, "name": name, "committed": True}
+    raise RuntimeError(
+        f"drop_constraint: gave up after {max_retries} version races at "
+        f"{root!r}"
+    )
+
+
+def add_column(
+    root: str,
+    name: str,
+    dtype,
+    nullable: bool = True,
+    max_retries: int = 20,
+    backend: LocalLinkBackend | None = None,
+) -> dict:
+    """``ALTER TABLE ADD COLUMN`` — metadata-only: the new column
+    joins the pinned schema and every existing leaf null-fills it at
+    read time (the parquet reader's missing-column semantics); no
+    data file is touched. ``dtype`` is a Spark DataType or a DDL
+    string (``"double"``). Reusing a physical name an earlier rename
+    left behind is refused (`_validate_mapping`)."""
+    if isinstance(dtype, str):
+        dtype = StructType.fromDDL(f"__x {dtype}")[0].dataType
+    for _ in range(max_retries):
+        v = latest_version(root)
+        if v == 0:
+            raise ValueError(f"{root!r} has no committed versions")
+        try:
+            tip = read_manifest(root, v)
+        except FileNotFoundError:
+            continue
+        schema = StructType.fromJson(tip["schema"])
+        if name in {f.name for f in schema.fields}:
+            raise ValueError(
+                f"add_column: {name!r} already exists in {root!r}"
+            )
+        new_schema = StructType(
+            [*schema.fields, StructField(name, dtype, nullable)]
+        )
+        _validate_mapping(
+            new_schema, _phys_map(tip), _retired_physical(tip)
+        )
+        manifest = {
+            "op": "add_column",
+            "base_version": v,
+            "rows": tip["rows"],
+            "schema": new_schema.jsonValue(),
+            **_carry_mapping(tip),
+            **_passthrough_body(tip),
+        }
+        if _try_commit(root, v + 1, manifest, backend):
+            return {"version": v + 1, "column": name, "committed": True}
+    raise RuntimeError(
+        f"add_column: gave up after {max_retries} version races at "
+        f"{root!r}"
+    )
+
+
+def drop_column(
+    root: str,
+    name: str,
+    max_retries: int = 20,
+    backend: LocalLinkBackend | None = None,
+) -> dict:
+    """``ALTER TABLE DROP COLUMN`` — metadata-only: the column leaves
+    the pinned schema (readers simply stop projecting it; the bytes
+    stay in existing leaves for time travel, exactly Delta's
+    column-mapping drop). Its data-skipping stats/bloom keys and any
+    column-mapping entry are removed in the same commit. Refused for
+    the partition column, the last remaining column, or a column a
+    persisted CHECK constraint references."""
+    for _ in range(max_retries):
+        v = latest_version(root)
+        if v == 0:
+            raise ValueError(f"{root!r} has no committed versions")
+        try:
+            tip = read_manifest(root, v)
+        except FileNotFoundError:
+            continue
+        schema = StructType.fromJson(tip["schema"])
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(
+                f"drop_column: {name!r} is not a column of {root!r}"
+            )
+        if len(names) == 1:
+            raise ValueError("drop_column: cannot drop the last column")
+        if _is_partitioned(tip) and tip["partition_col"] == name:
+            raise ValueError(
+                f"drop_column: {name!r} is the partition column"
+            )
+        pat = re.compile(rf"\b{re.escape(name)}\b")
+        bound = [c[0] for c in _table_constraints(tip) if pat.search(c[1])]
+        if bound:
+            raise ValueError(
+                f"drop_column: {name!r} is referenced by CHECK "
+                f"constraint(s) {bound!r} — drop them first"
+            )
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        phys = {
+            k: val for k, val in _phys_map(tip).items() if k != name
+        }
+        manifest: dict = {
+            "op": "drop_column",
+            "base_version": v,
+            "rows": tip["rows"],
+            "schema": new_schema.jsonValue(),
+            **{
+                k: val
+                for k, val in _carry_mapping(tip).items()
+                if k not in ("physical", "retired_physical")
+            },
+            # the dropped column's bytes live on in old leaves under
+            # its physical name — retire it so nothing re-binds it
+            "retired_physical": _retired_physical(tip)
+            + [_phys_map(tip).get(name, name)],
+        }
+        if phys:
+            manifest["physical"] = phys
+        if _is_partitioned(tip):
+            try:
+                parts = resolve_partitions(root, v)
+            except FileNotFoundError:
+                continue
+            new_parts = {}
+            for pk, e in parts.items():
+                e2 = dict(e)
+                if "stats" in e2:
+                    e2["stats"] = {
+                        c: s for c, s in e2["stats"].items() if c != name
+                    }
+                if "bloom" in e2:
+                    e2["bloom"] = {
+                        c: b for c, b in e2["bloom"].items() if c != name
+                    }
+                new_parts[pk] = e2
+            manifest["partition_col"] = tip["partition_col"]
+            manifest["partitions"] = new_parts
+        else:
+            new_parts = None
+            manifest["data_dir"] = tip["data_dir"]
+        if _try_commit(root, v + 1, manifest, backend):
+            if new_parts is not None:
+                _maybe_checkpoint(root, v + 1, new_parts, backend)
+            return {"version": v + 1, "column": name, "committed": True}
+    raise RuntimeError(
+        f"drop_column: gave up after {max_retries} version races at "
         f"{root!r}"
     )
 
