@@ -287,3 +287,44 @@ class FeatureStore:
             response_time_ms=(time.perf_counter() - t0) * 1000.0,
             data_freshness_minutes=freshness,
         )
+
+
+def refresh_serving_from_changes(
+    spark,
+    store: FeatureStore,
+    root: str,
+    checkpoint_dir: str,
+    feature_type: str,
+    key_col: str = "user_id",
+) -> dict:
+    """CDC-driven cache invalidation (ST2 closed over the table's OWN
+    log): drain the manifest table's change feed
+    (`txn.read_changes_stream`) and, per commit batch, evict exactly
+    the changed users' cache entries and re-pin the served DataFrame
+    to the new snapshot. Unchanged users keep their warm entries —
+    the point of row-level CDC over the blunt flush-everything
+    alternative. The version cursor lives in ``checkpoint_dir``, so a
+    re-run after a crash re-invalidates (idempotent) rather than
+    misses. Returns read_changes_stream's {batches, from_version,
+    to_version}."""
+    from feature_store_spark.pipelines.txn import (
+        read_changes_stream,
+        read_table,
+    )
+
+    if feature_type not in FEATURE_TYPES:
+        raise ValueError(f"unknown feature type {feature_type!r}")
+
+    def apply(changes, version):
+        users = [
+            r[key_col]
+            for r in changes.select(key_col).distinct().collect()
+        ]
+        for u in users:
+            store.invalidate(u)
+        df, _v = read_table(spark, root)
+        store.feature_dfs[feature_type] = df
+
+    return read_changes_stream(
+        spark, root, checkpoint_dir, apply, key_cols=[key_col]
+    )

@@ -546,3 +546,59 @@ def test_compact_parquet_missing_path_raises(spark, tmp_path):
 
     with pytest.raises(Exception):
         compact_parquet(spark, str(tmp_path / "absent"))
+
+
+def test_cdc_driven_cache_invalidation(spark, tmp_path):
+    """ST2 over the table's own log: a manifest-table commit evicts
+    exactly the changed users' cache entries via the CDC stream;
+    unchanged users keep serving from cache with no Spark job."""
+    from feature_store_spark.pipelines.txn import (
+        merge_into,
+        upsert_manifest,
+    )
+    from feature_store_spark.serving.store import (
+        FeatureStore,
+        refresh_serving_from_changes,
+    )
+
+    root = str(tmp_path / "feat")
+    ckpt = str(tmp_path / "ckpt")
+    upsert_manifest(
+        spark.createDataFrame(
+            [(1, 10.0, 1), (2, 20.0, 1)],
+            "user_id bigint, score double, ts bigint",
+        ),
+        root, ["user_id"], "ts",
+    )
+    store = FeatureStore({"user": spark.createDataFrame(
+        [], "user_id bigint, score double, ts bigint")})
+    res = refresh_serving_from_changes(
+        spark, store, root, ckpt, "user"
+    )
+    assert res["batches"] == 1
+    # warm both users
+    assert store.get_features(1, ["user"]).features["user"]["score"] == 10.0
+    assert store.get_features(2, ["user"]).features["user"]["score"] == 20.0
+    assert store.get_features(1, ["user"]).cache_hit
+
+    # commit an update to user 1 only
+    merge_into(
+        spark, root,
+        spark.createDataFrame([(1, 99.0)], "user_id bigint, score double"),
+        ["user_id"],
+        when_matched=[(None, {"score": "s.score"})],
+    )
+    res = refresh_serving_from_changes(
+        spark, store, root, ckpt, "user"
+    )
+    assert res["batches"] == 1
+    # user 1 evicted -> fresh value on a MISS; user 2 still cache-hit
+    r1 = store.get_features(1, ["user"])
+    assert not r1.cache_hit and r1.features["user"]["score"] == 99.0
+    r2 = store.get_features(2, ["user"])
+    assert r2.cache_hit and r2.features["user"]["score"] == 20.0
+
+    # drained feed: nothing re-invalidated
+    res = refresh_serving_from_changes(spark, store, root, ckpt, "user")
+    assert res["batches"] == 0
+    assert store.get_features(1, ["user"]).cache_hit
