@@ -781,6 +781,106 @@ def q_w7(spark, sf_dir):
 
 
 @spec(
+    "w14_event_transitions",
+    """WITH pairs AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events
+    ), cnt AS (
+      SELECT src, dst, count(*) AS n
+        FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src, dst, CAST(n AS BIGINT) AS n_transitions,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY src), 6)
+             AS p_transition
+      FROM cnt""",
+    ("ext", "W3", "markov"),
+)
+def q_w14_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    streams — the user-journey model behind next-action features and
+    funnel anomaly detection. One window per user orders events
+    ((ts, event_id) — the W1 tiebreak rule), ``lead`` pairs each event
+    with its successor, one map-combined count per (src, dst), and
+    the per-src normalization rides a window over the tiny transition
+    matrix (|event types|² rows), never the event stream. Counts are
+    exact bigints; each probability is a single two-int division
+    rounded once — bit-stable across engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    cnt = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    per_src = Window.partitionBy("src")
+    return cnt.select(
+        "src",
+        "dst",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(per_src),
+            6,
+        ).alias("p_transition"),
+    )
+
+
+@spec(
+    "a30_behavior_entropy",
+    """WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.user_id,
+           CAST(t.tot AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_event_types,
+           CAST(sum(CAST(round(-(n * 1.0 / tot) * ln(n * 1.0 / tot), 9)
+                         AS DECIMAL(18, 9))) AS DOUBLE) AS entropy
+      FROM c JOIN t USING (user_id)
+     GROUP BY c.user_id, t.tot""",
+    ("ext", "A2", "entropy"),
+)
+def q_a30_behavior_entropy(spark, sf_dir):
+    """Per-user behavioral entropy (Shannon, nats) over the
+    event-type distribution — the diversity feature risk models pair
+    with the count features (a bot hammering one action has H≈0; a
+    browsing human is high-H). Cross-engine float discipline: each
+    ``-p·ln p`` term is a single libm call quantized to 9 decimals and
+    summed as DECIMAL (order-free; the per-user term count is bounded
+    by the event-type alphabet), then cast to double once — the
+    ngram_lm_score/RRF pattern. One shuffle: the per-(user, type)
+    counts; the per-user total rides a window over those counts, and
+    the final per-user fold groups on a subset of the same key."""
+    c = _t(spark, sf_dir, "events").groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    tot = F.sum("__n").over(Window.partitionBy("user_id"))
+    p = F.col("__n") / F.col("__tot")
+    term = F.round(-p * F.log(p), 9).cast("decimal(18,9)")
+    return (
+        c.withColumn("__tot", tot)
+        .groupBy("user_id", "__tot")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_event_types"),
+            F.sum(term).cast("double").alias("entropy"),
+        )
+        .select(
+            "user_id",
+            F.col("__tot").cast("bigint").alias("n_events"),
+            "n_event_types",
+            "entropy",
+        )
+    )
+
+
+@spec(
     "w13_gap_fill",
     f"""WITH daily AS (
       SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS day,

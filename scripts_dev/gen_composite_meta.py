@@ -40,7 +40,8 @@ PARTS = [
     "a20_decayed_features", "a21_value_drift", "a22_feature_scaling",
     "w3_lag_lead_gaps", "w4_topk_orders_per_customer", "w6_ntile_buckets",
     "w7_rolling_spend", "w10_funnel_conversion", "w11_funnel_windowed",
-    "w12_cohort_retention", "w13_gap_fill",
+    "w12_cohort_retention", "w13_gap_fill", "w14_event_transitions",
+    "a30_behavior_entropy",
     "w1_latest_event_per_user", "w2_topk_customers", "s12b_merge_replay",
     "o3_deterministic_sample", "o6_stratified_sample", "o7_priority_sample",
     "s9_ordered_export",
