@@ -85,6 +85,9 @@ HEADLINE = [
     "w12_cohort_retention",
     "a27_ab_test_report",
     "emb_kmeans_clusters",
+    "w13_gap_fill",
+    "w14_event_transitions",
+    "a30_behavior_entropy",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -295,3 +295,43 @@ def test_cdc_across_merge(spark, tmp_path):
     ).collect()
     kinds = {(r["user_id"], r["status"]) for r in ch if r["status"] != "unchanged"}
     assert kinds == {(200, "removed"), (0, "changed")}
+
+
+def test_concurrent_merges_lose_no_update(spark, tmp_path):
+    """Two live threads interleaving MERGEs over disjoint key ranges:
+    the optimistic retry (accounting-mismatch recompute) must land
+    every update from both writers."""
+    import threading
+
+    root = str(tmp_path / "t")
+    _flat(spark, root)  # users 0..9, score = user_id
+    errors = []
+
+    def merger(lo):
+        try:
+            for i in range(3):
+                src = spark.createDataFrame(
+                    [(lo + i, "U", float(1000 + lo + i))],
+                    "user_id bigint, flag string, val double",
+                )
+                merge_into(
+                    spark, root, src, ["user_id"],
+                    when_matched=[(None, {"score": "s.val"})],
+                    when_not_matched=(None, {
+                        "user_id": "s.user_id", "score": "s.val",
+                        "ts": "7",
+                    }),
+                )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    t1 = threading.Thread(target=merger, args=(0,))     # updates 0..2
+    t2 = threading.Thread(target=merger, args=(50,))    # inserts 50..52
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors
+    got, _ = read_table(spark, root)
+    m = {r["user_id"]: r["score"] for r in got.collect()}
+    assert all(m[i] == 1000.0 + i for i in range(3))
+    assert all(m[50 + i] == 1050.0 + i for i in range(3))
+    assert len(m) == 13
+    assert txn.latest_version(root) == 7  # 1 base + 6 merge commits
