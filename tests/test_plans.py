@@ -578,3 +578,28 @@ def test_kmeans_assignment_single_scan_no_python(spark, sf_dir):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_gap_fill_no_join_two_exchanges(spark, sf_dir):
+    # join-free densification: the (user, day) aggregate + the per-user
+    # lead window; the explode IS the gap emission (one Generate)
+    plan = _plan(spark, sf_dir, "w13_gap_fill")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+    assert plan.count("Generate") == 1
+
+
+def test_event_transitions_no_join(spark, sf_dir):
+    # one event-stream exchange (per-user window); the remaining
+    # exchanges move only the |event types|^2 transition matrix
+    plan = _plan(spark, sf_dir, "w14_event_transitions")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 3
+
+
+def test_behavior_entropy_single_user_shuffle_no_join(spark, sf_dir):
+    # (user, type) counts + per-user window; the final per-user fold
+    # reuses the window's user exchange — no join back, no third pass
+    plan = _plan(spark, sf_dir, "a30_behavior_entropy")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
