@@ -33,6 +33,20 @@ def gap_fill(
     minimum any gap-filler must write)."""
     if fill not in ("zero", "ffill"):
         raise ValueError(f"fill must be 'zero' or 'ffill', got {fill!r}")
+    if fill == "zero":
+        from pyspark.sql.types import NumericType
+
+        bad = [
+            c
+            for c in value_cols
+            if not isinstance(df.schema[c].dataType, NumericType)
+        ]
+        if bad:
+            raise ValueError(
+                f"gap_fill: fill='zero' requires numeric value_cols; "
+                f"{bad!r} are not numeric — use fill='ffill' (or cast "
+                "first)"
+            )
     w = Window.partitionBy(key_col).orderBy(date_col)
     withnext = df.withColumn("__next", F.lead(F.col(date_col)).over(w))
     return withnext.select(
@@ -51,7 +65,11 @@ def gap_fill(
         *[
             (
                 F.when(F.col("__day") == F.col("__obs"), F.col(c)).otherwise(
-                    F.col(c) if fill == "ffill" else F.lit(0)
+                    # typed zero: a bare int literal would widen/narrow
+                    # the branch type (decimal value cols narrow to int)
+                    F.col(c)
+                    if fill == "ffill"
+                    else F.lit(0).cast(df.schema[c].dataType)
                 )
             ).alias(c)
             for c in value_cols

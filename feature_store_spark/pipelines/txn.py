@@ -2696,6 +2696,7 @@ def merge_into(
     when_not_matched_by_source: Sequence = (),
     max_retries: int = 20,
     backend: LocalLinkBackend | None = None,
+    materialize_source: bool = True,
 ) -> dict:
     """``MERGE INTO`` with conditional clauses for manifest tables —
     the composed Delta/Iceberg verb whose degenerate form is the
@@ -2749,6 +2750,18 @@ def merge_into(
         not_matched = None
     if not (matched or nbs or not_matched):
         raise ValueError("merge_into: no clauses — nothing to do")
+    if materialize_source:
+        # Pin the source plan ONCE: the merge evaluates it several
+        # times (dup-key guard, accounting aggregate, rewrite) — a
+        # nondeterministic source (sample, limit, shuffle-order-
+        # dependent expr) could pass the guard on one evaluation and
+        # diverge on another, burning every retry on the accounting
+        # mismatch. Delta materializes merge sources for the same
+        # reason. Lazy localCheckpoint: first action computes and
+        # stores the rows; every later evaluation replays the stored
+        # blocks. Opt out only for large sources whose plans are
+        # provably deterministic.
+        source = source.localCheckpoint(eager=False)
     from pyspark.errors import AnalysisException
 
     no_change = {
@@ -3926,7 +3939,15 @@ def read_changes_stream(
             # no predecessor: the whole v1 snapshot arrives as 'added'
             # (Delta startingVersion initial-snapshot semantics), in
             # snapshot_diff's exact shape (changed_cols NULL)
-            snap, _v = read_table(spark, root, k)
+            try:
+                snap, _v = read_table(spark, root, k)
+            except FileNotFoundError as e:
+                raise ValueError(
+                    f"read_changes_stream: initial-snapshot version {k} "
+                    f"of {root!r} has been vacuumed — pass "
+                    "starting_version >= the oldest retained version "
+                    "(see table_history)"
+                ) from e
             cmp_cols = sorted(
                 compare_cols
                 if compare_cols is not None

@@ -747,3 +747,34 @@ def test_gap_fill_ffill_and_zero_modes(spark):
 
     with _pytest.raises(ValueError, match="zero.*ffill"):
         gap_fill(df, "k", "day", ["v"], fill="bogus")
+
+
+def test_gap_fill_zero_is_typed_and_rejects_non_numeric(spark):
+    """ADVICE r7: fill='zero' must not narrow a decimal value column
+    (bare int literal) and must refuse non-numeric value columns with
+    a targeted error instead of a silent cast/analysis failure."""
+    import datetime
+    from decimal import Decimal
+
+    from feature_store_spark.operators.windows import gap_fill
+
+    d = datetime.date
+    dec = spark.createDataFrame(
+        [(1, d(2024, 1, 1), Decimal("10.50")), (1, d(2024, 1, 3), Decimal("2.25"))],
+        "k bigint, day date, v decimal(10,2)",
+    )
+    out = gap_fill(dec, "k", "day", ["v"])
+    assert out.schema["v"].dataType.simpleString() == "decimal(10,2)"
+    vals = {r["day"].isoformat(): r["v"] for r in out.collect()}
+    assert vals["2024-01-02"] == Decimal("0.00")
+
+    txt = spark.createDataFrame(
+        [(1, d(2024, 1, 1), "a"), (1, d(2024, 1, 3), "b")],
+        "k bigint, day date, v string",
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        gap_fill(txt, "k", "day", ["v"])
+    # non-numeric columns are fine under ffill
+    ff = {r["day"].isoformat(): r["v"]
+          for r in gap_fill(txt, "k", "day", ["v"], fill="ffill").collect()}
+    assert ff == {"2024-01-01": "a", "2024-01-02": "a", "2024-01-03": "b"}

@@ -335,3 +335,33 @@ def test_concurrent_merges_lose_no_update(spark, tmp_path):
     assert all(m[50 + i] == 1050.0 + i for i in range(3))
     assert len(m) == 13
     assert txn.latest_version(root) == 7  # 1 base + 6 merge commits
+
+
+def test_merge_nondeterministic_source_is_materialized(spark, tmp_path):
+    """ADVICE r7: merge_into evaluates the source several times
+    (dup guard, accounting, rewrite); a nondeterministic source plan
+    (unseeded rand filter) must be pinned once, so the merge commits
+    with accounting consistent with the written rows instead of
+    burning retries on cross-evaluation drift."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    _flat(spark, root)  # user_ids 0..9
+    base = spark.range(200).select(
+        (F.col("id") + 1000).alias("user_id"),
+        F.lit("I").alias("flag"),
+        F.col("id").cast("double").alias("val"),
+    )
+    src = base.filter(F.rand() < 0.5)  # nondeterministic row set
+    res = merge_into(
+        spark, root, src, ["user_id"],
+        when_not_matched=(None, {
+            "user_id": "s.user_id", "score": "s.val", "ts": "2",
+        }),
+    )
+    assert res["committed"]
+    got, _ = read_table(spark, root)
+    assert got.count() == 10 + res["rows_inserted"]
+    # and the inserted set is exactly one coherent evaluation
+    ins = got.filter("user_id >= 1000").count()
+    assert ins == res["rows_inserted"]

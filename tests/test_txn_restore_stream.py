@@ -208,3 +208,25 @@ def test_stream_max_batches_and_wrong_table_guard(spark, tmp_path):
     _commit(spark, root2, [(9, 9.0, 1)])
     with pytest.raises(ValueError, match="beyond the tip"):
         _drain(spark, root2, ckpt)
+
+
+def test_stream_fresh_cursor_on_vacuumed_v1_targeted_error(spark, tmp_path):
+    """ADVICE r7: a fresh checkpoint (cursor 0) on a table whose v1
+    was vacuumed must raise a targeted ValueError naming
+    starting_version, not a raw FileNotFoundError from read_table."""
+    root = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    _commit(spark, root, [(1, 1.0, 1)])
+    _commit(spark, root, [(2, 2.0, 2)])
+    _commit(spark, root, [(3, 3.0, 3)])
+    vacuum(root, keep_last=1)  # v1, v2 gone
+    with pytest.raises(ValueError, match="starting_version"):
+        read_changes_stream(
+            spark, root, ckpt, lambda df, v: df.count(), ["user_id"]
+        )
+    # the documented recovery works: start at the oldest retained tip
+    res = read_changes_stream(
+        spark, root, str(tmp_path / "ck2"),
+        lambda df, v: df.count(), ["user_id"], starting_version=3,
+    )
+    assert res["batches"] == 0
