@@ -347,19 +347,29 @@ def sync_rollup_from_changes(
     partitions); the source is never re-scanned. ``value_col`` must be
     integral (exact deltas — float sums would drift under fold order).
 
-    At-least-once safety: the CDC cursor only advances after the
-    merge commits, and a redelivered batch re-merges the SAME deltas —
-    so the caller must not interleave other writers on the rollup
-    table (the standard exactly-once-by-idempotent-sink contract).
-    ``group_col`` values must be non-NULL (a NULL merge key never
-    matches, per SQL join semantics). Returns {batches, from_version,
-    to_version}."""
+    Exactly-once under crash-redelivery: every rollup commit records
+    the applied SOURCE version as a transactional watermark
+    (``txn=(app_id, src_version)`` — the Delta ``txnAppId`` pattern),
+    so a crash between the rollup commit and the CDC cursor advance
+    is safe: the redelivered batch sees its version at/below the
+    watermark and is skipped instead of re-adding the same deltas
+    (which would double counts/sums — they are additive, not
+    idempotent). The bootstrap commit records the watermark too, so a
+    redelivered initial snapshot cannot re-apply through the merge
+    path. ``group_col`` values must be non-NULL (a NULL merge key
+    never matches, per SQL join semantics). Returns {batches,
+    from_version, to_version}."""
+    import os as _os
     from feature_store_spark.pipelines.txn import (
         latest_version,
         merge_into,
         read_changes_stream,
         upsert_manifest,
     )
+
+    # watermark identity: one logical syncer per source table (the
+    # single-writer contract the rollup already requires)
+    app_id = f"sync_rollup:{_os.path.abspath(src_root)}"
 
     def apply_batch(changes: DataFrame, version: int) -> None:
         vo = F.coalesce(F.col(f"{value_col}_old"), F.lit(0)).cast("bigint")
@@ -438,6 +448,7 @@ def sync_rollup_from_changes(
                 rollup_root,
                 [group_col],
                 "__ord",
+                txn=(app_id, version),
             )
             return
         merge_into(
@@ -458,6 +469,7 @@ def sync_rollup_from_changes(
                 "sum_value": "s.dv",
                 "__ord": str(version),
             }),
+            txn=(app_id, version),
         )
 
     return read_changes_stream(

@@ -334,7 +334,47 @@ def _carry_mapping(m: dict | None) -> dict:
     retired = _retired_physical(m)
     if retired:
         out["retired_physical"] = retired
+    appv = _app_versions(m)
+    if appv:
+        out["app_versions"] = appv
     return out
+
+
+def _app_versions(m: dict | None) -> dict:
+    """Per-application transaction watermarks of a manifest (Delta
+    ``txn`` action / ``txnAppId``+``txnVersion`` idempotent-write
+    analogue): ``{app_id: last_applied_version}``. A writer passing
+    ``txn=(app_id, version)`` is skipped when ``version`` is at or
+    below the recorded watermark — exactly-once sinks for at-least-
+    once sources (streaming foreachBatch, CDC replay)."""
+    return dict((m or {}).get("app_versions") or {})
+
+
+def _txn_validate(txn) -> tuple[str, int] | None:
+    if txn is None:
+        return None
+    app_id, ver = txn
+    if not isinstance(app_id, str) or not app_id:
+        raise ValueError(f"txn app_id must be a non-empty string, got {app_id!r}")
+    if not isinstance(ver, int):
+        raise ValueError(f"txn version must be an int, got {ver!r}")
+    return app_id, ver
+
+
+def _txn_already_applied(m: dict | None, txn) -> bool:
+    if txn is None:
+        return False
+    return _app_versions(m).get(txn[0], 0) >= txn[1]
+
+
+def _txn_stamp(manifest: dict, txn) -> dict:
+    """Record this commit's (app_id, version) watermark on top of the
+    carried-forward map (carry happened via ``_carry_mapping``)."""
+    if txn is not None:
+        appv = dict(manifest.get("app_versions") or {})
+        appv[txn[0]] = txn[1]
+        manifest["app_versions"] = appv
+    return manifest
 
 
 def _retired_physical(m: dict | None) -> list:
@@ -794,6 +834,7 @@ def upsert_manifest(
     allow_schema_evolution: bool = False,
     backend: LocalLinkBackend | None = None,
     constraints: Sequence[tuple[str, str]] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """``upsert_parquet`` semantics (last-writer-wins per key on
     ``order_col``, update beats store on ties) with SERIALIZABLE
@@ -810,8 +851,15 @@ def upsert_manifest(
     evolved schema is pinned in the new manifest, and every prior
     version still time-travels under its own schema. Off by default —
     an accidental column rename silently forking into two NULL-y
-    columns is the failure mode the flag gates."""
+    columns is the failure mode the flag gates.
+
+    ``txn=(app_id, version)`` makes the write IDEMPOTENT (Delta
+    ``txnAppId``/``txnVersion``): the commit records the watermark in
+    the manifest, and a later call with the same app_id and a version
+    at or below it is skipped (returns the tip's row count unchanged)
+    — the exactly-once contract for at-least-once replay sources."""
     spark = updates.sparkSession
+    txn_w = _txn_validate(txn)
     if latest_version(root) == 0:
         _guard_foreign_store(root)
     from pyspark.errors import AnalysisException
@@ -835,6 +883,9 @@ def upsert_manifest(
                 "full-snapshot commit on top would collapse its layout "
                 "— use upsert_manifest_partitioned"
             )
+        if _txn_already_applied(tip_manifest, txn_w):
+            # idempotent replay: this (app_id, version) already landed
+            return int(tip_manifest.get("rows") or 0)
         if base is not None:
             base2, upd2 = _reconcile_schemas(
                 base, updates, allow_schema_evolution
@@ -875,14 +926,17 @@ def upsert_manifest(
             except ValueError:
                 shutil.rmtree(data_path, ignore_errors=True)
                 raise
-        manifest = {
-            "op": "upsert",
-            "base_version": v,
-            "data_dir": data_rel,
-            "rows": n,
-            "schema": merged.schema.jsonValue(),
-            **_carry_mapping(tip_manifest),
-        }
+        manifest = _txn_stamp(
+            {
+                "op": "upsert",
+                "base_version": v,
+                "data_dir": data_rel,
+                "rows": n,
+                "schema": merged.schema.jsonValue(),
+                **_carry_mapping(tip_manifest),
+            },
+            txn_w,
+        )
         if _try_commit(root, v + 1, manifest, backend):
             return n
         # another writer published v+1 first: our snapshot is stale.
@@ -2697,6 +2751,7 @@ def merge_into(
     max_retries: int = 20,
     backend: LocalLinkBackend | None = None,
     materialize_source: bool = True,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """``MERGE INTO`` with conditional clauses for manifest tables —
     the composed Delta/Iceberg verb whose degenerate form is the
@@ -2732,8 +2787,18 @@ def merge_into(
     changes nothing publishes no version. Multiple source rows
     matching one target row raise (Delta's ambiguity rule).
 
+    ``txn=(app_id, version)`` makes the merge IDEMPOTENT (Delta
+    ``txnAppId``/``txnVersion``): the commit records the watermark in
+    the manifest; a replayed call with the same app_id and a version
+    at or below the watermark is skipped (``txn_skipped=True``,
+    nothing written) — the exactly-once contract for at-least-once
+    sources (streaming foreachBatch, CDC redelivery after a crash
+    between sink commit and cursor advance).
+
     Returns {version, rows_updated, rows_deleted, rows_inserted,
-    partitions_rewritten, partitions_removed, committed}."""
+    partitions_rewritten, partitions_removed, committed,
+    txn_skipped}."""
+    txn_w = _txn_validate(txn)
     matched = _merge_clause_list(when_matched, "when_matched")
     nbs = _merge_clause_list(
         when_not_matched_by_source, "when_not_matched_by_source"
@@ -2768,6 +2833,7 @@ def merge_into(
         "version": None, "rows_updated": 0, "rows_deleted": 0,
         "rows_inserted": 0, "partitions_rewritten": 0,
         "partitions_removed": 0, "committed": False,
+        "txn_skipped": False,
     }
 
     for _ in range(max_retries):
@@ -2778,6 +2844,9 @@ def merge_into(
             tip = read_manifest(root, v)
         except FileNotFoundError:
             continue
+        if _txn_already_applied(tip, txn_w):
+            # idempotent replay: this (app_id, version) already landed
+            return {**no_change, "version": v, "txn_skipped": True}
         schema = StructType.fromJson(tip["schema"])
         fields = {f.name: f for f in schema.fields}
         partitioned = _is_partitioned(tip)
@@ -2878,20 +2947,23 @@ def merge_into(
                             ignore_errors=True,
                         )
                         raise
-                manifest = {
-                    "op": "merge",
-                    "base_version": v,
-                    "data_dir": new_rel,
-                    "rows": n,
-                    "schema": tip["schema"],
-                    **_carry_mapping(tip),
-                }
+                manifest = _txn_stamp(
+                    {
+                        "op": "merge",
+                        "base_version": v,
+                        "data_dir": new_rel,
+                        "rows": n,
+                        "schema": tip["schema"],
+                        **_carry_mapping(tip),
+                    },
+                    txn_w,
+                )
                 if _try_commit(root, v + 1, manifest, backend):
                     return {
                         "version": v + 1, "rows_updated": n_upd,
                         "rows_deleted": n_del, "rows_inserted": n_ins,
                         "partitions_rewritten": 1, "partitions_removed": 0,
-                        "committed": True,
+                        "committed": True, "txn_skipped": False,
                     }
                 shutil.rmtree(
                     os.path.join(root, new_rel), ignore_errors=True
@@ -3055,16 +3127,19 @@ def merge_into(
                 pk: e for pk, e in parts.items() if pk not in set(removed)
             }
             new_parts.update(updates)
-            manifest = {
-                "op": "merge",
-                "base_version": v,
-                "rows": sum(e["rows"] for e in new_parts.values()),
-                "schema": tip["schema"],
-                "partition_col": pcol,
-                "updates": updates,
-                "removed": removed,
-                **_carry_mapping(tip),
-            }
+            manifest = _txn_stamp(
+                {
+                    "op": "merge",
+                    "base_version": v,
+                    "rows": sum(e["rows"] for e in new_parts.values()),
+                    "schema": tip["schema"],
+                    "partition_col": pcol,
+                    "updates": updates,
+                    "removed": removed,
+                    **_carry_mapping(tip),
+                },
+                txn_w,
+            )
             if _try_commit(root, v + 1, manifest, backend):
                 _maybe_checkpoint(root, v + 1, new_parts, backend)
                 return {
@@ -3075,6 +3150,7 @@ def merge_into(
                     "partitions_rewritten": len(updates),
                     "partitions_removed": len(removed),
                     "committed": True,
+                    "txn_skipped": False,
                 }
             shutil.rmtree(
                 os.path.join(root, commit_rel), ignore_errors=True

@@ -98,3 +98,54 @@ def test_rollup_tracks_source_through_all_mutations(spark, tmp_path):
     res = _sync(spark, src, dst, ckpt)
     assert res["batches"] == 0
     assert txn.latest_version(dst) == v
+
+
+def test_rollup_crash_between_merge_and_cursor_advance_is_exactly_once(
+    spark, tmp_path
+):
+    """ADVICE r7 (medium): a crash AFTER the rollup merge commits but
+    BEFORE the CDC cursor advances redelivers the batch; the deltas
+    are additive, so re-merging them would double counts/sums. The
+    transactional watermark (txn app-version in the rollup manifest)
+    must make the redelivered batch a no-op — for both the bootstrap
+    batch and a later merge batch."""
+    import json
+    import os
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "roll")
+    ckpt = str(tmp_path / "ckpt")
+    off = os.path.join(ckpt, "offset.json")
+
+    def commit(rows):
+        upsert_manifest(
+            spark.createDataFrame(
+                rows, "user_id bigint, grp string, cents bigint, ts bigint"
+            ),
+            src, ["user_id"], "ts",
+        )
+
+    def rewind(to_version):
+        with open(off, "w") as f:
+            json.dump({"version": to_version}, f)
+
+    # --- bootstrap window: crash after bootstrap commit, cursor at 0
+    commit([(1, "a", 10, 1), (2, "b", 20, 1)])
+    _sync(spark, src, dst, ckpt)
+    before = _rollup(spark, dst)
+    v_before = txn.latest_version(dst)
+    rewind(0)  # simulate: process died before the cursor advanced
+    _sync(spark, src, dst, ckpt)
+    assert _rollup(spark, dst) == before == {"a": (1, 10), "b": (1, 20)}
+    assert txn.latest_version(dst) == v_before  # nothing re-applied
+
+    # --- merge window: crash after a later batch's merge commit
+    commit([(1, "a", 15, 2), (3, "a", 5, 2)])  # change + insert
+    _sync(spark, src, dst, ckpt)
+    before = _rollup(spark, dst)
+    assert before == _recompute(spark, src) == {"a": (2, 20), "b": (1, 20)}
+    v_before = txn.latest_version(dst)
+    rewind(1)  # redeliver the v2 batch
+    _sync(spark, src, dst, ckpt)
+    assert _rollup(spark, dst) == before
+    assert txn.latest_version(dst) == v_before

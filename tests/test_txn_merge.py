@@ -365,3 +365,64 @@ def test_merge_nondeterministic_source_is_materialized(spark, tmp_path):
     # and the inserted set is exactly one coherent evaluation
     ins = got.filter("user_id >= 1000").count()
     assert ins == res["rows_inserted"]
+
+
+def test_merge_txn_watermark_idempotency(spark, tmp_path):
+    """txn=(app_id, version) — the Delta txnAppId/txnVersion
+    idempotent-write contract: a replayed (app_id, version) is
+    skipped; a higher version applies; watermarks are per-app and
+    survive unrelated commits."""
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    src = _src(spark, [(3, "U", 30.0)])
+    res = merge_into(
+        spark, root, src, ["user_id"],
+        when_matched=[(None, {"score": "s.val"})], txn=("appA", 7),
+    )
+    assert res["committed"] and not res["txn_skipped"]
+    v = res["version"]
+    # replay: same app, same + lower version -> skipped, no commit
+    for ver in (7, 6):
+        r = merge_into(
+            spark, root, src, ["user_id"],
+            when_matched=[(None, {"score": "s.val + 1"})],
+            txn=("appA", ver),
+        )
+        assert r["txn_skipped"] and not r["committed"]
+        assert txn.latest_version(root) == v
+    # a DIFFERENT app at the same version applies
+    r = merge_into(
+        spark, root, src, ["user_id"],
+        when_matched=[(None, {"score": "s.val + 1"})], txn=("appB", 7),
+    )
+    assert r["committed"] and not r["txn_skipped"]
+    # watermark survives an unrelated (txn-less) commit in between
+    upsert_manifest(
+        spark.createDataFrame([(50, 5.0, 9)],
+                              "user_id bigint, score double, ts bigint"),
+        root, ["user_id"], "ts",
+    )
+    r = merge_into(
+        spark, root, src, ["user_id"],
+        when_matched=[(None, {"score": "0.0"})], txn=("appA", 7),
+    )
+    assert r["txn_skipped"]
+    got, _ = read_table(spark, root)
+    m = {x["user_id"]: x["score"] for x in got.collect()}
+    assert m[3] == 31.0  # appA's replay never re-applied
+    # higher version for appA applies
+    r = merge_into(
+        spark, root, src, ["user_id"],
+        when_matched=[(None, {"score": "99.0"})], txn=("appA", 8),
+    )
+    assert r["committed"]
+    # upsert_manifest honors the same watermark
+    upd = spark.createDataFrame([(3, 1.0, 99)],
+                                "user_id bigint, score double, ts bigint")
+    n = upsert_manifest(upd, root, ["user_id"], "ts", txn=("appA", 8))
+    got, _ = read_table(spark, root)
+    assert {x["score"] for x in got.filter("user_id = 3").collect()} == {99.0}
+    assert n == got.count()  # skip returns the tip's row count
+    with pytest.raises(ValueError, match="app_id"):
+        merge_into(spark, root, src, ["user_id"],
+                   when_matched=[(None, {"score": "s.val"})], txn=("", 1))
