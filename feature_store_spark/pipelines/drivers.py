@@ -275,6 +275,7 @@ def run_table_maintenance(
     keep_last: int = 3,
     orphan_grace_seconds: float | None = None,
     zorder_cols: list[str] | None = None,
+    retain_hours: float | None = None,
 ) -> dict[str, Any]:
     """One-call housekeeping for a manifest table — the nightly
     OPTIMIZE + VACUUM job every lake deployment schedules (the
@@ -305,6 +306,7 @@ def run_table_maintenance(
         root,
         keep_last=keep_last,
         orphan_grace_seconds=orphan_grace_seconds,
+        retain_hours=retain_hours,
     )
     # stats["version"] (not a fresh latest_version lookup): a
     # concurrent writer landing between compact and here must not be

@@ -170,9 +170,83 @@ def latest_version(root: str) -> int:
     return max(_list_versions(root), default=0)
 
 
+# ---------------------------------------------------------------------------
+# Reader/writer protocol (Delta minReaderVersion / table-features analogue)
+# ---------------------------------------------------------------------------
+#
+# A manifest whose correct interpretation requires understanding a
+# table feature carries it in ``protocol: {reader: [...], writer:
+# [...]}``. READER features change what bytes-on-disk MEAN (a pre-
+# column-mapping reader of a renamed table would silently serve
+# physical column names); WRITER features change what a commit must
+# preserve (a writer unaware of CHECK constraints would publish
+# violating rows). An engine build that sees an unknown reader
+# feature must refuse to read; an unknown writer feature must refuse
+# to write but may still read — exactly Delta's split. Features are
+# stamped automatically at commit from the manifest's own fields
+# (no drift possible) and carried forward verbatim so a FUTURE
+# feature this build doesn't know still reaches the guard.
+
+READER_FEATURES = frozenset({"column_mapping", "absolute_paths"})
+WRITER_FEATURES = READER_FEATURES | frozenset(
+    {"constraints", "app_versions", "retired_physical"}
+)
+
+
+def _protocol(m: dict | None) -> dict:
+    return (m or {}).get("protocol") or {}
+
+
+def _check_read_protocol(m: dict, where: str = "") -> dict:
+    unknown = set(_protocol(m).get("reader") or []) - READER_FEATURES
+    if unknown:
+        raise ValueError(
+            f"cannot READ {where or 'this table'}: its manifest "
+            f"requires reader feature(s) {sorted(unknown)!r} this "
+            "engine build does not implement — reading anyway would "
+            "silently misinterpret the data (upgrade the engine)"
+        )
+    return m
+
+
+def _check_write_protocol(m: dict | None, where: str = "") -> None:
+    unknown = set(_protocol(m).get("writer") or []) - WRITER_FEATURES
+    if unknown:
+        raise ValueError(
+            f"cannot WRITE {where or 'this table'}: its manifest "
+            f"requires writer feature(s) {sorted(unknown)!r} this "
+            "engine build does not implement — committing anyway "
+            "would break the invariants those features maintain "
+            "(the table stays readable; upgrade the engine to write)"
+        )
+
+
+def _stamp_protocol(manifest: dict) -> dict:
+    """Derive this commit's protocol from the manifest's own fields,
+    unioned with any carried-forward (possibly unknown) features —
+    features are never auto-dropped, matching Delta."""
+    prior = _protocol(manifest)
+    r = set(prior.get("reader") or [])
+    w = set(prior.get("writer") or [])
+    if manifest.get("physical"):
+        r.add("column_mapping")
+    if manifest.get("retired_physical"):
+        w.add("retired_physical")
+    if manifest.get("constraints"):
+        w.add("constraints")
+    if manifest.get("app_versions"):
+        w.add("app_versions")
+    w |= r & READER_FEATURES  # every known reader feature binds writers too
+    if r or w:
+        manifest["protocol"] = {"reader": sorted(r), "writer": sorted(w)}
+    return manifest
+
+
 def read_manifest(root: str, version: int) -> dict:
     with open(_manifest_path(root, version)) as f:
-        return json.load(f)
+        return _check_read_protocol(
+            json.load(f), f"{root!r} (version {version})"
+        )
 
 
 def _is_partitioned(m: dict) -> bool:
@@ -322,9 +396,18 @@ def _phys_map(m: dict | None) -> dict:
 
 def _carry_mapping(m: dict | None) -> dict:
     """The manifest fields every commit must inherit from its base so
-    a rename (column mapping) and table-level CHECK constraints
-    survive subsequent writes."""
+    a rename (column mapping), table-level CHECK constraints, txn
+    watermarks, and the reader/writer protocol survive subsequent
+    writes. Doubles as the WRITE-side protocol gate: every committing
+    verb funnels its base manifest through here, so a tip requiring
+    an unknown writer feature refuses the write in one place."""
+    _check_write_protocol(m)
     out: dict = {}
+    proto = _protocol(m)
+    if proto:
+        out["protocol"] = {
+            k: sorted(v) for k, v in proto.items() if v
+        }
     phys = _phys_map(m)
     if phys:
         out["physical"] = phys
@@ -667,7 +750,11 @@ def _try_commit(
     import time
 
     payload = json.dumps(
-        {"version": version, "committed_at": time.time(), **manifest}
+        {
+            "version": version,
+            "committed_at": time.time(),
+            **_stamp_protocol(manifest),
+        }
     )
     ok = (backend or _DEFAULT_BACKEND).put_if_absent(
         _manifest_path(root, version), payload
@@ -2752,6 +2839,7 @@ def merge_into(
     backend: LocalLinkBackend | None = None,
     materialize_source: bool = True,
     txn: tuple[str, int] | None = None,
+    allow_schema_evolution: bool = False,
 ) -> dict:
     """``MERGE INTO`` with conditional clauses for manifest tables —
     the composed Delta/Iceberg verb whose degenerate form is the
@@ -2786,6 +2874,17 @@ def merge_into(
     byte-identity skip and vacuum invariants hold). A merge that
     changes nothing publishes no version. Multiple source rows
     matching one target row raise (Delta's ambiguity rule).
+
+    ``allow_schema_evolution=True`` is Delta's MERGE ``autoMerge``:
+    source columns absent from the target schema are APPENDED
+    (pre-existing rows read NULL — no data rewrite semantics beyond
+    the merge's own), and a shared column whose source type safely
+    widens the target's (int→long, float→double, decimal growth —
+    the ``_widen_type`` matrix) widens the table schema; any other
+    mismatch still raises. The retired-physical-name and column-
+    mapping collision guards apply to the evolved schema, so an
+    evolved column can never resurrect dropped bytes. Off by default
+    for the same reason as ``upsert_manifest``'s flag.
 
     ``txn=(app_id, version)`` makes the merge IDEMPOTENT (Delta
     ``txnAppId``/``txnVersion``): the commit records the watermark in
@@ -2848,6 +2947,63 @@ def merge_into(
             # idempotent replay: this (app_id, version) already landed
             return {**no_change, "version": v, "txn_skipped": True}
         schema = StructType.fromJson(tip["schema"])
+        base_schema = schema
+        widen_casts: dict = {}
+        if allow_schema_evolution:
+            # Delta autoMerge rule: the columns that EVOLVE the schema
+            # are the ones the merge LANDS — every source column under
+            # INSERT * (values=None), else exactly the assignment-
+            # target names of the SET/INSERT dicts. A helper column
+            # the clauses merely read never changes the table schema.
+            landing: set = set()
+            for _, a in matched + nbs:
+                if isinstance(a, dict):
+                    landing.update(a.keys())
+            if not_matched is not None:
+                if not_matched[1] is None:
+                    landing.update(source.columns)
+                else:
+                    landing.update(not_matched[1].keys())
+            base_names = {f.name for f in schema.fields}
+            src_fields = {f.name: f for f in source.schema.fields}
+            evolved = list(schema.fields)
+            for i, f in enumerate(evolved):
+                sf = src_fields.get(f.name)
+                if sf is None or f.name not in landing:
+                    continue
+                if _normalize_nullability(sf.dataType) == \
+                        _normalize_nullability(f.dataType):
+                    continue
+                w = _widen_type(f.dataType, sf.dataType)
+                if w is None:
+                    raise ValueError(
+                        f"merge_into: column {f.name!r} is "
+                        f"{f.dataType.simpleString()} in the table but "
+                        f"{sf.dataType.simpleString()} in the source — "
+                        "not a safe widening; cast explicitly"
+                    )
+                if _normalize_nullability(w) != _normalize_nullability(
+                    f.dataType
+                ):
+                    evolved[i] = StructField(f.name, w, True)
+                    widen_casts[f.name] = w
+            for name in sorted(landing - base_names):
+                sf = src_fields.get(name)
+                if sf is None:
+                    raise ValueError(
+                        f"merge_into: evolved column {name!r} is not in "
+                        "the source schema — schema evolution types new "
+                        "columns from the source; add it there or to "
+                        "the table first"
+                    )
+                evolved.append(StructField(sf.name, sf.dataType, True))
+            if evolved != list(schema.fields):
+                schema = StructType(evolved)
+                # an evolved column must not collide with a retired
+                # physical name or the live column mapping
+                _validate_mapping(
+                    schema, _phys_map(tip), _retired_physical(tip)
+                )
         fields = {f.name: f for f in schema.fields}
         partitioned = _is_partitioned(tip)
         pcol = tip.get("partition_col")
@@ -2880,18 +3036,29 @@ def merge_into(
                 parts = resolve_partitions(root, v)
                 tdf = _read_data(
                     spark,
-                    schema,
+                    base_schema,
                     _phys_map(tip),
                     [os.path.join(root, e["dir"]) for e in parts.values()],
-                ) if parts else spark.createDataFrame([], schema)
+                ) if parts else spark.createDataFrame([], base_schema)
             else:
                 parts = None
                 tdf = _read_data(
                     spark,
-                    schema,
+                    base_schema,
                     _phys_map(tip),
                     [os.path.join(root, tip["data_dir"])],
                 )
+            if schema is not base_schema:
+                # evolution: pre-existing rows read the appended
+                # columns as typed NULLs; widened columns up-cast
+                base_names = {f.name for f in base_schema.fields}
+                for name, w in widen_casts.items():
+                    tdf = tdf.withColumn(name, F.col(name).cast(w))
+                for f in schema.fields:
+                    if f.name not in base_names:
+                        tdf = tdf.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
             _merge_guard_dup_sources(tdf, source, on, matched)
             action_df, out_cols, delete_tags = _merge_actions(
                 tdf, source, on, schema, matched, not_matched, nbs
@@ -2953,7 +3120,7 @@ def merge_into(
                         "base_version": v,
                         "data_dir": new_rel,
                         "rows": n,
-                        "schema": tip["schema"],
+                        "schema": schema.jsonValue(),
                         **_carry_mapping(tip),
                     },
                     txn_w,
@@ -3132,7 +3299,7 @@ def merge_into(
                     "op": "merge",
                     "base_version": v,
                     "rows": sum(e["rows"] for e in new_parts.values()),
-                    "schema": tip["schema"],
+                    "schema": schema.jsonValue(),
                     "partition_col": pcol,
                     "updates": updates,
                     "removed": removed,
@@ -3339,6 +3506,15 @@ def clone_table(
             manifest["data_dir"] = new_rel
         else:
             manifest["data_dir"] = src_abs(m["data_dir"])
+    if not deep:
+        # shallow-clone leaves live OUTSIDE this root as absolute
+        # paths — a reader that resolves every dir relative to the
+        # root would read nothing (or the wrong files): reader feature
+        proto = _protocol(manifest)
+        manifest["protocol"] = {
+            "reader": sorted(set(proto.get("reader") or []) | {"absolute_paths"}),
+            "writer": sorted(set(proto.get("writer") or [])),
+        }
     if not _try_commit(dst_root, 1, manifest, backend):
         raise RuntimeError(
             f"clone_table: {dst_root!r} gained a v1 concurrently"
@@ -4174,13 +4350,16 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
                 (len(m["updates"]) or None) if "updates" in m else None,
                 len(m.get("removed", [])) or None,
                 m.get("base_version"),
+                json.dumps(m["protocol"], sort_keys=True)
+                if m.get("protocol")
+                else None,
             )
         )
     df = spark.createDataFrame(
         rows,
         "version int, op string, committed_at_epoch double, "
         "rows bigint, n_updated_partitions int, "
-        "n_removed_partitions int, base_version int",
+        "n_removed_partitions int, base_version int, protocol string",
     )
     return df.select(
         "version",
@@ -4190,6 +4369,7 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
         "n_updated_partitions",
         "n_removed_partitions",
         "base_version",
+        "protocol",
     ).orderBy(F.desc("version"))
 
 
@@ -4199,6 +4379,7 @@ def vacuum(
     orphan_grace_seconds: float | None = None,
     backend: LocalLinkBackend | None = None,
     dry_run: bool = False,
+    retain_hours: float | None = None,
 ) -> list[str]:
     """Delete data directories referenced by no retained manifest
     (retention: the newest ``keep_last`` versions). Returns the
@@ -4220,9 +4401,18 @@ def vacuum(
     an in-flight writer's dir is also unreferenced, so pick a grace
     comfortably above the longest plausible commit (Delta's
     tombstone-retention rule); ``None`` (default) leaves orphans
-    alone."""
+    alone.
+
+    ``retain_hours`` is Delta's ``VACUUM ... RETAIN <n> HOURS``
+    ergonomics over commit timestamps: every version committed within
+    the horizon is ADDITIONALLY retained (union with the keep_last
+    window, so the tip always survives). A version whose commit time
+    is unknowable (pre-op-tag manifest without ``committed_at``) is
+    conservatively retained — refusing to date it beats deleting it."""
     if keep_last < 1:
         raise ValueError("vacuum must keep at least the newest version")
+    if retain_hours is not None and retain_hours < 0:
+        raise ValueError("retain_hours must be >= 0")
     removed: list[str] = []
     on_disk = _list_versions(root)
     tip = max(on_disk, default=0)
@@ -4233,6 +4423,29 @@ def vacuum(
         keep_versions = {
             v for v in on_disk if v > tip - keep_last
         }
+        if retain_hours is not None:
+            import time as _time
+
+            cutoff = _time.time() - retain_hours * 3600.0
+            oldest_in_horizon = None
+            for v in sorted(on_disk):
+                if v in keep_versions:
+                    continue
+                try:
+                    c = read_manifest(root, v).get("committed_at")
+                except FileNotFoundError:
+                    continue  # concurrent vacuum owns it
+                if c is None or c >= cutoff:
+                    oldest_in_horizon = v
+                    break
+            if oldest_in_horizon is not None:
+                # the retained set must stay a CONTIGUOUS suffix of
+                # the history (Delta log cleanup deletes a prefix):
+                # a time-retained version below pruned versions would
+                # strand delta-manifest resolution chains
+                keep_versions.update(
+                    v for v in on_disk if v >= oldest_in_horizon
+                )
         # a version published AFTER the tip snapshot is a live
         # concurrent commit — pruning it would destroy committed
         # data; everything newer than the snapshot is left alone

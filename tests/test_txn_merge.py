@@ -426,3 +426,145 @@ def test_merge_txn_watermark_idempotency(spark, tmp_path):
     with pytest.raises(ValueError, match="app_id"):
         merge_into(spark, root, src, ["user_id"],
                    when_matched=[(None, {"score": "s.val"})], txn=("", 1))
+
+
+def test_merge_schema_evolution_adds_source_columns(spark, tmp_path):
+    """Delta autoMerge analogue: with allow_schema_evolution=True the
+    columns the merge LANDS evolve the schema — assignment targets of
+    SET/INSERT dicts, or every source column under INSERT *. A helper
+    column the clauses merely read (val) never changes the table.
+    Pre-existing rows read NULL for appended columns."""
+    root = str(tmp_path / "t")
+    _flat(spark, root)  # user_id bigint, score double, ts bigint
+    src = spark.createDataFrame(
+        [(3, 30.0, "gold", 7), (1000, 1.5, "new", 9)],
+        "user_id bigint, val double, tier string, bonus int",
+    )
+    # evolution off: naming the new column raises the existing guard
+    with pytest.raises(ValueError, match="not in the table schema"):
+        merge_into(
+            spark, root, src, ["user_id"],
+            when_matched=[(None, {"tier": "s.tier"})],
+        )
+    res = merge_into(
+        spark, root, src, ["user_id"],
+        when_matched=[(None, {"score": "s.val", "tier": "s.tier"})],
+        when_not_matched=(None, {
+            "user_id": "s.user_id", "score": "s.val",
+            "tier": "s.tier", "bonus": "s.bonus",
+        }),
+        allow_schema_evolution=True,
+    )
+    assert res["committed"]
+    got, _ = read_table(spark, root)
+    # val was read, never landed -> not in the schema
+    assert set(got.columns) == {"user_id", "score", "ts", "tier", "bonus"}
+    rows = {r["user_id"]: r for r in got.collect()}
+    assert rows[3]["tier"] == "gold" and rows[3]["bonus"] is None
+    assert rows[1000]["tier"] == "new" and rows[1000]["bonus"] == 9
+    assert rows[5]["tier"] is None and rows[5]["bonus"] is None  # history
+    # time travel: v1 still reads under its own (old) schema
+    old, _ = read_table(spark, root, 1)
+    assert set(old.columns) == {"user_id", "score", "ts"}
+    # INSERT * lands EVERY source column (Delta insertAll): a second
+    # evolution through the star form appends val too
+    src2 = spark.createDataFrame(
+        [(2000, 4.5, "x", 1)],
+        "user_id bigint, val double, tier string, bonus int",
+    )
+    merge_into(
+        spark, root, src2, ["user_id"],
+        when_not_matched=(None, None),
+        allow_schema_evolution=True,
+    )
+    got, _ = read_table(spark, root)
+    assert "val" in got.columns
+    rows = {r["user_id"]: r for r in got.collect()}
+    assert rows[2000]["val"] == 4.5 and rows[3]["val"] is None
+
+
+def test_merge_schema_evolution_widens_shared_column(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1)], "user_id bigint, score int, ts bigint"
+    )
+    upsert_manifest(df, root, ["user_id"], "ts")
+    src = spark.createDataFrame(
+        [(1, 2_000_000_000_000)], "user_id bigint, score bigint"
+    )
+    # not widenable the other way: bigint source over int target widens
+    res = merge_into(
+        spark, root, src, ["user_id"],
+        when_matched=[(None, {"score": "s.score"})],
+        allow_schema_evolution=True,
+    )
+    assert res["committed"]
+    got, _ = read_table(spark, root)
+    assert got.schema["score"].dataType.simpleString() == "bigint"
+    m = {r["user_id"]: r["score"] for r in got.collect()}
+    assert m[1] == 2_000_000_000_000 and m[2] == 20
+    # an UNSAFE retype still raises
+    bad = spark.createDataFrame([(1, "x")], "user_id bigint, score string")
+    with pytest.raises(ValueError, match="not a safe widening"):
+        merge_into(
+            spark, root, bad, ["user_id"],
+            when_matched=[(None, {"score": "s.score"})],
+            allow_schema_evolution=True,
+        )
+
+
+def test_merge_schema_evolution_respects_retired_and_constraints(
+    spark, tmp_path
+):
+    from feature_store_spark.pipelines.txn import add_constraint, drop_column
+
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    drop_column(root, "score")  # retires the physical name
+    src = spark.createDataFrame(
+        [(3, 1.0)], "user_id bigint, score double"
+    )
+    with pytest.raises(ValueError, match="RETIRED"):
+        merge_into(
+            spark, root, src, ["user_id"],
+            when_not_matched=(None, None),
+            allow_schema_evolution=True,
+        )
+    # constraint enforcement fires on evolved merges too
+    add_constraint(spark, root, "uid_pos", "user_id >= 0")
+    bad = spark.createDataFrame(
+        [(-5, "x")], "user_id bigint, tag string"
+    )
+    with pytest.raises(ValueError, match="uid_pos"):
+        merge_into(
+            spark, root, bad, ["user_id"],
+            when_not_matched=(None, None),
+            allow_schema_evolution=True,
+        )
+
+
+def test_merge_schema_evolution_partitioned_untouched_leaves(
+    spark, tmp_path
+):
+    """Partitioned evolution: only touched partitions rewrite; the
+    untouched partition's old-schema leaf carries forward and reads
+    the appended column as NULL (and a widened column via the parquet
+    type-widening read)."""
+    root = str(tmp_path / "t")
+    _part(spark, root)  # D1: 0-4, D2: 100-104, D3: 200-204
+    src = spark.createDataFrame(
+        [(0, 99.0, "hit", D1)],
+        "user_id bigint, val double, tag string, p date",
+    )
+    res = merge_into(
+        spark, root, src, ["user_id"],
+        when_matched=[(None, {"score": "s.val", "tag": "s.tag"})],
+        allow_schema_evolution=True,
+    )
+    assert res["committed"] and res["partitions_rewritten"] == 1
+    got, _ = read_table(spark, root)
+    assert "tag" in got.columns
+    rows = {r["user_id"]: r for r in got.collect()}
+    assert rows[0]["tag"] == "hit" and rows[0]["score"] == 99.0
+    assert rows[200]["tag"] is None and rows[200]["score"] == 200.0
+    assert got.count() == 15

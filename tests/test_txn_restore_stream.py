@@ -230,3 +230,71 @@ def test_stream_fresh_cursor_on_vacuumed_v1_targeted_error(spark, tmp_path):
         lambda df, v: df.count(), ["user_id"], starting_version=3,
     )
     assert res["batches"] == 0
+
+
+def _backdate(root, version, hours_ago):
+    """Rewrite a manifest's committed_at into the past (test-only)."""
+    import json
+    import time
+
+    p = txn._manifest_path(root, version)
+    with open(p) as f:
+        m = json.load(f)
+    m["committed_at"] = time.time() - hours_ago * 3600.0
+    with open(p, "w") as f:
+        json.dump(m, f)
+
+
+def test_vacuum_retain_hours_prunes_only_older_than_horizon(spark, tmp_path):
+    """Delta `VACUUM ... RETAIN n HOURS` ergonomics: versions
+    committed within the horizon are retained (contiguous suffix up
+    to the tip); older ones prune. dry_run lists exactly what the
+    real run removes; retained versions still time-travel and the
+    pruned ones raise."""
+    root = str(tmp_path / "t")
+    for i in range(5):
+        _commit(spark, root, [(i, float(i), i + 1)])  # v1..v5
+    # v1,v2 committed 48h ago; v3 committed 10h ago; v4,v5 now
+    _backdate(root, 1, 48)
+    _backdate(root, 2, 48)
+    _backdate(root, 3, 10)
+    dry = vacuum(root, keep_last=1, retain_hours=24, dry_run=True)
+    removed = vacuum(root, keep_last=1, retain_hours=24)
+    assert sorted(dry) == sorted(removed) and removed
+    vers = txn._list_versions(root)
+    assert vers == [3, 4, 5]  # horizon keeps v3..tip, prunes v1,v2
+    for v in (3, 4, 5):
+        got, _ = read_table(spark, root, v)
+        assert got.count() == v
+    with pytest.raises(FileNotFoundError):
+        txn.read_manifest(root, 1)
+    # horizon larger than history: nothing prunes
+    assert vacuum(root, keep_last=1, retain_hours=1000) == []
+    with pytest.raises(ValueError, match="retain_hours"):
+        vacuum(root, retain_hours=-1)
+
+
+def test_vacuum_retain_hours_contiguity_and_unknown_dates(spark, tmp_path):
+    """An undated (pre-op-tag) version inside the scan is
+    conservatively retained, and retention always keeps a CONTIGUOUS
+    suffix — a kept version can never chain through a pruned one."""
+    import json
+
+    root = str(tmp_path / "t")
+    for i in range(4):
+        _commit(spark, root, [(i, float(i), i + 1)])  # v1..v4
+    for v in (1, 2, 3):
+        _backdate(root, v, 48)
+    # strip v2's committed_at: commit time unknowable -> retained,
+    # and contiguity then also retains v3 above it
+    p = txn._manifest_path(root, 2)
+    with open(p) as f:
+        m = json.load(f)
+    del m["committed_at"]
+    with open(p, "w") as f:
+        json.dump(m, f)
+    removed = vacuum(root, keep_last=1, retain_hours=24)
+    assert txn._list_versions(root) == [2, 3, 4]
+    assert removed  # v1 pruned
+    got, _ = read_table(spark, root, 3)
+    assert got.count() == 3
