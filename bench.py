@@ -345,8 +345,15 @@ def main() -> None:
                 con.execute(s.bench_setup)
             sql = s.bench_sql or s.sql
             con.execute(sql).fetchall()  # warm
+            # best-of-(n_runs+2): the oracle side gets MORE trials
+            # than Spark, with the same min statistic. Rationale
+            # (VERDICT r7): the round artifact swung 1.44×↔0.62× on
+            # DuckDB box-load variance alone (d_minhash oracle 6.93 s
+            # in-round vs ~2 s same-day); min over more trials
+            # converges to the unloaded time, and erring favors the
+            # ORACLE — the honest direction for our ratios.
             best = None
-            for _ in range(n_runs):
+            for _ in range(n_runs + 2):
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 dt = time.perf_counter() - t0
@@ -354,6 +361,7 @@ def main() -> None:
             duck[name] = round(best, 3)
         payload["oracle_sec"] = duck
         payload["oracle_total"] = round(sum(duck.values()), 3)
+        payload["oracle_runs"] = n_runs + 2
 
     print(json.dumps(payload))
     # The driver records only a ~2 KB TAIL of stdout; round 5's full
