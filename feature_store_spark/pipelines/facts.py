@@ -52,7 +52,19 @@ FACT_BUCKET_KEYS = {
     "orders": "o_orderkey",
     "lineitem": "l_orderkey",
     "events": "user_id",
+    # Secondary PROJECTION of orders under its other hot key (the
+    # C-Store-projection / Iceberg-sort-order move): the user/risk
+    # derivation pipelines aggregate orders per CUSTOMER, so on the
+    # orderkey layout they pay a groupBy(o_custkey) exchange of fact
+    # rows — the one shuffle VERDICT r7 flagged. A custkey-bucketed
+    # copy makes those aggregates exchange-free; the orderkey copy
+    # keeps serving the lineitem joins. Cost: one extra bucketed
+    # write per ingest, amortized over every derivation run.
+    "orders_by_custkey": "o_custkey",
 }
+
+# Projections materialize from another table's fixture.
+FACT_SOURCES = {"orders_by_custkey": "orders"}
 
 
 def default_fact_buckets() -> int:
@@ -131,7 +143,7 @@ def bucketed_fact(
 
         write_bucketed_fact(
             spark,
-            load_flat_table(spark, sf_dir, name),
+            load_flat_table(spark, sf_dir, FACT_SOURCES.get(name, name)),
             table,
             FACT_BUCKET_KEYS[name],
             n,

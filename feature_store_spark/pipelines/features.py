@@ -48,6 +48,7 @@ def derive_user_features(
     customer: DataFrame,
     orders: DataFrame,
     ref_date: str = REF_DATE,
+    orders_custkey: DataFrame | None = None,
 ) -> DataFrame:
     """users ⟕ per-user order stats (reference `sql/user_features.sql`).
 
@@ -63,8 +64,15 @@ def derive_user_features(
     ``mode_deterministic``: highest count, then smallest value). A
     separate mode pass would scan orders a second time; the priority
     key only widens a map-side-combined shuffle ~5×.
+
+    ``orders_custkey``: the same rows served from the custkey-
+    bucketed projection (pipelines/facts.py) — the per-user aggregate
+    then needs NO exchange at all (the scan already hash-distributes
+    on o_custkey). Defaults to ``orders``; results are layout-
+    independent.
     """
-    completed = orders.filter(F.col("o_orderstatus").isin(*COMPLETED_STATUSES))
+    occ = orders_custkey if orders_custkey is not None else orders
+    completed = occ.filter(F.col("o_orderstatus").isin(*COMPLETED_STATUSES))
     # Money aggregates use exact integer cents (bigint) so the result
     # is independent of float summation order — the derived avg is a
     # single double division of identical operands in any engine,
@@ -118,6 +126,7 @@ def derive_transaction_features(
     orders: DataFrame,
     lineitem: DataFrame,
     ref_date: str = REF_DATE,
+    orders_custkey: DataFrame | None = None,
 ) -> DataFrame:
     """Trailing-30d conditional aggregates over a 31d scan (reference
     `sql/transaction_features.sql`).
@@ -132,7 +141,11 @@ def derive_transaction_features(
     with date-partitioned data only ~1 month of partitions is read.
     """
     ref = F.to_date(F.lit(ref_date))
-    scan = window_scan(orders, "o_orderdate", ref_date, 31)
+    # the 31d aggregate shuffles on o_custkey — the custkey-bucketed
+    # projection (when provided) makes it exchange-free; the merch
+    # join below keeps the orderkey layout
+    occ = orders_custkey if orders_custkey is not None else orders
+    scan = window_scan(occ, "o_orderdate", ref_date, 31)
     in_30d = F.to_date("o_orderdate") >= F.date_sub(ref, 30)
     n_30d = F.count(F.when(in_30d, 1))
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
@@ -210,6 +223,7 @@ def derive_risk_features(
     events: DataFrame,
     ref_date: str = REF_DATE,
     now: str = EVENTS_NOW,
+    orders_custkey: DataFrame | None = None,
 ) -> DataFrame:
     """Union-of-active-keys + multi-way left join of per-feed
     aggregates (reference `sql/risk_features.sql:1-109`).
@@ -279,8 +293,13 @@ def derive_risk_features(
     # coarse-only prune: the filter is a DISJUNCTION of windows whose
     # union is bounded by the 24-month lookback (732 d covers a leap
     # span) — the fine predicate below is unchanged
+    # custkey-bucketed projection (when provided): this per-user
+    # aggregate is the pipeline's one fact-row shuffle — the custkey
+    # scan makes it exchange-free. The lineitem join above stays on
+    # the orderkey layout.
+    occ = orders_custkey if orders_custkey is not None else orders
     ostats = (
-        prune_months(orders, "o_orderdate", ref_date, 732)
+        prune_months(occ, "o_orderdate", ref_date, 732)
         .filter(declined & (od >= F.add_months(ref, -24)) | (od >= F.date_sub(ref, 90)))
         .groupBy(F.col("o_custkey").alias("user_id"))
         .agg(

@@ -130,7 +130,9 @@ LEFT JOIN pref p ON c.c_custkey = p.o_custkey
 @spec("pipeline_user_features", UF_SQL, ("pipeline", "J1", "J3", "A1", "A4", "F1", "F2", "F4"))
 def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derive_user_features(
-        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        orders_custkey=_t(spark, sf_dir, "orders_by_custkey"),
     )
 
 
@@ -194,7 +196,9 @@ TF_SQL = tf_sql()
 @spec("pipeline_transaction_features", TF_SQL, ("pipeline", "S1", "A2", "A3", "A5", "A6", "F3", "F5", "F6", "P6"))
 def q_transaction_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derive_transaction_features(
-        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        orders_custkey=_t(spark, sf_dir, "orders_by_custkey"),
     )
 
 
@@ -299,6 +303,7 @@ def q_risk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders"),
         _t(spark, sf_dir, "lineitem"),
         _t(spark, sf_dir, "events"),
+        orders_custkey=_t(spark, sf_dir, "orders_by_custkey"),
     )
 
 

@@ -97,10 +97,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     key = (sf_dir, name, bucketed and default_fact_buckets())
     if key not in cache:
+        from feature_store_spark.pipelines.facts import FACT_SOURCES
+
         cache[key] = (
             bucketed_fact(spark, sf_dir, name)
             if bucketed
-            else load_flat_table(spark, sf_dir, name)
+            # a secondary projection (orders_by_custkey) falls back to
+            # its SOURCE fixture when bucketing is off — same rows,
+            # layout-independent results
+            else load_flat_table(spark, sf_dir, FACT_SOURCES.get(name, name))
         )
     return cache[key]
 

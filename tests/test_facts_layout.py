@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from feature_store_spark.pipelines.facts import (
     FACT_BUCKET_KEYS,
+    FACT_SOURCES,
     bucketed_fact,
     materialize_bucketed_facts,
 )
@@ -27,7 +28,10 @@ def _serving(spark, sf_dir, frames):
 def test_bucketed_facts_results_are_layout_independent(spark, sf_dir):
     """The full serving derivation (touches every bucketed fact) must
     produce identical rows from the flat and bucketed layouts."""
-    flat = {n: load_flat_table(spark, sf_dir, n) for n in FACT_BUCKET_KEYS}
+    flat = {
+        n: load_flat_table(spark, sf_dir, FACT_SOURCES.get(n, n))
+        for n in FACT_BUCKET_KEYS
+    }
     bucketed = materialize_bucketed_facts(spark, sf_dir)
     for name, df in bucketed.items():
         assert [f.name for f in df.schema.fields] == [
@@ -87,3 +91,54 @@ def test_bucketed_serving_derivation_hash_matches_oracle(spark, sf_dir, duck):
     bucketed = materialize_bucketed_facts(spark, sf_dir)
     out = _serving(spark, sf_dir, bucketed)
     assert compare(out, duck, SPECS["pipeline_serving_join"].sql)["ok"]
+
+
+def test_custkey_projection_kills_pipeline_aggregate_exchange(
+    spark, sf_dir, monkeypatch
+):
+    """VERDICT r7 item 1: the user/risk derivation pipelines aggregate
+    orders per customer; with the custkey-bucketed projection routed
+    in, pipeline_user_features plans with ZERO Exchange of any kind
+    (bucketed scan -> two fused aggregates -> broadcast customer
+    join), and pipeline_risk_features keeps at most the pay feed's
+    bounded-window custkey exchange (its rows are orderkey-distributed
+    by the lineitem join; the full orders scan no longer shuffles)."""
+    from feature_store_spark.queries import SPECS, all_queries
+
+    all_queries()
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_FACTS", "1")
+
+    df = SPECS["pipeline_user_features"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    bad = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert not bad, bad
+
+    df = SPECS["pipeline_risk_features"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    cust_ex = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(o_custkey" in ln
+    ]
+    assert len(cust_ex) <= 1, cust_ex
+
+
+def test_custkey_projection_results_are_layout_independent(
+    spark, sf_dir, monkeypatch, duck
+):
+    """The routed pipelines hash-match their DuckDB oracles under the
+    bucketed layout — layout changes plans, never results."""
+    from feature_store_spark.oracle import compare
+    from feature_store_spark.queries import SPECS, all_queries
+
+    all_queries()
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_FACTS", "1")
+    for name in (
+        "pipeline_user_features",
+        "pipeline_transaction_features",
+        "pipeline_risk_features",
+    ):
+        s = SPECS[name]
+        res = compare(s.fn(spark, sf_dir), duck, s.sql)
+        assert res["rows_match"] and res["hash_match"], (name, res)
