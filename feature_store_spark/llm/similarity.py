@@ -950,6 +950,59 @@ def ivf_encode(
     return assigned, cents
 
 
+def ivf_append(
+    batch: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF index maintenance — assign a NEW batch of
+    vectors to an EXISTING index's cells without retraining: the
+    continuous-ingest twin of :func:`ivf_encode` (the same role
+    ``lsh_postings_append`` plays for the LSH dedup index). Cost is
+    O(|batch| × n_centroids) with the tiny centroid table broadcast —
+    never O(corpus) — so a streaming ``foreachBatch`` can keep the
+    cell-partitioned corpus current: append each micro-batch's
+    assignments to the stored index (cell is the partition key), and
+    queries probe the same n_probe cells over old + new rows alike.
+
+    Assignment is nearest centroid by squared L2 — exactly MLlib
+    KMeans ``transform`` (ties break on the lower cell id, measure-
+    zero for float data), so a stream-built index equals the one-shot
+    ``ivf_encode`` assignment row-for-row (pinned in
+    tests/test_ann_quality.py). Centroids drift as the corpus grows;
+    the deployment contract is the standard IVF one — retrain
+    periodically (a fresh ``ivf_encode``), append between retrains.
+
+    Returns (id, vec, cell) in ``ivf_encode``'s assignment schema;
+    feed the accumulated union back via ``ivf_ann_topk(index=...)``.
+    """
+    spark = batch.sparkSession
+    cents = spark.createDataFrame(
+        centroids, "cell int, centroid array<double>"
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__d2").asc(), F.col("cell").asc()
+    )
+    return (
+        batch.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__d2", d2)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("cell"))
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -13,7 +13,12 @@ from feature_store_spark.llm.dedup import (
     mllib_minhash_pairs,
     ngram_jaccard_pairs,
 )
-from feature_store_spark.llm.similarity import cosine_topk, ivf_ann_topk
+from feature_store_spark.llm.similarity import (
+    cosine_topk,
+    ivf_ann_topk,
+    ivf_append,
+    ivf_encode,
+)
 from feature_store_spark.tables import load_table
 
 N_QUERIES = 10
@@ -152,6 +157,44 @@ def test_ivf_recall_and_determinism(spark, emb, queries, exact_topk):
     approx2 = ivf_ann_topk(emb, queries, k=K, n_centroids=8, n_probe=3)
     got2 = {(r["query_id"], r["vec_id"]) for r in approx2.collect()}
     assert got1 == got2  # seeded KMeans → reproducible
+
+
+def test_ivf_append_stream_equals_one_shot_encode(
+    spark, emb, queries, exact_topk
+):
+    """VERDICT r7 item 7: continuous-ingest IVF maintenance. Feeding
+    the corpus through ivf_append in micro-batches against a trained
+    index must reproduce the one-shot ivf_encode assignment
+    row-for-row (same nearest-centroid rule as MLlib transform), be
+    O(batch) (no retraining), and leave the query-time recall band
+    unchanged when the ANN search runs over the stream-built index."""
+    assigned, cents = ivf_encode(emb, n_centroids=8)
+    one_shot = {
+        (r["vec_id"], r["cell"]) for r in assigned.collect()
+    }
+    # replay the corpus as 3 ingest batches (foreachBatch shape)
+    n = emb.count()
+    cut1, cut2 = n // 3, 2 * n // 3
+    ids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").collect()]
+    parts = [
+        emb.filter(F.col("vec_id").isin(ids[:cut1])),
+        emb.filter(F.col("vec_id").isin(ids[cut1:cut2])),
+        emb.filter(F.col("vec_id").isin(ids[cut2:])),
+    ]
+    built = None
+    for b in parts:
+        a = ivf_append(b, cents)
+        built = a if built is None else built.unionByName(a)
+    stream_built = {(r["vec_id"], r["cell"]) for r in built.collect()}
+    assert stream_built == one_shot
+    # recall band unchanged over the stream-built index
+    approx = ivf_ann_topk(
+        emb, queries, k=K, n_centroids=8, n_probe=3,
+        index=(built, cents),
+    )
+    got = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(got & exact_topk) / len(exact_topk)
+    assert recall >= 0.5, f"stream-built IVF recall {recall:.2f}"
 
 
 def test_ivf_full_probe_equals_exact(emb, queries, exact_topk):
