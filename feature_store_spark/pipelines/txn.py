@@ -187,7 +187,9 @@ def latest_version(root: str) -> int:
 # (no drift possible) and carried forward verbatim so a FUTURE
 # feature this build doesn't know still reaches the guard.
 
-READER_FEATURES = frozenset({"column_mapping", "absolute_paths"})
+READER_FEATURES = frozenset(
+    {"column_mapping", "absolute_paths", "deletion_vectors"}
+)
 WRITER_FEATURES = READER_FEATURES | frozenset(
     {"constraints", "app_versions", "retired_physical"}
 )
@@ -236,6 +238,16 @@ def _stamp_protocol(manifest: dict) -> dict:
         w.add("constraints")
     if manifest.get("app_versions"):
         w.add("app_versions")
+    if manifest.get("dv") or any(
+        isinstance(e, dict) and e.get("dv")
+        for part_map in (
+            manifest.get("partitions") or {},
+            manifest.get("updates") or {},
+        )
+        for e in part_map.values()
+    ):
+        # a reader unaware of deletion vectors would serve deleted rows
+        r.add("deletion_vectors")
     w |= r & READER_FEATURES  # every known reader feature binds writers too
     if r or w:
         manifest["protocol"] = {"reader": sorted(r), "writer": sorted(w)}
@@ -305,16 +317,33 @@ def resolve_partitions(root: str, version: int) -> dict:
     raise AssertionError("unreachable")  # pragma: no cover
 
 
-def _version_dirs(root: str, version: int, manifest: dict | None = None) -> list[str]:
+def _version_dirs(
+    root: str,
+    version: int,
+    manifest: dict | None = None,
+    include_dv: bool = False,
+) -> list[str]:
     """Every data directory version ``version`` references: the single
     snapshot dir (unpartitioned, format 1) or one leaf dir per live
-    partition of the RESOLVED map (formats 2 and 3)."""
+    partition of the RESOLVED map (formats 2 and 3).
+    ``include_dv=True`` additionally lists referenced deletion-vector
+    dirs — the retention/orphan view (vacuum); readers use the default
+    data-only view."""
     m = read_manifest(root, version) if manifest is None else manifest
     if "data_dir" in m:
-        return [m["data_dir"]]
-    if "partitions" in m:
-        return [e["dir"] for e in m["partitions"].values()]
-    return [e["dir"] for e in resolve_partitions(root, version).values()]
+        out = [m["data_dir"]]
+        if include_dv and m.get("dv"):
+            out.append(m["dv"]["dir"])
+        return out
+    entries = (
+        list(m["partitions"].values())
+        if "partitions" in m
+        else list(resolve_partitions(root, version).values())
+    )
+    out = [e["dir"] for e in entries]
+    if include_dv:
+        out.extend(e["dv"]["dir"] for e in entries if e.get("dv"))
+    return out
 
 
 def _maybe_checkpoint(
@@ -540,6 +569,97 @@ def _validate_mapping(
         )
 
 
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read row-level deletes)
+# ---------------------------------------------------------------------------
+#
+# A leaf entry (or the flat manifest) may carry ``dv: {dir, deleted}``
+# — a parquet directory of (__dv_file, __dv_pos) rows naming deleted
+# positions inside that leaf's files (``_metadata.file_name`` +
+# ``_metadata.row_index``, within-leaf-unique by construction). Reads
+# LEFT ANTI-join the broadcast DV per leaf — merge-on-read, Delta's
+# deletion-vector / Iceberg's positional-delete shape: a point delete
+# commits O(matched rows) instead of rewriting partitions. Every
+# REWRITING verb (merge/update/delete-rewrite/compact/upsert) reads
+# through the DV and publishes clean leaves, so compaction doubles as
+# DV purge; entry ``rows`` always counts LIVE rows, keeping all
+# accounting invariants. The protocol guard stamps reader feature
+# "deletion_vectors", so a pre-DV reader refuses instead of serving
+# deleted rows.
+
+
+def _scan_leaf_with_pos(
+    spark: SparkSession, schema: StructType, phys: dict, dir_abs: str,
+    dv_abs: str | None,
+) -> DataFrame:
+    """One leaf dir under the logical schema PLUS its file/position
+    metadata columns (__dv_file, __dv_pos), with the leaf's deletion
+    vector (if any) already anti-joined away. The DV writer keeps the
+    helper columns; plain readers drop them."""
+    read_schema = _physical_schema(schema, phys) if phys else schema
+    df = spark.read.schema(read_schema).parquet(dir_abs).select(
+        *[
+            F.col(phys.get(f.name, f.name)).alias(f.name)
+            for f in schema.fields
+        ],
+        F.col("_metadata.file_name").alias("__dv_file"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+    if dv_abs is not None:
+        dv = spark.read.schema("__dv_file string, __dv_pos bigint").parquet(
+            dv_abs
+        )
+        df = df.join(F.broadcast(dv), ["__dv_file", "__dv_pos"], "left_anti")
+    return df
+
+
+def _read_entries(
+    spark: SparkSession,
+    schema: StructType,
+    phys: dict,
+    root: str,
+    entries,
+) -> DataFrame:
+    """DV-aware union read of manifest leaf entries (dicts with
+    ``dir`` and optional ``dv``). Falls back to the single plain
+    columnar read when no entry carries a deletion vector — the
+    pre-DV fast path, plan-identical."""
+    entries = list(entries)
+    plain = [
+        os.path.join(root, e["dir"]) for e in entries if not e.get("dv")
+    ]
+    dvd = [e for e in entries if e.get("dv")]
+    if not dvd:
+        if not plain:
+            return spark.createDataFrame([], schema)
+        return _read_data(spark, schema, phys, plain)
+    parts = []
+    if plain:
+        parts.append(_read_data(spark, schema, phys, plain))
+    for e in dvd:
+        parts.append(
+            _scan_leaf_with_pos(
+                spark,
+                schema,
+                phys,
+                os.path.join(root, e["dir"]),
+                os.path.join(root, e["dv"]["dir"]),
+            ).drop("__dv_file", "__dv_pos")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _flat_entry(m: dict) -> dict:
+    """The unpartitioned manifest's single leaf as an entry dict."""
+    e = {"dir": m["data_dir"]}
+    if m.get("dv"):
+        e["dv"] = m["dv"]
+    return e
+
+
 def read_table(
     spark: SparkSession,
     root: str,
@@ -618,32 +738,23 @@ def read_table(
                 for pk, e in pmap.items()
                 if _entry_may_match(e, pk, preds, pcol)
             }
-        dirs = [e["dir"] for e in pmap.values()]
-        df = (
-            spark.createDataFrame([], schema)
-            if not dirs
-            else _read_data(
-                spark,
-                schema,
-                _phys_map(m),
-                [os.path.join(root, d) for d in dirs],
-            )
-        )
+        df = _read_entries(spark, schema, _phys_map(m), root, pmap.values())
         if preds is not None:
             df = df.filter(_where_expr(preds))
         return df, v
     # format 1 manifests reference one snapshot dir; formats 2/3
     # (partitioned) one immutable leaf dir per live partition (deltas
     # resolve through the checkpoint chain) — either way the read is a
-    # union of dirs under the version's pinned schema (older leaves
-    # with narrower/missing columns widen/null-fill natively in the
-    # parquet reader)
-    df = _read_data(
-        spark,
-        schema,
-        _phys_map(m),
-        [os.path.join(root, d) for d in _version_dirs(root, v, m)],
-    )
+    # union of entries (deletion vectors applied per leaf) under the
+    # version's pinned schema (older leaves with narrower/missing
+    # columns widen/null-fill natively in the parquet reader)
+    if "data_dir" in m:
+        entries = [_flat_entry(m)]
+    elif "partitions" in m:
+        entries = list(m["partitions"].values())
+    else:
+        entries = list(resolve_partitions(root, v).values())
+    df = _read_entries(spark, schema, _phys_map(m), root, entries)
     if preds is not None:
         df = df.filter(_where_expr(preds))
     return df, v
@@ -1672,10 +1783,8 @@ def upsert_manifest_partitioned(
             )
             written = None
         if written is None:
-            base_dirs = [
-                os.path.join(root, tip_parts[pk]["dir"])
-                for pk in keys
-                if pk in tip_parts
+            base_entries = [
+                tip_parts[pk] for pk in keys if pk in tip_parts
             ]
             if tip is not None:
                 # reconcile against the TABLE schema even when every
@@ -1689,10 +1798,11 @@ def upsert_manifest_partitioned(
                 tip_schema = StructType.fromJson(tip["schema"])
                 try:
                     existing = (
-                        _read_data(
-                            spark, tip_schema, _phys_map(tip), base_dirs
+                        _read_entries(
+                            spark, tip_schema, _phys_map(tip), root,
+                            base_entries,
                         )
-                        if base_dirs and mode == "merge"
+                        if base_entries and mode == "merge"
                         else spark.createDataFrame([], tip_schema)
                     )
                 except AnalysisException as e:
@@ -1975,7 +2085,9 @@ def compact_manifest(
             n_files = max(1, -(-_dir_bytes(data_dir) // target_file_bytes))
             new_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
             try:
-                snap = _read_data(spark, schema, _phys_map(tip), [data_dir])
+                snap = _read_entries(
+                    spark, schema, _phys_map(tip), root, [_flat_entry(tip)]
+                )
                 laid = (
                     _zsorted_flat(snap, n_files)
                     if zorder_cols
@@ -2061,8 +2173,9 @@ def compact_manifest(
         token_map = {pk: _ptoken(pk) for pk in selected}
         pcol = tip["partition_col"]
         try:
-            df = _read_data(
-                spark, schema, _phys_map(tip), list(sel_dirs.values())
+            df = _read_entries(
+                spark, schema, _phys_map(tip), root,
+                [parts[pk] for pk in selected],
             )
             vals = [r[0] for r in df.select(pcol).distinct().collect()]
             val_keys = {_pkey(v): v for v in vals}
@@ -2200,12 +2313,166 @@ def compact_manifest(
     )
 
 
+def _dv_hits_for_leaf(spark, schema, phys, root, entry, cond) -> DataFrame:
+    """(__dv_file, __dv_pos) of the LIVE rows of one leaf matching the
+    delete predicate — rows already in the leaf's deletion vector are
+    invisible to the scan, so new hits are disjoint from the old DV
+    by construction (no double counting)."""
+    dv_abs = (
+        os.path.join(root, entry["dv"]["dir"]) if entry.get("dv") else None
+    )
+    scan = _scan_leaf_with_pos(
+        spark, schema, phys, os.path.join(root, entry["dir"]), dv_abs
+    )
+    return scan.filter(F.coalesce(cond, F.lit(False))).select(
+        "__dv_file", "__dv_pos"
+    )
+
+
+def _write_leaf_dv(spark, root, entry, hits) -> str:
+    """Publish a leaf's NEW deletion vector (old DV rows ∪ new hits)
+    as a fresh immutable dir; returns the relative dir. The old DV dir
+    stays live for time travel until vacuum prunes its versions."""
+    new_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+    out = hits
+    if entry.get("dv"):
+        old = spark.read.schema("__dv_file string, __dv_pos bigint").parquet(
+            os.path.join(root, entry["dv"]["dir"])
+        )
+        out = out.unionByName(old)
+    out.coalesce(1).write.parquet(os.path.join(root, new_rel))
+    return new_rel
+
+
+def _delete_where_dv(
+    spark, root, v, tip, schema, preds, cond, backend
+) -> dict | None:
+    """delete_where's merge-on-read arm: commit deletion vectors
+    instead of rewriting leaves — O(matched positions) of new data
+    per commit, the Delta DV / Iceberg positional-delete shape for
+    point deletes against huge partitions. Returns None on a version
+    race (caller retries)."""
+    from pyspark.errors import AnalysisException
+
+    no_change = {
+        "version": v, "rows_deleted": 0, "partitions_rewritten": 0,
+        "partitions_removed": 0, "committed": False,
+    }
+    phys = _phys_map(tip)
+    if not _is_partitioned(tip):
+        entry = _flat_entry(tip)
+        try:
+            hits = _dv_hits_for_leaf(
+                spark, schema, phys, root, entry, cond
+            ).localCheckpoint(eager=False)
+            n = hits.count()
+            if n == 0:
+                return no_change
+            new_rel = _write_leaf_dv(spark, root, entry, hits)
+        except AnalysisException as e:
+            if _is_path_not_found(e):
+                return None
+            raise
+        prior = (entry.get("dv") or {}).get("deleted", 0)
+        manifest = {
+            "op": "delete",
+            "base_version": v,
+            "data_dir": tip["data_dir"],
+            "rows": tip["rows"] - n,
+            "dv": {"dir": new_rel, "deleted": prior + n},
+            "schema": tip["schema"],
+            **_carry_mapping(tip),
+        }
+        if _try_commit(root, v + 1, manifest, backend):
+            return {
+                "version": v + 1, "rows_deleted": n,
+                "partitions_rewritten": 0, "partitions_removed": 0,
+                "committed": True,
+            }
+        shutil.rmtree(os.path.join(root, new_rel), ignore_errors=True)
+        return None
+
+    pcol = tip["partition_col"]
+    try:
+        parts = resolve_partitions(root, v)
+    except FileNotFoundError:
+        return None
+    candidates = {
+        pk: e
+        for pk, e in parts.items()
+        if _entry_may_match(e, pk, preds, pcol)
+    }
+    if not candidates:
+        return no_change
+    updates: dict = {}
+    removed: list = []
+    written: list[str] = []
+    deleted = 0
+    try:
+        for pk in sorted(candidates):
+            e = parts[pk]
+            hits = _dv_hits_for_leaf(
+                spark, schema, phys, root, e, cond
+            ).localCheckpoint(eager=False)
+            n = hits.count()
+            if n == 0:
+                continue
+            deleted += n
+            live = e["rows"] - n
+            if live == 0:
+                # every remaining row deleted: the partition leaves
+                # the map entirely (same as the rewrite arm)
+                removed.append(pk)
+                continue
+            new_rel = _write_leaf_dv(spark, root, e, hits)
+            written.append(new_rel)
+            prior = (e.get("dv") or {}).get("deleted", 0)
+            ne = dict(e)
+            ne["rows"] = live
+            ne["dv"] = {"dir": new_rel, "deleted": prior + n}
+            updates[pk] = ne
+    except AnalysisException as exc:
+        for d in written:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        if _is_path_not_found(exc):
+            return None
+        raise
+    if deleted == 0:
+        return no_change
+    new_parts = {
+        pk: e for pk, e in parts.items() if pk not in set(removed)
+    }
+    new_parts.update(updates)
+    manifest = {
+        "op": "delete",
+        "base_version": v,
+        "rows": sum(e["rows"] for e in new_parts.values()),
+        "schema": tip["schema"],
+        "partition_col": pcol,
+        "updates": updates,
+        "removed": removed,
+        **_carry_mapping(tip),
+    }
+    if _try_commit(root, v + 1, manifest, backend):
+        _maybe_checkpoint(root, v + 1, new_parts, backend)
+        return {
+            "version": v + 1, "rows_deleted": deleted,
+            "partitions_rewritten": len(updates),
+            "partitions_removed": len(removed),
+            "committed": True,
+        }
+    for d in written:
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return None
+
+
 def delete_where(
     spark: SparkSession,
     root: str,
     where: Sequence,
     max_retries: int = 20,
     backend: LocalLinkBackend | None = None,
+    mode: str = "rewrite",
 ) -> dict:
     """Row-level DELETE for manifest tables — ``DELETE FROM t WHERE
     <conjunction>`` with the same predicate grammar as
@@ -2228,10 +2495,27 @@ def delete_where(
     matching zero rows publishes NO version. Unpartitioned tables
     rewrite the snapshot (their commits are O(table) by design).
 
+    ``mode="dv"`` commits DELETION VECTORS instead of rewriting
+    leaves (Delta DV / Iceberg positional deletes — merge-on-read):
+    the matched rows' file/position pairs are written as a tiny
+    per-leaf sidecar and every reader anti-joins them away, so a
+    point delete against a huge partition costs O(matched positions),
+    not a leaf rewrite. Entry row counts always track LIVE rows, any
+    rewriting verb (merge/update/compact/upsert) reads through the DV
+    and publishes clean leaves — compaction doubles as the DV purge —
+    and the protocol guard stamps reader feature "deletion_vectors"
+    so a pre-DV reader refuses instead of serving deleted rows.
+    Repeated DV deletes on one leaf union their sidecars; a leaf
+    whose last live row is deleted leaves the partition map exactly
+    like the rewrite arm. Time travel still works: old versions pin
+    their own (or no) DV.
+
     Concurrency: the optimistic loop re-reads the tip and recomputes
     from scratch on every attempt (deletes are rare; no prepared-
     commit reuse). Returns {version, rows_deleted,
     partitions_rewritten, partitions_removed, committed}."""
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"delete_where: mode must be 'rewrite' or 'dv', got {mode!r}")
     preds_probe = list(where)
     if not preds_probe:
         raise ValueError(
@@ -2254,10 +2538,20 @@ def delete_where(
         cond = _where_expr(preds)
         keep = ~F.coalesce(cond, F.lit(False))
 
+        if mode == "dv":
+            res = _delete_where_dv(
+                spark, root, v, tip, schema, preds, cond, backend
+            )
+            if res is None:
+                continue  # version race / vanished leaf; re-resolve
+            return res
+
         if not _is_partitioned(tip):
             data_dir = os.path.join(root, tip["data_dir"])
             try:
-                snap = _read_data(spark, schema, _phys_map(tip), [data_dir])
+                snap = _read_entries(
+                    spark, schema, _phys_map(tip), root, [_flat_entry(tip)]
+                )
                 deleted = snap.filter(F.coalesce(cond, F.lit(False))).count()
                 if deleted == 0:
                     return {
@@ -2316,11 +2610,10 @@ def delete_where(
                 "partitions_rewritten": 0, "partitions_removed": 0,
                 "committed": False,
             }
-        cand_dirs = [
-            os.path.join(root, e["dir"]) for e in candidates.values()
-        ]
         try:
-            cand = _read_data(spark, schema, _phys_map(tip), cand_dirs)
+            cand = _read_entries(
+                spark, schema, _phys_map(tip), root, candidates.values()
+            )
             per_part_del = {
                 _pkey(r[0]): r[1]
                 for r in cand.filter(F.coalesce(cond, F.lit(False)))
@@ -2343,11 +2636,11 @@ def delete_where(
         # rewrite ONLY partitions that actually lose rows; typed
         # partition values for the tok mapping come from the touched
         # leaves themselves (same pattern as compact_manifest)
-        touched_dirs = [
-            os.path.join(root, parts[pk]["dir"]) for pk in touched
-        ]
         try:
-            tdf = _read_data(spark, schema, _phys_map(tip), touched_dirs)
+            tdf = _read_entries(
+                spark, schema, _phys_map(tip), root,
+                [parts[pk] for pk in sorted(touched)],
+            )
             vals = [r[0] for r in tdf.select(pcol).distinct().collect()]
         except AnalysisException as e:
             if _is_path_not_found(e):
@@ -2541,11 +2834,8 @@ def update_where(
                 "partitions_rewritten": 0, "committed": False,
             }
         try:
-            cand = _read_data(
-                spark,
-                schema,
-                _phys_map(tip),
-                [os.path.join(root, e["dir"]) for e in candidates.values()],
+            cand = _read_entries(
+                spark, schema, _phys_map(tip), root, candidates.values()
             )
             per_part_upd = {
                 _pkey(r[0]): r[1]
@@ -2562,11 +2852,11 @@ def update_where(
                 "partitions_rewritten": 0, "committed": False,
             }
         updated_n = sum(per_part_upd[pk] for pk in touched)
-        touched_dirs = [
-            os.path.join(root, parts[pk]["dir"]) for pk in touched
-        ]
         try:
-            tdf = _read_data(spark, schema, _phys_map(tip), touched_dirs)
+            tdf = _read_entries(
+                spark, schema, _phys_map(tip), root,
+                [parts[pk] for pk in sorted(touched)],
+            )
             vals = [r[0] for r in tdf.select(pcol).distinct().collect()]
         except AnalysisException as e:
             if _is_path_not_found(e):
@@ -3034,19 +3324,14 @@ def merge_into(
         try:
             if partitioned:
                 parts = resolve_partitions(root, v)
-                tdf = _read_data(
-                    spark,
-                    base_schema,
-                    _phys_map(tip),
-                    [os.path.join(root, e["dir"]) for e in parts.values()],
+                tdf = _read_entries(
+                    spark, base_schema, _phys_map(tip), root, parts.values()
                 ) if parts else spark.createDataFrame([], base_schema)
             else:
                 parts = None
-                tdf = _read_data(
-                    spark,
-                    base_schema,
-                    _phys_map(tip),
-                    [os.path.join(root, tip["data_dir"])],
+                tdf = _read_entries(
+                    spark, base_schema, _phys_map(tip), root,
+                    [_flat_entry(tip)],
                 )
             if schema is not base_schema:
                 # evolution: pre-existing rows read the appended
@@ -3387,6 +3672,8 @@ def restore(
         parts = None
         rows = target["rows"]
         body = {"data_dir": target["data_dir"]}
+        if target.get("dv"):
+            body["dv"] = target["dv"]
     for _ in range(max_retries):
         v = latest_version(root)
         if v == 0:
@@ -3477,6 +3764,18 @@ def clone_table(
         "schema": m["schema"],
         **_carry_mapping(m),
     }
+    def clone_dv(dv: dict | None, copy_to: str | None) -> dict | None:
+        """Deletion vectors travel WITH their leaves: shallow clones
+        re-point them absolutely (same rule as the data dirs — a
+        dropped DV would resurrect deleted rows); deep clones copy
+        the DV dir under the new root."""
+        if not dv:
+            return None
+        if copy_to is None:
+            return {**dv, "dir": src_abs(dv["dir"])}
+        shutil.copytree(src_abs(dv["dir"]), os.path.join(dst_root, copy_to))
+        return {**dv, "dir": copy_to}
+
     parts = None
     if _is_partitioned(m):
         parts = resolve_partitions(src_root, v)
@@ -3488,12 +3787,19 @@ def clone_table(
                 shutil.copytree(
                     src_abs(e["dir"]), os.path.join(dst_root, leaf_rel)
                 )
-                new_parts[pk] = {**e, "dir": leaf_rel}
+                ne = {**e, "dir": leaf_rel}
+                if e.get("dv"):
+                    ne["dv"] = clone_dv(
+                        e["dv"], f"{DATA_DIR}/{uuid.uuid4().hex}"
+                    )
+                new_parts[pk] = ne
         else:
-            new_parts = {
-                pk: {**e, "dir": src_abs(e["dir"])}
-                for pk, e in parts.items()
-            }
+            new_parts = {}
+            for pk, e in parts.items():
+                ne = {**e, "dir": src_abs(e["dir"])}
+                if e.get("dv"):
+                    ne["dv"] = clone_dv(e["dv"], None)
+                new_parts[pk] = ne
         manifest["partition_col"] = m["partition_col"]
         manifest["partitions"] = new_parts
         parts = new_parts
@@ -3504,8 +3810,14 @@ def clone_table(
                 src_abs(m["data_dir"]), os.path.join(dst_root, new_rel)
             )
             manifest["data_dir"] = new_rel
+            if m.get("dv"):
+                manifest["dv"] = clone_dv(
+                    m["dv"], f"{DATA_DIR}/{uuid.uuid4().hex}"
+                )
         else:
             manifest["data_dir"] = src_abs(m["data_dir"])
+            if m.get("dv"):
+                manifest["dv"] = clone_dv(m["dv"], None)
     if not deep:
         # shallow-clone leaves live OUTSIDE this root as absolute
         # paths — a reader that resolves every dir relative to the
@@ -3630,6 +3942,8 @@ def rename_column(
         else:
             new_parts = None
             manifest["data_dir"] = tip["data_dir"]
+            if tip.get("dv"):
+                manifest["dv"] = tip["dv"]
         if _try_commit(root, v + 1, manifest, backend):
             if new_parts is not None:
                 _maybe_checkpoint(root, v + 1, new_parts, backend)
@@ -3655,7 +3969,10 @@ def _passthrough_body(tip: dict) -> dict:
             "updates": {},
             "removed": [],
         }
-    return {"data_dir": tip["data_dir"]}
+    body = {"data_dir": tip["data_dir"]}
+    if tip.get("dv"):
+        body["dv"] = tip["dv"]
+    return body
 
 
 def add_constraint(
@@ -3885,6 +4202,8 @@ def drop_column(
         else:
             new_parts = None
             manifest["data_dir"] = tip["data_dir"]
+            if tip.get("dv"):
+                manifest["dv"] = tip["dv"]
         if _try_commit(root, v + 1, manifest, backend):
             if new_parts is not None:
                 _maybe_checkpoint(root, v + 1, new_parts, backend)
@@ -4065,23 +4384,27 @@ def table_changes(
                 )
             po = resolve_partitions(root, v_old)
             pn = resolve_partitions(root, v_new)
+            # leaf identity = (dir, deletion vector): a DV added to an
+            # otherwise-untouched leaf changes its LIVE rows without
+            # changing its bytes — skipping on dir equality alone
+            # would drop those deletes from the feed
+            def _ident(e):
+                return ((e or {}).get("dir"), (e or {}).get("dv"))
+
             diff_pks = [
                 pk
                 for pk in set(po) | set(pn)
-                if (po.get(pk) or {}).get("dir")
-                != (pn.get(pk) or {}).get("dir")
+                if _ident(po.get(pk)) != _ident(pn.get(pk))
             ]
 
             def side(m, pmap):
                 schema = StructType.fromJson(m["schema"])
-                dirs = [
-                    os.path.join(root, pmap[pk]["dir"])
-                    for pk in diff_pks
-                    if pk in pmap
-                ]
-                if not dirs:
+                entries = [pmap[pk] for pk in diff_pks if pk in pmap]
+                if not entries:
                     return spark.createDataFrame([], schema)
-                return _read_data(spark, schema, _phys_map(m), dirs)
+                return _read_entries(
+                    spark, schema, _phys_map(m), root, entries
+                )
 
             old, new = (
                 _align_logical(side(m_old, po), m_old, m_new),
@@ -4468,7 +4791,7 @@ def vacuum(
         aborted = False
         for v in sorted(keep_versions | set(prunable)):
             try:
-                dirs_by_v[v] = _version_dirs(root, v)
+                dirs_by_v[v] = _version_dirs(root, v, include_dv=True)
             except FileNotFoundError:
                 if v in keep_versions:
                     aborted = True
@@ -4548,7 +4871,7 @@ def vacuum(
         referenced = set()
         for v in _list_versions(root):
             try:
-                dirs = _version_dirs(root, v)
+                dirs = _version_dirs(root, v, include_dv=True)
             except FileNotFoundError:
                 # v's OWN manifest vanished (a concurrent vacuum
                 # pruned it) -> its dirs live on only if a retained

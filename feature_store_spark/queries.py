@@ -834,6 +834,56 @@ def q_s12b_merge_replay(spark, sf_dir):
         _sh.rmtree(root, ignore_errors=True)
 
 
+DV_DELETE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders
+WHERE NOT (o_orderstatus = 'P') AND NOT (o_orderkey < 1000)
+"""
+
+
+@spec("s12d_dv_delete", DV_DELETE_SQL, ("ext", "txn", "dv", "delete"))
+def q_s12d_dv_delete(spark, sf_dir):
+    """Row-level DELETE via DELETION VECTORS (merge-on-read) against
+    a real manifest table: two sequential ``delete_where(mode='dv')``
+    commits — the second unions its sidecar into the first's — then a
+    read that anti-joins the vectors away. The final frame must
+    hash-equal the plain predicate-complement oracle, proving the
+    sidecar path deletes exactly the predicate rows and nothing else.
+    Reference analogue: row-level retention deletes
+    (`src/pipelines/batch_pipeline.py` delete passes) without the
+    partition rewrite. The table lives in a session temp dir; the
+    result is localCheckpoint-ed so the frame outlives the cleanup."""
+    import shutil as _sh
+    import tempfile
+
+    from feature_store_spark.pipelines.txn import (
+        delete_where,
+        read_table,
+        upsert_manifest,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        cents.alias("total_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="dv_delete_")
+    try:
+        upsert_manifest(base, root, ["o_orderkey"], "total_cents")
+        delete_where(
+            spark, root, [("o_orderstatus", "=", "P")], mode="dv"
+        )
+        delete_where(spark, root, [("o_orderkey", "<", 1000)], mode="dv")
+        final, _v = read_table(spark, root)
+        return final.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "total_cents"
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
 @spec(
     "j12_supplier_geo_rollup",
     """SELECT r.r_name AS region, n.n_name AS nation,

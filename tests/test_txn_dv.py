@@ -1,0 +1,232 @@
+"""Deletion vectors (delete_where(mode='dv')) — merge-on-read
+row-level deletes: per-leaf (file, position) sidecars anti-joined at
+read time instead of leaf rewrites. Delta deletion-vector / Iceberg
+positional-delete analogue; reference intent: row-level retention
+deletes without rewriting clustered warehouse partitions."""
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+import feature_store_spark.pipelines.txn as txn
+from feature_store_spark.pipelines.txn import (
+    clone_table,
+    compact_manifest,
+    delete_where,
+    merge_into,
+    read_manifest,
+    read_table,
+    rename_column,
+    restore,
+    table_changes,
+    upsert_manifest,
+    upsert_manifest_partitioned,
+    vacuum,
+)
+
+D1 = datetime.date(2024, 1, 1)
+D2 = datetime.date(2024, 1, 2)
+
+
+def _flat(spark, root, n=10):
+    upsert_manifest(
+        spark.createDataFrame(
+            [(i, float(i), 1) for i in range(n)],
+            "user_id bigint, score double, ts bigint",
+        ),
+        root, ["user_id"], "ts",
+    )
+
+
+def _part(spark, root):
+    rows = [(i, float(i), 1, D1) for i in range(5)] + [
+        (i, float(i), 1, D2) for i in range(100, 105)
+    ]
+    upsert_manifest_partitioned(
+        spark.createDataFrame(
+            rows, "user_id bigint, score double, ts bigint, p date"
+        ),
+        root, ["user_id"], "ts", "p", stats_cols=["user_id"],
+    )
+
+
+def _ids(spark, root, version=None):
+    got, _ = read_table(spark, root, version)
+    return sorted(r["user_id"] for r in got.collect())
+
+
+def test_dv_delete_flat_roundtrip_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    res = delete_where(spark, root, [("user_id", "<", 3)], mode="dv")
+    assert res["committed"] and res["rows_deleted"] == 3
+    assert _ids(spark, root) == list(range(3, 10))
+    m = read_manifest(root, 2)
+    assert m["rows"] == 7 and m["dv"]["deleted"] == 3
+    # the data dir was NOT rewritten — merge-on-read
+    assert m["data_dir"] == read_manifest(root, 1)["data_dir"]
+    # protocol stamped: a pre-DV reader must refuse
+    assert "deletion_vectors" in m["protocol"]["reader"]
+    # time travel to v1 sees the pre-delete rows
+    assert _ids(spark, root, 1) == list(range(10))
+    # second DV delete unions the sidecars
+    res = delete_where(spark, root, [("user_id", "=", 5)], mode="dv")
+    assert res["rows_deleted"] == 1
+    assert _ids(spark, root) == [3, 4, 6, 7, 8, 9]
+    assert read_manifest(root, 3)["dv"]["deleted"] == 4
+    # re-deleting already-deleted rows is a no-op (no version)
+    res = delete_where(spark, root, [("user_id", "<", 3)], mode="dv")
+    assert not res["committed"]
+    assert txn.latest_version(root) == 3
+
+
+def test_dv_delete_partitioned_and_empty_partition(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _part(spark, root)
+    res = delete_where(spark, root, [("user_id", "<", 2)], mode="dv")
+    assert res["committed"] and res["rows_deleted"] == 2
+    assert res["partitions_rewritten"] == 1  # D1's entry re-published
+    assert _ids(spark, root) == [2, 3, 4, 100, 101, 102, 103, 104]
+    # data-skipping stats still prune: the D2 leaf was never touched
+    parts = txn.resolve_partitions(root, txn.latest_version(root))
+    d1 = parts[txn._pkey(D1)]
+    assert d1["rows"] == 3 and d1["dv"]["deleted"] == 2
+    assert "dv" not in parts[txn._pkey(D2)]
+    # deleting a partition's every remaining live row removes it
+    res = delete_where(spark, root, [("user_id", "<", 100)], mode="dv")
+    assert res["partitions_removed"] == 1 and res["rows_deleted"] == 3
+    assert _ids(spark, root) == [100, 101, 102, 103, 104]
+
+
+def test_rewriting_verbs_read_through_and_purge_dv(spark, tmp_path):
+    """merge/compact/upsert read LIVE rows and publish clean leaves —
+    compaction is the DV purge; accounting stays consistent."""
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    delete_where(spark, root, [("user_id", "<", 4)], mode="dv")
+    # merge over the DV'd table: deleted rows are invisible to the
+    # MATCH (user 1 is NOT matched — its source row takes the INSERT
+    # clause as a brand-new row, exactly Delta's post-delete MERGE
+    # semantics), and an update-only clause cannot resurrect them
+    src = spark.createDataFrame(
+        [(1, 111.0), (50, 500.0)], "user_id bigint, val double"
+    )
+    res = merge_into(
+        spark, root, src, ["user_id"],
+        when_matched=[(None, {"score": "s.val"})],
+        when_not_matched=(None, {
+            "user_id": "s.user_id", "score": "s.val", "ts": "2",
+        }),
+    )
+    assert res["rows_updated"] == 0 and res["rows_inserted"] == 2
+    got, _ = read_table(spark, root)
+    m = {r["user_id"]: r["score"] for r in got.collect()}
+    assert m[1] == 111.0 and m[50] == 500.0 and len(m) == 8
+    assert 2 not in m and 3 not in m  # the other deletes held
+    # the merge rewrote the snapshot: DV gone from the new manifest
+    mm = read_manifest(root, txn.latest_version(root))
+    assert "dv" not in mm and mm["rows"] == 8
+
+    # compaction purges the DV on a fresh table too
+    root2 = str(tmp_path / "t2")
+    _flat(spark, root2)
+    delete_where(spark, root2, [("user_id", ">=", 8)], mode="dv")
+    stats = compact_manifest(spark, root2, min_files=None)
+    assert stats["committed"] and stats["rows"] == 8
+    m2 = read_manifest(root2, txn.latest_version(root2))
+    assert "dv" not in m2 and m2["rows"] == 8
+    assert _ids(spark, root2) == list(range(8))
+
+    # flat upsert over a DV'd base keeps deletes and lands updates
+    root3 = str(tmp_path / "t3")
+    _flat(spark, root3)
+    delete_where(spark, root3, [("user_id", "=", 0)], mode="dv")
+    upsert_manifest(
+        spark.createDataFrame([(9, 99.0, 2)],
+                              "user_id bigint, score double, ts bigint"),
+        root3, ["user_id"], "ts",
+    )
+    got, _ = read_table(spark, root3)
+    m3 = {r["user_id"]: r["score"] for r in got.collect()}
+    assert 0 not in m3 and m3[9] == 99.0 and len(m3) == 9
+    assert "dv" not in read_manifest(root3, txn.latest_version(root3))
+
+
+def test_dv_partitioned_upsert_reads_live_rows(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _part(spark, root)
+    delete_where(spark, root, [("user_id", "=", 0)], mode="dv")
+    # merge-mode upsert into the DV'd partition: deleted row must NOT
+    # resurrect through the base merge
+    upsert_manifest_partitioned(
+        spark.createDataFrame([(1, 11.0, 2, D1)],
+                              "user_id bigint, score double, ts bigint, p date"),
+        root, ["user_id"], "ts", "p",
+    )
+    got, _ = read_table(spark, root)
+    m = {r["user_id"]: r["score"] for r in got.collect()}
+    assert 0 not in m and m[1] == 11.0 and len(m) == 9
+    # the touched partition's new entry is clean
+    parts = txn.resolve_partitions(root, txn.latest_version(root))
+    assert "dv" not in parts[txn._pkey(D1)]
+
+
+def test_dv_cdc_sees_deletes_even_with_partition_skip(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _part(spark, root)
+    delete_where(spark, root, [("user_id", "=", 2)], mode="dv")
+    ch = table_changes(
+        spark, root, 1, 2, key_cols=["user_id", "p"],
+        skip_unchanged_partitions=True,
+    ).filter("status <> 'unchanged'").collect()
+    assert {(r["user_id"], r["status"]) for r in ch} == {(2, "removed")}
+
+
+def test_dv_metadata_verbs_carry_and_clone(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    delete_where(spark, root, [("user_id", "<", 5)], mode="dv")
+    # metadata-only verbs must CARRY the dv (a drop would resurrect)
+    rename_column(root, "score", "points")
+    assert _ids(spark, root) == list(range(5, 10))
+    # restore to the pre-delete version sees all rows; restore back
+    restore(root, version=1)
+    assert _ids(spark, root) == list(range(10))
+    restore(root, version=2)
+    assert _ids(spark, root) == list(range(5, 10))
+    # clones keep the deletes (shallow re-points, deep copies)
+    shallow, deep = str(tmp_path / "s"), str(tmp_path / "d")
+    clone_table(root, shallow, deep=False)
+    clone_table(root, deep, deep=True)
+    assert _ids(spark, shallow) == list(range(5, 10))
+    assert _ids(spark, deep) == list(range(5, 10))
+    dv_dir = read_manifest(deep, 1)["dv"]["dir"]
+    assert not dv_dir.startswith("/")  # deep copy is root-relative
+
+
+def test_dv_vacuum_retains_live_and_prunes_dead_sidecars(spark, tmp_path):
+    import os
+
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    delete_where(spark, root, [("user_id", "=", 1)], mode="dv")   # v2
+    delete_where(spark, root, [("user_id", "=", 2)], mode="dv")   # v3
+    dv2 = read_manifest(root, 2)["dv"]["dir"]
+    dv3 = read_manifest(root, 3)["dv"]["dir"]
+    removed = vacuum(root, keep_last=1)
+    # v2's superseded sidecar pruned, tip's sidecar retained
+    assert dv2 in removed
+    assert os.path.isdir(os.path.join(root, dv3))
+    assert _ids(spark, root) == [0] + list(range(3, 10))
+    # orphan pass never touches a referenced sidecar
+    removed = vacuum(root, keep_last=1, orphan_grace_seconds=0.0)
+    assert dv3 not in removed
+    assert _ids(spark, root) == [0] + list(range(3, 10))
+
+
+def test_dv_mode_validation(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    with pytest.raises(ValueError, match="mode"):
+        delete_where(spark, root, [("user_id", "=", 1)], mode="bogus")

@@ -1,5 +1,5 @@
 """Stateful model test of the WHOLE table format: a random sequence
-of verbs (upsert, delete, update, merge, rename, add/drop column,
+of verbs (upsert, delete, dv-delete, update, merge, rename, add/drop column,
 restore, compact, drop/add constraint) applied to BOTH a manifest
 table and a plain Python dict model — after every step the table must
 read back exactly the model, and at the end every retained version
@@ -42,6 +42,7 @@ _ops = st.lists(
         st.tuples(st.just("upsert"),
                   st.dictionaries(_key, _val, min_size=1, max_size=4)),
         st.tuples(st.just("delete_ge"), st.integers(-5, 9)),
+        st.tuples(st.just("delete_dv_ge"), st.integers(-5, 9)),
         st.tuples(st.just("merge"),
                   st.dictionaries(_key, st.tuples(
                       st.sampled_from(["D", "U"]), _val), min_size=1,
@@ -105,6 +106,12 @@ def test_table_format_matches_model(spark, ops):
                 model.update(arg)
             elif tag == "delete_ge":
                 delete_where(spark, root, [(vcol, ">=", arg)])
+                model = {k: v for k, v in model.items() if not (
+                    v is not None and v >= arg)}
+            elif tag == "delete_dv_ge":
+                # merge-on-read arm: same semantics, deletion-vector
+                # commit — interleaves with every other verb
+                delete_where(spark, root, [(vcol, ">=", arg)], mode="dv")
                 model = {k: v for k, v in model.items() if not (
                     v is not None and v >= arg)}
             elif tag == "merge":
