@@ -1983,6 +1983,7 @@ def compact_manifest(
     min_files: int | None = None,
     zorder_cols: Sequence[str] | None = None,
     zorder_bits: int | None = None,
+    only_dv: bool = False,
 ) -> dict:
     """OPTIMIZE for manifest tables: rewrite the tip's data into
     ~``target_file_bytes`` files and publish the result as a NEW
@@ -2069,6 +2070,10 @@ def compact_manifest(
         from pyspark.errors import AnalysisException
 
         if not _is_partitioned(tip):
+            if only_dv and not tip.get("dv"):
+                return {"version": v, "files_before": 0,
+                        "files_after": 0, "rows": tip["rows"],
+                        "committed": False}
             data_dir = os.path.join(root, tip["data_dir"])
             if min_files is not None and not os.path.isdir(data_dir):
                 # stale tip: a concurrent vacuum pruned v's data dir
@@ -2149,6 +2154,8 @@ def compact_manifest(
             if stale:
                 continue
             selected = fresh
+        if only_dv:
+            selected = [pk for pk in selected if parts[pk].get("dv")]
         if not selected:
             return {"version": v, "files_before": 0, "files_after": 0,
                     "rows": tip["rows"], "committed": False}
@@ -2466,6 +2473,29 @@ def _delete_where_dv(
     return None
 
 
+def purge_deletes(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    backend: LocalLinkBackend | None = None,
+) -> dict:
+    """Delta ``REORG TABLE ... APPLY (PURGE)``: rewrite ONLY the
+    leaves that carry deletion vectors, physically erasing the
+    soft-deleted bytes, and drop the sidecars — the compliance-erasure
+    closer for ``delete_where(mode="dv")`` (a DV'd row's bytes remain
+    on disk until some rewrite; vacuum then reclaims the superseded
+    leaves and sidecars once their versions age out). Leaves without a
+    DV are untouched; a table with no DVs publishes nothing."""
+    return compact_manifest(
+        spark,
+        root,
+        target_file_bytes=target_file_bytes,
+        backend=backend,
+        min_files=None,
+        only_dv=True,
+    )
+
+
 def delete_where(
     spark: SparkSession,
     root: str,
@@ -2761,10 +2791,13 @@ def update_where(
     max_retries: int = 20,
     backend: LocalLinkBackend | None = None,
 ) -> dict:
-    """Row-level UPDATE for partition-scoped manifest tables —
-    ``UPDATE t SET col = literal, ... WHERE <conjunction>`` with the
-    same predicate grammar as ``read_table(where=...)``. Together with
-    ``delete_where`` this completes DML on the table layer.
+    """Row-level UPDATE for manifest tables — ``UPDATE t SET col =
+    literal, ... WHERE <conjunction>`` with the same predicate grammar
+    as ``read_table(where=...)``. Together with ``delete_where`` this
+    completes DML on the table layer. Partition-scoped tables rewrite
+    only the touched leaves (data skipping picks them); unpartitioned
+    tables rewrite the snapshot (their commits are O(table) by
+    design), purging any deletion vector in the same pass.
 
     ``set_values`` maps column → NEW LITERAL value (cast to the
     column's pinned type; the partition column is refused — moving
@@ -2797,11 +2830,83 @@ def update_where(
         except FileNotFoundError:
             continue
         if not _is_partitioned(tip):
-            raise ValueError(
-                "update_where supports partition-scoped tables; for an "
-                "unpartitioned table read, transform, and "
-                "upsert_manifest the result"
-            )
+            # unpartitioned arm: snapshot rewrite (flat commits are
+            # O(table) by design, same as delete_where's flat arm);
+            # deletion vectors are read through and purged
+            schema = StructType.fromJson(tip["schema"])
+            fields = {f.name: f for f in schema.fields}
+            for c in set_values:
+                if c not in fields:
+                    raise ValueError(
+                        f"update_where: SET column {c!r} is not in the "
+                        "table schema"
+                    )
+            preds = _validate_where(where, schema)
+            cond = F.coalesce(_where_expr(preds), F.lit(False))
+            try:
+                snap = _read_entries(
+                    spark, schema, _phys_map(tip), root, [_flat_entry(tip)]
+                )
+                updated = snap.filter(cond).count()
+                if updated == 0:
+                    return {
+                        "version": v, "rows_updated": 0,
+                        "partitions_rewritten": 0, "committed": False,
+                    }
+                out = snap
+                for c, nv in set_values.items():
+                    out = out.withColumn(
+                        c,
+                        F.when(
+                            cond, F.lit(nv).cast(fields[c].dataType)
+                        ).otherwise(F.col(c)),
+                    )
+                new_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+                obs = Observation()
+                _write_physical(
+                    out.observe(obs, F.count(F.lit(1)).alias("rows")),
+                    _phys_map(tip),
+                ).write.parquet(os.path.join(root, new_rel))
+                n = int(obs.get["rows"])
+            except AnalysisException as e:
+                if _is_path_not_found(e):
+                    continue
+                raise
+            if n != tip["rows"]:
+                shutil.rmtree(
+                    os.path.join(root, new_rel), ignore_errors=True
+                )
+                continue  # tip moved between the two passes
+            checks = _effective_constraints(tip, None)
+            if checks:
+                try:
+                    _check_constraints(
+                        _read_data(
+                            spark, schema, _phys_map(tip),
+                            [os.path.join(root, new_rel)],
+                        ),
+                        checks,
+                    )
+                except ValueError:
+                    shutil.rmtree(
+                        os.path.join(root, new_rel), ignore_errors=True
+                    )
+                    raise
+            manifest = {
+                "op": "update",
+                "base_version": v,
+                "data_dir": new_rel,
+                "rows": n,
+                "schema": tip["schema"],
+                **_carry_mapping(tip),
+            }
+            if _try_commit(root, v + 1, manifest, backend):
+                return {
+                    "version": v + 1, "rows_updated": updated,
+                    "partitions_rewritten": 1, "committed": True,
+                }
+            shutil.rmtree(os.path.join(root, new_rel), ignore_errors=True)
+            continue
         schema = StructType.fromJson(tip["schema"])
         pcol = tip["partition_col"]
         fields = {f.name: f for f in schema.fields}
@@ -4918,8 +5023,9 @@ def table_files(
 ) -> DataFrame:
     """Files metadata table (Delta DESCRIBE DETAIL / Iceberg ``files``
     analogue): one row per live data directory of the pinned version —
-    (partition, dir, rows, n_files, bytes, has_stats, has_bloom),
-    partition NULL for unpartitioned snapshots. Metadata-only: reads
+    (partition, dir, rows, n_files, bytes, has_stats, has_bloom,
+    dv_deleted — cumulative deletion-vector positions, NULL when the
+    leaf has none), partition NULL for unpartitioned snapshots. Metadata-only: reads
     the manifest chain and stats the leaf dirs, never a data file's
     contents — the operational view OPTIMIZE/vacuum decisions are made
     from (e.g. ``min_files`` thresholds, stats coverage audits)."""
@@ -4940,6 +5046,7 @@ def table_files(
                     _dir_bytes(d),
                     bool(e.get("stats")),
                     bool(e.get("bloom")),
+                    (e.get("dv") or {}).get("deleted"),
                 )
             )
     else:
@@ -4953,12 +5060,14 @@ def table_files(
                 _dir_bytes(d),
                 False,
                 False,
+                (m.get("dv") or {}).get("deleted"),
             )
         )
     return spark.createDataFrame(
         rows,
         "partition string, dir string, rows bigint, n_files int, "
-        "bytes bigint, has_stats boolean, has_bloom boolean",
+        "bytes bigint, has_stats boolean, has_bloom boolean, "
+        "dv_deleted bigint",
     )
 
 

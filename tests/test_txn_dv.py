@@ -230,3 +230,74 @@ def test_dv_mode_validation(spark, tmp_path):
     _flat(spark, root)
     with pytest.raises(ValueError, match="mode"):
         delete_where(spark, root, [("user_id", "=", 1)], mode="bogus")
+
+
+def test_update_where_flat_snapshot_rewrite(spark, tmp_path):
+    """UPDATE on an unpartitioned table (previously refused): snapshot
+    rewrite with the same literal-SET semantics as the partitioned
+    arm, CHECK constraints enforced, deletion vectors read through
+    and purged by the rewrite."""
+    from feature_store_spark.pipelines.txn import add_constraint, update_where
+
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    delete_where(spark, root, [("user_id", "=", 9)], mode="dv")
+    res = update_where(
+        spark, root, [("user_id", "<", 2)], {"score": 100.0}
+    )
+    assert res["committed"] and res["rows_updated"] == 2
+    got, _ = read_table(spark, root)
+    m = {r["user_id"]: r["score"] for r in got.collect()}
+    assert m[0] == 100.0 and m[1] == 100.0 and m[2] == 2.0
+    assert 9 not in m  # the DV held through the rewrite
+    assert "dv" not in read_manifest(root, txn.latest_version(root))
+    # zero matches publish nothing
+    res = update_where(spark, root, [("user_id", "=", 777)], {"score": 1.0})
+    assert not res["committed"]
+    # constraints still gate the update
+    add_constraint(spark, root, "nonneg", "score >= 0")
+    with pytest.raises(ValueError, match="nonneg"):
+        update_where(spark, root, [("user_id", "=", 3)], {"score": -5.0})
+    got, _ = read_table(spark, root)
+    assert got.filter("user_id = 3").collect()[0]["score"] == 3.0
+
+
+def test_purge_deletes_rewrites_only_dv_leaves(spark, tmp_path):
+    """REORG APPLY (PURGE) analogue: only DV'd leaves rewrite; clean
+    leaves carry forward byte-identically; sidecars drop; deleted
+    rows stay gone. No-op on a DV-free table."""
+    from feature_store_spark.pipelines.txn import purge_deletes
+
+    root = str(tmp_path / "t")
+    _part(spark, root)
+    assert not purge_deletes(spark, root)["committed"]  # no DVs yet
+    delete_where(spark, root, [("user_id", "=", 1)], mode="dv")
+    parts_before = txn.resolve_partitions(root, txn.latest_version(root))
+    d2_dir = parts_before[txn._pkey(D2)]["dir"]
+    res = purge_deletes(spark, root)
+    assert res["committed"]
+    parts = txn.resolve_partitions(root, txn.latest_version(root))
+    assert "dv" not in parts[txn._pkey(D1)]
+    assert parts[txn._pkey(D1)]["rows"] == 4
+    assert parts[txn._pkey(D2)]["dir"] == d2_dir  # untouched leaf
+    assert _ids(spark, root) == [0, 2, 3, 4, 100, 101, 102, 103, 104]
+    # flat table purge
+    root2 = str(tmp_path / "t2")
+    _flat(spark, root2)
+    delete_where(spark, root2, [("user_id", "<", 5)], mode="dv")
+    res = purge_deletes(spark, root2)
+    assert res["committed"] and res["rows"] == 5
+    m2 = read_manifest(root2, txn.latest_version(root2))
+    assert "dv" not in m2
+    assert _ids(spark, root2) == list(range(5, 10))
+
+
+def test_table_files_surfaces_dv(spark, tmp_path):
+    from feature_store_spark.pipelines.txn import table_files
+
+    root = str(tmp_path / "t")
+    _part(spark, root)
+    delete_where(spark, root, [("user_id", "<", 2)], mode="dv")
+    rows = {r["partition"]: r["dv_deleted"]
+            for r in table_files(spark, root).collect()}
+    assert rows[txn._pkey(D1)] == 2 and rows[txn._pkey(D2)] is None
