@@ -276,6 +276,7 @@ def run_table_maintenance(
     orphan_grace_seconds: float | None = None,
     zorder_cols: list[str] | None = None,
     retain_hours: float | None = None,
+    purge_dv_above: int | None = None,
 ) -> dict[str, Any]:
     """One-call housekeeping for a manifest table — the nightly
     OPTIMIZE + VACUUM job every lake deployment schedules (the
@@ -289,12 +290,33 @@ def run_table_maintenance(
     fragmented get rewritten, so repeated maintenance runs are
     near-no-ops on a quiet table. ``zorder_cols`` makes the compaction
     an OPTIMIZE ZORDER (txn.compact_manifest) so the nightly job also
-    keeps row-group clustering tight. Returns the combined report."""
+    keeps row-group clustering tight. ``purge_dv_above`` adds the
+    deletion-vector closer: when the table's soft-deleted-row debt
+    (engine_metrics ``dv_deleted_rows``) exceeds the threshold, the
+    DV'd leaves are rewritten first (txn.purge_deletes — REORG APPLY
+    PURGE), so compact + vacuum then reclaim the sidecars and
+    superseded leaves in the same nightly pass. Returns the combined
+    report."""
     from feature_store_spark.pipelines.txn import (
         compact_manifest,
+        engine_metrics,
+        purge_deletes,
         vacuum,
     )
 
+    purged = False
+    if purge_dv_above is not None:
+        # deletion-vector debt check is metadata-only (one gauge read);
+        # purge rewrites ONLY the DV'd leaves, then the compact below
+        # sees clean entries
+        debt = {
+            r["metric"]: r["value"]
+            for r in engine_metrics(spark, {"t": root}).collect()
+        }.get("dv_deleted_rows", 0.0)
+        if debt > purge_dv_above:
+            purged = purge_deletes(
+                spark, root, target_file_bytes=target_file_bytes
+            )["committed"]
     stats = compact_manifest(
         spark,
         root,
@@ -316,6 +338,7 @@ def run_table_maintenance(
     # target), so file-count comparison is not commit detection
     return {
         "compacted": stats["committed"],
+        "dv_purged": purged,
         "files_before": stats["files_before"],
         "files_after": stats["files_after"],
         "data_dirs_reclaimed": len(removed),

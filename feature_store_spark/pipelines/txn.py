@@ -4685,8 +4685,10 @@ def engine_metrics(
     Gauges per table: ``readable`` (1/0 — the health check),
     ``version``, ``rows``, ``bytes``, ``files``, ``avg_file_bytes``
     (compaction pressure), ``partitions``, ``commits_retained``
-    (vacuum debt), ``seconds_since_last_commit`` (ingest liveness;
-    ``now`` injectable for determinism, wall clock by default) and
+    (vacuum debt), ``dv_deleted_rows`` (deletion-vector debt — what a
+    ``purge_deletes`` trigger watches), ``seconds_since_last_commit``
+    (ingest liveness; ``now`` injectable for determinism, wall clock
+    by default) and
     ``commit_interval_max_seconds`` over the retained history. An
     unreadable/empty table reports ``readable = 0`` and no other
     gauges (PromQL absent-metric semantics downstream)."""
@@ -4720,6 +4722,20 @@ def engine_metrics(
             (name, "partitions",
              float(len(dirs) if _is_partitioned(m) else 1))
         )
+        # deletion-vector debt: soft-deleted positions awaiting a
+        # purge/compaction rewrite — the gauge a maintenance trigger
+        # (purge_deletes) watches
+        if _is_partitioned(m):
+            try:
+                entries = list(resolve_partitions(root, v).values())
+            except FileNotFoundError:
+                entries = []
+            dv_debt = sum(
+                (e.get("dv") or {}).get("deleted", 0) for e in entries
+            )
+        else:
+            dv_debt = (m.get("dv") or {}).get("deleted", 0)
+        rows.append((name, "dv_deleted_rows", float(dv_debt)))
         commit_times = []
         versions = _list_versions(root)
         rows.append((name, "commits_retained", float(len(versions))))

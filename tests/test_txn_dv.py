@@ -301,3 +301,34 @@ def test_table_files_surfaces_dv(spark, tmp_path):
     rows = {r["partition"]: r["dv_deleted"]
             for r in table_files(spark, root).collect()}
     assert rows[txn._pkey(D1)] == 2 and rows[txn._pkey(D2)] is None
+
+
+def test_dv_debt_gauge_and_maintenance_purge(spark, tmp_path):
+    """engine_metrics exposes dv_deleted_rows (the purge trigger);
+    run_table_maintenance(purge_dv_above=N) rewrites the DV'd leaves
+    when the debt exceeds N and reports dv_purged."""
+    from feature_store_spark.pipelines.drivers import run_table_maintenance
+    from feature_store_spark.pipelines.txn import engine_metrics
+
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    delete_where(spark, root, [("user_id", "<", 3)], mode="dv")
+
+    def debt():
+        return {
+            r["metric"]: r["value"]
+            for r in engine_metrics(spark, {"t": root}).collect()
+        }["dv_deleted_rows"]
+
+    assert debt() == 3.0
+    # below threshold: no purge
+    rep = run_table_maintenance(
+        spark, root, min_files=9999, keep_last=10, purge_dv_above=5
+    )
+    assert not rep["dv_purged"] and debt() == 3.0
+    # above threshold: purge fires, debt clears, rows stay correct
+    rep = run_table_maintenance(
+        spark, root, min_files=9999, keep_last=10, purge_dv_above=2
+    )
+    assert rep["dv_purged"] and debt() == 0.0
+    assert _ids(spark, root) == list(range(3, 10))
