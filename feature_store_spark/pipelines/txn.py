@@ -4764,6 +4764,37 @@ def engine_metrics(
     )
 
 
+def register_tables(
+    spark: SparkSession,
+    tables: dict,
+    versions: dict | None = None,
+    prefix: str = "",
+) -> dict:
+    """Register manifest tables as TEMP VIEWS so plain ``spark.sql``
+    queries them directly — the SQL front door over the table layer:
+    reads go through :func:`read_table`, so deletion vectors, column
+    mapping, data skipping on later filters (Catalyst pushes them into
+    the pinned scan), and time travel all apply transparently.
+
+    ``tables`` maps view name → manifest root; ``versions`` optionally
+    pins per-name versions (``{"orders": 3}``) — everything else reads
+    the tip AT REGISTRATION TIME (snapshot isolation: later commits
+    never shift a registered view; re-register to advance, and keep
+    vacuum retention ≥ the registration window). Returns the pinned
+    {name: version} map."""
+    pinned: dict = {}
+    versions = versions or {}
+    for name, root in sorted(tables.items()):
+        df, v = read_table(spark, root, versions.get(name))
+        if df is None:
+            raise ValueError(
+                f"register_tables: {root!r} has no committed versions"
+            )
+        df.createOrReplaceTempView(f"{prefix}{name}")
+        pinned[name] = v
+    return pinned
+
+
 def table_history(spark: SparkSession, root: str) -> DataFrame:
     """DESCRIBE HISTORY for manifest tables (Delta `history()` /
     Iceberg `snapshots` analogue): one row per RETAINED version —

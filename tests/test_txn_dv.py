@@ -332,3 +332,85 @@ def test_dv_debt_gauge_and_maintenance_purge(spark, tmp_path):
     )
     assert rep["dv_purged"] and debt() == 0.0
     assert _ids(spark, root) == list(range(3, 10))
+
+
+def test_concurrent_dv_deletes_lose_no_delete(spark, tmp_path):
+    """Two live threads interleaving DV deletes over disjoint keys:
+    the optimistic retry must UNION the racing sidecars — every
+    delete from both writers lands, none resurrects."""
+    import threading
+
+    root = str(tmp_path / "t")
+    _flat(spark, root, n=20)
+    errors = []
+
+    def deleter(keys):
+        try:
+            for k in keys:
+                delete_where(spark, root, [("user_id", "=", k)], mode="dv")
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    t1 = threading.Thread(target=deleter, args=([0, 1, 2],))
+    t2 = threading.Thread(target=deleter, args=([10, 11, 12],))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors
+    assert _ids(spark, root) == [3, 4, 5, 6, 7, 8, 9] + list(range(13, 20))
+    m = read_manifest(root, txn.latest_version(root))
+    assert m["dv"]["deleted"] == 6 and m["rows"] == 14
+    assert txn.latest_version(root) == 7  # 1 base + 6 dv commits
+
+
+def test_dv_composes_with_column_mapping(spark, tmp_path):
+    """Sidecars are (file, position) — column-name independent: a
+    rename before AND after a DV delete changes nothing about which
+    rows are deleted, and the DV predicate binds to the CURRENT
+    logical name."""
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    rename_column(root, "score", "points")
+    delete_where(spark, root, [("points", "<", 3.0)], mode="dv")
+    got, _ = read_table(spark, root)
+    assert sorted(r["user_id"] for r in got.collect()) == list(range(3, 10))
+    assert "points" in got.columns
+    rename_column(root, "points", "score2")
+    got, _ = read_table(spark, root)
+    assert sorted(r["user_id"] for r in got.collect()) == list(range(3, 10))
+    # protocol carries BOTH features
+    proto = read_manifest(root, txn.latest_version(root))["protocol"]
+    assert {"column_mapping", "deletion_vectors"} <= set(proto["reader"])
+
+
+def test_register_tables_sql_front_door(spark, tmp_path):
+    """spark.sql over registered manifest views: deletion vectors,
+    column mapping, version pinning, and snapshot isolation all apply
+    through the read_table-backed temp views."""
+    from feature_store_spark.pipelines.txn import register_tables
+
+    users = str(tmp_path / "users")
+    scores = str(tmp_path / "scores")
+    _flat(spark, users)
+    upsert_manifest(
+        spark.createDataFrame(
+            [(i, i * 10, 1) for i in range(10)],
+            "user_id bigint, pts bigint, ts bigint",
+        ),
+        scores, ["user_id"], "ts",
+    )
+    delete_where(spark, users, [("user_id", "<", 8)], mode="dv")
+    rename_column(scores, "pts", "points")
+    pinned = register_tables(
+        spark, {"u": users, "s": scores}, prefix="fs_"
+    )
+    assert pinned == {"u": 2, "s": 2}
+    rows = spark.sql(
+        "SELECT u.user_id, u.score, s.points FROM fs_u u "
+        "JOIN fs_s s USING (user_id) ORDER BY user_id"
+    ).collect()
+    assert [(r["user_id"], r["points"]) for r in rows] == [(8, 80), (9, 90)]
+    # snapshot isolation: a later commit does not shift the view
+    delete_where(spark, users, [("user_id", "=", 9)], mode="dv")
+    assert spark.sql("SELECT count(*) AS n FROM fs_u").collect()[0]["n"] == 2
+    # explicit version pin time-travels
+    register_tables(spark, {"u": users}, versions={"u": 1}, prefix="old_")
+    assert spark.sql("SELECT count(*) AS n FROM old_u").collect()[0]["n"] == 10
