@@ -4764,6 +4764,173 @@ def engine_metrics(
     )
 
 
+def repartition_table(
+    spark: SparkSession,
+    root: str,
+    partition_col: str | None,
+    stats_cols: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
+    max_retries: int = 20,
+    backend: LocalLinkBackend | None = None,
+) -> dict:
+    """Partition-LAYOUT evolution (the Iceberg partition-spec-change
+    analogue, done eagerly): republish the whole table under a new
+    partition column — flat → partitioned, partitioned → flat
+    (``partition_col=None``), or partitioned → re-keyed. The one
+    verb the layered verbs refuse (``upsert_manifest*`` guard against
+    layout mixing because an accidental switch collapses a layout;
+    this one switches it ON PURPOSE, in one atomic commit).
+
+    Full O(table) rewrite by design — the job one schedules when a
+    partition choice ages (e.g. daily → monthly, or re-keying facts
+    by the join column the workload actually uses). History is
+    intact: earlier versions still time-travel under their own
+    layout; deletion vectors are read through and purged by the
+    rewrite; column mapping / constraints / protocol carry.
+    ``stats_cols`` / ``bloom_cols`` record data-skipping metadata on
+    the new leaves. Returns {version, partitions, rows, committed}."""
+    from pyspark.errors import AnalysisException
+
+    for _ in range(max_retries):
+        v = latest_version(root)
+        if v == 0:
+            raise ValueError(f"{root!r} has no committed versions")
+        try:
+            tip = read_manifest(root, v)
+        except FileNotFoundError:
+            continue
+        schema = StructType.fromJson(tip["schema"])
+        fields = {f.name: f for f in schema.fields}
+        if partition_col is not None and partition_col not in fields:
+            raise ValueError(
+                f"repartition_table: partition column {partition_col!r} "
+                "is not in the table schema"
+            )
+        try:
+            df, _v = read_table(spark, root, v)
+        except FileNotFoundError:
+            continue
+        phys = _phys_map(tip)
+        if partition_col is None:
+            # → flat snapshot (format 1)
+            new_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+            obs = Observation()
+            try:
+                _write_physical(
+                    df.observe(obs, F.count(F.lit(1)).alias("rows")),
+                    phys,
+                ).write.parquet(os.path.join(root, new_rel))
+            except AnalysisException as e:
+                if _is_path_not_found(e):
+                    continue
+                raise
+            n = int(obs.get["rows"])
+            if n != tip["rows"]:
+                shutil.rmtree(
+                    os.path.join(root, new_rel), ignore_errors=True
+                )
+                continue  # tip moved between the two passes
+            manifest = {
+                "op": "repartition",
+                "base_version": v,
+                "data_dir": new_rel,
+                "rows": n,
+                "schema": tip["schema"],
+                **_carry_mapping(tip),
+            }
+            if _try_commit(root, v + 1, manifest, backend):
+                return {
+                    "version": v + 1, "partitions": 1, "rows": n,
+                    "committed": True,
+                }
+            shutil.rmtree(os.path.join(root, new_rel), ignore_errors=True)
+            continue
+
+        stats_fields = (
+            _resolve_stats_fields(schema, stats_cols, partition_col)
+            if stats_cols
+            else []
+        )
+        bloom_fields = (
+            _resolve_bloom_fields(schema, bloom_cols, partition_col)
+            if bloom_cols
+            else []
+        )
+        try:
+            vals = [
+                r[0]
+                for r in df.select(partition_col).distinct().collect()
+            ]
+        except AnalysisException as e:
+            if _is_path_not_found(e):
+                continue
+            raise
+        if any(x is None for x in vals):
+            raise ValueError(
+                f"repartition_table: NULL {partition_col!r} values "
+                "cannot key partitions — fill or drop them first"
+            )
+        val_keys = {_pkey(x): x for x in vals}
+        tok_map = _ptok_mapping(spark, schema[partition_col], val_keys)
+        commit_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+        try:
+            _write_physical(
+                df.join(F.broadcast(tok_map), partition_col), phys
+            ).write.partitionBy("__ptok").parquet(
+                os.path.join(root, commit_rel)
+            )
+        except AnalysisException as e:
+            if _is_path_not_found(e):
+                continue
+            raise
+        leaf = {pk: f"{commit_rel}/__ptok={_ptoken(pk)}" for pk in val_keys}
+        readback = _read_data(
+            spark, schema, phys,
+            [os.path.join(root, d) for d in leaf.values()],
+        )
+        per_part = _leaf_stats(readback, partition_col, stats_fields)
+        blooms = (
+            _leaf_blooms(readback, partition_col, bloom_fields)
+            if bloom_fields
+            else {}
+        )
+        new_parts: dict = {}
+        for pk in sorted(val_keys):
+            got = per_part.get(pk, {"rows": 0, "stats": {}})
+            e: dict = {"dir": leaf[pk], "rows": got["rows"]}
+            if stats_fields:
+                e["stats"] = got["stats"]
+            if bloom_fields:
+                e["bloom"] = blooms.get(pk, {})
+            new_parts[pk] = e
+        total = sum(e["rows"] for e in new_parts.values())
+        if total != tip["rows"]:
+            shutil.rmtree(
+                os.path.join(root, commit_rel), ignore_errors=True
+            )
+            continue  # tip moved between the two passes
+        manifest = {
+            "op": "repartition",
+            "base_version": v,
+            "rows": total,
+            "schema": tip["schema"],
+            "partition_col": partition_col,
+            "partitions": new_parts,
+            **_carry_mapping(tip),
+        }
+        if _try_commit(root, v + 1, manifest, backend):
+            _maybe_checkpoint(root, v + 1, new_parts, backend)
+            return {
+                "version": v + 1, "partitions": len(new_parts),
+                "rows": total, "committed": True,
+            }
+        shutil.rmtree(os.path.join(root, commit_rel), ignore_errors=True)
+    raise RuntimeError(
+        f"repartition_table: gave up after {max_retries} version races "
+        f"at {root!r}"
+    )
+
+
 def register_tables(
     spark: SparkSession,
     tables: dict,

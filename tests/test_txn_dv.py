@@ -414,3 +414,69 @@ def test_register_tables_sql_front_door(spark, tmp_path):
     # explicit version pin time-travels
     register_tables(spark, {"u": users}, versions={"u": 1}, prefix="old_")
     assert spark.sql("SELECT count(*) AS n FROM old_u").collect()[0]["n"] == 10
+
+
+def test_repartition_table_layout_evolution(spark, tmp_path):
+    """Partition-spec evolution: flat -> partitioned (stats recorded,
+    data skipping works), partitioned -> re-keyed, partitioned ->
+    flat. History time-travels under each layout; DVs purge through
+    the rewrite; column mapping carries."""
+    from feature_store_spark.pipelines.txn import (
+        repartition_table,
+        resolve_partitions,
+    )
+
+    root = str(tmp_path / "t")
+    upsert_manifest(
+        spark.createDataFrame(
+            [(i, float(i), 1, D1 if i < 5 else D2) for i in range(10)],
+            "user_id bigint, score double, ts bigint, p date",
+        ),
+        root, ["user_id"], "ts",
+    )
+    delete_where(spark, root, [("user_id", "=", 0)], mode="dv")
+    rename_column(root, "score", "points")
+
+    # flat -> partitioned by p, with user_id stats
+    res = repartition_table(spark, root, "p", stats_cols=["user_id"])
+    assert res["committed"] and res["partitions"] == 2 and res["rows"] == 9
+    parts = resolve_partitions(root, res["version"])
+    assert parts[txn._pkey(D1)]["rows"] == 4  # user 0's DV purged
+    assert "dv" not in parts[txn._pkey(D1)]
+    assert parts[txn._pkey(D1)]["stats"]["user_id"]["max"] is not None
+    # data skipping on the new layout: one partition read for D1
+    got, _ = read_table(spark, root, partition_values=[D1])
+    assert sorted(r["user_id"] for r in got.collect()) == [1, 2, 3, 4]
+    assert "points" in got.columns  # mapping carried
+
+    # partitioned table verbs now apply (layout really switched)
+    upsert_manifest_partitioned(
+        spark.createDataFrame(
+            [(50, 5.0, 2, D1)],
+            "user_id bigint, points double, ts bigint, p date",
+        ),
+        root, ["user_id"], "ts", "p",
+    )
+    assert 50 in set(_ids(spark, root))
+
+    # re-key: partitioned by p -> partitioned by user_id
+    res = repartition_table(spark, root, "user_id")
+    assert res["committed"] and res["partitions"] == 10
+
+    # -> flat again
+    res = repartition_table(spark, root, None)
+    assert res["committed"] and res["rows"] == 10
+    m = read_manifest(root, res["version"])
+    assert "data_dir" in m and "partitions" not in m
+
+    # every layout era still time-travels
+    v1, _ = read_table(spark, root, 1)
+    assert v1.count() == 10 and "score" in v1.columns
+    # NULL partition values refused
+    root2 = str(tmp_path / "t2")
+    upsert_manifest(
+        spark.createDataFrame([(1, None)], "user_id bigint, p date"),
+        root2, ["user_id"], "user_id",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        repartition_table(spark, root2, "p")
