@@ -632,6 +632,10 @@ def database_alert_rules(table: str) -> list[dict]:
         # CacheDown analogue: the table lost all its rows
         {"rule": m("empty_table_critical"), "metric": m("rows"),
          "op": "<", "threshold": 1.0, "severity": "critical"},
+        # deletion-vector debt: soft-deleted rows piling up unpurged —
+        # schedule run_table_maintenance(purge_dv_above=...) / REORG
+        {"rule": m("dv_debt_warning"), "metric": m("dv_deleted_rows"),
+         "op": ">", "threshold": 100000.0, "severity": "warning"},
     ]
 
 
