@@ -969,7 +969,9 @@ def ivf_append(
     Assignment is nearest centroid by squared L2 — exactly MLlib
     KMeans ``transform`` (ties break on the lower cell id, measure-
     zero for float data), so a stream-built index equals the one-shot
-    ``ivf_encode`` assignment row-for-row (pinned in
+    ``ivf_encode`` assignment row-for-row — including batches that
+    carry DUPLICATE ids: every physical row gets its own assignment,
+    exactly like ``model.transform`` (pinned in
     tests/test_ann_quality.py). Centroids drift as the corpus grows;
     the deployment contract is the standard IVF one — retrain
     periodically (a fresh ``ivf_encode``), append between retrains.
@@ -990,16 +992,26 @@ def ivf_append(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__d2").asc(), F.col("cell").asc()
+    # argmin per PHYSICAL row, not per id value: a batch carrying two
+    # rows with the same vec_id must yield two assignments (exactly
+    # what ivf_encode's model.transform does), so key the reduction by
+    # a per-row surrogate taken BEFORE the centroid fan-out. min_by
+    # over (d2, cell) is map-combinable — one partial-agg exchange of
+    # |batch| rows, no sort, vs a window's full fan-out sort.
+    keyed = batch.select(id_col, vec_col).withColumn(
+        "__rk", F.monotonically_increasing_id()
     )
     return (
-        batch.select(id_col, vec_col)
-        .crossJoin(F.broadcast(cents))
+        keyed.crossJoin(F.broadcast(cents))
         .withColumn("__d2", d2)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col(vec_col), F.col("cell"))
+        .groupBy("__rk")
+        .agg(
+            F.min_by(
+                F.struct(F.col(id_col), F.col(vec_col), F.col("cell")),
+                F.struct(F.col("__d2"), F.col("cell")),
+            ).alias("__a")
+        )
+        .select("__a.*")
     )
 
 

@@ -3975,7 +3975,13 @@ def rename_column(
     same commit (partition map keys are values, not names — nothing
     else moves). Adding a NEW column that reuses a renamed-away
     physical name is refused at write time (``_validate_mapping``).
-    Returns {version, renamed: {old: new}, committed}."""
+    A rename is still a WRITE: it funnels through the protocol gate
+    and carries txn watermarks, CHECK constraints, retired physical
+    names, and reader/writer protocol forward (``_carry_mapping``).
+    Renaming a column a persisted CHECK constraint references is
+    refused (same rule as :func:`drop_column` — drop the constraint,
+    rename, re-add against the new name). Returns
+    {version, renamed: {old: new}, committed}."""
     if old == new:
         raise ValueError("rename_column: old and new are the same name")
     for _ in range(max_retries):
@@ -4017,12 +4023,29 @@ def rename_column(
                 return d
             return {(new if c == old else c): s for c, s in d.items()}
 
+        cpat = re.compile(rf"\b{re.escape(old)}\b")
+        bound = [c[0] for c in _table_constraints(tip) if cpat.search(c[1])]
+        if bound:
+            raise ValueError(
+                f"rename_column: {old!r} is referenced by CHECK "
+                f"constraint(s) {bound!r} — drop them first and re-add "
+                f"against the new name"
+            )
         manifest: dict = {
             "op": "rename_column",
             "base_version": v,
             "renames": {old: new},
             "rows": tip["rows"],
             "schema": new_schema.jsonValue(),
+            # carry everything a commit must inherit (txn watermarks,
+            # constraints, retired physicals, protocol) EXCEPT the
+            # column map, rebuilt above; _carry_mapping also runs the
+            # write-side protocol gate
+            **{
+                k: val
+                for k, val in _carry_mapping(tip).items()
+                if k != "physical"
+            },
         }
         if phys:
             manifest["physical"] = phys

@@ -197,6 +197,37 @@ def test_ivf_append_stream_equals_one_shot_encode(
     assert recall >= 0.5, f"stream-built IVF recall {recall:.2f}"
 
 
+def test_ivf_append_keeps_duplicate_id_rows(spark, emb):
+    """ADVICE r8: a batch carrying two rows with the same vec_id must
+    yield TWO assignments (ivf_encode's model.transform assigns every
+    physical row) — the append path must not collapse them through a
+    per-id window."""
+    _, cents = ivf_encode(emb, n_centroids=8)
+    two = emb.orderBy("vec_id").limit(2).collect()
+    # same id, two different vectors: both rows must survive, each
+    # assigned by its OWN vector
+    dup = spark.createDataFrame(
+        [
+            (999_999, two[0]["embedding"]),
+            (999_999, two[1]["embedding"]),
+        ],
+        emb.select("vec_id", "embedding").schema,
+    )
+    got = ivf_append(dup, cents).collect()
+    assert len(got) == 2
+    expect = sorted(
+        r["cell"]
+        for r in ivf_append(
+            spark.createDataFrame(
+                [(1, two[0]["embedding"]), (2, two[1]["embedding"])],
+                emb.select("vec_id", "embedding").schema,
+            ),
+            cents,
+        ).collect()
+    )
+    assert sorted(r["cell"] for r in got) == expect
+
+
 def test_ivf_full_probe_equals_exact(emb, queries, exact_topk):
     """Probing every cell must reproduce the exact result — the
     approximation comes only from skipped cells."""

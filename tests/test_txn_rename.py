@@ -216,3 +216,104 @@ def test_rename_chain_back_to_original_name(spark, tmp_path):
     got, _ = read_table(spark, root)
     assert got.columns == ["user_id", "score", "ts"]
     assert got.count() == 5
+
+
+def test_rename_carries_txn_watermarks_and_protocol(spark, tmp_path):
+    """A rename is still a write: txn watermarks, protocol, and
+    constraints established BEFORE the rename must survive it —
+    otherwise a redelivered CDC batch after a rename double-applies
+    (the exactly-once guarantee breaks on a metadata-only commit)."""
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    src = spark.createDataFrame(
+        [(3, 99.0)], "user_id bigint, val double"
+    )
+    res = merge_into(
+        spark, root, src, ["user_id"],
+        when_matched=[(None, {"score": "s.val"})], txn=("app", 5),
+    )
+    assert res["committed"]
+    rename_column(root, "score", "points")
+    m = txn.read_manifest(root, txn.latest_version(root))
+    assert m.get("app_versions") == {"app": 5}
+    assert "app_versions" in m["protocol"]["writer"]
+    # the replayed batch is STILL skipped after the rename
+    r = merge_into(
+        spark, root, src, ["user_id"],
+        when_matched=[(None, {"points": "s.val + 1"})], txn=("app", 5),
+    )
+    assert r["txn_skipped"] and not r["committed"]
+    got, _ = read_table(spark, root)
+    assert {x["points"] for x in got.collect() if x["user_id"] == 3} == {99.0}
+
+
+def test_rename_on_shallow_clone_keeps_absolute_paths(spark, tmp_path):
+    """A shallow clone's absolute_paths reader feature must not be
+    auto-dropped by a rename (protocol invariant: features are never
+    silently removed)."""
+    src = str(tmp_path / "src")
+    shallow = str(tmp_path / "shallow")
+    _flat(spark, src)
+    txn.clone_table(src, shallow, deep=False)
+    assert "absolute_paths" in txn.read_manifest(shallow, 1)["protocol"]["reader"]
+    rename_column(shallow, "score", "points")
+    m = txn.read_manifest(shallow, txn.latest_version(shallow))
+    assert "absolute_paths" in m["protocol"]["reader"]
+    assert "column_mapping" in m["protocol"]["reader"]
+    got, _ = read_table(spark, shallow)
+    assert got.columns == ["user_id", "points", "ts"]
+    assert got.count() == 5
+
+
+def test_rename_carries_unrelated_constraints_and_retired(spark, tmp_path):
+    """Constraints on OTHER columns and the retired-physical list ride
+    through a rename verbatim; the protocol writer gate still sees
+    them afterwards."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i), i * 2, 1) for i in range(5)],
+        "user_id bigint, score double, extra bigint, ts bigint",
+    )
+    upsert_manifest(df, root, ["user_id"], "ts")
+    txn.add_constraint(spark, root, "uid_pos", "user_id >= 0")
+    txn.drop_column(root, "extra")
+    retired = txn._retired_physical(
+        txn.read_manifest(root, txn.latest_version(root)))
+    assert retired == ["extra"]
+    rename_column(root, "score", "points")
+    m = txn.read_manifest(root, txn.latest_version(root))
+    assert txn._table_constraints(m) == [["uid_pos", "user_id >= 0"]]
+    assert txn._retired_physical(m) == ["extra"]
+    assert {"constraints", "retired_physical"} <= set(m["protocol"]["writer"])
+    # the carried constraint is still ENFORCED after the rename
+    bad = spark.createDataFrame(
+        [(-1, 0.0, 9)], "user_id bigint, points double, ts bigint"
+    )
+    with pytest.raises(Exception, match="uid_pos"):
+        upsert_manifest(bad, root, ["user_id"], "ts")
+    # the retired physical name still refuses re-binding
+    with_extra = spark.createDataFrame(
+        [(7, 1.0, 9, 0)],
+        "user_id bigint, points double, ts bigint, extra bigint",
+    )
+    with pytest.raises(ValueError, match="RETIRED"):
+        upsert_manifest(
+            with_extra, root, ["user_id"], "ts",
+            allow_schema_evolution=True,
+        )
+
+
+def test_rename_of_constrained_column_refused(spark, tmp_path):
+    """Renaming a column a CHECK constraint references would orphan
+    the predicate — refused, same rule as drop_column."""
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    txn.add_constraint(spark, root, "score_pos", "score >= 0")
+    with pytest.raises(ValueError, match="score_pos"):
+        rename_column(root, "score", "points")
+    # drop-rename-readd is the documented path
+    txn.drop_constraint(root, "score_pos")
+    rename_column(root, "score", "points")
+    txn.add_constraint(spark, root, "points_pos", "points >= 0")
+    m = txn.read_manifest(root, txn.latest_version(root))
+    assert txn._table_constraints(m) == [["points_pos", "points >= 0"]]
