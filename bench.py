@@ -20,7 +20,10 @@ achieve. The per-run py4j DataFrame construction stays OUTSIDE the
 timed window (built before t0); JVM-side analysis/optimization runs
 lazily inside the first action and is therefore included, as it is
 for DuckDB's parse/plan. Set SPARK_GRAFT_BENCH_WARMUP=0 /
-SPARK_GRAFT_BENCH_RUNS=1 for single cold-ish runs.
+SPARK_GRAFT_BENCH_RUNS=1 for single cold-ish runs. Spark and DuckDB
+trials for each query are INTERLEAVED (S,D,S,D,…) so both engines
+sample the same ambient-load window, and the payload carries
+start/end ``loadavg`` so a loaded run is self-describing.
 
 Local-mode configs (bench only — get_spark defaults stay
 cluster-shaped): shuffle partitions sized per query family (see
@@ -244,7 +247,32 @@ def main() -> None:
         dt = time.perf_counter() - t0
         floor = dt if floor is None else min(floor, dt)
 
+    # Oracle companion (default on; SPARK_GRAFT_BENCH_ORACLE=0 to
+    # skip): time the same queries' DuckDB oracle SQL over the same
+    # parquet so the emitted line carries its own per-query ratios.
+    # Trials are INTERLEAVED per query (S,D,S,D,…) — VERDICT r8 item
+    # 1: with all-Spark-then-all-DuckDB ordering, ambient box load
+    # lands on whichever side happens to run during the spike, and
+    # the round-over-round headline ratio swung 0.62×↔1.77× on
+    # identical code. Alternating trials makes both engines sample
+    # the SAME load window per query; the min statistic then strips
+    # what both sampled. The oracle still gets n_runs+2 trials (its
+    # extra two run after the interleave — erring favors the oracle,
+    # the honest direction for our ratios).
+    with_oracle = os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0"
+    con = None
+    if with_oracle:
+        from feature_store_spark.oracle import duckdb_connection
+
+        con = duckdb_connection(sf_dir)
+
+    try:
+        load_start = os.getloadavg()
+    except OSError:
+        load_start = None
+
     timings: dict[str, float] = {}
+    duck: dict[str, float] = {}
     for name in HEADLINE:
         if name not in SPECS:
             # a silently dropped query would read as a speedup in
@@ -259,17 +287,40 @@ def main() -> None:
             "spark.sql.shuffle.partitions",
             str(heavy_shuffle if name in HEAVY_SHUFFLE else light_shuffle),
         )
+        s = SPECS[name]
+        sql = None
+        if con is not None and s.sql is not None:
+            # a deployed-artifact query (e.g. the int8 codes table)
+            # gets its artifact built UNTIMED on the DuckDB side too,
+            # so both engines' timed regions do the same work
+            if s.bench_setup is not None:
+                con.execute(s.bench_setup)
+            sql = s.bench_sql or s.sql
+        # warm both sides back-to-back (JIT/codegen/footers vs
+        # parse/buffer cache), then alternate timed trials
         if warmup:
-            run(SPECS[name].fn(spark, sf_dir))
+            run(s.fn(spark, sf_dir))
+        if sql is not None:
+            con.execute(sql).fetchall()
         best = None
-        for _ in range(n_runs):
-            df = SPECS[name].fn(spark, sf_dir)  # fresh plan: no
-            # cross-run reuse of checkpointed intermediates
-            t0 = time.perf_counter()
-            run(df)
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+        d_best = None
+        d_trials = n_runs + 2 if sql is not None else 0
+        for i in range(max(n_runs, d_trials)):
+            if i < n_runs:
+                df = s.fn(spark, sf_dir)  # fresh plan: no cross-run
+                # reuse of checkpointed intermediates
+                t0 = time.perf_counter()
+                run(df)
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            if i < d_trials:
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                dt = time.perf_counter() - t0
+                d_best = dt if d_best is None else min(d_best, dt)
         timings[name] = round(best, 3)
+        if d_best is not None:
+            duck[name] = round(d_best, 3)
 
     prior, prior_floor = _prior_timings(sf)
     # machine-drift normalization: both floors are measured with the
@@ -324,44 +375,23 @@ def main() -> None:
         },
     }
 
-    # Self-contained oracle companion (default on; SPARK_GRAFT_BENCH_ORACLE=0
-    # to skip): time the same queries' DuckDB oracle SQL over the same
-    # parquet so the emitted line carries its own per-query ratios
-    # (floor_sec is the Spark-side scheduling constant to subtract when
-    # reading them). Costs one DuckDB pass (~15 s at sf0.1).
-    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
-        from feature_store_spark.oracle import duckdb_connection
-
-        con = duckdb_connection(sf_dir)
-        duck: dict[str, float] = {}
-        for name in HEADLINE:
-            if name not in SPECS or SPECS[name].sql is None:
-                continue
-            s = SPECS[name]
-            # a deployed-artifact query (e.g. the int8 codes table)
-            # gets its artifact built UNTIMED on the DuckDB side too,
-            # so both engines' timed regions do the same work
-            if s.bench_setup is not None:
-                con.execute(s.bench_setup)
-            sql = s.bench_sql or s.sql
-            con.execute(sql).fetchall()  # warm
-            # best-of-(n_runs+2): the oracle side gets MORE trials
-            # than Spark, with the same min statistic. Rationale
-            # (VERDICT r7): the round artifact swung 1.44×↔0.62× on
-            # DuckDB box-load variance alone (d_minhash oracle 6.93 s
-            # in-round vs ~2 s same-day); min over more trials
-            # converges to the unloaded time, and erring favors the
-            # ORACLE — the honest direction for our ratios.
-            best = None
-            for _ in range(n_runs + 2):
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            duck[name] = round(best, 3)
+    if duck:
         payload["oracle_sec"] = duck
         payload["oracle_total"] = round(sum(duck.values()), 3)
         payload["oracle_runs"] = n_runs + 2
+        payload["interleaved_trials"] = True
+    # self-describing load: a payload measured at loadavg 8 reads
+    # differently from one measured at 0.5 — emit both endpoints so a
+    # loaded run is identifiable without out-of-band notes
+    try:
+        load_end = os.getloadavg()
+    except OSError:
+        load_end = None
+    if load_start is not None and load_end is not None:
+        payload["loadavg"] = {
+            "start": [round(x, 2) for x in load_start],
+            "end": [round(x, 2) for x in load_end],
+        }
 
     print(json.dumps(payload))
     # The driver records only a ~2 KB TAIL of stdout; round 5's full
@@ -372,10 +402,15 @@ def main() -> None:
     # (2) a compact summary line printed LAST carries the headline
     # fields in well under any plausible tail window, so truncation
     # can never eat the signal again.
+    # bench_last.json is the ROUND artifact: only an sf0.1 run may
+    # claim it (round 8's pinned sf0.1 payload was clobbered by a
+    # later sf0.001 smoke run — VERDICT r8 item 2). Any other scale
+    # writes bench_smoke.json (same fidelity, different name).
+    fname = "bench_last.json" if sf == 0.1 else "bench_smoke.json"
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "bench_last.json"),
+                         fname),
             "w",
         ) as f:
             json.dump(payload, f)
