@@ -61,10 +61,36 @@ FACT_BUCKET_KEYS = {
     # keeps serving the lineitem joins. Cost: one extra bucketed
     # write per ingest, amortized over every derivation run.
     "orders_by_custkey": "o_custkey",
+    # DENORMALIZED projection of lineitem under the customer key
+    # (materialized join at ingest): the payment-delay and merchant
+    # feeds need (o_custkey, o_orderdate) per shipment, so on the
+    # orderkey layout every run pays the lineitem⋈orders join and a
+    # groupBy(custkey) exchange of the joined rows — at sf≈4 that
+    # join is ~90% of the transaction pipeline's time. With the join
+    # landed once per ingest, both feeds become single-scan
+    # exchange-free aggregates, and the final feats⟕merch join
+    # co-partitions with the orders_by_custkey aggregate for free.
+    "lineitem_by_custkey": "o_custkey",
 }
 
 # Projections materialize from another table's fixture.
-FACT_SOURCES = {"orders_by_custkey": "orders"}
+FACT_SOURCES = {
+    "orders_by_custkey": "orders",
+    # flat fallback composes the join on the fly (see
+    # _PROJECTION_BUILDERS) — layout-independent results
+    "lineitem_by_custkey": "lineitem",
+}
+
+# Within-bucket sort order. Defaults to the bucket key; the custkey
+# projections sort by their TIME column instead: the bucketed hash
+# aggregates need only the bucket DISTRIBUTION (hash agg, no sort),
+# while a time-major sort clusters each bucket file's parquet pages
+# by date, so the 30/90-day window scans skip ~95% of pages via
+# column-index pushdown instead of decoding the full history.
+FACT_SORT_COLS = {
+    "orders_by_custkey": "o_orderdate",
+    "lineitem_by_custkey": "l_shipdate",
+}
 
 
 def default_fact_buckets() -> int:
@@ -99,25 +125,50 @@ def write_bucketed_fact(
     table_name: str,
     key: str,
     n_buckets: int,
+    sort_col: str | None = None,
 ) -> None:
-    """Write ``df`` as a parquet table bucketed AND sorted by ``key``,
-    one file per bucket (repartition first hashes with the same
-    Murmur3 the bucketing spec uses, so Spark honors the sortBy order
-    at read time under
-    ``spark.sql.legacy.bucketedTableScan.outputOrdering``). External
-    path under the session warehouse — restart-safe against the
-    in-memory catalog forgetting managed tables (see
+    """Write ``df`` as a parquet table bucketed by ``key`` and sorted
+    within buckets by ``sort_col`` (default: the key), one file per
+    bucket (repartition first hashes with the same Murmur3 the
+    bucketing spec uses, so Spark honors the sortBy order at read
+    time under ``spark.sql.legacy.bucketedTableScan.outputOrdering``).
+    External path under the session warehouse — restart-safe against
+    the in-memory catalog forgetting managed tables (see
     pipelines/store.py for the LOCATION_ALREADY_EXISTS trap)."""
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     (
         df.repartition(n_buckets, F.col(key))
         .write.format("parquet")
         .bucketBy(n_buckets, key)
-        .sortBy(key)
+        .sortBy(sort_col or key)
         .option("path", f"{warehouse.rstrip('/')}/{table_name}__data")
         .mode("overwrite")
         .saveAsTable(table_name)
     )
+
+
+def projection_frame(spark: SparkSession, sf_dir: str, name: str):
+    """The LOGICAL content of fact table/projection ``name`` from the
+    flat fixtures — what the bucketed layout materializes, and what
+    the flat fallback serves when bucketing is off (same rows, same
+    schema, layout-independent results)."""
+    from feature_store_spark.tables import load_flat_table
+
+    if name == "lineitem_by_custkey":
+        li = load_flat_table(spark, sf_dir, "lineitem")
+        orders = load_flat_table(spark, sf_dir, "orders")
+        # inner join on the orders PK: orphan lineitems (J4) drop out
+        # here exactly as they do in the per-query join they replace
+        return li.select(
+            "l_orderkey", "l_suppkey", "l_shipdate"
+        ).join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).select(
+            "o_custkey", "o_orderdate", "l_orderkey", "l_suppkey",
+            "l_shipdate",
+        )
+    return load_flat_table(spark, sf_dir, FACT_SOURCES.get(name, name))
 
 
 def bucketed_fact(
@@ -137,16 +188,16 @@ def bucketed_fact(
     n = n_buckets or default_fact_buckets()
     table = _table_name(name, sf_dir, n)
     if not spark.catalog.tableExists(table):
-        # load the FLAT fixture explicitly (never through load_table,
-        # which under SPARK_GRAFT_BUCKETED_FACTS=1 would recurse here)
-        from feature_store_spark.tables import load_flat_table
-
+        # build from the FLAT fixtures explicitly (never through
+        # load_table, which under SPARK_GRAFT_BUCKETED_FACTS=1 would
+        # recurse here)
         write_bucketed_fact(
             spark,
-            load_flat_table(spark, sf_dir, FACT_SOURCES.get(name, name)),
+            projection_frame(spark, sf_dir, name),
             table,
             FACT_BUCKET_KEYS[name],
             n,
+            sort_col=FACT_SORT_COLS.get(name),
         )
     return spark.table(table)
 

@@ -127,6 +127,7 @@ def derive_transaction_features(
     lineitem: DataFrame,
     ref_date: str = REF_DATE,
     orders_custkey: DataFrame | None = None,
+    lineitem_custkey: DataFrame | None = None,
 ) -> DataFrame:
     """Trailing-30d conditional aggregates over a 31d scan (reference
     `sql/transaction_features.sql`).
@@ -191,25 +192,34 @@ def derive_transaction_features(
     feats = feats.filter(F.col("total_transactions_30d") > 0)
 
     # unique_merchants_30d: distinct suppliers shipped to the user in
-    # the window (l_suppkey ↔ merchant_id, FIXTURES.md §1). Shuffles
-    # hash on o_custkey → co-partitioned with the agg above.
-    # shuffle_hash: the window-filtered lineitem side is small by
-    # construction (30d of shipments), so it hash-builds per partition
-    # while the full orders projection streams through as probe — no
-    # per-side sorts, which at sf≈1 is 1.33 s → 0.81 s over sort-merge
-    # and at 100 TB skips sorting the entire orders table. Build
-    # memory is |30d lineitem| / shuffle-partitions; remove the hint
-    # (fall back to SMJ) only if the window side stops being bounded.
-    merch = (
-        window_scan(lineitem, "l_shipdate", ref_date, 30)
-        .hint("shuffle_hash")
-        .join(
-            orders.select("o_orderkey", "o_custkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
+    # the window (l_suppkey ↔ merchant_id, FIXTURES.md §1). With the
+    # denormalized lineitem_by_custkey projection (facts.py — the
+    # lineitem⋈orders join landed once at ingest, custkey-bucketed,
+    # shipdate-sorted) this is a single page-skipped scan and an
+    # exchange-free aggregate; measured sf≈4 the query-time join it
+    # replaces was ~90% of this pipeline's wall time. The join
+    # fallback runs when no projection is materialized: shuffle_hash
+    # builds the window-filtered lineitem side (30d of shipments,
+    # bounded) while the full orders projection streams through as
+    # probe — no per-side sorts (sf≈1: 1.33 s → 0.81 s over
+    # sort-merge; at 100 TB skips sorting the entire orders table).
+    if lineitem_custkey is not None:
+        merch = (
+            window_scan(lineitem_custkey, "l_shipdate", ref_date, 30)
+            .groupBy(F.col("o_custkey").alias("user_id"))
+            .agg(F.countDistinct("l_suppkey").alias("unique_merchants_30d"))
         )
-        .groupBy(F.col("o_custkey").alias("user_id"))
-        .agg(F.countDistinct("l_suppkey").alias("unique_merchants_30d"))
-    )
+    else:
+        merch = (
+            window_scan(lineitem, "l_shipdate", ref_date, 30)
+            .hint("shuffle_hash")
+            .join(
+                orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy(F.col("o_custkey").alias("user_id"))
+            .agg(F.countDistinct("l_suppkey").alias("unique_merchants_30d"))
+        )
     return feats.join(merch, "user_id", "left").withColumn(
         "unique_merchants_30d",
         F.coalesce(F.col("unique_merchants_30d"), F.lit(0)).cast("bigint"),
@@ -224,6 +234,7 @@ def derive_risk_features(
     ref_date: str = REF_DATE,
     now: str = EVENTS_NOW,
     orders_custkey: DataFrame | None = None,
+    lineitem_custkey: DataFrame | None = None,
 ) -> DataFrame:
     """Union-of-active-keys + multi-way left join of per-feed
     aggregates (reference `sql/risk_features.sql:1-109`).
@@ -255,17 +266,24 @@ def derive_risk_features(
     # conditional aggs (delays_30d ⊆ delays_90d by construction). Every
     # user with 90d payment activity gets a row (possibly zero delays)
     # — membership itself feeds the active-key set.
-    # shuffle_hash on the 90d-filtered lineitem build side — same
-    # rationale and measurement as the merch join in
-    # derive_transaction_features (sort-merge pays two sorts of the
-    # full orders projection for nothing).
-    pay = (
-        window_scan(lineitem, "l_shipdate", ref_date, 90)
-        .hint("shuffle_hash")
-        .join(
-            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
+    # With the denormalized lineitem_by_custkey projection the feed is
+    # a single page-skipped scan and an exchange-free aggregate (see
+    # derive_transaction_features). Fallback: shuffle_hash on the
+    # 90d-filtered lineitem build side — sort-merge pays two sorts of
+    # the full orders projection for nothing.
+    if lineitem_custkey is not None:
+        pay_src = window_scan(lineitem_custkey, "l_shipdate", ref_date, 90)
+    else:
+        pay_src = (
+            window_scan(lineitem, "l_shipdate", ref_date, 90)
+            .hint("shuffle_hash")
+            .join(
+                orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
         )
+    pay = (
+        pay_src
         .withColumn(
             "__delayed", F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60)
         )
@@ -399,6 +417,8 @@ def serving_features(
     events: DataFrame,
     ref_date: str = REF_DATE,
     now: str = EVENTS_NOW,
+    orders_custkey: DataFrame | None = None,
+    lineitem_custkey: DataFrame | None = None,
 ) -> DataFrame:
     """The serving join computed from raw tables with ONE aggregation
     pass per fact table — result identical to
@@ -444,7 +464,11 @@ def serving_features(
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     prio_ok = F.col("__prio").isNotNull() & (F.col("__c_cnt") > 0)
 
-    l1 = orders.groupBy(
+    # custkey-bucketed projection (when provided): HashPartitioning
+    # on o_custkey satisfies the clustered distribution of BOTH
+    # groupBys below (custkey ⊂ (custkey, prio)), so the whole
+    # two-level orders aggregate runs exchange-free.
+    l1 = (orders_custkey if orders_custkey is not None else orders).groupBy(
         F.col("o_custkey").alias("user_id"),
         F.col("o_orderpriority").alias("__prio"),
     ).agg(
@@ -487,15 +511,23 @@ def serving_features(
 
     ship = F.to_date("l_shipdate")
     delayed = ship > F.date_add(F.to_date("o_orderdate"), 60)
-    # shuffle_hash build on the window-filtered side — see
-    # derive_transaction_features for the measurement
-    li = (
-        window_scan(lineitem, "l_shipdate", ref_date, 90)
-        .hint("shuffle_hash")
-        .join(
-            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
+    # denormalized custkey projection (when provided): single
+    # page-skipped scan, exchange-free aggregate — else the
+    # shuffle_hash build on the window-filtered side (see
+    # derive_transaction_features for the measurement)
+    if lineitem_custkey is not None:
+        li_src = window_scan(lineitem_custkey, "l_shipdate", ref_date, 90)
+    else:
+        li_src = (
+            window_scan(lineitem, "l_shipdate", ref_date, 90)
+            .hint("shuffle_hash")
+            .join(
+                orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
         )
+    li = (
+        li_src
         .groupBy(F.col("o_custkey").alias("user_id"))
         .agg(
             F.countDistinct(

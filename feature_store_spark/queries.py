@@ -199,6 +199,7 @@ def q_transaction_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders"),
         _t(spark, sf_dir, "lineitem"),
         orders_custkey=_t(spark, sf_dir, "orders_by_custkey"),
+        lineitem_custkey=_t(spark, sf_dir, "lineitem_by_custkey"),
     )
 
 
@@ -304,6 +305,7 @@ def q_risk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem"),
         _t(spark, sf_dir, "events"),
         orders_custkey=_t(spark, sf_dir, "orders_by_custkey"),
+        lineitem_custkey=_t(spark, sf_dir, "lineitem_by_custkey"),
     )
 
 
@@ -334,6 +336,8 @@ def q_serving_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders"),
         _t(spark, sf_dir, "lineitem"),
         _t(spark, sf_dir, "events"),
+        orders_custkey=_t(spark, sf_dir, "orders_by_custkey"),
+        lineitem_custkey=_t(spark, sf_dir, "lineitem_by_custkey"),
     )
 
 

@@ -97,15 +97,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     key = (sf_dir, name, bucketed and default_fact_buckets())
     if key not in cache:
-        from feature_store_spark.pipelines.facts import FACT_SOURCES
+        from feature_store_spark.pipelines.facts import projection_frame
 
         cache[key] = (
             bucketed_fact(spark, sf_dir, name)
             if bucketed
-            # a secondary projection (orders_by_custkey) falls back to
-            # its SOURCE fixture when bucketing is off — same rows,
-            # layout-independent results
-            else load_flat_table(spark, sf_dir, FACT_SOURCES.get(name, name))
+            # a secondary projection falls back to its logical content
+            # computed from the flat fixtures when bucketing is off —
+            # same rows, same schema, layout-independent results
+            else projection_frame(spark, sf_dir, name)
         )
     return cache[key]
 

@@ -43,8 +43,11 @@ spark.range(1000).selectExpr("sum(id)").collect()
 # at sf~1 — chunked invocations keep each run inside a driver
 # timeout; totals are summed across chunks by the caller)
 _only = os.environ.get("RACE_ONLY")
-if _only and _only not in ("sf0.1", "sf1.0"):
-    sys.exit(f"RACE_ONLY must be sf0.1 or sf1.0, got {_only!r}")
+if _only and _only not in ("sf0.1", "sf1.0") and not os.path.isdir(_only):
+    sys.exit(
+        f"RACE_ONLY must be sf0.1, sf1.0, or an existing fixture dir, "
+        f"got {_only!r}"
+    )
 _subset = [
     q for q in os.environ.get("RACE_QUERIES", "").split(",") if q
 ] or None
@@ -54,10 +57,15 @@ if _subset:
         # a silently-dropped typo would corrupt cross-chunk totals
         sys.exit(f"RACE_QUERIES not in HEADLINE: {unknown}")
     HEADLINE = [q for q in HEADLINE if q in _subset]
-for sf_dir, label, toy in (
+_scales = [
     ("/root/testdata/sf0.1", "sf0.1", True),
     ("/tmp/sfbig", "sf1.0", False),
-):
+]
+if _only and os.path.isdir(_only):
+    # race an arbitrary fixture dir (e.g. /tmp/sfbig4) at big widths
+    _scales = [(_only, _only, False)]
+    _only = None
+for sf_dir, label, toy in _scales:
     if _only and label != _only:
         continue
     light = 2 if toy else min(8, CPUS)

@@ -8,9 +8,9 @@ from __future__ import annotations
 
 from feature_store_spark.pipelines.facts import (
     FACT_BUCKET_KEYS,
-    FACT_SOURCES,
     bucketed_fact,
     materialize_bucketed_facts,
+    projection_frame,
 )
 from feature_store_spark.pipelines.features import serving_features
 from feature_store_spark.tables import load_flat_table
@@ -29,8 +29,7 @@ def test_bucketed_facts_results_are_layout_independent(spark, sf_dir):
     """The full serving derivation (touches every bucketed fact) must
     produce identical rows from the flat and bucketed layouts."""
     flat = {
-        n: load_flat_table(spark, sf_dir, FACT_SOURCES.get(n, n))
-        for n in FACT_BUCKET_KEYS
+        n: projection_frame(spark, sf_dir, n) for n in FACT_BUCKET_KEYS
     }
     bucketed = materialize_bucketed_facts(spark, sf_dir)
     for name, df in bucketed.items():
@@ -116,12 +115,31 @@ def test_custkey_projection_kills_pipeline_aggregate_exchange(
 
     df = SPECS["pipeline_risk_features"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    cust_ex = [
-        ln
-        for ln in plan.splitlines()
-        if "Exchange hashpartitioning(o_custkey" in ln
+    # with the denormalized lineitem_by_custkey projection (round 9)
+    # every feed aggregate is exchange-free; the ONE shuffle left is
+    # the post-full-outer-join re-distribution of the COALESCED user
+    # key (key-cardinality aggregate rows, not fact rows)
+    assert "fs_fact_lineitem_by_custkey" in plan
+    shuffles = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
-    assert len(cust_ex) <= 1, cust_ex
+    assert len(shuffles) <= 1, shuffles
+    fact_ex = [
+        ln
+        for ln in shuffles
+        if "o_custkey" in ln or "orderkey" in ln.lower()
+    ]
+    assert not fact_ex, fact_ex
+
+    # transaction pipeline: both feeds single-scan exchange-free on
+    # the custkey layouts; no shuffle Exchange at all
+    df = SPECS["pipeline_transaction_features"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "fs_fact_lineitem_by_custkey" in plan
+    shuffles = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert not shuffles, shuffles
 
 
 def test_custkey_projection_results_are_layout_independent(
