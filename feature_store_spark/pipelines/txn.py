@@ -188,7 +188,7 @@ def latest_version(root: str) -> int:
 # feature this build doesn't know still reaches the guard.
 
 READER_FEATURES = frozenset(
-    {"column_mapping", "absolute_paths", "deletion_vectors"}
+    {"column_mapping", "absolute_paths", "deletion_vectors", "extra_dirs"}
 )
 WRITER_FEATURES = READER_FEATURES | frozenset(
     {"constraints", "app_versions", "retired_physical"}
@@ -238,16 +238,23 @@ def _stamp_protocol(manifest: dict) -> dict:
         w.add("constraints")
     if manifest.get("app_versions"):
         w.add("app_versions")
-    if manifest.get("dv") or any(
-        isinstance(e, dict) and e.get("dv")
+    entry_like = [manifest] + [
+        e
         for part_map in (
             manifest.get("partitions") or {},
             manifest.get("updates") or {},
         )
         for e in part_map.values()
-    ):
+        if isinstance(e, dict)
+    ]
+    if any(e.get("dv") for e in entry_like):
         # a reader unaware of deletion vectors would serve deleted rows
         r.add("deletion_vectors")
+    if any(e.get("extra_dirs") for e in entry_like):
+        # a reader unaware of merge-on-read appended dirs would DROP
+        # the updated rows (and serve their stale DV'd originals only
+        # if it also ignored the DV) — refuse instead
+        r.add("extra_dirs")
     w |= r & READER_FEATURES  # every known reader feature binds writers too
     if r or w:
         manifest["protocol"] = {"reader": sorted(r), "writer": sorted(w)}
@@ -331,7 +338,7 @@ def _version_dirs(
     data-only view."""
     m = read_manifest(root, version) if manifest is None else manifest
     if "data_dir" in m:
-        out = [m["data_dir"]]
+        out = [m["data_dir"]] + list(m.get("extra_dirs") or [])
         if include_dv and m.get("dv"):
             out.append(m["dv"]["dir"])
         return out
@@ -340,7 +347,11 @@ def _version_dirs(
         if "partitions" in m
         else list(resolve_partitions(root, version).values())
     )
-    out = [e["dir"] for e in entries]
+    out = []
+    for e in entries:
+        out.append(e["dir"])
+        # merge-on-read appended dirs are DATA — every view needs them
+        out.extend(e.get("extra_dirs") or [])
     if include_dv:
         out.extend(e["dv"]["dir"] for e in entries if e.get("dv"))
     return out
@@ -586,18 +597,36 @@ def _validate_mapping(
 # accounting invariants. The protocol guard stamps reader feature
 # "deletion_vectors", so a pre-DV reader refuses instead of serving
 # deleted rows.
+#
+# An entry may additionally carry ``extra_dirs: [rel, ...]`` —
+# appended data dirs belonging to the same leaf (merge-on-read
+# UPDATE: the changed rows' originals enter the DV, their new images
+# land in an appended dir — Delta's DV-update RemoveFile+AddFile pair
+# in this layout's dir unit). One leaf = base dir ∪ extra dirs read
+# as one scan; the DV applies across all of them (file names are
+# globally unique). Reader feature "extra_dirs" gates pre-extension
+# readers, which would silently drop the updated rows.
+
+
+def _entry_dirs(root: str, e: dict) -> list[str]:
+    """Absolute data dirs of one leaf entry: base + appended extras."""
+    return [os.path.join(root, e["dir"])] + [
+        os.path.join(root, d) for d in e.get("extra_dirs") or []
+    ]
 
 
 def _scan_leaf_with_pos(
-    spark: SparkSession, schema: StructType, phys: dict, dir_abs: str,
+    spark: SparkSession, schema: StructType, phys: dict, dirs_abs,
     dv_abs: str | None,
 ) -> DataFrame:
-    """One leaf dir under the logical schema PLUS its file/position
-    metadata columns (__dv_file, __dv_pos), with the leaf's deletion
-    vector (if any) already anti-joined away. The DV writer keeps the
-    helper columns; plain readers drop them."""
+    """One leaf's dirs (base + extras) under the logical schema PLUS
+    file/position metadata columns (__dv_file, __dv_pos), with the
+    leaf's deletion vector (if any) already anti-joined away. The DV
+    writer keeps the helper columns; plain readers drop them."""
+    if isinstance(dirs_abs, str):
+        dirs_abs = [dirs_abs]
     read_schema = _physical_schema(schema, phys) if phys else schema
-    df = spark.read.schema(read_schema).parquet(dir_abs).select(
+    df = spark.read.schema(read_schema).parquet(*dirs_abs).select(
         *[
             F.col(phys.get(f.name, f.name)).alias(f.name)
             for f in schema.fields
@@ -625,9 +654,14 @@ def _read_entries(
     columnar read when no entry carries a deletion vector — the
     pre-DV fast path, plan-identical."""
     entries = list(entries)
-    plain = [
-        os.path.join(root, e["dir"]) for e in entries if not e.get("dv")
-    ]
+    plain = []
+    for e in entries:
+        if not e.get("dv"):
+            # extra dirs without a DV are just more files of the leaf
+            plain.extend(
+                os.path.join(root, d)
+                for d in [e["dir"]] + list(e.get("extra_dirs") or [])
+            )
     dvd = [e for e in entries if e.get("dv")]
     if not dvd:
         if not plain:
@@ -642,7 +676,7 @@ def _read_entries(
                 spark,
                 schema,
                 phys,
-                os.path.join(root, e["dir"]),
+                _entry_dirs(root, e),
                 os.path.join(root, e["dv"]["dir"]),
             ).drop("__dv_file", "__dv_pos")
         )
@@ -657,6 +691,8 @@ def _flat_entry(m: dict) -> dict:
     e = {"dir": m["data_dir"]}
     if m.get("dv"):
         e["dv"] = m["dv"]
+    if m.get("extra_dirs"):
+        e["extra_dirs"] = m["extra_dirs"]
     return e
 
 
@@ -2070,7 +2106,7 @@ def compact_manifest(
         from pyspark.errors import AnalysisException
 
         if not _is_partitioned(tip):
-            if only_dv and not tip.get("dv"):
+            if only_dv and not (tip.get("dv") or tip.get("extra_dirs")):
                 return {"version": v, "files_before": 0,
                         "files_after": 0, "rows": tip["rows"],
                         "committed": False}
@@ -2155,7 +2191,12 @@ def compact_manifest(
                 continue
             selected = fresh
         if only_dv:
-            selected = [pk for pk in selected if parts[pk].get("dv")]
+            # merge-on-read debt = a DV or an appended extra dir
+            selected = [
+                pk
+                for pk in selected
+                if parts[pk].get("dv") or parts[pk].get("extra_dirs")
+            ]
         if not selected:
             return {"version": v, "files_before": 0, "files_after": 0,
                     "rows": tip["rows"], "committed": False}
@@ -2329,7 +2370,7 @@ def _dv_hits_for_leaf(spark, schema, phys, root, entry, cond) -> DataFrame:
         os.path.join(root, entry["dv"]["dir"]) if entry.get("dv") else None
     )
     scan = _scan_leaf_with_pos(
-        spark, schema, phys, os.path.join(root, entry["dir"]), dv_abs
+        spark, schema, phys, _entry_dirs(root, entry), dv_abs
     )
     return scan.filter(F.coalesce(cond, F.lit(False))).select(
         "__dv_file", "__dv_pos"
@@ -2390,6 +2431,8 @@ def _delete_where_dv(
             "schema": tip["schema"],
             **_carry_mapping(tip),
         }
+        if tip.get("extra_dirs"):
+            manifest["extra_dirs"] = tip["extra_dirs"]
         if _try_commit(root, v + 1, manifest, backend):
             return {
                 "version": v + 1, "rows_deleted": n,
@@ -2467,6 +2510,167 @@ def _delete_where_dv(
             "partitions_rewritten": len(updates),
             "partitions_removed": len(removed),
             "committed": True,
+        }
+    for d in written:
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return None
+
+
+def _dv_update_leaf(
+    spark, root, tip, schema, entry, cond, set_values, fields, checks
+):
+    """One leaf's merge-on-read UPDATE pieces: append the changed
+    rows' new images to a fresh dir, fold their old positions into
+    the leaf's DV. Returns (n_matched, upd_rel | None, new_dv | None)
+    — (0, None, None) when nothing matches. Caller owns cleanup of
+    the written dirs on a failed commit."""
+    dv_abs = (
+        os.path.join(root, entry["dv"]["dir"]) if entry.get("dv") else None
+    )
+    matched = _scan_leaf_with_pos(
+        spark, schema, _phys_map(tip), _entry_dirs(root, entry), dv_abs
+    ).filter(F.coalesce(cond, F.lit(False))).localCheckpoint(eager=False)
+    n = matched.count()
+    if n == 0:
+        return 0, None, None
+    out = matched
+    for c, nv in set_values.items():
+        out = out.withColumn(c, F.lit(nv).cast(fields[c].dataType))
+    out = out.drop("__dv_file", "__dv_pos")
+    if checks:
+        # unchanged rows keep their (already-validated) values — only
+        # the new images can newly violate a CHECK constraint
+        _check_constraints(out, checks)
+    upd_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+    _write_physical(out, _phys_map(tip)).write.parquet(
+        os.path.join(root, upd_rel)
+    )
+    new_dv_rel = _write_leaf_dv(
+        spark, root, entry, matched.select("__dv_file", "__dv_pos")
+    )
+    prior = (entry.get("dv") or {}).get("deleted", 0)
+    return n, upd_rel, {"dir": new_dv_rel, "deleted": prior + n}
+
+
+def _update_where_dv(
+    spark, root, v, tip, schema, preds, cond, set_values, backend
+) -> dict | None:
+    """update_where's merge-on-read arm (Delta's DV-backed UPDATE):
+    the matched rows' old positions enter the leaf's deletion vector
+    and their new images land in an APPENDED extra dir — one commit,
+    O(changed rows) data written, the base leaf untouched. Live row
+    counts are unchanged (n deleted + n appended). Recorded
+    stats/bloom for the SET columns are dropped on touched leaves
+    (the appended images may fall outside the recorded window — a
+    stale window would mis-prune); other columns' stats still cover
+    the appended rows (their values are unchanged). Returns None on a
+    version race (caller retries)."""
+    from pyspark.errors import AnalysisException
+
+    no_change = {
+        "version": v, "rows_updated": 0,
+        "partitions_rewritten": 0, "committed": False,
+    }
+    fields = {f.name: f for f in schema.fields}
+    checks = _effective_constraints(tip, None)
+    if not _is_partitioned(tip):
+        entry = _flat_entry(tip)
+        try:
+            n, upd_rel, new_dv = _dv_update_leaf(
+                spark, root, tip, schema, entry, cond, set_values,
+                fields, checks,
+            )
+        except AnalysisException as e:
+            if _is_path_not_found(e):
+                return None
+            raise
+        if n == 0:
+            return no_change
+        manifest = {
+            "op": "update",
+            "base_version": v,
+            "data_dir": tip["data_dir"],
+            "extra_dirs": list(tip.get("extra_dirs") or []) + [upd_rel],
+            "rows": tip["rows"],
+            "dv": new_dv,
+            "schema": tip["schema"],
+            **_carry_mapping(tip),
+        }
+        if _try_commit(root, v + 1, manifest, backend):
+            return {
+                "version": v + 1, "rows_updated": n,
+                "partitions_rewritten": 0, "committed": True,
+            }
+        for d in (upd_rel, new_dv["dir"]):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        return None
+
+    pcol = tip["partition_col"]
+    try:
+        parts = resolve_partitions(root, v)
+    except FileNotFoundError:
+        return None
+    candidates = {
+        pk: e
+        for pk, e in parts.items()
+        if _entry_may_match(e, pk, preds, pcol)
+    }
+    if not candidates:
+        return no_change
+    updates: dict = {}
+    written: list[str] = []
+    updated = 0
+    try:
+        for pk in sorted(candidates):
+            e = parts[pk]
+            n, upd_rel, new_dv = _dv_update_leaf(
+                spark, root, tip, schema, e, cond, set_values,
+                fields, checks,
+            )
+            if n == 0:
+                continue
+            updated += n
+            written.extend([upd_rel, new_dv["dir"]])
+            ne = dict(e)
+            ne["extra_dirs"] = list(e.get("extra_dirs") or []) + [upd_rel]
+            ne["dv"] = new_dv
+            # SET-column stats/bloom no longer bound the leaf's values
+            for k in ("stats", "bloom"):
+                if k in ne:
+                    kept = {
+                        c: s for c, s in ne[k].items()
+                        if c not in set_values
+                    }
+                    if kept:
+                        ne[k] = kept
+                    else:
+                        ne.pop(k)
+            updates[pk] = ne
+    except (AnalysisException, ValueError) as exc:
+        for d in written:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        if isinstance(exc, AnalysisException) and _is_path_not_found(exc):
+            return None
+        raise
+    if updated == 0:
+        return no_change
+    manifest = {
+        "op": "update",
+        "base_version": v,
+        "rows": tip["rows"],
+        "schema": tip["schema"],
+        "partition_col": pcol,
+        "updates": updates,
+        "removed": [],
+        **_carry_mapping(tip),
+    }
+    if _try_commit(root, v + 1, manifest, backend):
+        new_parts = dict(parts)
+        new_parts.update(updates)
+        _maybe_checkpoint(root, v + 1, new_parts, backend)
+        return {
+            "version": v + 1, "rows_updated": updated,
+            "partitions_rewritten": len(updates), "committed": True,
         }
     for d in written:
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)
@@ -2790,6 +2994,7 @@ def update_where(
     set_values: dict,
     max_retries: int = 20,
     backend: LocalLinkBackend | None = None,
+    mode: str = "rewrite",
 ) -> dict:
     """Row-level UPDATE for manifest tables — ``UPDATE t SET col =
     literal, ... WHERE <conjunction>`` with the same predicate grammar
@@ -2810,8 +3015,24 @@ def update_where(
     so a probe for the OLD value of an updated stats column prunes
     correctly afterwards. Zero matches publish no version.
 
+    ``mode="dv"`` commits MERGE-ON-READ updates (Delta's DV-backed
+    UPDATE): the matched rows' old positions enter the leaf's deletion
+    vector and their new images land in an appended ``extra_dirs``
+    leaf member — one commit, O(changed rows) written, the (possibly
+    huge) base leaf untouched. Readers see base ∪ extras minus the DV
+    as one leaf; live row counts are unchanged. SET-column stats/bloom
+    are dropped on touched leaves (the new images may fall outside the
+    recorded window); ``purge_deletes`` / any rewriting verb folds the
+    debt back into clean single-dir leaves. The protocol guard stamps
+    reader features "deletion_vectors" + "extra_dirs" so a pre-
+    extension reader refuses instead of dropping the updated rows.
+
     Returns {version, rows_updated, partitions_rewritten, committed}.
     """
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(
+            f"update_where: mode must be 'rewrite' or 'dv', got {mode!r}"
+        )
     if not list(where):
         raise ValueError(
             "update_where: empty predicate — updating every row "
@@ -2829,6 +3050,30 @@ def update_where(
             tip = read_manifest(root, v)
         except FileNotFoundError:
             continue
+        if mode == "dv":
+            schema = StructType.fromJson(tip["schema"])
+            fields = {f.name: f for f in schema.fields}
+            for c in set_values:
+                if c not in fields:
+                    raise ValueError(
+                        f"update_where: SET column {c!r} is not in the "
+                        "table schema"
+                    )
+                if _is_partitioned(tip) and c == tip["partition_col"]:
+                    raise ValueError(
+                        f"update_where: SET on the partition column "
+                        f"{c!r} moves rows between partitions — delete "
+                        "+ upsert instead"
+                    )
+            preds = _validate_where(where, schema)
+            cond = F.coalesce(_where_expr(preds), F.lit(False))
+            res = _update_where_dv(
+                spark, root, v, tip, schema, preds, cond, set_values,
+                backend,
+            )
+            if res is None:
+                continue
+            return res
         if not _is_partitioned(tip):
             # unpartitioned arm: snapshot rewrite (flat commits are
             # O(table) by design, same as delete_where's flat arm);
@@ -3779,6 +4024,8 @@ def restore(
         body = {"data_dir": target["data_dir"]}
         if target.get("dv"):
             body["dv"] = target["dv"]
+        if target.get("extra_dirs"):
+            body["extra_dirs"] = target["extra_dirs"]
     for _ in range(max_retries):
         v = latest_version(root)
         if v == 0:
@@ -3881,6 +4128,20 @@ def clone_table(
         shutil.copytree(src_abs(dv["dir"]), os.path.join(dst_root, copy_to))
         return {**dv, "dir": copy_to}
 
+    def clone_extras(extras: list | None, deep_copy: bool) -> list | None:
+        """Merge-on-read appended dirs travel with their leaf, same
+        rule as the DV: shallow re-points absolutely, deep copies."""
+        if not extras:
+            return None
+        if not deep_copy:
+            return [src_abs(d) for d in extras]
+        out = []
+        for d in extras:
+            rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+            shutil.copytree(src_abs(d), os.path.join(dst_root, rel))
+            out.append(rel)
+        return out
+
     parts = None
     if _is_partitioned(m):
         parts = resolve_partitions(src_root, v)
@@ -3897,6 +4158,8 @@ def clone_table(
                     ne["dv"] = clone_dv(
                         e["dv"], f"{DATA_DIR}/{uuid.uuid4().hex}"
                     )
+                if e.get("extra_dirs"):
+                    ne["extra_dirs"] = clone_extras(e["extra_dirs"], True)
                 new_parts[pk] = ne
         else:
             new_parts = {}
@@ -3904,6 +4167,8 @@ def clone_table(
                 ne = {**e, "dir": src_abs(e["dir"])}
                 if e.get("dv"):
                     ne["dv"] = clone_dv(e["dv"], None)
+                if e.get("extra_dirs"):
+                    ne["extra_dirs"] = clone_extras(e["extra_dirs"], False)
                 new_parts[pk] = ne
         manifest["partition_col"] = m["partition_col"]
         manifest["partitions"] = new_parts
@@ -3919,10 +4184,14 @@ def clone_table(
                 manifest["dv"] = clone_dv(
                     m["dv"], f"{DATA_DIR}/{uuid.uuid4().hex}"
                 )
+            if m.get("extra_dirs"):
+                manifest["extra_dirs"] = clone_extras(m["extra_dirs"], True)
         else:
             manifest["data_dir"] = src_abs(m["data_dir"])
             if m.get("dv"):
                 manifest["dv"] = clone_dv(m["dv"], None)
+            if m.get("extra_dirs"):
+                manifest["extra_dirs"] = clone_extras(m["extra_dirs"], False)
     if not deep:
         # shallow-clone leaves live OUTSIDE this root as absolute
         # paths — a reader that resolves every dir relative to the
@@ -4072,6 +4341,8 @@ def rename_column(
             manifest["data_dir"] = tip["data_dir"]
             if tip.get("dv"):
                 manifest["dv"] = tip["dv"]
+            if tip.get("extra_dirs"):
+                manifest["extra_dirs"] = tip["extra_dirs"]
         if _try_commit(root, v + 1, manifest, backend):
             if new_parts is not None:
                 _maybe_checkpoint(root, v + 1, new_parts, backend)
@@ -4100,6 +4371,8 @@ def _passthrough_body(tip: dict) -> dict:
     body = {"data_dir": tip["data_dir"]}
     if tip.get("dv"):
         body["dv"] = tip["dv"]
+    if tip.get("extra_dirs"):
+        body["extra_dirs"] = tip["extra_dirs"]
     return body
 
 
@@ -4332,6 +4605,8 @@ def drop_column(
             manifest["data_dir"] = tip["data_dir"]
             if tip.get("dv"):
                 manifest["dv"] = tip["dv"]
+            if tip.get("extra_dirs"):
+                manifest["extra_dirs"] = tip["extra_dirs"]
         if _try_commit(root, v + 1, manifest, backend):
             if new_parts is not None:
                 _maybe_checkpoint(root, v + 1, new_parts, backend)
@@ -4512,12 +4787,17 @@ def table_changes(
                 )
             po = resolve_partitions(root, v_old)
             pn = resolve_partitions(root, v_new)
-            # leaf identity = (dir, deletion vector): a DV added to an
-            # otherwise-untouched leaf changes its LIVE rows without
-            # changing its bytes — skipping on dir equality alone
-            # would drop those deletes from the feed
+            # leaf identity = (dir, deletion vector, extra dirs): a DV
+            # or a merge-on-read appended dir changes a leaf's LIVE
+            # rows without changing its base bytes — skipping on dir
+            # equality alone would drop those deletes/updates from
+            # the feed
             def _ident(e):
-                return ((e or {}).get("dir"), (e or {}).get("dv"))
+                return (
+                    (e or {}).get("dir"),
+                    (e or {}).get("dv"),
+                    tuple((e or {}).get("extra_dirs") or ()),
+                )
 
             diff_pks = [
                 pk
@@ -5259,52 +5539,50 @@ def table_files(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Files metadata table (Delta DESCRIBE DETAIL / Iceberg ``files``
-    analogue): one row per live data directory of the pinned version —
+    analogue): one row per live leaf of the pinned version —
     (partition, dir, rows, n_files, bytes, has_stats, has_bloom,
     dv_deleted — cumulative deletion-vector positions, NULL when the
-    leaf has none), partition NULL for unpartitioned snapshots. Metadata-only: reads
-    the manifest chain and stats the leaf dirs, never a data file's
-    contents — the operational view OPTIMIZE/vacuum decisions are made
-    from (e.g. ``min_files`` thresholds, stats coverage audits)."""
+    leaf has none; extra_dirs — count of merge-on-read appended dirs),
+    partition NULL for unpartitioned snapshots. n_files/bytes span the
+    base dir AND its extras. Metadata-only: reads the manifest chain
+    and stats the leaf dirs, never a data file's contents — the
+    operational view OPTIMIZE/vacuum decisions are made from (e.g.
+    ``min_files`` thresholds, stats coverage audits, DV/update debt
+    gauges)."""
     v = latest_version(root) if version is None else version
     if v == 0:
         raise ValueError(f"{root!r} has no committed versions")
     m = read_manifest(root, v)
     rows = []
+
+    def leaf_row(pk, e, has_stats, has_bloom):
+        dirs = _entry_dirs(root, e)
+        return (
+            pk,
+            e["dir"],
+            e.get("rows"),
+            sum(_leaf_file_count(d) for d in dirs),
+            sum(_dir_bytes(d) for d in dirs),
+            has_stats,
+            has_bloom,
+            (e.get("dv") or {}).get("deleted"),
+            len(e.get("extra_dirs") or []),
+        )
+
     if _is_partitioned(m):
         for pk, e in sorted(resolve_partitions(root, v).items()):
-            d = os.path.join(root, e["dir"])
             rows.append(
-                (
-                    pk,
-                    e["dir"],
-                    e.get("rows"),
-                    _leaf_file_count(d),
-                    _dir_bytes(d),
-                    bool(e.get("stats")),
-                    bool(e.get("bloom")),
-                    (e.get("dv") or {}).get("deleted"),
-                )
+                leaf_row(pk, e, bool(e.get("stats")), bool(e.get("bloom")))
             )
     else:
-        d = os.path.join(root, m["data_dir"])
-        rows.append(
-            (
-                None,
-                m["data_dir"],
-                m.get("rows"),
-                _leaf_file_count(d),
-                _dir_bytes(d),
-                False,
-                False,
-                (m.get("dv") or {}).get("deleted"),
-            )
-        )
+        e = _flat_entry(m)
+        e["rows"] = m.get("rows")
+        rows.append(leaf_row(None, e, False, False))
     return spark.createDataFrame(
         rows,
         "partition string, dir string, rows bigint, n_files int, "
         "bytes bigint, has_stats boolean, has_bloom boolean, "
-        "dv_deleted bigint",
+        "dv_deleted bigint, extra_dirs int",
     )
 
 

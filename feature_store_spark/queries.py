@@ -888,6 +888,66 @@ def q_s12d_dv_delete(spark, sf_dir):
         _sh.rmtree(root, ignore_errors=True)
 
 
+DV_UPDATE_SQL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderstatus = 'P' THEN 'PX'
+            ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey < 1000 THEN 50
+            WHEN o_orderstatus = 'P' THEN 0
+            ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+       END AS total_cents
+FROM orders
+"""
+
+
+@spec("s12e_dv_update", DV_UPDATE_SQL, ("ext", "txn", "dv", "update"))
+def q_s12e_dv_update(spark, sf_dir):
+    """Row-level UPDATE via merge-on-read (``update_where(mode='dv')``,
+    round 9): two sequential DV-backed updates — the matched rows'
+    old positions enter the deletion vector, their new images land in
+    appended ``extra_dirs`` leaves, the base leaf is never rewritten —
+    then a read that merges base ∪ extras minus the DV. The second
+    update overlaps the first (a 'P' order below key 1000 is updated
+    twice), so the oracle's CASE encodes SEQUENTIAL application —
+    hash equality proves the stacked sidecars update exactly the
+    predicate rows, once each, latest-wins. Reference analogue:
+    point corrections against a wide fact table
+    (`src/pipelines/batch_pipeline.py` update passes) at O(changed
+    rows) instead of a partition rewrite."""
+    import shutil as _sh
+    import tempfile
+
+    from feature_store_spark.pipelines.txn import (
+        read_table,
+        update_where,
+        upsert_manifest,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        cents.alias("total_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="dv_update_")
+    try:
+        upsert_manifest(base, root, ["o_orderkey"], "total_cents")
+        update_where(
+            spark, root, [("o_orderstatus", "=", "P")],
+            {"total_cents": 0, "o_orderstatus": "PX"}, mode="dv",
+        )
+        update_where(
+            spark, root, [("o_orderkey", "<", 1000)],
+            {"total_cents": 50}, mode="dv",
+        )
+        final, _v = read_table(spark, root)
+        return final.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "total_cents"
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
 @spec(
     "j12_supplier_geo_rollup",
     """SELECT r.r_name AS region, n.n_name AS nation,

@@ -43,7 +43,7 @@ PARTS = [
     "w12_cohort_retention", "w13_gap_fill", "w14_event_transitions",
     "a30_behavior_entropy",
     "w1_latest_event_per_user", "w2_topk_customers", "s12b_merge_replay",
-    "s12d_dv_delete",
+    "s12d_dv_delete", "s12e_dv_update",
     "o3_deterministic_sample", "o6_stratified_sample", "o7_priority_sample",
     "s9_ordered_export",
     "f11_iso_roundtrip", "f13_json_extract", "f14_freshness_minutes",

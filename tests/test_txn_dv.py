@@ -480,3 +480,175 @@ def test_repartition_table_layout_evolution(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL"):
         repartition_table(spark, root2, "p")
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read UPDATE (round 9: update_where(mode="dv") + extra_dirs)
+# ---------------------------------------------------------------------------
+
+
+def _scores(spark, root, version=None):
+    got, _ = read_table(spark, root, version)
+    return {r["user_id"]: r["score"] for r in got.collect()}
+
+
+def test_dv_update_flat_matches_rewrite_and_time_travels(spark, tmp_path):
+    """The DV-backed UPDATE must be row-for-row identical to the
+    rewrite arm, leave live counts unchanged, append O(changed rows),
+    and keep old versions name- and value-faithful."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _flat(spark, a)
+    _flat(spark, b)
+    where, sets = [("user_id", "<", 3)], {"score": 99.0}
+    r_dv = txn.update_where(spark, a, where, sets, mode="dv")
+    r_rw = txn.update_where(spark, b, where, sets, mode="rewrite")
+    assert r_dv["committed"] and r_rw["committed"]
+    assert r_dv["rows_updated"] == r_rw["rows_updated"] == 3
+    assert _scores(spark, a) == _scores(spark, b)
+    m = read_manifest(a, 2)
+    assert m["rows"] == 10  # live count unchanged: 3 deleted + 3 appended
+    assert len(m["extra_dirs"]) == 1
+    assert m["dv"]["deleted"] == 3
+    assert {"deletion_vectors", "extra_dirs"} <= set(m["protocol"]["reader"])
+    # time travel: v1 pre-update
+    assert _scores(spark, a, 1)[0] == 0.0
+    # a second DV update stacks (extras accumulate, DV unions)
+    txn.update_where(spark, a, [("user_id", "=", 0)], {"score": 5.5}, mode="dv")
+    s = _scores(spark, a)
+    assert s[0] == 5.5 and s[1] == 99.0 and len(s) == 10
+    m = read_manifest(a, 3)
+    # second update deleted ONE live row (the first update's image,
+    # which lives in the extra dir — the DV reaches extras too)
+    assert len(m["extra_dirs"]) == 2 and m["dv"]["deleted"] == 4
+
+
+def test_dv_update_partitioned_stats_and_skipping_stay_safe(spark, tmp_path):
+    """SET-column stats are dropped on touched leaves (a stale window
+    would mis-prune the appended images); untouched columns keep
+    theirs; untouched leaves carry forward byte-identically."""
+    root = str(tmp_path / "t")
+    _part(spark, root)
+    r = txn.update_where(
+        spark, root, [("user_id", "<", 2)], {"score": 777.0}, mode="dv"
+    )
+    assert r["committed"] and r["rows_updated"] == 2
+    assert r["partitions_rewritten"] == 1
+    parts = txn.resolve_partitions(root, txn.latest_version(root))
+    touched = parts[txn._pkey(D1)]
+    assert touched.get("extra_dirs") and touched["dv"]["deleted"] == 2
+    assert touched["rows"] == 5
+    assert "user_id" in touched["stats"]  # un-SET column keeps stats
+    cold = parts[txn._pkey(D2)]
+    assert not cold.get("extra_dirs") and not cold.get("dv")
+    # a probe for the NEW value still finds the rows (no stale skip)
+    got, _ = read_table(spark, root, where=[("score", "=", 777.0)])
+    assert sorted(r_["user_id"] for r_ in got.collect()) == [0, 1]
+    s = _scores(spark, root)
+    assert s[0] == 777.0 and s[1] == 777.0 and s[4] == 4.0 and len(s) == 10
+
+
+def test_dv_update_then_dv_delete_compose(spark, tmp_path):
+    """A DV delete after a DV update must carry the extras (the
+    updated images stay live) and can delete an UPDATED row via its
+    new value — the DV applies across base + extra dirs."""
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    txn.update_where(spark, root, [("user_id", "<", 3)], {"score": 99.0}, mode="dv")
+    # delete by the NEW value: the hit position lives in the extra dir
+    r = delete_where(spark, root, [("score", "=", 99.0)], mode="dv")
+    assert r["rows_deleted"] == 3
+    m = read_manifest(root, txn.latest_version(root))
+    assert m["extra_dirs"]  # carried, not dropped
+    assert m["rows"] == 7
+    s = _scores(spark, root)
+    assert len(s) == 7 and 0 not in s and 5 in s
+
+
+def test_dv_update_purge_and_rewriting_verbs_fold_extras(spark, tmp_path):
+    """purge_deletes (and any rewriting verb) folds the merge-on-read
+    debt back into clean single-dir leaves — values preserved, extras
+    and DV gone."""
+    root = str(tmp_path / "t")
+    _part(spark, root)
+    txn.update_where(spark, root, [("user_id", "<", 2)], {"score": 7.0}, mode="dv")
+    before = _scores(spark, root)
+    res = txn.purge_deletes(spark, root)
+    assert res["committed"]
+    parts = txn.resolve_partitions(root, txn.latest_version(root))
+    assert all(
+        not e.get("extra_dirs") and not e.get("dv") for e in parts.values()
+    )
+    assert _scores(spark, root) == before
+    # flat: an ordinary rewrite-arm update folds extras too
+    root2 = str(tmp_path / "t2")
+    _flat(spark, root2)
+    txn.update_where(spark, root2, [("user_id", "=", 0)], {"score": 1.5}, mode="dv")
+    txn.update_where(spark, root2, [("user_id", "=", 1)], {"score": 2.5}, mode="rewrite")
+    m = read_manifest(root2, txn.latest_version(root2))
+    assert not m.get("extra_dirs") and not m.get("dv")
+    s = _scores(spark, root2)
+    assert s[0] == 1.5 and s[1] == 2.5
+
+
+def test_dv_update_cdc_vacuum_clone_restore_matrix(spark, tmp_path):
+    """The DV-update invariants matrix: CDC pairs the update as
+    'changed' (even with partition skip), vacuum keeps referenced
+    extras and prunes superseded ones, clones carry the merged view,
+    restore re-points extras."""
+    root = str(tmp_path / "t")
+    _part(spark, root)
+    txn.update_where(spark, root, [("user_id", "=", 0)], {"score": 50.0}, mode="dv")
+    ch = table_changes(
+        spark, root, 1, 2, key_cols=("user_id", "p"),
+        skip_unchanged_partitions=True,
+    )
+    st = {r["user_id"]: r["status"] for r in ch.collect()}
+    assert st[0] == "changed" and 100 not in st  # cold partition skipped
+    # clone both ways; read back the merged view
+    sh, dp = str(tmp_path / "sh"), str(tmp_path / "dp")
+    clone_table(root, sh, deep=False)
+    clone_table(root, dp, deep=True)
+    for c in (sh, dp):
+        assert _scores(spark, c)[0] == 50.0
+    # restore to v1 then back: extras travel with their version
+    restore(root, version=1)
+    assert _scores(spark, root)[0] == 0.0
+    restore(root, version=2)
+    assert _scores(spark, root)[0] == 50.0
+    m = read_manifest(root, txn.latest_version(root))
+    entries = txn.resolve_partitions(root, txn.latest_version(root))
+    assert any(e.get("extra_dirs") for e in entries.values())
+    # vacuum to the tip: the restored tip still reads (extras kept)
+    vacuum(root, keep_last=1)
+    assert _scores(spark, root)[0] == 50.0
+    # table_files gauges the debt
+    tf = {r["partition"]: r for r in txn.table_files(spark, root).collect()}
+    d1 = [v for v in tf.values() if v["extra_dirs"] == 1]
+    assert len(d1) == 1 and d1[0]["dv_deleted"] == 1
+
+
+def test_dv_update_enforces_constraints_on_new_images(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    txn.add_constraint(spark, root, "score_cap", "score <= 100")
+    with pytest.raises(ValueError, match="score_cap"):
+        txn.update_where(
+            spark, root, [("user_id", "=", 0)], {"score": 1000.0}, mode="dv"
+        )
+    # nothing half-committed, no orphan extras in the manifest
+    m = read_manifest(root, txn.latest_version(root))
+    assert not m.get("extra_dirs") and not m.get("dv")
+    txn.update_where(spark, root, [("user_id", "=", 0)], {"score": 50.0}, mode="dv")
+    assert _scores(spark, root)[0] == 50.0
+
+
+def test_dv_update_mode_validation(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    with pytest.raises(ValueError, match="mode"):
+        txn.update_where(spark, root, [("user_id", "=", 0)], {"score": 1.0}, mode="nope")
+    with pytest.raises(ValueError, match="not in the table schema"):
+        txn.update_where(spark, root, [("user_id", "=", 0)], {"nope": 1.0}, mode="dv")
+    # zero matches publish no version
+    r = txn.update_where(spark, root, [("user_id", "=", 999)], {"score": 1.0}, mode="dv")
+    assert not r["committed"] and txn.latest_version(root) == 1
