@@ -804,8 +804,17 @@ def q_lsh_incremental(spark, sf_dir):
 def q_knn_graph(spark, sf_dir):
     """Corpus-wide approximate kNN graph (LSH-bucketed candidates,
     exact in-bucket rerank) — the embedding-space neighbor structure
-    semantic dedup and diversity sampling consume."""
-    return S.knn_graph(_t(spark, sf_dir, "embeddings"), k=5)
+    semantic dedup and diversity sampling consume. Routes to the
+    Arrow/BLAS per-bucket-matmul kernel (round 9, same move the
+    cosine_topk entry made in round 4): measured at 200k×64 vectors
+    (/tmp/sfemb, SCALE.md §14.2) the expression kernel's interpreted
+    per-pair cosine is degenerate (>600 s — in-bucket-quadratic pair
+    count × a 64-element zip_with per pair) while the dgemm kernel
+    finishes in 66 s and beats the DuckDB oracle >8×. Same contract,
+    same oracle; the expression kernel stays available as
+    sim_knn_graph_expr and bit-equal via the multiprobe(n_tables=1)
+    equivalence pin."""
+    return S.knn_graph_vectorized(_t(spark, sf_dir, "embeddings"), k=5)
 
 
 @spec(
@@ -839,15 +848,18 @@ def q_cosine_topk_vectorized(spark, sf_dir):
 
 
 @spec(
-    "sim_knn_graph_vectorized",
+    "sim_knn_graph_expr",
     S.knn_graph_oracle_sql(k=5),
-    ("ext", "similarity", "graph", "vectorized"),
+    ("ext", "similarity", "graph"),
 )
-def q_knn_graph_vectorized(spark, sf_dir):
-    """Same contract (and oracle) as sim_knn_graph with per-bucket
-    numpy matmul scoring via applyInPandas — one shuffle, no window
-    pass (per-bucket top-k is final under a single hash table)."""
-    return S.knn_graph_vectorized(_t(spark, sf_dir, "embeddings"), k=5)
+def q_knn_graph_expr(spark, sf_dir):
+    """Same contract (and oracle) as sim_knn_graph via the pure-JVM
+    expression kernel (collect_list + double explode + zip_with
+    cosine) — kept oracle-checked because it is the no-Python-worker
+    fallback, but it is the FIXTURE-scale path: per-pair interpreted
+    cosine makes it degenerate at 200k×64 (SCALE.md §14.2), which is
+    why the headline name routes to the Arrow/BLAS kernel."""
+    return S.knn_graph(_t(spark, sf_dir, "embeddings"), k=5)
 
 
 @spec(
