@@ -3442,6 +3442,315 @@ def _merge_actions(
     return action_df, out_cols, delete_tags
 
 
+def _merge_into_dv(
+    spark, root, v, tip, schema, source, on, matched, not_matched,
+    nbs, txn_w, backend,
+) -> dict | None:
+    """merge_into's merge-on-read arm: one position-carrying read of
+    the target, one `_merge_actions` join, then per class —
+    matched-update/delete positions fold into each leaf's deletion
+    vector, updated images and inserts land in ONE appended dir
+    (partition-token subdirs on partitioned tables) joined to the
+    touched entries' ``extra_dirs``. O(changed rows) written; base
+    leaves untouched; the same action semantics as the rewrite arm
+    (equality pinned in tests). Returns None on a version race
+    (caller retries)."""
+    from pyspark.errors import AnalysisException
+
+    no_change = {
+        "version": v, "rows_updated": 0, "rows_deleted": 0,
+        "rows_inserted": 0, "partitions_rewritten": 0,
+        "partitions_removed": 0, "committed": False,
+        "txn_skipped": False,
+    }
+    phys = _phys_map(tip)
+    partitioned = _is_partitioned(tip)
+    pcol = tip.get("partition_col")
+    if partitioned:
+        try:
+            entries = resolve_partitions(root, v)
+        except FileNotFoundError:
+            return None
+    else:
+        entries = {"": {**_flat_entry(tip), "rows": tip["rows"]}}
+
+    written: list[str] = []
+    try:
+        scans = []
+        for pk in sorted(entries):
+            e = entries[pk]
+            dv_abs = (
+                os.path.join(root, e["dv"]["dir"]) if e.get("dv") else None
+            )
+            scans.append(
+                _scan_leaf_with_pos(
+                    spark, schema, phys, _entry_dirs(root, e), dv_abs
+                ).withColumn("__leaf", F.lit(pk))
+            )
+        if scans:
+            tdf = scans[0]
+            for sc in scans[1:]:
+                tdf = tdf.unionByName(sc)
+        else:
+            tdf = (
+                spark.createDataFrame([], schema)
+                .withColumn("__dv_file", F.lit(None).cast("string"))
+                .withColumn("__dv_pos", F.lit(None).cast("bigint"))
+                .withColumn("__leaf", F.lit(None).cast("string"))
+            )
+        _merge_guard_dup_sources(tdf, source, on, matched)
+        action_df, out_cols, delete_tags = _merge_actions(
+            tdf, source, on, schema, matched, not_matched, nbs
+        )
+        is_del = (
+            F.col("__action").isin(*delete_tags)
+            if delete_tags
+            else F.lit(False)
+        )
+        cls = (
+            F.when(F.col("__action") == "ins", F.lit("ins"))
+            .when(is_del, F.lit("del"))
+            .when(F.col("__action").endswith(":u"), F.lit("upd"))
+            .otherwise(F.lit("keep"))
+        )
+        # pin ONE evaluation of the join: accounting, constraint
+        # check, per-leaf DV writes, and the append write all replay
+        # these blocks
+        proj = action_df.select(
+            cls.alias("__cls"),
+            F.col("t.__leaf").alias("__leaf"),
+            F.col("t.__dv_file").alias("__dv_file"),
+            F.col("t.__dv_pos").alias("__dv_pos"),
+            *(out_cols[f.name] for f in schema.fields),
+        ).filter(F.col("__cls") != "keep").localCheckpoint(eager=False)
+
+        # accounting per partition (updates/deletes keep their leaf's
+        # value; inserts take the projected partition value)
+        by_pk: dict = {}
+        typed_val: dict = {}
+        if partitioned:
+            per = proj.groupBy(F.col(pcol), "__cls").count().collect()
+            for r in per:
+                if r[pcol] is None:
+                    if r["__cls"] == "ins":
+                        raise ValueError(
+                            "merge_into: an inserted row carries a NULL "
+                            f"partition value ({pcol!r}) — partition-"
+                            "scoped tables require a concrete partition "
+                            "per row"
+                        )
+                    continue
+                pk = _pkey(r[pcol])
+                typed_val[pk] = r[pcol]
+                d = by_pk.setdefault(pk, {"upd": 0, "del": 0, "ins": 0})
+                d[r["__cls"]] += r["count"]
+        else:
+            for r in proj.groupBy("__cls").count().collect():
+                d = by_pk.setdefault("", {"upd": 0, "del": 0, "ins": 0})
+                d[r["__cls"]] += r["count"]
+            if by_pk.get("") == {"upd": 0, "del": 0, "ins": 0}:
+                by_pk = {}
+        touched = {
+            pk
+            for pk, d in by_pk.items()
+            if d["upd"] or d["del"] or d["ins"]
+        }
+        if not touched:
+            return {**no_change}
+        n_upd = sum(by_pk[pk]["upd"] for pk in touched)
+        n_del = sum(by_pk[pk]["del"] for pk in touched)
+        n_ins = sum(by_pk[pk]["ins"] for pk in touched)
+
+        appended = proj.filter(F.col("__cls").isin("upd", "ins")).select(
+            *[f.name for f in schema.fields]
+        )
+        checks = _effective_constraints(tip, None)
+        if checks:
+            # only the appended images can newly violate a CHECK
+            _check_constraints(appended, checks)
+
+        # leaves whose every live row dies with nothing appended leave
+        # the map — no sidecar needed
+        removed = [
+            pk
+            for pk in sorted(touched)
+            if pk in entries
+            and by_pk[pk]["del"] == entries[pk]["rows"]
+            and not by_pk[pk]["upd"]
+            and not by_pk[pk]["ins"]
+        ]
+        removed_set = set(removed)
+
+        # per-leaf DV sidecars for surviving leaves with hits
+        new_dvs: dict = {}
+        for pk in sorted(touched):
+            e = entries.get(pk)
+            if e is None or pk in removed_set:
+                continue
+            hit_n = by_pk[pk]["del"] + by_pk[pk]["upd"]
+            if hit_n == 0:
+                continue
+            hits = proj.filter(
+                F.col("__cls").isin("del", "upd")
+                & (F.col("__leaf") == pk)
+            ).select("__dv_file", "__dv_pos")
+            rel = _write_leaf_dv(spark, root, e, hits)
+            written.append(rel)
+            prior = (e.get("dv") or {}).get("deleted", 0)
+            new_dvs[pk] = {"dir": rel, "deleted": prior + hit_n}
+
+        # ONE append write for every updated image and insert
+        app_pks = sorted(
+            pk for pk in touched
+            if (by_pk[pk]["upd"] or by_pk[pk]["ins"])
+            and pk not in removed_set
+        )
+        app_rel = None
+        if app_pks:
+            n_expected = sum(
+                by_pk[pk]["upd"] + by_pk[pk]["ins"] for pk in app_pks
+            )
+            app_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+            written.append(app_rel)
+            obs = Observation()
+            out = appended.observe(obs, F.count(F.lit(1)).alias("rows"))
+            if partitioned:
+                tok_map = _ptok_mapping(
+                    spark, schema[pcol],
+                    {pk: typed_val[pk] for pk in app_pks},
+                )
+                _write_physical(
+                    out.join(F.broadcast(tok_map), pcol), phys
+                ).write.partitionBy("__ptok").parquet(
+                    os.path.join(root, app_rel)
+                )
+            else:
+                _write_physical(out, phys).write.parquet(
+                    os.path.join(root, app_rel)
+                )
+            if int(obs.get["rows"]) != n_expected:
+                raise _StaleMergeRead()
+            if partitioned:
+                missing = [
+                    pk for pk in app_pks
+                    if not os.path.isdir(os.path.join(
+                        root, f"{app_rel}/__ptok={_ptoken(pk)}"
+                    ))
+                ]
+                if missing:
+                    raise RuntimeError(
+                        f"merge_into(dv): partitions {missing!r} "
+                        "produced no append dir — rows would be lost; "
+                        "not committing"
+                    )
+    except _StaleMergeRead:
+        for d in written:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        return None
+    except (AnalysisException, ValueError, RuntimeError) as exc:
+        for d in written:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        if isinstance(exc, AnalysisException) and _is_path_not_found(exc):
+            return None
+        raise
+
+    assigned = {
+        c
+        for _, a in list(matched) + list(nbs)
+        if isinstance(a, dict)
+        for c in a
+    }
+    def _entry_after(pk) -> dict:
+        old = entries.get(pk)
+        d = by_pk[pk]
+        tok_dir = f"{app_rel}/__ptok={_ptoken(pk)}" if partitioned else app_rel
+        if old is None:
+            # brand-new partition: its append dir IS the base leaf
+            return {"dir": tok_dir, "rows": d["ins"]}
+        ne = dict(old)
+        ne["rows"] = old["rows"] - d["del"] + d["ins"]
+        if pk in new_dvs:
+            ne["dv"] = new_dvs[pk]
+        if d["upd"] or d["ins"]:
+            ne["extra_dirs"] = list(old.get("extra_dirs") or []) + [tok_dir]
+        if d["ins"]:
+            # inserted values can fall anywhere: all skipping metadata
+            # on this leaf is stale
+            ne.pop("stats", None)
+            ne.pop("bloom", None)
+        elif d["upd"]:
+            for k in ("stats", "bloom"):
+                if k in ne:
+                    kept = {
+                        c: s for c, s in ne[k].items() if c not in assigned
+                    }
+                    if kept:
+                        ne[k] = kept
+                    else:
+                        ne.pop(k)
+        return ne
+
+    if partitioned:
+        updates = {
+            pk: _entry_after(pk)
+            for pk in sorted(touched)
+            if pk not in removed_set
+        }
+        new_parts = {
+            pk: e for pk, e in entries.items() if pk not in removed_set
+        }
+        new_parts.update(updates)
+        manifest = _txn_stamp(
+            {
+                "op": "merge",
+                "base_version": v,
+                "rows": tip["rows"] - n_del + n_ins,
+                "schema": tip["schema"],
+                "partition_col": pcol,
+                "updates": updates,
+                "removed": removed,
+                **_carry_mapping(tip),
+            },
+            txn_w,
+        )
+    else:
+        ne = _entry_after("")
+        manifest = _txn_stamp(
+            {
+                "op": "merge",
+                "base_version": v,
+                "data_dir": tip["data_dir"],
+                "rows": tip["rows"] - n_del + n_ins,
+                "schema": tip["schema"],
+                **_carry_mapping(tip),
+            },
+            txn_w,
+        )
+        if ne.get("dv"):
+            manifest["dv"] = ne["dv"]
+        if ne.get("extra_dirs"):
+            manifest["extra_dirs"] = ne["extra_dirs"]
+        new_parts = None
+    if _try_commit(root, v + 1, manifest, backend):
+        if new_parts is not None:
+            _maybe_checkpoint(root, v + 1, new_parts, backend)
+        return {
+            "version": v + 1, "rows_updated": n_upd,
+            "rows_deleted": n_del, "rows_inserted": n_ins,
+            "partitions_rewritten": len(touched) - len(removed),
+            "partitions_removed": len(removed),
+            "committed": True, "txn_skipped": False,
+        }
+    for d in written:
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return None
+
+
+class _StaleMergeRead(Exception):
+    """Internal: the append write observed a different row count than
+    the accounting pass — the tip moved between reads; retry."""
+
+
 def _merge_guard_dup_sources(tdf, source, on, matched):
     """Delta's ambiguous-merge guard: a target row matched by MORE
     than one source row has no well-defined UPDATE/DELETE outcome.
@@ -3480,6 +3789,7 @@ def merge_into(
     materialize_source: bool = True,
     txn: tuple[str, int] | None = None,
     allow_schema_evolution: bool = False,
+    mode: str = "rewrite",
 ) -> dict:
     """``MERGE INTO`` with conditional clauses for manifest tables —
     the composed Delta/Iceberg verb whose degenerate form is the
@@ -3534,9 +3844,30 @@ def merge_into(
     sources (streaming foreachBatch, CDC redelivery after a crash
     between sink commit and cursor advance).
 
+    ``mode="dv"`` commits the MERGE merge-on-read (the same extension
+    as ``update_where(mode="dv")``): matched-update/delete positions
+    fold into each leaf's deletion vector, updated images and inserts
+    land in one appended ``extra_dirs`` dir per touched leaf — a
+    point-merge against a huge partition costs O(changed rows), not a
+    leaf rewrite. Action semantics, accounting, constraints, and txn
+    watermarks are identical to the rewrite arm (equality pinned in
+    tests); ``allow_schema_evolution`` is refused under this mode
+    (evolve first, then merge). Rewriting verbs / ``purge_deletes``
+    fold the debt back into clean leaves.
+
     Returns {version, rows_updated, rows_deleted, rows_inserted,
     partitions_rewritten, partitions_removed, committed,
     txn_skipped}."""
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(
+            f"merge_into: mode must be 'rewrite' or 'dv', got {mode!r}"
+        )
+    if mode == "dv" and allow_schema_evolution:
+        raise ValueError(
+            "merge_into: mode='dv' cannot evolve the schema in the same "
+            "commit (appended dirs must match the pinned schema) — run "
+            "the evolving merge with mode='rewrite', or evolve first"
+        )
     txn_w = _txn_validate(txn)
     matched = _merge_clause_list(when_matched, "when_matched")
     nbs = _merge_clause_list(
@@ -3670,6 +4001,15 @@ def merge_into(
                         f"merge_into: INSERT column {c!r} not in the "
                         "table schema"
                     )
+
+        if mode == "dv":
+            res = _merge_into_dv(
+                spark, root, v, tip, schema, source, on, matched,
+                not_matched, nbs, txn_w, backend,
+            )
+            if res is None:
+                continue
+            return res
 
         try:
             if partitioned:

@@ -652,3 +652,153 @@ def test_dv_update_mode_validation(spark, tmp_path):
     # zero matches publish no version
     r = txn.update_where(spark, root, [("user_id", "=", 999)], {"score": 1.0}, mode="dv")
     assert not r["committed"] and txn.latest_version(root) == 1
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read MERGE (round 9: merge_into(mode="dv"))
+# ---------------------------------------------------------------------------
+
+
+def _merge_src(spark):
+    return spark.createDataFrame(
+        [(2, 22.0), (3, 33.0), (7, 77.0), (100, 1.0)],
+        "user_id bigint, val double",
+    )
+
+
+_MERGE_CLAUSES = dict(
+    when_matched=[("s.user_id = 3", "delete"), (None, {"score": "s.val"})],
+    when_not_matched=(
+        None, {"user_id": "s.user_id", "score": "s.val", "ts": "9"},
+    ),
+    when_not_matched_by_source=[("t.user_id = 9", "delete")],
+)
+
+
+def test_dv_merge_flat_matches_rewrite_arm(spark, tmp_path):
+    """All three MERGE verbs (update / delete / insert / delete-by-
+    source) through the merge-on-read arm must be row-identical to
+    the rewrite arm, with live counts and accounting equal."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _flat(spark, a)
+    _flat(spark, b)
+    src = _merge_src(spark)
+    r_dv = merge_into(spark, a, src, ["user_id"], mode="dv", **_MERGE_CLAUSES)
+    r_rw = merge_into(spark, b, src, ["user_id"], **_MERGE_CLAUSES)
+    for k in ("rows_updated", "rows_deleted", "rows_inserted", "committed"):
+        assert r_dv[k] == r_rw[k], k
+    assert _scores(spark, a) == _scores(spark, b)
+    m = read_manifest(a, 2)
+    # 2 upd + 2 del (one matched-delete, one by-source) hit the DV;
+    # 2 upd images + 1 insert appended; live rows 10 - 2 + 1
+    assert m["rows"] == 9
+    assert m["dv"]["deleted"] == 4
+    assert len(m["extra_dirs"]) == 1
+    # base leaf untouched
+    assert m["data_dir"] == read_manifest(a, 1)["data_dir"]
+
+
+def test_dv_merge_partitioned_inserts_new_partition(spark, tmp_path):
+    """Inserts may create a brand-new partition whose base dir IS the
+    append dir; touched leaves take DV + extras; insert-receiving
+    leaves drop all skipping metadata (an inserted value can fall
+    anywhere)."""
+    root = str(tmp_path / "t")
+    _part(spark, root)
+    D3 = datetime.date(2024, 1, 3)
+    src = spark.createDataFrame(
+        [(1, 11.0, 9, D1), (2, 0.0, 9, D1), (103, 13.0, 9, D2),
+         (200, 20.0, 9, D3), (300, 30.0, 9, D2)],
+        "user_id bigint, score double, ts bigint, p date",
+    )
+    r = merge_into(
+        spark, root, src, ["user_id"], mode="dv",
+        when_matched=[("s.user_id = 2", "delete"),
+                      (None, {"score": "s.score"})],
+        when_not_matched=(None, None),
+    )
+    assert r["committed"]
+    assert (r["rows_updated"], r["rows_deleted"], r["rows_inserted"]) == (2, 1, 2)
+    parts = txn.resolve_partitions(root, txn.latest_version(root))
+    e1, e2 = parts[txn._pkey(D1)], parts[txn._pkey(D2)]
+    e3 = parts[txn._pkey(D3)]
+    assert e1["rows"] == 4 and e1["dv"]["deleted"] == 2 and e1["extra_dirs"]
+    # D1 got updates only: un-assigned column keeps stats
+    assert "user_id" in e1.get("stats", {})
+    # D2 received an INSERT: all skipping metadata dropped
+    assert e2["rows"] == 6 and not e2.get("stats")
+    assert e3 == {"dir": e3["dir"], "rows": 1}
+    got, _ = read_table(spark, root)
+    rows = {r_["user_id"]: r_["score"] for r_ in got.collect()}
+    assert rows[1] == 11.0 and 2 not in rows and rows[200] == 20.0
+    assert rows[300] == 30.0 and len(rows) == 11
+    # CDC pairs across the merge-on-read commit
+    ch = table_changes(spark, root, 1, 2, key_cols=("user_id",))
+    st = {r_["user_id"]: r_["status"] for r_ in ch.collect()}
+    assert st[1] == "changed" and st[2] == "removed" and st[200] == "added"
+
+
+def test_dv_merge_txn_constraints_and_purge(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    txn.add_constraint(spark, root, "cap", "score <= 100")
+    src = _merge_src(spark)
+    # a violating UPDATE image aborts before any commit
+    with pytest.raises(ValueError, match="cap"):
+        merge_into(
+            spark, root, src, ["user_id"], mode="dv",
+            when_matched=[(None, {"score": "s.val * 100"})],
+        )
+    assert txn.latest_version(root) == 2  # only the constraint commit
+    r = merge_into(
+        spark, root, src, ["user_id"], mode="dv", txn=("m", 7),
+        **_MERGE_CLAUSES,
+    )
+    assert r["committed"]
+    # replay skipped (exactly-once through the merge-on-read arm)
+    rr = merge_into(
+        spark, root, src, ["user_id"], mode="dv", txn=("m", 7),
+        **_MERGE_CLAUSES,
+    )
+    assert rr["txn_skipped"]
+    before = _scores(spark, root)
+    txn.purge_deletes(spark, root)
+    assert _scores(spark, root) == before
+    m = read_manifest(root, txn.latest_version(root))
+    assert not m.get("dv") and not m.get("extra_dirs")
+
+
+def test_dv_merge_mode_validation(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _flat(spark, root)
+    src = _merge_src(spark)
+    with pytest.raises(ValueError, match="mode"):
+        merge_into(spark, root, src, ["user_id"], mode="nope",
+                   when_matched=[(None, {"score": "s.val"})])
+    with pytest.raises(ValueError, match="evolve"):
+        merge_into(spark, root, src, ["user_id"], mode="dv",
+                   allow_schema_evolution=True,
+                   when_matched=[(None, {"score": "s.val"})])
+    # zero matches publish no version
+    empty = spark.createDataFrame([], "user_id bigint, val double")
+    r = merge_into(spark, root, empty, ["user_id"], mode="dv",
+                   when_matched=[(None, {"score": "s.val"})])
+    assert not r["committed"] and txn.latest_version(root) == 1
+
+
+def test_dv_merge_delete_everything_in_partition(spark, tmp_path):
+    """A leaf whose every live row dies with nothing appended leaves
+    the map — same rule as the DV delete arm."""
+    root = str(tmp_path / "t")
+    _part(spark, root)
+    src = spark.createDataFrame(
+        [(i,) for i in range(5)], "user_id bigint"
+    )
+    r = merge_into(
+        spark, root, src, ["user_id"], mode="dv",
+        when_matched=[(None, "delete")],
+    )
+    assert r["rows_deleted"] == 5 and r["partitions_removed"] == 1
+    parts = txn.resolve_partitions(root, txn.latest_version(root))
+    assert set(parts) == {txn._pkey(D2)}
+    assert _ids(spark, root) == list(range(100, 105))
