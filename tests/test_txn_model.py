@@ -1,5 +1,6 @@
 """Stateful model test of the WHOLE table format: a random sequence
-of verbs (upsert, delete, dv-delete, update, merge, rename, add/drop column,
+of verbs (upsert, delete, dv-delete, dv-update, merge, dv-merge,
+rename, add/drop column,
 restore, compact, drop/add constraint) applied to BOTH a manifest
 table and a plain Python dict model — after every step the table must
 read back exactly the model, and at the end every retained version
@@ -24,6 +25,7 @@ from feature_store_spark.pipelines.txn import (
     read_table,
     rename_column,
     restore,
+    update_where,
     upsert_manifest,
 )
 
@@ -43,7 +45,13 @@ _ops = st.lists(
                   st.dictionaries(_key, _val, min_size=1, max_size=4)),
         st.tuples(st.just("delete_ge"), st.integers(-5, 9)),
         st.tuples(st.just("delete_dv_ge"), st.integers(-5, 9)),
+        st.tuples(st.just("update_dv_ge"),
+                  st.tuples(st.integers(-5, 9), _val)),
         st.tuples(st.just("merge"),
+                  st.dictionaries(_key, st.tuples(
+                      st.sampled_from(["D", "U"]), _val), min_size=1,
+                      max_size=4)),
+        st.tuples(st.just("merge_dv"),
                   st.dictionaries(_key, st.tuples(
                       st.sampled_from(["D", "U"]), _val), min_size=1,
                       max_size=4)),
@@ -114,7 +122,19 @@ def test_table_format_matches_model(spark, ops):
                 delete_where(spark, root, [(vcol, ">=", arg)], mode="dv")
                 model = {k: v for k, v in model.items() if not (
                     v is not None and v >= arg)}
-            elif tag == "merge":
+            elif tag == "update_dv_ge":
+                # merge-on-read UPDATE: old positions into the DV,
+                # new images appended — interleaved with every verb
+                thr, nv = arg
+                update_where(
+                    spark, root, [(vcol, ">=", thr)], {vcol: nv},
+                    mode="dv",
+                )
+                model = {
+                    k: (nv if (v is not None and v >= thr) else v)
+                    for k, v in model.items()
+                }
+            elif tag in ("merge", "merge_dv"):
                 src = spark.createDataFrame(
                     [(k, f, v) for k, (f, v) in arg.items()],
                     "user_id bigint, flag string, nv bigint",
@@ -129,6 +149,7 @@ def test_table_format_matches_model(spark, ops):
                         "user_id": "s.user_id", vcol: "s.nv",
                         "ts": str(step),
                     }),
+                    mode="dv" if tag == "merge_dv" else "rewrite",
                 )
                 for k, (f, v) in arg.items():
                     if k in model:
