@@ -5328,7 +5328,8 @@ def engine_metrics(
     Gauges per table: ``readable`` (1/0 — the health check),
     ``version``, ``rows``, ``bytes``, ``files``, ``avg_file_bytes``
     (compaction pressure), ``partitions``, ``commits_retained``
-    (vacuum debt), ``dv_deleted_rows`` (deletion-vector debt — what a
+    (vacuum debt), ``dv_deleted_rows`` + ``extra_dirs``
+    (merge-on-read debt — what a
     ``purge_deletes`` trigger watches), ``seconds_since_last_commit``
     (ingest liveness; ``now`` injectable for determinism, wall clock
     by default) and
@@ -5361,24 +5362,30 @@ def engine_metrics(
         rows.append(
             (name, "avg_file_bytes", nbytes / nfiles if nfiles else 0.0)
         )
-        rows.append(
-            (name, "partitions",
-             float(len(dirs) if _is_partitioned(m) else 1))
-        )
-        # deletion-vector debt: soft-deleted positions awaiting a
-        # purge/compaction rewrite — the gauge a maintenance trigger
-        # (purge_deletes) watches
         if _is_partitioned(m):
             try:
                 entries = list(resolve_partitions(root, v).values())
             except FileNotFoundError:
                 entries = []
-            dv_debt = sum(
-                (e.get("dv") or {}).get("deleted", 0) for e in entries
-            )
         else:
-            dv_debt = (m.get("dv") or {}).get("deleted", 0)
+            entries = [_flat_entry(m)]
+        # entry count, not dir count: merge-on-read appended dirs
+        # would otherwise inflate the partition gauge
+        rows.append(
+            (name, "partitions",
+             float(len(entries) if _is_partitioned(m) else 1))
+        )
+        # merge-on-read debt gauges: soft-deleted positions and
+        # appended update/merge dirs awaiting a purge/compaction
+        # rewrite — what a purge_deletes trigger watches
+        dv_debt = sum(
+            (e.get("dv") or {}).get("deleted", 0) for e in entries
+        )
         rows.append((name, "dv_deleted_rows", float(dv_debt)))
+        rows.append(
+            (name, "extra_dirs",
+             float(sum(len(e.get("extra_dirs") or []) for e in entries)))
+        )
         commit_times = []
         versions = _list_versions(root)
         rows.append((name, "commits_retained", float(len(versions))))

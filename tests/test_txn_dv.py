@@ -314,24 +314,37 @@ def test_dv_debt_gauge_and_maintenance_purge(spark, tmp_path):
     _flat(spark, root)
     delete_where(spark, root, [("user_id", "<", 3)], mode="dv")
 
-    def debt():
+    def gauges():
         return {
             r["metric"]: r["value"]
             for r in engine_metrics(spark, {"t": root}).collect()
-        }["dv_deleted_rows"]
+        }
+
+    def debt():
+        return gauges()["dv_deleted_rows"]
 
     assert debt() == 3.0
+    # merge-on-read update debt has its own gauge; the partition
+    # gauge counts ENTRIES, not dirs (extras must not inflate it)
+    txn.update_where(spark, root, [("user_id", "=", 5)],
+                     {"score": 5.5}, mode="dv")
+    g = gauges()
+    assert g["extra_dirs"] == 1.0 and g["partitions"] == 1.0
+    assert g["dv_deleted_rows"] == 4.0
     # below threshold: no purge
     rep = run_table_maintenance(
         spark, root, min_files=9999, keep_last=10, purge_dv_above=5
     )
-    assert not rep["dv_purged"] and debt() == 3.0
-    # above threshold: purge fires, debt clears, rows stay correct
+    assert not rep["dv_purged"] and debt() == 4.0
+    # above threshold: purge fires, both debts clear, rows correct
     rep = run_table_maintenance(
         spark, root, min_files=9999, keep_last=10, purge_dv_above=2
     )
     assert rep["dv_purged"] and debt() == 0.0
+    assert gauges()["extra_dirs"] == 0.0
     assert _ids(spark, root) == list(range(3, 10))
+    got, _ = read_table(spark, root)
+    assert {r["score"] for r in got.collect() if r["user_id"] == 5} == {5.5}
 
 
 def test_concurrent_dv_deletes_lose_no_delete(spark, tmp_path):
