@@ -88,8 +88,15 @@ FACT_SOURCES = {
 # by date, so the 30/90-day window scans skip ~95% of pages via
 # column-index pushdown instead of decoding the full history.
 FACT_SORT_COLS = {
-    "orders_by_custkey": "o_orderdate",
-    "lineitem_by_custkey": "l_shipdate",
+    "orders_by_custkey": ["o_orderdate"],
+    "lineitem_by_custkey": ["l_shipdate"],
+    # key-then-time: a (user_id, ts)-sorted events bucket satisfies
+    # the required child ordering of every per-user window operator
+    # (sessions, velocity, gap-fill, transitions, latest-per-key),
+    # so their SortExec is elided under
+    # spark.sql.legacy.bucketedTableScan.outputOrdering — the layout
+    # pays the sort once at ingest instead of per query.
+    "events": ["user_id", "ts", "event_id"],
 }
 
 
@@ -110,7 +117,11 @@ def _table_name(name: str, sf_dir: str, n_buckets: int) -> str:
     # and shape as pipelines/store.py::_table_name: the readable slug
     # is for humans, the md5 of the raw tuple prevents collisions
     # between e.g. 'data/sf0.1' and 'data_sf0_1'.
-    raw = f"{os.path.abspath(sf_dir)}|{n_buckets}"
+    # the sort order is part of the layout identity: changing a
+    # table's FACT_SORT_COLS must materialize a NEW table, never
+    # silently reuse one laid out under the old order
+    sort = ",".join(FACT_SORT_COLS.get(name) or [FACT_BUCKET_KEYS.get(name, "")])
+    raw = f"{os.path.abspath(sf_dir)}|{n_buckets}|{sort}"
     digest = hashlib.md5(raw.encode()).hexdigest()[:10]
     slug = "".join(
         c if c.isalnum() else "_"
@@ -125,22 +136,27 @@ def write_bucketed_fact(
     table_name: str,
     key: str,
     n_buckets: int,
-    sort_col: str | None = None,
+    sort_cols=None,
 ) -> None:
     """Write ``df`` as a parquet table bucketed by ``key`` and sorted
-    within buckets by ``sort_col`` (default: the key), one file per
-    bucket (repartition first hashes with the same Murmur3 the
-    bucketing spec uses, so Spark honors the sortBy order at read
-    time under ``spark.sql.legacy.bucketedTableScan.outputOrdering``).
-    External path under the session warehouse — restart-safe against
-    the in-memory catalog forgetting managed tables (see
+    within buckets by ``sort_cols`` (string or list; default: the
+    key), one file per bucket (repartition first hashes with the same
+    Murmur3 the bucketing spec uses, so Spark honors the sortBy order
+    at read time under
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering``). External
+    path under the session warehouse — restart-safe against the
+    in-memory catalog forgetting managed tables (see
     pipelines/store.py for the LOCATION_ALREADY_EXISTS trap)."""
+    if sort_cols is None:
+        sort_cols = [key]
+    elif isinstance(sort_cols, str):
+        sort_cols = [sort_cols]
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     (
         df.repartition(n_buckets, F.col(key))
         .write.format("parquet")
         .bucketBy(n_buckets, key)
-        .sortBy(sort_col or key)
+        .sortBy(*sort_cols)
         .option("path", f"{warehouse.rstrip('/')}/{table_name}__data")
         .mode("overwrite")
         .saveAsTable(table_name)
@@ -197,7 +213,7 @@ def bucketed_fact(
             table,
             FACT_BUCKET_KEYS[name],
             n,
-            sort_col=FACT_SORT_COLS.get(name),
+            sort_cols=FACT_SORT_COLS.get(name),
         )
     return spark.table(table)
 

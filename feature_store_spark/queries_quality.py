@@ -757,8 +757,11 @@ def q_w7(spark, sf_dir):
     """Rolling 7-day spend per user via a RANGE frame over epoch-days
     (value-based frame, not row-based: all orders of the same day are
     peers). Integer-cents sums keep the running aggregate exact and
-    engine-independent. One shuffle on user_id; the trailing-365d scan
-    filter reaches parquet."""
+    engine-independent. Served from the custkey-bucketed projection
+    (facts.py): the window's hash requirement is satisfied by the
+    bucket distribution (zero Exchange of fact rows) and the
+    trailing-365d filter page-skips the date-sorted buckets; only the
+    in-partition sort on the computed epoch-day key remains."""
     ref = F.to_date(F.lit(REF_DATE))
     day = F.unix_date(F.to_date("o_orderdate"))
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
@@ -768,7 +771,7 @@ def q_w7(spark, sf_dir):
         .rangeBetween(-6, Window.currentRow)
     )
     return (
-        _t(spark, sf_dir, "orders")
+        _t(spark, sf_dir, "orders_by_custkey")
         .filter(F.to_date("o_orderdate") >= F.date_sub(ref, 365))
         .select(
             F.col("o_custkey").alias("user_id"),

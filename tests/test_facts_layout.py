@@ -160,3 +160,48 @@ def test_custkey_projection_results_are_layout_independent(
         s = SPECS[name]
         res = compare(s.fn(spark, sf_dir), duck, s.sql)
         assert res["rows_match"] and res["hash_match"], (name, res)
+
+
+def test_events_bucket_sort_elides_window_sorts(spark, sf_dir, monkeypatch):
+    """Round 9: the events bucket sorts by (user_id, ts, event_id) —
+    exactly the required child ordering of the ASC per-user window
+    family — so under the bucketed layout the session/velocity plans
+    carry ZERO Sort nodes (the layout pays the sort once at ingest);
+    w7 serves from the custkey projection with zero fact-row
+    Exchange."""
+    from feature_store_spark.queries import SPECS, all_queries
+
+    all_queries()
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_FACTS", "1")
+    conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    old = spark.conf.get(conf)
+    try:
+        # the elision rides the scan REPORTING its in-bucket sort
+        # (bench.py sets the same conf; one file per bucket holds)
+        spark.conf.set(conf, "true")
+        for name in ("st7_session_features", "st5_velocity_features"):
+            plan = (
+                SPECS[name]
+                .fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            sorts = [ln for ln in plan.splitlines() if "Sort [" in ln]
+            assert not sorts, (name, sorts)
+        plan = (
+            SPECS["w7_rolling_spend"]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "fs_fact_orders_by_custkey" in plan
+        ex = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+        ]
+        assert not ex, ex
+    finally:
+        spark.conf.set(conf, old)
