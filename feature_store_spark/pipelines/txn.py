@@ -3569,12 +3569,16 @@ def _merge_into_dv(
             # only the appended images can newly violate a CHECK
             _check_constraints(appended, checks)
 
-        # leaves whose every live row dies with nothing appended leave
-        # the map — no sidecar needed
+        # PARTITIONED leaves whose every live row dies with nothing
+        # appended leave the map — no sidecar needed. A FLAT table's
+        # single leaf can never leave: its deletes must land in the
+        # DV even when they empty the table (caught by the stateful
+        # model: dv-update → rename → dv-merge-delete-all).
         removed = [
             pk
             for pk in sorted(touched)
-            if pk in entries
+            if partitioned
+            and pk in entries
             and by_pk[pk]["del"] == entries[pk]["rows"]
             and not by_pk[pk]["upd"]
             and not by_pk[pk]["ins"]

@@ -140,10 +140,12 @@ def q_a12(spark, sf_dir):
     """Per-group JSON feature blob (reference ``jsonb_build_object``
     per group, `docs/PERFORMANCE.md:66-114`). Keys are emitted in
     declaration order by both engines; values are integers so the JSON
-    text is byte-identical."""
+    text is byte-identical. The 90d per-customer count serves from
+    the custkey projection: exchange-free aggregate, page-skipped
+    window scan (facts.py)."""
     ref = F.to_date(F.lit(REF_DATE))
     o = (
-        _t(spark, sf_dir, "orders")
+        _t(spark, sf_dir, "orders_by_custkey")
         .filter(F.to_date("o_orderdate") >= F.date_sub(ref, 90))
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n"))
