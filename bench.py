@@ -297,11 +297,14 @@ def main() -> None:
                 con.execute(s.bench_setup)
             sql = s.bench_sql or s.sql
         # warm both sides back-to-back (JIT/codegen/footers vs
-        # parse/buffer cache), then alternate timed trials
+        # parse/buffer cache), then alternate timed trials. The DuckDB
+        # warm pass is gated on the SAME flag: with WARMUP=0 the
+        # 'single cold-ish run' mode must compare cold Spark against
+        # cold DuckDB (the oracle still keeps its +2 extra trials).
         if warmup:
             run(s.fn(spark, sf_dir))
-        if sql is not None:
-            con.execute(sql).fetchall()
+            if sql is not None:
+                con.execute(sql).fetchall()
         best = None
         d_best = None
         d_trials = n_runs + 2 if sql is not None else 0

@@ -30,6 +30,15 @@ from pyspark.sql import functions as F
 # use multi-probe / multiple tables.
 N_PLANES = 8
 
+# Default hot-bucket tile bound for knn_graph_vectorized: raising
+# N_PLANES shrinks the EXPECTED bucket, but a duplicate-dense corpus
+# slice still collapses into one m² matmul task (measured: one
+# 14k²-pair task owned the whole 200k race, SCALE.md §14.2). 4096
+# bounds each task at a ~134 MB float64 cos matrix / ~2 GFLOP of
+# dgemm (sub-second on one core) while keeping the tile fan-out (s =
+# ⌈m/4096⌉, 2s−1 shuffle copies of hot rows only) negligible.
+KNN_MAX_BUCKET_SIZE = 4096
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -312,12 +321,49 @@ def cosine_topk_oracle_sql(
     """
 
 
+# Hyperplane sign weights depend only on (plane, dim) — md5('p|d')
+# is a PLAN-TIME constant, but expressed per-row (as it was through
+# round 9) Spark evaluates it inside the array lambda: 8 planes × 64
+# dims = 512 JCA md5 calls PER VECTOR, measured 66 s for a bare
+# 200k-row signature projection (0.33 ms/row — the md5 chain, not
+# the arithmetic). The signs are therefore precomputed here with
+# hashlib (IDENTICAL definition, byte-for-byte the same hex) and
+# folded in as a literal ±1 array; x * +1.0 / x * -1.0 are
+# bit-exact IEEE equivalents of +x / -x, and the left-fold
+# summation order is unchanged, so every bucket id is identical.
+_HYPERPLANE_MAX_DIM = 1024
+
+
+def _plane_signs(plane: int, dims: int = _HYPERPLANE_MAX_DIM) -> list[float]:
+    import hashlib
+
+    return [
+        1.0
+        if hashlib.md5(f"{plane}|{d}".encode()).hexdigest()[0] in "01234567"
+        else -1.0
+        for d in range(dims)
+    ]
+
+
 def hyperplane_sign(vec, plane: int):
     """Deterministic pseudo-random hyperplane side: weight of dim d in
     plane p is +1 when the first hex digit of md5('p|d') is 0-7, else
     -1; the bit is 1 when the weighted sum is >= 0. Cross-engine
-    because md5 is."""
-    weighted = F.transform(
+    because md5 is. Signs come from a precomputed literal array
+    (see :func:`_plane_signs`); vectors wider than
+    ``_HYPERPLANE_MAX_DIM`` fall back to the per-row md5 formulation
+    (same values, the pre-round-10 shape) via a lazy CASE branch."""
+    signs = F.lit(_plane_signs(plane))
+    fast = F.aggregate(
+        F.zip_with(
+            vec,
+            F.slice(signs, 1, F.size(vec)),
+            lambda x, s: x.cast("double") * s,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    slow_weighted = F.transform(
         vec,
         lambda x, i: F.when(
             F.substring(
@@ -326,7 +372,8 @@ def hyperplane_sign(vec, plane: int):
             x.cast("double"),
         ).otherwise(-x.cast("double")),
     )
-    s = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    slow = F.aggregate(slow_weighted, F.lit(0.0), lambda acc, x: acc + x)
+    s = F.when(F.size(vec) <= _HYPERPLANE_MAX_DIM, fast).otherwise(slow)
     return F.when(s >= 0, 1).otherwise(0)
 
 
@@ -660,53 +707,113 @@ def knn_graph(
     )
 
 
+def _arrow_lsh_bucket_batches(
+    vec_col: str,
+    planes: int = N_PLANES,
+    start: int = 0,
+    only_bucket: bool = False,
+):
+    """mapInArrow body computing :func:`lsh_bucket` per batch with
+    numpy — appends an int32 ``__bucket`` column to every batch. The
+    per-plane weighted sum is an EXPLICIT dimension-ascending
+    accumulation (``acc += v[:, d] * sign``), the same IEEE-double
+    left fold the JVM ``aggregate`` lambda performs, so knife-edge
+    sums land on the same side and every bucket id is bit-identical
+    to the expression path (pinned against the expression kernel in
+    tests/test_hot_bucket.py on planted near-zero folds). Spark
+    treats NaN as larger than any double, so a NaN sum takes bit 1,
+    matching ``s >= 0`` JVM semantics. The JVM expression path costs
+    ~0.27 ms/row in interpreted higher-order lambdas (54 s for a
+    200k-row signature projection — measured round 10); this kernel
+    is ~100× cheaper and the Arrow boundary it pays is one the
+    vectorized kNN kernel crosses anyway."""
+    import numpy as _np
+
+    signs = _np.array(
+        [_plane_signs(start + p) for p in range(planes)],
+        dtype=_np.float64,
+    )
+
+    def fn(batches):
+        import pyarrow as _pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue  # mapInArrow output cardinality is free
+            tbl = _pa.table(batch)
+            col = tbl.column(vec_col).combine_chunks()
+            flat = _np.asarray(col.flatten(), dtype=_np.float64)
+            v = _reshape_vectors(flat, n, col)
+            dim = v.shape[1]
+            acc = _np.zeros((planes, n), dtype=_np.float64)
+            for d in range(dim):
+                acc += signs[:, d, None] * v[None, :, d]
+            bits = (acc >= 0) | _np.isnan(acc)
+            bucket = _np.zeros(n, dtype=_np.int32)
+            for p in range(planes):
+                bucket |= bits[p].astype(_np.int32) << p
+            bucket_arr = _pa.array(bucket, type=_pa.int32())
+            out = (
+                _pa.table({"__bucket": bucket_arr})
+                if only_bucket
+                else tbl.append_column("__bucket", bucket_arr)
+            ).combine_chunks()
+            for ob in out.to_batches():
+                yield ob
+
+    return fn
+
+
 def knn_graph_vectorized(
     df: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = KNN_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """:func:`knn_graph` with the in-bucket scoring as one BLAS
-    float64 matmul per bucket (``applyInArrow`` over the bucket
-    grouping — each bucket IS the candidate set under a single hash
-    table, so per-bucket top-k is the final answer and no window pass
-    is needed afterward). One signature projection, one shuffle on
-    the bucket key; the bucket's vectors arrive as ONE contiguous
-    Arrow buffer (zero-copy reshape, no per-row boxing), scoring is a
-    dgemm with the same compensated-longdouble boundary pass as
-    :func:`cosine_topk_vectorized` (so the exact op's oracle applies
-    unchanged), and the per-row top-k is a vectorized stable argsort —
-    no Python-level row loop. Zero-norm vectors rank last with NULL
-    cosine (matching the exact op's x/0 → NULL under desc NULLS LAST)
-    — a raw NaN would sort first in Spark and arbitrarily in Python.
-    Bucket skew bounds the kernel: a bucket of m vectors costs an m×m
-    matmul — at corpus scale raise N_PLANES so m stays batch-sized
-    (or route through :func:`knn_graph` with ``max_bucket_size``,
-    whose tiling bounds the task exactly)."""
+    float64 matmul per task (``applyInArrow`` — the bucket's vectors
+    arrive as ONE contiguous Arrow buffer, zero-copy reshape, no
+    per-row boxing), a dgemm with the same compensated-longdouble
+    boundary pass as :func:`cosine_topk_vectorized` (so the exact
+    op's oracle applies unchanged), and the per-row top-k as a
+    vectorized stable argsort — no Python-level row loop. Zero-norm
+    vectors rank last with NULL cosine (matching the exact op's
+    x/0 → NULL under desc NULLS LAST) — a raw NaN would sort first in
+    Spark and arbitrarily in Python.
+
+    ``max_bucket_size`` (DEFAULT ON at :data:`KNN_MAX_BUCKET_SIZE`)
+    bounds the hot-bucket straggler: a duplicate-dense corpus slice
+    collapses into one m² matmul task otherwise (measured at 200k×64:
+    one 14k²-pair task owned the whole wall time — SCALE.md §14.2).
+    Buckets over the bound are split into s = ⌈m/max⌉ hash-assigned
+    tiles and every (i, j) tile pair becomes one RECTANGULAR matmul
+    task of ≲max² pairs; per-task top-k candidates are then merged by
+    a global (cosine desc NULLS LAST, id asc) rank — exact, no recall
+    loss, identical output (pinned in tests/test_hot_bucket.py).
+    Sizing is HOT-ONLY: per-bucket counts over the bound are
+    broadcast (≤ n/max rows by construction — the full counts frame
+    would be key-cardinality-sized), so rows of ordinary buckets
+    shuffle exactly once with ti=tj=0 and only hot rows fan out into
+    2s−1 copies. The cost vs the unbounded shape is one narrow
+    counts pass over the signature subtree plus the small final merge
+    window (n·k·s candidate rows). ``max_bucket_size=None`` opts back
+    into the single-task-per-bucket shape (no counts pass, rank
+    computed in-kernel). The bound also caps kernel memory: the cos
+    matrix is max² float64 (134 MB at 4096) instead of m²."""
     import numpy as _np
 
     out_schema = (
         f"{id_col} long, neighbor_id long, cosine double, rank int"
     )
 
-    def _bucket_topk(table):
-        import pyarrow as _pa
-
-        ids = table.column(id_col).to_numpy(zero_copy_only=False)
-        m = len(ids)
-        empty = _pa.table(
-            {
-                id_col: _pa.array([], type=_pa.int64()),
-                "neighbor_id": _pa.array([], type=_pa.int64()),
-                "cosine": _pa.array([], type=_pa.float64()),
-                "rank": _pa.array([], type=_pa.int32()),
-            }
-        )
-        if m < 2:
-            return empty
-        col = table.column(vec_col).combine_chunks()
-        flat = _np.asarray(col.flatten(), dtype=_np.float64)
-        v = _reshape_vectors(flat, m, col)
+    def _square_topk(ids, v, m):
+        """Self-excluding in-tile top-k arrays — the ONE scoring +
+        selection body shared by the unbounded kernel and the tiled
+        diagonal kernel (bit-identity between the two paths is
+        structural, not re-proven per change). Returns (src_ids,
+        neighbor_ids, cosines, ranks)."""
         nrm = _np.sqrt((v * v).sum(axis=1))
         with _np.errstate(divide="ignore", invalid="ignore"):
             cos = (v @ v.T) / _np.outer(nrm, nrm)
@@ -739,26 +846,214 @@ def knn_graph_vectorized(
         sel = keep & (_np.cumsum(keep, axis=1) <= kk)
         ri, ci = _np.nonzero(sel)  # row-major: rank order preserved
         vals = cosp[ri, order[ri, ci]]
+        ranks = _np.cumsum(sel, axis=1)[ri, ci].astype(_np.int32)
+        return ids[ri], idp[order[ri, ci]], vals, ranks
+
+    def _bucket_topk(table):
+        import pyarrow as _pa
+
+        ids = table.column(id_col).to_numpy(zero_copy_only=False)
+        m = len(ids)
+        if m < 2:
+            return _pa.table(
+                {
+                    id_col: _pa.array([], type=_pa.int64()),
+                    "neighbor_id": _pa.array([], type=_pa.int64()),
+                    "cosine": _pa.array([], type=_pa.float64()),
+                    "rank": _pa.array([], type=_pa.int32()),
+                }
+            )
+        col = table.column(vec_col).combine_chunks()
+        flat = _np.asarray(col.flatten(), dtype=_np.float64)
+        v = _reshape_vectors(flat, m, col)
+        src, nbr, vals, ranks = _square_topk(ids, v, m)
         return _pa.table(
             {
-                id_col: _pa.array(ids[ri], type=_pa.int64()),
-                "neighbor_id": _pa.array(
-                    idp[order[ri, ci]], type=_pa.int64()
-                ),
+                id_col: _pa.array(src, type=_pa.int64()),
+                "neighbor_id": _pa.array(nbr, type=_pa.int64()),
                 "cosine": _pa.array(vals, mask=_np.isnan(vals)),
-                "rank": _pa.array(
-                    _np.cumsum(sel, axis=1)[ri, ci].astype(_np.int32)
-                ),
+                "rank": _pa.array(ranks),
             }
         )
 
-    sig = df.select(
+    # the LSH bucket is computed in a mapInArrow pre-pass, not the
+    # JVM expression: the interpreted higher-order fold costs
+    # ~0.27 ms/row (54 s for a bare 200k signature projection) while
+    # the numpy kernel — bit-identical fold order — is ~100× cheaper,
+    # and this path crosses the Arrow boundary for scoring anyway
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    base = df.select(F.col(id_col), F.col(vec_col))
+    sig_schema = StructType(
+        list(base.schema.fields) + [StructField("__bucket", IntegerType())]
+    )
+    sig = base.mapInArrow(
+        _arrow_lsh_bucket_batches(vec_col), sig_schema
+    )
+    if max_bucket_size is None:
+        return sig.groupBy("__bucket").applyInArrow(
+            _bucket_topk, schema=out_schema
+        )
+    if max_bucket_size < 1:
+        raise ValueError("max_bucket_size must be >= 1")
+
+    cand_schema = f"{id_col} long, neighbor_id long, cosine double"
+
+    def _tile_topk(table):
+        import pyarrow as _pa
+
+        empty = _pa.table(
+            {
+                id_col: _pa.array([], type=_pa.int64()),
+                "neighbor_id": _pa.array([], type=_pa.int64()),
+                "cosine": _pa.array([], type=_pa.float64()),
+            }
+        )
+        n_rows = table.num_rows
+        if n_rows == 0:
+            return empty
+        # diagonal task (ti == tj): only side-a rows are emitted and
+        # the tile is scored against itself with self-exclusion —
+        # the exact unbounded body over the tile's members
+        if (
+            table.column("__ti")[0].as_py()
+            == table.column("__tj")[0].as_py()
+        ):
+            ids = table.column(id_col).to_numpy(zero_copy_only=False)
+            m = len(ids)
+            if m < 2:
+                return empty
+            col = table.column(vec_col).combine_chunks()
+            flat = _np.asarray(col.flatten(), dtype=_np.float64)
+            v = _reshape_vectors(flat, m, col)
+            src, nbr, vals, _ranks = _square_topk(ids, v, m)
+            return _pa.table(
+                {
+                    id_col: _pa.array(src, type=_pa.int64()),
+                    "neighbor_id": _pa.array(nbr, type=_pa.int64()),
+                    "cosine": _pa.array(vals, mask=_np.isnan(vals)),
+                }
+            )
+        # off-diagonal: queries = tile ti (side 1), candidates =
+        # tile tj (side 0); disjoint hash tiles → no self-pairs
+        sd = table.column("__sd").to_numpy(zero_copy_only=False)
+        amask = sd == 1
+        a_tab = table.filter(_pa.array(amask))
+        b_tab = table.filter(_pa.array(~amask))
+        a_ids = a_tab.column(id_col).to_numpy(zero_copy_only=False)
+        b_ids = b_tab.column(id_col).to_numpy(zero_copy_only=False)
+        n_a, n_b = len(a_ids), len(b_ids)
+        if n_a == 0 or n_b == 0:
+            return empty
+        acol = a_tab.column(vec_col).combine_chunks()
+        va = _reshape_vectors(
+            _np.asarray(acol.flatten(), dtype=_np.float64), n_a, acol
+        )
+        bcol = b_tab.column(vec_col).combine_chunks()
+        vb = _reshape_vectors(
+            _np.asarray(bcol.flatten(), dtype=_np.float64),
+            n_b,
+            bcol,
+            expect_dim=va.shape[1],
+        )
+        an = _np.sqrt((va * va).sum(axis=1))
+        bn = _np.sqrt((vb * vb).sum(axis=1))
+        with _np.errstate(divide="ignore", invalid="ignore"):
+            cos = (va @ vb.T) / _np.outer(an, bn)
+            near = _near_rounding_boundary(cos * 1e6)
+        if near.any():
+            ai, bi = _np.nonzero(near)
+            al = va[ai].astype(_np.longdouble)
+            bl = vb[bi].astype(_np.longdouble)
+            dots = (al * bl).sum(axis=1)
+            anl = _np.sqrt((al * al).sum(axis=1))
+            bnl = _np.sqrt((bl * bl).sum(axis=1))
+            with _np.errstate(divide="ignore", invalid="ignore"):
+                cos[ai, bi] = (dots / (anl * bnl)).astype(_np.float64)
+        cos = _np.round(cos, 6)
+        perm = _np.argsort(b_ids, kind="stable")
+        cosp = cos[:, perm]
+        idp = b_ids[perm]
+        w = min(k, n_b)
+        order = _np.argsort(-cosp, axis=1, kind="stable")[:, :w]
+        ri = _np.repeat(_np.arange(n_a), w)
+        ci = order.ravel()
+        vals = cosp[ri, ci]
+        return _pa.table(
+            {
+                id_col: _pa.array(a_ids[ri], type=_pa.int64()),
+                "neighbor_id": _pa.array(idp[ci], type=_pa.int64()),
+                "cosine": _pa.array(vals, mask=_np.isnan(vals)),
+            }
+        )
+
+    # hot-only sizing: only buckets OVER the bound are broadcast
+    # (≤ n/max_bucket_size rows by construction); ordinary buckets
+    # resolve to s=1 through the left join's NULL → 1. The counts
+    # pass re-reads ONLY the vector column and ships the bucket ids
+    # alone back across Arrow (only_bucket) — the narrow second scan
+    # the tiling pays for its bound.
+    hot = (
+        df.select(F.col(vec_col))
+        .mapInArrow(
+            _arrow_lsh_bucket_batches(vec_col, only_bucket=True),
+            StructType([StructField("__bucket", IntegerType())]),
+        )
+        .groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .filter(F.col("__m") > max_bucket_size)
+        .select(
+            "__bucket",
+            F.ceil(F.col("__m") / F.lit(max_bucket_size))
+            .cast("int")
+            .alias("__s"),
+        )
+    )
+    sized = sig.join(F.broadcast(hot), "__bucket", "left").withColumn(
+        "__s", F.coalesce(F.col("__s"), F.lit(1))
+    )
+    own = F.pmod(F.xxhash64(F.col(id_col)), F.col("__s")).cast("int")
+    tiles = F.sequence(F.lit(0), F.col("__s") - F.lit(1))
+    # one explode over a per-row task list: side a (queries) goes to
+    # every (own, tj) tile pair, side b (candidates) to every
+    # (ti, own) with ti ≠ own — 2s−1 copies for hot rows, exactly 1
+    # (the diagonal (0, 0) task) for everyone else
+    tasks = F.concat(
+        F.transform(
+            tiles,
+            lambda t: F.struct(
+                own.alias("ti"),
+                t.cast("int").alias("tj"),
+                F.lit(1).alias("sd"),
+            ),
+        ),
+        F.transform(
+            F.filter(tiles, lambda t: t != own),
+            lambda t: F.struct(
+                t.cast("int").alias("ti"),
+                own.alias("tj"),
+                F.lit(0).alias("sd"),
+            ),
+        ),
+    )
+    exploded = sized.select(
+        "__bucket",
         F.col(id_col),
         F.col(vec_col),
-        lsh_bucket(F.col(vec_col)).alias("__bucket"),
+        F.explode(tasks).alias("__t"),
+    ).select(
+        "__bucket",
+        id_col,
+        vec_col,
+        F.col("__t.ti").alias("__ti"),
+        F.col("__t.tj").alias("__tj"),
+        F.col("__t.sd").alias("__sd"),
     )
-    return sig.groupBy("__bucket").applyInArrow(
-        _bucket_topk, schema=out_schema
+    cand = exploded.groupBy("__bucket", "__ti", "__tj").applyInArrow(
+        _tile_topk, schema=cand_schema
+    )
+    return _rank_topk(cand, id_col, "cosine", "neighbor_id", k).withColumn(
+        "rank", F.col("rank").cast("int")
     )
 
 

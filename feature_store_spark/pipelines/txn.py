@@ -2118,12 +2118,20 @@ def compact_manifest(
                 # silently skip compacting the REAL tip (the
                 # min_files=None path hits PATH_NOT_FOUND and retries)
                 continue
-            before = _leaf_file_count(data_dir)
+            # size/count over base + appended extra dirs: a leaf whose
+            # merge-on-read debt lives in extra_dirs would otherwise
+            # under-count and evade min_files-triggered compaction
+            leaf_dirs = _entry_dirs(root, _flat_entry(tip))
+            before = sum(_leaf_file_count(d) for d in leaf_dirs)
             if min_files is not None and before < min_files:
                 return {"version": v, "files_before": before,
                         "files_after": before, "rows": tip["rows"],
                         "committed": False}
-            n_files = max(1, -(-_dir_bytes(data_dir) // target_file_bytes))
+            n_files = max(
+                1,
+                -(-sum(_dir_bytes(d) for d in leaf_dirs)
+                  // target_file_bytes),
+            )
             new_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
             try:
                 snap = _read_entries(
@@ -2185,7 +2193,10 @@ def compact_manifest(
                     # leave the real tip uncompacted — retry instead
                     stale = True
                     break
-                if _leaf_file_count(d) >= min_files:
+                if sum(
+                    _leaf_file_count(x)
+                    for x in _entry_dirs(root, parts[pk])
+                ) >= min_files:
                     fresh.append(pk)
             if stale:
                 continue
@@ -2201,10 +2212,14 @@ def compact_manifest(
             return {"version": v, "files_before": 0, "files_after": 0,
                     "rows": tip["rows"], "committed": False}
         sel_dirs = {
-            pk: os.path.join(root, parts[pk]["dir"]) for pk in selected
+            pk: _entry_dirs(root, parts[pk]) for pk in selected
         }
-        before = sum(_leaf_file_count(d) for d in sel_dirs.values())
-        total_bytes = sum(_dir_bytes(d) for d in sel_dirs.values())
+        before = sum(
+            _leaf_file_count(d) for ds in sel_dirs.values() for d in ds
+        )
+        total_bytes = sum(
+            _dir_bytes(d) for ds in sel_dirs.values() for d in ds
+        )
         n_files = max(
             len(selected), -(-total_bytes // target_file_bytes)
         )
@@ -2545,9 +2560,16 @@ def _dv_update_leaf(
     _write_physical(out, _phys_map(tip)).write.parquet(
         os.path.join(root, upd_rel)
     )
-    new_dv_rel = _write_leaf_dv(
-        spark, root, entry, matched.select("__dv_file", "__dv_pos")
-    )
+    try:
+        new_dv_rel = _write_leaf_dv(
+            spark, root, entry, matched.select("__dv_file", "__dv_pos")
+        )
+    except BaseException:
+        # a mid-leaf DV failure would otherwise leak the already-
+        # written update-images dir until the orphan-grace vacuum
+        # (the caller's `written` cleanup list never sees upd_rel)
+        shutil.rmtree(os.path.join(root, upd_rel), ignore_errors=True)
+        raise
     prior = (entry.get("dv") or {}).get("deleted", 0)
     return n, upd_rel, {"dir": new_dv_rel, "deleted": prior + n}
 

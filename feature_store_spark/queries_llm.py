@@ -810,8 +810,12 @@ def q_knn_graph(spark, sf_dir):
     (/tmp/sfemb, SCALE.md §14.2) the expression kernel's interpreted
     per-pair cosine is degenerate (>600 s — in-bucket-quadratic pair
     count × a 64-element zip_with per pair) while the dgemm kernel
-    finishes in 66 s and beats the DuckDB oracle >8×. Same contract,
-    same oracle; the expression kernel stays available as
+    finishes in 66 s and beats the DuckDB oracle >8×. Round 10 turned
+    hot-bucket tiling ON BY DEFAULT (KNN_MAX_BUCKET_SIZE=4096): those
+    66 s were one 14k²-pair straggler task; oversized buckets now
+    tile into bounded rectangular matmul tasks with an exact global
+    merge — identical output (tests/test_hot_bucket.py). Same
+    contract, same oracle; the expression kernel stays available as
     sim_knn_graph_expr and bit-equal via the multiprobe(n_tables=1)
     equivalence pin."""
     return S.knn_graph_vectorized(_t(spark, sf_dir, "embeddings"), k=5)

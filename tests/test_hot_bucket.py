@@ -15,6 +15,7 @@ from feature_store_spark.llm.similarity import (
     _tiled_tasks,
     bucket_pairs,
     knn_graph,
+    knn_graph_vectorized,
 )
 
 
@@ -52,6 +53,20 @@ def test_knn_graph_hot_bucket_tiling_is_exact(spark):
     base = _rows(knn_graph(df, k=3))
     tiled = _rows(knn_graph(df, k=3, max_bucket_size=10))
     assert tiled == base and len(base) > 0
+
+
+def test_knn_graph_vectorized_tiling_is_exact(spark):
+    """The Arrow/BLAS headline kernel's hot-bucket tiling (DEFAULT ON
+    since round 10) must be bit-identical to the single-task-per-
+    bucket shape AND to the expression kernel — forcing the planted
+    hot bucket through s ≥ 6 tiles (rect off-diagonal matmuls + the
+    global merge rank) on the way."""
+    df = _planted_vectors(spark)
+    base = _rows(knn_graph_vectorized(df, k=3, max_bucket_size=None))
+    tiled = _rows(knn_graph_vectorized(df, k=3, max_bucket_size=10))
+    expr = _rows(knn_graph(df, k=3))
+    assert tiled == base and len(base) > 0
+    assert tiled == expr
 
 
 def test_semantic_dedup_hot_bucket_tiling_is_exact(spark):

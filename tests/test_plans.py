@@ -362,13 +362,17 @@ def test_incremental_lsh_broadcasts_batch_postings(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_knn_graph_single_signature_scan(spark, sf_dir):
-    """In-bucket pairing via collect_list + double explode keeps the
-    kNN-graph plan at ONE scan of embeddings — a bucket self-join
-    would evaluate the signature subtree (8 hyperplane folds per
-    vector) twice."""
+def test_knn_graph_two_scans_hot_sized(spark, sf_dir):
+    """The tiled-by-default kNN headline (round 10) reads embeddings
+    exactly TWICE: the full-data pairing scan plus the narrow
+    hot-bucket counts pass, whose output is BROADCAST (hot buckets
+    are ≤ n/max_bucket_size rows by construction — a shuffled join
+    against per-bucket counts would re-exchange the corpus). A third
+    scan would mean the pairing subtree is evaluated twice — the
+    bucket-self-join shape this pin has always excluded."""
     plan = _plan(spark, sf_dir, "sim_knn_graph")
-    assert plan.count("FileScan") == 1
+    assert plan.count("FileScan") == 2
+    assert "BroadcastHashJoin" in plan
 
 
 def test_semantic_dedup_single_signature_scan(spark, sf_dir):
