@@ -625,13 +625,40 @@ def lsh_index(
     scale both are written to storage once (postings bucketed by
     band_hash, sets by id) and every ingest batch probes them —
     the corpus is never re-shingled."""
-    sig = minhash_signatures(df, n=n, k=k, id_col=id_col, text_col=text_col)
-    postings = _band_postings(sig, k=k, bands=bands, id_col=id_col)
-    sets = (
+    # Tokenize ONCE (round 10): postings AND sets both need the
+    # shingle pass, and the sets relation is referenced twice by the
+    # downstream verification join — as three independent subtrees
+    # the corpus was re-shingled three times per probe. One aggregate
+    # collects the shingle set and its md5-int values, lazily
+    # localCheckpoint-ed so every consumer reads the materialized
+    # rows; signatures fall out per row via array_min over the LCG
+    # transforms (identical values: min over the same value set).
+    base = (
         shingles(df, n=n, id_col=id_col, text_col=text_col)
         .groupBy(id_col)
-        .agg(F.collect_list("shingle").alias("sh"))
+        .agg(
+            F.collect_list("shingle").alias("sh"),
+            F.collect_list(
+                F.expr(
+                    "cast(conv(substring(md5(shingle), 1, 15), 16,"
+                    f" 10) as bigint) % {MINHASH_P}"
+                )
+            ).alias("__xs"),
+        )
+        .localCheckpoint(eager=False)
     )
+    sig = base.select(
+        F.col(id_col),
+        *[
+            F.expr(
+                f"array_min(transform(__xs, x -> ({a} * x + {b})"
+                f" % {MINHASH_P})) AS h{i}"
+            )
+            for i, (a, b) in enumerate(_minhash_params(k))
+        ],
+    )
+    postings = _band_postings(sig, k=k, bands=bands, id_col=id_col)
+    sets = base.select(id_col, "sh")
     return postings, sets
 
 

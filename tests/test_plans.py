@@ -91,8 +91,12 @@ def test_minhash_plan_stays_compact(spark, sf_dir):
     re-evaluates the signature subtree per band — caught at sf0.1 as a
     12-scan plan), candidate pairing must be collect_list + explode
     (a bucket self-join doubles the signature subtree), and
-    verification reads the shingle sets once per join side: 3 scans
-    total (1 signature + 2 set sides)."""
+    verification reads the shingle sets once per join side: ≤3 scans
+    total. Since round 10 the headline runs materialize_sets=True —
+    the shingle pass lands in ONE lazily checkpointed aggregate and
+    every branch reads the materialized rows, so the visible plan
+    carries ZERO parquet scans (they live in the checkpoint lineage);
+    the bound still guards the un-materialized default."""
     plan = _plan(spark, sf_dir, "d_minhash_lsh_pairs")
     assert plan.count("FileScan") <= 3
 
