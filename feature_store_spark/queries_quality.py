@@ -1176,12 +1176,26 @@ def q_a16_hll_rollup(spark, sf_dir):
         F.to_date("ts").alias("day"), "user_id"
     )
     week = F.to_date(F.date_trunc("week", F.col("day"))).alias("week")
-    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    # ONE raw scan (round 10, guide §1.2/§6): the sketch path and the
+    # exact-verification path both hang off the same per-(day, user)
+    # dedup aggregate, materialized once (lazy localCheckpoint — the
+    # deduped rows are |users|×|days|, far smaller than raw events;
+    # Catalyst's per-branch column pruning otherwise re-plans the
+    # subtree twice and re-scans the corpus). HLL registers are
+    # duplicate-insensitive, so sketching the deduped rows yields
+    # bit-identical estimates to sketching raw events; countDistinct
+    # per week over (day, user) rows is the same distinct set. On the
+    # user-bucketed store the dedup itself needs NO exchange (same
+    # user ⇒ same bucket ⇒ (day, user) is bucket-local).
+    base = ev.distinct().localCheckpoint(eager=False)
+    daily = base.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
     weekly = daily.groupBy(week).agg(
         F.count(F.lit(1)).alias("n_daily_partials"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
     )
-    exact = ev.groupBy(week).agg(
+    exact = base.groupBy(week).agg(
         F.countDistinct("user_id").alias("exact_users")
     )
     return weekly.join(exact, "week").select(

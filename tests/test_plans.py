@@ -488,14 +488,19 @@ def test_window_scan_prunes_month_partitions(spark, sf_dir, tmp_path):
 
 
 def test_cdc_apply_feed_windowed_base_anti_joined(spark, sf_dir):
-    # the change feed pays the latest-wins window EXACTLY ONCE (the
-    # anti-join side takes the feed's distinct keys from a partial-agg
-    # distinct, not a second window pass — r5); the base is touched by
-    # a single LeftAnti join (broadcast here — the batch's key set is
-    # small); no cartesian anywhere ("Window [" counts exec nodes, not
-    # WindowGroupLimit helpers)
+    # the change feed pays the latest-wins window EXACTLY ONCE, now
+    # behind the round-10 lazy localCheckpoint (the winner table is
+    # one narrow row per key, materialized once and consumed by both
+    # the upsert branch and the anti-join key set — before r10 the
+    # per-consumer pruning re-planned the feed subtree and scanned
+    # the 4-leg synthesized feed twice: 8 scans, now 4). The window
+    # is therefore INSIDE the checkpoint: the final plan shows the
+    # ExistingRDD scans and ZERO additional Window nodes. The base is
+    # touched by a single LeftAnti join (broadcast here — the batch's
+    # key set is small); no cartesian anywhere.
     plan = _plan(spark, sf_dir, "s12_cdc_apply")
-    assert plan.count("Window [") == 1
+    assert plan.count("Window [") == 0
+    assert "Scan ExistingRDD" in plan
     assert plan.count("LeftAnti") == 1
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
@@ -555,16 +560,19 @@ def test_chunk_dedup_no_python_no_cartesian_bounded_shuffles(spark, sf_dir):
     assert plan.count("FileScan") <= 2  # chunks pass + doc spine
 
 
-def test_cohort_retention_broadcasts_sizes_no_cartesian(spark, sf_dir):
-    # fused shape: groupBy(user) + explode feeds the cell counts with
-    # NO user-keyed join; sizes re-aggregate the same per-user frame
-    # (Spark shares no subtrees, so that costs a second scan — two
-    # scans, still zero joins beyond the tiny sizes broadcast)
+def test_cohort_retention_single_scan_no_join(spark, sf_dir):
+    # fused shape (round 10): groupBy(user) + explode feeds the cell
+    # counts with NO user-keyed join, and the cohort sizes come from
+    # the offset-0 cells via a per-cohort window over the tiny cell
+    # rows — the old separate sizes branch cost a SECOND full events
+    # scan (Catalyst pruned the shared per-user frame into two
+    # different aggregates). One scan, zero joins of any kind.
     plan = _plan(spark, sf_dir, "w12_cohort_retention")
-    assert "BroadcastHashJoin" in plan
+    assert plan.count("FileScan") <= 1
+    assert "Join" not in plan
+    assert plan.count("Window [") == 1
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert plan.count("FileScan") <= 2
 
 
 def test_ab_test_single_fact_pass_per_leg_no_python(spark, sf_dir):
