@@ -31,11 +31,12 @@ from feature_store_spark.llm.dedup import (
 )
 from feature_store_spark.llm.text import (
     language_id_oracle_sql,
-    language_pred_expr,
+    language_pred_from_scores,
+    language_scores,
     quality_flag_exprs,
     quality_score_oracle_sql,
     text_stats_oracle_sql,
-    token_count,
+    tokens,
 )
 
 
@@ -54,17 +55,45 @@ def curate_corpus(
     ``doc_id`` survives (``doc_id == cluster_id``) — deterministic,
     engine-independent.
     """
-    # Both gates plus the token count are narrow column expressions, so
-    # they ride ONE projection over the raw corpus (whole-stage codegen
-    # de-duplicates the shared tokenize subexpression) — no gate joins,
-    # and discarded documents are never tokenized twice.
+    # Both gates plus the token count are narrow column expressions —
+    # no gate joins. Layered behind rand barriers (round 10): the
+    # language scores and quality flags reach the token array through
+    # interpreted lambda filters, which whole-stage codegen CSE never
+    # sees, so a single collapsed projection re-ran the tokenize
+    # regex once per score reference (the argmax chain references
+    # each language score ~3×). Layer 1 tokenizes once; layer 2
+    # scores each language once and computes the flags; layer 3 runs
+    # the argmax over plain score columns and gates.
     text = F.col(text_col)
-    kept = df.select(
+    tokenized = df.select(
         id_col,
         text_col,
-        language_pred_expr(text).alias("predicted_lang"),
-        quality_flag_exprs(text)["quality_score"].alias("quality_score"),
-        token_count(text).cast("bigint").alias("n_tokens"),
+        tokens(text).alias("__tok"),
+        F.rand(7).alias("__barrier"),
+    )
+    scores = language_scores(F.lit(None), tok_col=F.col("__tok"))
+    scored = tokenized.select(
+        id_col,
+        text_col,
+        *[
+            scores[lang].cast("bigint").alias(f"__score_{lang}")
+            for lang in sorted(scores)
+        ],
+        quality_flag_exprs(text, tok_col=F.col("__tok"))[
+            "quality_score"
+        ].alias("quality_score"),
+        F.size("__tok").cast("bigint").alias("n_tokens"),
+        F.rand(11).alias("__barrier2"),
+    )
+    score_cols = {
+        lang: F.col(f"__score_{lang}") for lang in sorted(scores)
+    }
+    kept = scored.select(
+        id_col,
+        text_col,
+        language_pred_from_scores(score_cols).alias("predicted_lang"),
+        "quality_score",
+        "n_tokens",
     ).filter(
         (F.col("quality_score") >= quality_min)
         & (F.col("predicted_lang") != "und")

@@ -587,6 +587,15 @@ MINHASH_K = 24  # total hash functions
 MINHASH_BANDS = 8  # bands of r = K/BANDS rows each
 MINHASH_P = 2147483647  # Mersenne prime 2^31-1 for the LCG family
 
+# 60-bit md5 prefix of a shingle: the shared base value for BOTH the
+# minhash LCG family (applied to h % P) and the hashed verification
+# sets (round 10 — sets of 8-byte longs instead of n-word strings;
+# distinct shingles map to distinct values modulo ~2⁻⁶⁰ collisions,
+# so intersect counts and Jaccard are unchanged).
+_SHINGLE_H60 = (
+    "cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)"
+)
+
 
 def _minhash_params(k: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) per permutation: odd multipliers, spread
@@ -663,21 +672,22 @@ def lsh_index(
     # shingle pass, and the sets relation is referenced twice by the
     # downstream verification join — as three independent subtrees
     # the corpus was re-shingled three times per probe. One aggregate
-    # collects the shingle set and its md5-int values, lazily
-    # localCheckpoint-ed so every consumer reads the materialized
-    # rows; signatures fall out per row via array_min over the LCG
-    # transforms (identical values: min over the same value set).
+    # collects each shingle's 60-bit md5 prefix (the value the LCG
+    # signature family already derives from), lazily localCheckpoint-
+    # ed so every consumer reads the materialized rows; signatures
+    # fall out per row via array_min over the LCG transforms of
+    # (h % P) — identical values to hashing the raw shingles. The
+    # sets THEMSELVES are the hashed values, not the shingle strings:
+    # distinct shingles ⇒ distinct hashes (collisions ~|A||B|/2⁶⁰ per
+    # verified pair — the dup_span_stats trade), so intersect sizes
+    # and Jaccard are unchanged while the checkpoint and both
+    # verification-join shuffle sides carry 8-byte longs instead of
+    # ~n-word strings.
     base = (
         shingles(df, n=n, id_col=id_col, text_col=text_col)
         .groupBy(id_col)
         .agg(
-            F.collect_list("shingle").alias("sh"),
-            F.collect_list(
-                F.expr(
-                    "cast(conv(substring(md5(shingle), 1, 15), 16,"
-                    f" 10) as bigint) % {MINHASH_P}"
-                )
-            ).alias("__xs"),
+            F.collect_list(F.expr(_SHINGLE_H60)).alias("sh"),
         )
         .localCheckpoint(eager=False)
     )
@@ -685,14 +695,14 @@ def lsh_index(
         F.col(id_col),
         *[
             F.expr(
-                f"array_min(transform(__xs, x -> ({a} * x + {b})"
-                f" % {MINHASH_P})) AS h{i}"
+                f"array_min(transform(sh, x -> ({a} * (x % {MINHASH_P})"
+                f" + {b}) % {MINHASH_P})) AS h{i}"
             )
             for i, (a, b) in enumerate(_minhash_params(k))
         ],
     )
     postings = _band_postings(sig, k=k, bands=bands, id_col=id_col)
-    sets = base.select(id_col, "sh")
+    sets = base
     return postings, sets
 
 
@@ -792,36 +802,32 @@ def minhash_lsh_pairs(
     if materialize_sets:
         # collect_list order is nondeterministic but irrelevant:
         # array_min, size, and array_intersect are order-insensitive.
+        # Sets hold the shingles' 60-bit md5 prefixes (_SHINGLE_H60,
+        # round 10) — 8-byte longs through the checkpoint and both
+        # verification-join sides instead of n-word strings; distinct
+        # shingles ⇒ distinct values modulo ~2⁻⁶⁰ collisions, so
+        # shared counts and Jaccard are unchanged.
         sets = (
             shingles(df, n=n, id_col=id_col, text_col=text_col)
             .groupBy(id_col)
-            .agg(
-                F.collect_list("shingle").alias("sh"),
-                F.collect_list(
-                    F.expr(
-                        "cast(conv(substring(md5(shingle), 1, 15), 16,"
-                        f" 10) as bigint) % {MINHASH_P}"
-                    )
-                ).alias("__xs"),
-            )
+            .agg(F.collect_list(F.expr(_SHINGLE_H60)).alias("sh"))
             .localCheckpoint(eager=False)
         )
         sig = sets.select(
             F.col(id_col),
             *[
                 F.expr(
-                    f"array_min(transform(__xs, x -> ({a} * x + {b})"
-                    f" % {MINHASH_P})) AS h{i}"
+                    f"array_min(transform(sh, x -> ({a} *"
+                    f" (x % {MINHASH_P}) + {b}) % {MINHASH_P})) AS h{i}"
                 )
                 for i, (a, b) in enumerate(_minhash_params(k))
             ],
         )
-        sets = sets.select(id_col, "sh")
     else:
         sets = (
             shingles(df, n=n, id_col=id_col, text_col=text_col)
             .groupBy(id_col)
-            .agg(F.collect_list("shingle").alias("sh"))
+            .agg(F.collect_list(F.expr(_SHINGLE_H60)).alias("sh"))
         )
         sig = minhash_signatures(
             df, n=n, k=k, id_col=id_col, text_col=text_col

@@ -188,9 +188,17 @@ def token_report_oracle_sql(table: str = "documents", id_col: str = "doc_id",
     """
 
 
-def language_scores(text_col: Column) -> dict[str, Column]:
-    """Per-language function-word hit counts as column expressions."""
-    t = tokens(text_col)
+def language_scores(
+    text_col: Column, tok_col: Column | None = None
+) -> dict[str, Column]:
+    """Per-language function-word hit counts as column expressions.
+    Pass ``tok_col`` (a MATERIALIZED token-array column) to avoid
+    re-tokenizing per score: the per-language filters are lambda
+    (higher-order) expressions, which run INTERPRETED — whole-stage
+    codegen's subexpression elimination never sees them, so each
+    score otherwise re-runs the tokenize regex (round 10; the same
+    trap text_stats' barrier documents)."""
+    t = tok_col if tok_col is not None else tokens(text_col)
 
     def _hits(sw: tuple[str, ...]):
         # single-arg lambda: F.filter treats 2-arg lambdas as (elem, idx)
@@ -199,12 +207,13 @@ def language_scores(text_col: Column) -> dict[str, Column]:
     return {lang: _hits(LANG_STOPWORDS[lang]) for lang in sorted(LANG_STOPWORDS)}
 
 
-def language_pred_expr(text_col: Column) -> Column:
-    """Predicted-language column expression: argmax of the hit counts,
-    ties broken by language code ascending; 'und' when no list hits.
-    Expression form so composite pipelines (curation) can gate on it
-    inside a single projection instead of joining a separate pass."""
-    scores = language_scores(text_col)
+def language_pred_from_scores(scores: dict[str, Column]) -> Column:
+    """Argmax chain over ALREADY-MATERIALIZED per-language score
+    columns (ties by language code ascending; 'und' when all zero).
+    Feed it score COLUMNS from a barrier projection, never the inline
+    score expressions: the when/greatest chain references each score
+    ~3×, and plain attribute references are free where inline filter
+    expressions would each re-scan (or re-tokenize) the text."""
     best = F.greatest(*scores.values())
     pred: Column = F.lit("und")
     for lang in reversed(sorted(scores)):  # earlier langs win ties → apply last
@@ -215,13 +224,34 @@ def language_pred_expr(text_col: Column) -> Column:
 def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic language ID: count function-word hits per language,
     pick the max (ties broken by language code ascending; 'und' when no
-    list hits at all). Pure column expressions — the per-language score
-    is one array-filter each, argmax is a greatest/when chain."""
-    scores = language_scores(F.col(text_col))
-    out = [F.col(id_col)]
-    out += [scores[lang].cast("bigint").alias(f"score_{lang}") for lang in sorted(scores)]
-    out.append(language_pred_expr(F.col(text_col)).alias("predicted_lang"))
-    return df.select(*out)
+    list hits at all). Layered projections behind non-deterministic
+    barriers (round 10): tokenize ONCE, score each language ONCE over
+    the materialized array, then run the argmax chain over the score
+    COLUMNS — without the barriers CollapseProject inlines everything
+    into one Project and the interpreted lambda filters re-tokenize
+    per reference (~3 evals per language per row)."""
+    tokenized = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("__tok"),
+        F.rand(7).alias("__barrier"),
+    )
+    scores = language_scores(F.lit(None), tok_col=F.col("__tok"))
+    scored = tokenized.select(
+        F.col(id_col),
+        *[
+            scores[lang].cast("bigint").alias(f"score_{lang}")
+            for lang in sorted(scores)
+        ],
+        F.rand(11).alias("__barrier2"),
+    )
+    score_cols = {
+        lang: F.col(f"score_{lang}") for lang in sorted(LANG_STOPWORDS)
+    }
+    return scored.select(
+        F.col(id_col),
+        *[F.col(f"score_{lang}") for lang in sorted(LANG_STOPWORDS)],
+        language_pred_from_scores(score_cols).alias("predicted_lang"),
+    )
 
 
 def language_id_oracle_sql(table: str = "documents", id_col: str = "doc_id",
@@ -256,11 +286,16 @@ def language_id_oracle_sql(table: str = "documents", id_col: str = "doc_id",
     """
 
 
-def quality_flag_exprs(text_col: Column) -> dict[str, Column]:
+def quality_flag_exprs(
+    text_col: Column, tok_col: Column | None = None
+) -> dict[str, Column]:
     """Quality flags + composite score as column expressions over the
     raw text (same formulas as the text_stats intermediates), so a
-    composite pipeline can gate in one projection without a join."""
-    t = tokens(text_col)
+    composite pipeline can gate in one projection without a join.
+    Pass ``tok_col`` (a materialized token array) to tokenize once —
+    the stopword filter is an interpreted lambda, so codegen CSE
+    cannot dedupe the tokenize regex across these flags (round 10)."""
+    t = tok_col if tok_col is not None else tokens(text_col)
     n_tok = F.size(t)
     n_char = F.length(text_col)
     n_punct = F.size(F.regexp_extract_all(text_col, F.lit(r"[.,;:!?]"), 0))
@@ -289,9 +324,18 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """Composite document quality score in [0,1]: banded length,
     punctuation sanity, stopword presence, lexical diversity — the
     standard cheap pre-filter before expensive dedup/training steps.
-    Weights are fixed and documented; the score is deterministic."""
-    flags = quality_flag_exprs(F.col(text_col))
-    return df.select(
+    Weights are fixed and documented; the score is deterministic.
+    Tokenizes once behind the text_stats-style rand barrier (round
+    10): the flags reference the token array through interpreted
+    lambda filters, so without it the tokenize regex re-ran per flag."""
+    tokenized = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokens(F.col(text_col)).alias("__tok"),
+        F.rand(7).alias("__barrier"),
+    )
+    flags = quality_flag_exprs(F.col(text_col), tok_col=F.col("__tok"))
+    return tokenized.select(
         F.col(id_col), *(expr.alias(name) for name, expr in flags.items())
     )
 
