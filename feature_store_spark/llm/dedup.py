@@ -792,10 +792,11 @@ def minhash_lsh_pairs(
     subtrees, so the shingle pass runs three times. That is the
     measured-faster default anyway (narrow shuffles: the signature pass
     moves k longs per doc — 24 by default — not arrays). ``materialize_sets=True``
-    flips to tokenize-ONCE: one aggregate collects the shingle set and
-    its md5-int values, lazily localCheckpoint-ed and shared by all
-    branches, with signatures derived per-row via ``array_min`` over
-    LCG transforms. Use it when tokenization dominates — very long
+    flips to tokenize-ONCE: one aggregate collects the shingle set as
+    60-bit md5 prefixes (``_SHINGLE_H60``), lazily localCheckpoint-ed
+    and shared by all branches, with signatures derived per-row via
+    ``array_min`` over LCG transforms of ``x % P``. Use it when
+    tokenization dominates — very long
     documents or corpus scale where the 3× regex+md5 CPU outweighs
     caching the sets (at true 100 TB scale, write the shingle-set
     table to storage once and feed both phases from it instead)."""
