@@ -16,7 +16,15 @@ queries that stage intermediates via lazy ``localCheckpoint`` (the
 shingle/signature barrier in the dedup family) would otherwise REUSE
 the checkpointed data across runs — the timed runs would skip the
 shingling compute entirely and report a number no fresh execution can
-achieve. The per-run py4j DataFrame construction stays OUTSIDE the
+achieve. Sub-0.5 s queries additionally get
+SPARK_GRAFT_BENCH_EXTRA (default 2) EXTRA timed trials (both
+engines, still interleaved): at that scale a single trial landing on
+the previous query's JVM tail (GC, block-manager cleanup) shows up
+as a 1.5-2x outlier, and with only 3 trials the min statistic cannot
+always escape it (round 10's d_simhash read 0.45 in-bench vs
+0.34-0.38 isolated on untouched code — VERDICT r10 item 3). Extra
+trials only tighten the min; queries >= 0.5 s keep the exact prior
+trial count, so totals remain comparable round-over-round. The per-run py4j DataFrame construction stays OUTSIDE the
 timed window (built before t0); JVM-side analysis/optimization runs
 lazily inside the first action and is therefore included, as it is
 for DuckDB's parse/plan. Set SPARK_GRAFT_BENCH_WARMUP=0 /
@@ -321,6 +329,20 @@ def main() -> None:
                 con.execute(sql).fetchall()
                 dt = time.perf_counter() - t0
                 d_best = dt if d_best is None else min(d_best, dt)
+        # Sub-0.5 s stabilizer (see module docstring): extra
+        # interleaved trials for BOTH engines so neither side's min
+        # keeps a tail-contaminated outlier. Only lowers mins.
+        extra = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "2"))
+        if extra > 0 and best is not None and best < 0.5:
+            for _ in range(extra):
+                df = s.fn(spark, sf_dir)
+                t0 = time.perf_counter()
+                run(df)
+                best = min(best, time.perf_counter() - t0)
+                if sql is not None:
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    d_best = min(d_best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         if d_best is not None:
             duck[name] = round(d_best, 3)
@@ -463,6 +485,12 @@ def main() -> None:
             json.dump(payload, f)
     except OSError:
         pass  # a read-only checkout still gets the stdout lines
+    # The summary line carries the full per-query map (VERDICT r10
+    # item 2): the big payload line above gets tail-truncated by the
+    # driver's ~2 KB stdout window, which left PERF_r10's per-query
+    # and scaling blocks empty. 38 compact entries ≈ 1.3 KB — the
+    # whole summary line fits the tail. Additions-only: every prior
+    # summary key is unchanged.
     print(
         json.dumps(
             {
@@ -475,7 +503,9 @@ def main() -> None:
                 "ratio_median": payload.get("ratio_median"),
                 "n_queries": len(timings),
                 "regressions": regressions,
-            }
+                "queries": timings,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
