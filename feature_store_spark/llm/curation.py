@@ -71,7 +71,7 @@ def curate_corpus(
         tokens(text).alias("__tok"),
         F.rand(7).alias("__barrier"),
     )
-    scores = language_scores(F.lit(None), tok_col=F.col("__tok"))
+    scores = language_scores(tok_col=F.col("__tok"))
     scored = tokenized.select(
         id_col,
         text_col,

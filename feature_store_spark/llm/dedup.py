@@ -146,12 +146,18 @@ def chunk_dedup(
     never exploded into per-chunk strings and never shuffled at all.
     One tokenize pass lands (id, token-array) rows behind the
     standard collapse-barrier repartition on ``id_col``; the
-    first-occurrence decision explodes only 8-byte chunk HASHES
-    (xxhash64 over each ``chunk_tokens``-long slice of the token
-    array — tokens are space-free ``[a-z0-9]+``, so slice equality ⇔
-    chunk-text equality; a 64-bit collision merely merges two
-    distinct chunks, ~n²/2⁶⁵, the same accepted trade as
-    dup_span_stats' hashed gram keys) and shuffles 3 narrow columns;
+    first-occurrence decision explodes only 16-byte chunk HASHES
+    (a struct of two independently-salted xxhash64s over each
+    ``chunk_tokens``-long slice of the token array — tokens are
+    space-free ``[a-z0-9]+``, so slice equality ⇔ chunk-text
+    equality). The key is 128-bit because chunk_dedup REWRITES
+    ``dedup_text``: a key collision silently drops real content, and
+    at 100 TB chunk counts (~10¹¹–10¹²) a single 64-bit key's
+    birthday bound (~n²/2⁶⁵) makes tens of thousands of such merges
+    EXPECTED — the paired key pushes that to ~n²/2¹²⁹, i.e. never
+    (unlike dup_span_stats, where a collision only perturbs a
+    statistic and the 64-bit trade stands). Costs +8 bytes per
+    posting row on the one narrow shuffle;
     the per-doc kept-index lists join back CO-PARTITIONED on the id
     (zero exchange), and ``dedup_text`` is rebuilt by slicing the
     doc's own token array — only the kept chunks are ever
@@ -179,21 +185,38 @@ def chunk_dedup(
     # with overlap=0 every chunk of a non-empty doc is non-empty, so
     # n_chunks == ceil(n_tokens / chunk_tokens) and the old
     # n_tokens>0 filter reduces to the n>0 guard here
-    hashes = F.expr(
+    # slices are materialized once per chunk (in the explode, scan-
+    # local — they never cross an exchange) and hashed twice with
+    # different salts; only (id, chunk_idx, 16-byte key) is shuffled
+    slices = F.expr(
         f"CASE WHEN size(__t) > 0 THEN"
         f" transform(sequence(0, cast(ceil(size(__t) / {ct}.0) as int)"
-        f" - 1), i -> xxhash64(slice(__t, i * {ct} + 1, {ct})))"
+        f" - 1), i -> slice(__t, i * {ct} + 1, {ct}))"
         " ELSE array() END"
     )
     keyed = toks.select(
-        F.col(id_col), F.posexplode(hashes).alias("chunk_idx", "__h")
+        F.col(id_col), F.posexplode(slices).alias("chunk_idx", "__s")
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.struct(
+            F.xxhash64("__s").alias("h1"),
+            F.xxhash64(F.lit(1), F.col("__s")).alias("h2"),
+        ).alias("__h"),
     )
     winners = (
         keyed.groupBy("__h")
-        # min_by (not min-of-struct): MinBy is a TypedImperativeAggregate,
-        # so this plans as ObjectHashAggregate with map-side partials —
-        # plain Min over a struct falls back to SortAggregate, which
-        # re-sorts the whole posting stream on both sides of the exchange
+        # min_by plans as SortAggregate in Spark 4 (MinBy is a
+        # DECLARATIVE aggregate whose struct-typed buffer neither
+        # HashAggregate nor ObjectHashAggregate accepts — the round-10
+        # note claiming ObjectHashAggregate was wrong; the committed
+        # plan dumps always showed SortAggregate). Measured round 11 at
+        # sf≈1: a fully hash-based variant (pack (id, idx) into one
+        # bigint, plain min) is within 1% (1.236 vs 1.246 s) — the
+        # posting sort is NOT the bottleneck (tokenize + rebuild is) —
+        # and the packed key silently corrupts for negative/huge ids,
+        # so the safe struct form stays. Partial min_by still collapses
+        # per-hash duplicates map-side before the exchange.
         .agg(
             F.min_by(
                 F.struct(id_col, "chunk_idx"),
@@ -664,10 +687,17 @@ def lsh_index(
     """The two persistable relations of an incremental MinHash-LSH
     dedup index over an existing corpus: ``(postings, sets)`` where
     postings = (id, band_idx, band_hash) and sets = (id, sh:
-    array<string>) shingle sets for exact verification. At corpus
-    scale both are written to storage once (postings bucketed by
-    band_hash, sets by id) and every ingest batch probes them —
-    the corpus is never re-shingled."""
+    array<bigint>) — each set holds the 60-bit md5 prefixes of the
+    doc's distinct shingles, for exact verification. At corpus scale
+    both are written to storage once (postings bucketed by band_hash,
+    sets by id) and every ingest batch probes them — the corpus is
+    never re-shingled.
+
+    STORAGE-FORMAT BREAK (round 10): ``sh`` changed from
+    array<string> raw shingles to array<bigint> hashes. An index
+    written by the pre-round-10 code must be rebuilt;
+    :func:`minhash_lsh_incremental` raises a clear error if fed the
+    old schema."""
     # Tokenize ONCE (round 10): postings AND sets both need the
     # shingle pass, and the sets relation is referenced twice by the
     # downstream verification join — as three independent subtrees
@@ -731,6 +761,18 @@ def minhash_lsh_incremental(
     recomputed — at 100 TB this is what makes per-batch dedup
     O(batch), not O(corpus).
     """
+    # guard against a pre-round-10 persisted index (sh was
+    # array<string> raw shingles; now array<bigint> hashes) — the
+    # unionByName below would otherwise fail with a confusing
+    # cannot-merge-types error deep in the plan
+    sh_type = {f.name: f.dataType.simpleString() for f in index_sets.schema}
+    if sh_type.get("sh") != "array<bigint>":
+        raise ValueError(
+            "index_sets.sh must be array<bigint> (60-bit shingle-hash "
+            f"prefixes), got {sh_type.get('sh')}: this index was built "
+            "by an older lsh_index that stored raw shingle strings — "
+            "rebuild it with the current lsh_index()"
+        )
     new_post, new_sets = lsh_index(
         new_docs, n=n, k=k, bands=bands, id_col=id_col, text_col=text_col
     )

@@ -189,15 +189,22 @@ def token_report_oracle_sql(table: str = "documents", id_col: str = "doc_id",
 
 
 def language_scores(
-    text_col: Column, tok_col: Column | None = None
+    text_col: Column | None = None, *, tok_col: Column | None = None
 ) -> dict[str, Column]:
     """Per-language function-word hit counts as column expressions.
-    Pass ``tok_col`` (a MATERIALIZED token-array column) to avoid
+    Pass EXACTLY ONE of ``text_col`` / ``tok_col`` (keyword-only).
+    Prefer ``tok_col`` (a MATERIALIZED token-array column) to avoid
     re-tokenizing per score: the per-language filters are lambda
     (higher-order) expressions, which run INTERPRETED — whole-stage
     codegen's subexpression elimination never sees them, so each
     score otherwise re-runs the tokenize regex (round 10; the same
     trap text_stats' barrier documents)."""
+    if (text_col is None) == (tok_col is None):
+        raise ValueError(
+            "language_scores: pass exactly one of text_col / tok_col "
+            "(a real text_col alongside tok_col would be silently "
+            "ignored)"
+        )
     t = tok_col if tok_col is not None else tokens(text_col)
 
     def _hits(sw: tuple[str, ...]):
@@ -235,7 +242,7 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         tokens(F.col(text_col)).alias("__tok"),
         F.rand(7).alias("__barrier"),
     )
-    scores = language_scores(F.lit(None), tok_col=F.col("__tok"))
+    scores = language_scores(tok_col=F.col("__tok"))
     scored = tokenized.select(
         F.col(id_col),
         *[

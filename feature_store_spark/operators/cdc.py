@@ -81,11 +81,23 @@ def apply_cdc(
     key_cols: Sequence[str],
     seq_col: str = "seq",
     op_col: str = "op",
+    checkpoint_feed: bool = True,
 ) -> DataFrame:
     """Return the next snapshot of ``base`` after replaying
     ``changes``. ``changes`` must carry every ``base`` column plus
     ``seq_col`` (orders a key's changes; highest wins) and ``op_col``
     ('I'/'U'/'D'). Output schema == base schema.
+
+    ``checkpoint_feed``: materialize the per-key winning-change table
+    (lazy ``localCheckpoint``) so both consumers read it once instead
+    of re-planning the feed subtree twice — right for the common
+    batch-apply call. The trade: checkpoint blocks are held in
+    executor storage until the session (or the RDD) is GC'd, and the
+    truncated lineage means executor loss fails the job rather than
+    recomputing. A LONG-LIVED session applying many CDC cycles
+    (streaming-style callers; foreachBatch loops) should pass
+    ``checkpoint_feed=False`` to avoid accumulating storage, or
+    unpersist between cycles.
     """
     key_cols = list(key_cols)
     payload = [c for c in base.columns if c not in key_cols]
@@ -110,7 +122,9 @@ def apply_cdc(
         key_cols,
         seq_col,
         op_col,
-    ).localCheckpoint(eager=False)
+    )
+    if checkpoint_feed:
+        latest = latest.localCheckpoint(eager=False)
     upserts = latest.filter(F.col("__op") != "D").select(
         *key_cols, *payload
     )

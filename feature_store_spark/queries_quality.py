@@ -29,6 +29,42 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+# Scale-trade checkpoints become ADAPTIVE here (round 11, VERDICT r10
+# item 5): a lazy localCheckpoint that exists to collapse two raw
+# scans into one costs a fixed materialization round-trip (~40 ms at
+# sf0.1), which only pays once a raw scan itself costs more than
+# that — empirically around a few hundred MB of parquet on this
+# hardware, and unambiguously at the 100 TB target. Below the
+# threshold the planner's two-scan shape is strictly faster, so the
+# helper returns the frame unchanged and both consumers re-plan it.
+_CHECKPOINT_MIN_INPUT_BYTES = 256 * 1024 * 1024
+
+
+def _input_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of fixture table ``name`` (file or directory) —
+    a plan-time-cheap proxy for scan cost; 0 when unreadable (callers
+    then keep the no-checkpoint fast path, the safe small default)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def _checkpoint_if_large(df, sf_dir: str, name: str):
+    if _input_bytes(sf_dir, name) >= _CHECKPOINT_MIN_INPUT_BYTES:
+        return df.localCheckpoint(eager=False)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # A6 — HAVING post-filters (duplicate-key detection / activity gate)
 # ---------------------------------------------------------------------------
@@ -1176,18 +1212,23 @@ def q_a16_hll_rollup(spark, sf_dir):
         F.to_date("ts").alias("day"), "user_id"
     )
     week = F.to_date(F.date_trunc("week", F.col("day"))).alias("week")
-    # ONE raw scan (round 10, guide §1.2/§6): the sketch path and the
-    # exact-verification path both hang off the same per-(day, user)
-    # dedup aggregate, materialized once (lazy localCheckpoint — the
-    # deduped rows are |users|×|days|, far smaller than raw events;
-    # Catalyst's per-branch column pruning otherwise re-plans the
-    # subtree twice and re-scans the corpus). HLL registers are
+    # ONE raw scan at scale (round 10, guide §1.2/§6): the sketch path
+    # and the exact-verification path both hang off the same per-(day,
+    # user) dedup aggregate, materialized once (lazy localCheckpoint —
+    # the deduped rows are |users|×|days|, far smaller than raw
+    # events; Catalyst's per-branch column pruning otherwise re-plans
+    # the subtree twice and re-scans the corpus). HLL registers are
     # duplicate-insensitive, so sketching the deduped rows yields
     # bit-identical estimates to sketching raw events; countDistinct
     # per week over (day, user) rows is the same distinct set. On the
     # user-bucketed store the dedup itself needs NO exchange (same
     # user ⇒ same bucket ⇒ (day, user) is bucket-local).
-    base = ev.distinct().localCheckpoint(eager=False)
+    # ADAPTIVE (round 11, VERDICT r10 item 5): below
+    # _CHECKPOINT_MIN_INPUT_BYTES of raw events the materialization
+    # round-trip costs more than the second scan it saves (+12%
+    # measured at sf0.1), so small inputs keep the two-scan plan and
+    # large ones keep the one-raw-pass plan.
+    base = _checkpoint_if_large(ev.distinct(), sf_dir, "events")
     daily = base.groupBy("day").agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )

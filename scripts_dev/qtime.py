@@ -9,7 +9,7 @@ Usage:
   python scripts_dev/qtime.py --runs 5 q1
   SPARK_GRAFT_SF_DIR=... overrides the data dir (default sf0.1).
 
-Plans land in /root/repo/plans/r10/<query>_<tag>.txt when --explain
+Plans land in /root/repo/plans/r11/<query>_<tag>.txt when --explain
 --tag before|after is given.
 """
 
@@ -106,7 +106,7 @@ def main() -> None:
                 out = os.path.join(
                     os.path.dirname(os.path.dirname(
                         os.path.abspath(__file__))),
-                    "plans", "r10", f"{name}_{args.tag}.txt",
+                    "plans", "r11", f"{name}_{args.tag}.txt",
                 )
                 os.makedirs(os.path.dirname(out), exist_ok=True)
                 with open(out, "w") as f:
