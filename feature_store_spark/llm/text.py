@@ -960,6 +960,10 @@ def pmi_collocations(
     toks = df.select(
         F.explode(tokens(F.col(text_col))).alias("__w")
     )
+    # round-11 audit note: deriving N from `uni` (Σ __c) does NOT
+    # save the third scan — the sum-over-uni subtree fails to reuse
+    # the uni exchange (measured: still 3 FileScans, 1 ReusedExchange,
+    # no time change), so the straightforward global count stays.
     n_total = toks.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     uni = toks.groupBy("__w").agg(
         F.count(F.lit(1)).cast("bigint").alias("__c")

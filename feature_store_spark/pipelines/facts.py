@@ -61,6 +61,20 @@ FACT_BUCKET_KEYS = {
     # keeps serving the lineitem joins. Cost: one extra bucketed
     # write per ingest, amortized over every derivation run.
     "orders_by_custkey": "o_custkey",
+    # MERGEABLE AGGREGATE projection of orders (round 11, VERDICT r10
+    # item 4 — the ClickHouse-AggregatingMergeTree / materialized-
+    # rollup move, same family as a16's ingest-time HLL partials):
+    # derive_user_features needs only per-(custkey, priority, status)
+    # partials — count, exact integer-cents sum, min orderdate — all
+    # associative/commutative, so the projection is maintainable at
+    # ingest by merging each batch's partials (sum/sum/min) instead
+    # of rescanning history. Row count is bounded by
+    # |customers|×|priorities|×|statuses| (≈15 rows/customer max)
+    # regardless of order volume: at 100 TB the user-features
+    # pipeline reads a customer-sized summary instead of the full
+    # orders history. The flat fallback computes the same aggregate
+    # from raw orders in-plan — layout-independent results.
+    "orders_user_stats": "o_custkey",
     # DENORMALIZED projection of lineitem under the customer key
     # (materialized join at ingest): the payment-delay and merchant
     # feeds need (o_custkey, o_orderdate) per shipment, so on the
@@ -76,6 +90,7 @@ FACT_BUCKET_KEYS = {
 # Projections materialize from another table's fixture.
 FACT_SOURCES = {
     "orders_by_custkey": "orders",
+    "orders_user_stats": "orders",
     # flat fallback composes the join on the fly (see
     # _PROJECTION_BUILDERS) — layout-independent results
     "lineitem_by_custkey": "lineitem",
@@ -170,6 +185,19 @@ def projection_frame(spark: SparkSession, sf_dir: str, name: str):
     schema, layout-independent results)."""
     from feature_store_spark.tables import load_flat_table
 
+    if name == "orders_user_stats":
+        orders = load_flat_table(spark, sf_dir, "orders")
+        # exact integer cents (same expression as
+        # derive_user_features) so the projection's partial sums
+        # recompose bit-identically with the raw-orders aggregate
+        cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+        return orders.groupBy(
+            "o_custkey", "o_orderpriority", "o_orderstatus"
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("sum_cents"),
+            F.min("o_orderdate").alias("first_orderdate"),
+        )
     if name == "lineitem_by_custkey":
         li = load_flat_table(spark, sf_dir, "lineitem")
         orders = load_flat_table(spark, sf_dir, "orders")

@@ -49,6 +49,7 @@ def derive_user_features(
     orders: DataFrame,
     ref_date: str = REF_DATE,
     orders_custkey: DataFrame | None = None,
+    orders_stats: DataFrame | None = None,
 ) -> DataFrame:
     """users ⟕ per-user order stats (reference `sql/user_features.sql`).
 
@@ -70,19 +71,44 @@ def derive_user_features(
     then needs NO exchange at all (the scan already hash-distributes
     on o_custkey). Defaults to ``orders``; results are layout-
     independent.
+
+    ``orders_stats``: the mergeable per-(custkey, priority, status)
+    aggregate projection (``orders_user_stats`` in pipelines/facts.py
+    — round 11): count / integer-cents sum / min orderdate partials
+    maintained at ingest. When provided it replaces the raw-orders
+    scan entirely — the pipeline re-aggregates customer-bounded
+    summary rows (≤ ~15 per customer) instead of the full order
+    history; sums-of-sums and min-of-mins recompose the identical
+    values (exact integer cents, dates), so results are again
+    layout-independent. Takes precedence over ``orders_custkey``.
     """
-    occ = orders_custkey if orders_custkey is not None else orders
-    completed = occ.filter(F.col("o_orderstatus").isin(*COMPLETED_STATUSES))
     # Money aggregates use exact integer cents (bigint) so the result
     # is independent of float summation order — the derived avg is a
     # single double division of identical operands in any engine,
     # making differential hashes bit-stable (SURVEY.md §7.4 precision).
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    per_prio = completed.groupBy("o_custkey", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("__cnt"),
-        F.sum(cents).alias("__cents"),
-        F.min("o_orderdate").alias("__first"),
-    )
+    if orders_stats is not None:
+        per_prio = (
+            orders_stats.filter(
+                F.col("o_orderstatus").isin(*COMPLETED_STATUSES)
+            )
+            .groupBy("o_custkey", "o_orderpriority")
+            .agg(
+                F.sum("n_orders").alias("__cnt"),
+                F.sum("sum_cents").alias("__cents"),
+                F.min("first_orderdate").alias("__first"),
+            )
+        )
+    else:
+        occ = orders_custkey if orders_custkey is not None else orders
+        completed = occ.filter(
+            F.col("o_orderstatus").isin(*COMPLETED_STATUSES)
+        )
+        cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+        per_prio = completed.groupBy("o_custkey", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum(cents).alias("__cents"),
+            F.min("o_orderdate").alias("__first"),
+        )
     prio_ok = F.col("o_orderpriority").isNotNull()
     stats = per_prio.groupBy("o_custkey").agg(
         F.sum("__cnt").alias("__n_orders"),

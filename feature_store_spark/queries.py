@@ -133,6 +133,11 @@ def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "customer"),
         _t(spark, sf_dir, "orders"),
         orders_custkey=_t(spark, sf_dir, "orders_by_custkey"),
+        # mergeable ingest-time rollup (round 11): the two orders
+        # aggregates run over customer-bounded summary rows instead of
+        # the raw order history; flat mode computes the identical
+        # aggregate in-plan (layout-independent, facts.py)
+        orders_stats=_t(spark, sf_dir, "orders_user_stats"),
     )
 
 

@@ -162,6 +162,32 @@ def test_custkey_projection_results_are_layout_independent(
         assert res["rows_match"] and res["hash_match"], (name, res)
 
 
+def test_user_features_reads_mergeable_stats_projection(
+    spark, sf_dir, monkeypatch
+):
+    """Under the bucketed layout pipeline_user_features reads the
+    orders_user_stats mergeable-aggregate projection (round 11) —
+    customer-bounded summary rows, not the raw order history — with
+    no exchange below the customer join (the projection is custkey-
+    bucketed, and custkey ⊂ both groupBy keys)."""
+    from feature_store_spark.queries import SPECS, all_queries
+
+    all_queries()
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_FACTS", "1")
+    df = SPECS["pipeline_user_features"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "fs_fact_orders_user_stats" in plan
+    # raw orders must NOT be scanned in this shape
+    assert "orders.parquet" not in plan
+    assert "fs_fact_orders_by_custkey" not in plan
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "custkey" in ln.lower()
+    ]
+    assert not bad, bad
+
+
 def test_events_bucket_sort_elides_window_sorts(spark, sf_dir, monkeypatch):
     """Round 9: the events bucket sorts by (user_id, ts, event_id) —
     exactly the required child ordering of the ASC per-user window
