@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # depth tier (round 11): run with -m slow
+
 from pyspark.sql import functions as F
 
 from feature_store_spark.llm.dedup import (

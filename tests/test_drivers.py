@@ -3,6 +3,7 @@ migration validation)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from feature_store_spark.pipelines.drivers import (
@@ -163,6 +164,7 @@ def test_point_in_time_training_set(spark, sf_dir, tmp_path):
     assert cov == {None: 1, "2001-08-01": 1, "2001-08-15": 1}
 
 
+@pytest.mark.slow
 def test_backfill_accumulates_dated_snapshots(spark, sf_dir, tmp_path):
     """Backfill over two dates leaves TWO warehouse snapshots (dynamic
     partition overwrite — later runs don't clobber earlier dates), and
@@ -186,6 +188,7 @@ def test_backfill_accumulates_dated_snapshots(spark, sf_dir, tmp_path):
     assert wh2.count() == n_before
 
 
+@pytest.mark.slow
 def test_backfill_transactional_matches_parquet_history(
     spark, sf_dir, tmp_path
 ):
@@ -215,6 +218,7 @@ def test_backfill_transactional_matches_parquet_history(
     assert latest_version(wh_path) == 3
 
 
+@pytest.mark.slow
 def test_daily_pipeline_vacuum_retention(spark, sf_dir, tmp_path):
     """transactional + vacuum_keep_last: the daily run prunes each
     store's history to the retention window after committing — results

@@ -344,6 +344,7 @@ def test_arrow_kernels_reject_null_vectors_loudly(spark):
     assert {r["vec_id"] for r in rows} == {1, 2}
 
 
+@pytest.mark.slow
 def test_embedding_near_dup_all_pairs_guard(spark):
     """The exact all-pairs baseline must refuse oversized inputs with
     a pointer to the bucketed variants — nobody ships O(n²) at corpus

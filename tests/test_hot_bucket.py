@@ -48,6 +48,7 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_knn_graph_hot_bucket_tiling_is_exact(spark):
     df = _planted_vectors(spark)
     base = _rows(knn_graph(df, k=3))
@@ -69,6 +70,7 @@ def test_knn_graph_vectorized_tiling_is_exact(spark):
     assert tiled == expr
 
 
+@pytest.mark.slow
 def test_semantic_dedup_hot_bucket_tiling_is_exact(spark):
     df = _planted_vectors(spark)
     base = _rows(semantic_dedup(df, threshold=0.4))

@@ -13,11 +13,25 @@ all_queries()  # register extension specs before parametrization
 ORACLE_NAMES = sorted(n for n, s in SPECS.items() if s.sql is not None)
 ROWS_ONLY_NAMES = sorted(n for n, s in SPECS.items() if s.sql is None)
 
+# One DataFrame build per query, shared by the match + atomic-schema
+# tests below: fn() is plan construction, but the iterative queries
+# (kmeans, curation label-prop, knn fixtures) run real driver-side
+# jobs while building — paying that twice per query cost the suite
+# ~3 min of its 33 (round 11, VERDICT r10 item 6). DataFrames are
+# immutable plans; reuse cannot leak state between the two checks.
+_DF_CACHE: dict[str, object] = {}
+
+
+def _df(spark, sf_dir, name):
+    if name not in _DF_CACHE:
+        _DF_CACHE[name] = SPECS[name].fn(spark, sf_dir)
+    return _DF_CACHE[name]
+
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(spark, duck, sf_dir, name):
     spec = SPECS[name]
-    df = spec.fn(spark, sf_dir)
+    df = _df(spark, sf_dir, name)
     report = compare(df, duck, spec.sql)
     if not report["ok"]:
         diff = first_diff(spec.fn(spark, sf_dir), duck, spec.sql)
@@ -41,7 +55,7 @@ def test_oracle_query_output_is_atomic(spark, sf_dir, name):
     (see queries_llm._stringify_vec). Plan-only — nothing executes."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    df = SPECS[name].fn(spark, sf_dir)
+    df = _df(spark, sf_dir, name)
     bad = [
         f.name
         for f in df.schema.fields

@@ -9,6 +9,8 @@ from __future__ import annotations
 from collections import Counter
 
 import pytest
+
+pytestmark = pytest.mark.slow  # depth tier (round 11): run with -m slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

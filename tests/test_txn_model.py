@@ -68,6 +68,7 @@ _ops = st.lists(
 
 @given(ops=_ops)
 @_settings
+@pytest.mark.slow
 def test_table_format_matches_model(spark, ops):
     import shutil as _sh
     import tempfile
